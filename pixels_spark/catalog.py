@@ -149,6 +149,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(SCHEMAS)}")
+    if name == "events":
+        # events.ts is INT64 TIMESTAMP(NANOS) in parquet, which Spark's reader
+        # rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long and convert
+        # ns→µs with integer division (`div`, not double `/` — ns epochs
+        # exceed 2^53 and would round) to Spark's µs TimestampType. Matches
+        # DuckDB's CAST(ts AS TIMESTAMP) truncation, per FIXTURES.md "ingest
+        # as µs". ≈ Pixels TIMESTAMP precision 0-6 (proto/pixels.proto:125).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

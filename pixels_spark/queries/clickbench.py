@@ -1,15 +1,241 @@
 """ClickBench-style aggregation queries over the ``events`` table.
 
 Reference corpus: ``pixels-parser/src/test/.../ClickbenchQuery.java`` (40
-queries over the `hits` table: counts, distincts, group-by-top-k, string
-matching). The fixture analog is `events`; the JSON ``props`` column covers
-the scalar-JSON surface (SURVEY.md §2.8).
+queries over the `hits` table: plain counts, filtered counts, distincts,
+group-by-top-k, min/max, string matching). The fixture analog is `events`;
+the JSON ``props`` column covers the scalar-JSON surface (SURVEY.md §2.8).
+
+Scale notes: all queries are single-pass scan + hash-agg with map-side
+partials; top-k uses TakeOrderedAndProject. COUNT(DISTINCT) over user_id
+shuffles by the distinct key (two-phase expand) — at 100 TB swap to
+``approx_count_distinct`` (HLL) where exactness isn't needed; the exact form
+is declared here because the oracle demands exactness.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import declare
+
+
+def _dsum(c: Column) -> Column:
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+def _sql_dsum(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# CB Q1-style: bare count.
+@declare(
+    "cb_count",
+    sql="SELECT CAST(count(*) AS BIGINT) AS cnt FROM events",
+    tags=("aggregation", "scan"),
+)
+def cb_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# CB Q2-style: filtered count + sum + avg.
+@declare(
+    "cb_filtered_agg",
+    sql=f"""
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           {_sql_dsum("value")} AS total_value,
+           {_sql_dsum("value")} / count(*) AS avg_value
+    FROM events WHERE event_type = 'click'
+    """,
+    tags=("aggregation", "filter"),
+)
+def cb_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    cnt = F.count(F.lit(1))
+    return e.agg(
+        cnt.alias("cnt"),
+        _dsum(F.col("value")).alias("total_value"),
+        (_dsum(F.col("value")) / cnt).alias("avg_value"),
+    )
+
+
+# CB Q4/Q5-style: min/max + exact distinct count.
+@declare(
+    "cb_minmax_distinct",
+    sql="""
+    SELECT min(CAST(ts AS TIMESTAMP)) AS min_ts,
+           max(CAST(ts AS TIMESTAMP)) AS max_ts,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    """,
+    tags=("aggregation", "distinct_agg"),
+)
+def cb_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count_distinct(F.col("user_id")).alias("users"),
+    )
+
+
+# group-by-all-types: avg/sum/count per event_type.
+@declare(
+    "cb_by_type",
+    sql=f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           {_sql_dsum("value")} AS total_value,
+           {_sql_dsum("value")} / count(*) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("aggregation",),
+)
+def cb_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = F.count(F.lit(1))
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            cnt.alias("cnt"),
+            _dsum(F.col("value")).alias("total_value"),
+            (_dsum(F.col("value")) / cnt).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# CB top-k users by engagement.
+@declare(
+    "cb_top_users",
+    sql=f"""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+           {_sql_dsum("value")} AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+    tags=("aggregation", "topk"),
+)
+def cb_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# daily time-series rollup (≈ tumbling window in batch form).
+@declare(
+    "cb_daily",
+    sql=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           {_sql_dsum("value")} AS total_value
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+    tags=("aggregation", "time_series", "distinct_agg"),
+)
+def cb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct(F.col("user_id")).alias("users"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+# hour-of-day histogram (extract + group).
+@declare(
+    "cb_hourly_histogram",
+    sql=f"""
+    SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {_sql_dsum("value")} / count(*) AS avg_value
+    FROM events GROUP BY 1 ORDER BY hour
+    """,
+    tags=("aggregation", "scalar"),
+)
+def cb_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.hour("ts").cast("bigint").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (_dsum(F.col("value")) / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+# JSON scalar extraction from props (§2.8 get_json_object surface).
+@declare(
+    "cb_json_props",
+    sql=f"""
+    SELECT event_type,
+           {_sql_dsum("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS k_sum,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("json", "aggregation"),
+)
+def cb_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            _dsum(k.cast("double")).alias("k_sum"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# heavy-hitter users (HAVING over count).
+@declare(
+    "cb_active_users",
+    sql="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id HAVING count(*) >= 12
+    ORDER BY user_id
+    """,
+    tags=("aggregation", "having"),
+)
+def cb_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 12)
+        .orderBy("user_id")
+    )
+
+
+# type × day distinct-user matrix.
+@declare(
+    "cb_type_day_users",
+    sql="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY event_type, 2 ORDER BY event_type, day
+    """,
+    tags=("aggregation", "distinct_agg", "in_list"),
+)
+def cb_type_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct(F.col("user_id")).alias("users"))
+        .orderBy("event_type", "day")
+    )

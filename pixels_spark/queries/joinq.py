@@ -1,0 +1,124 @@
+"""Join-type parity queries (SURVEY.md §2.3).
+
+The reference kernel supports exactly EQUI_INNER / EQUI_LEFT / EQUI_RIGHT /
+EQUI_FULL (``pixels-executor/.../join/JoinType.java:28-34``); semi/anti are
+SQL-surface only (``Joiner.java:44-45``) and are covered by the TPC-H
+analogs. This module pins the outer-join family explicitly, including the
+null-key convention (null join keys never match — ``Joiner.java:45-46``,
+standard SQL in both Spark and DuckDB) via the orders↔customer mismatch
+produced by filtering.
+
+Algorithm coverage: Catalyst/AQE picks broadcast-hash vs shuffle-hash vs
+sort-merge (≈ JoinAlgorithm.java:26-35 BROADCAST/PARTITIONED/SORTED); the
+explicit hint variants are exercised in tests/test_join_strategies.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import declare
+
+
+# FULL OUTER equi-join with unmatched rows on both sides.
+@declare(
+    "join_full_outer",
+    sql="""
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           max(c_name) AS c_name,
+           CAST(count(o_orderkey) AS BIGINT) AS order_cnt
+    FROM (SELECT * FROM customer WHERE c_acctbal > 950) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON c_custkey = o_custkey
+    GROUP BY COALESCE(c_custkey, o_custkey)
+    ORDER BY custkey
+    """,
+    tags=("outer_join", "aggregation"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 950)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+        .groupBy(F.coalesce(c["c_custkey"], o["o_custkey"]).alias("custkey"))
+        .agg(
+            F.max("c_name").alias("c_name"),
+            F.count("o_orderkey").alias("order_cnt"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# RIGHT OUTER join (EQUI_RIGHT).
+@declare(
+    "join_right_outer",
+    sql="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY') c
+    RIGHT OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 490000) o
+      ON c_custkey = o_custkey
+    ORDER BY o_orderkey
+    """,
+    tags=("outer_join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 490000)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "right_outer")
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+# LEFT OUTER with null-producing right side, then null-sensitive filter
+# (IS NULL domain ≈ Filter.allowNull/onlyNull, pixels-executor/.../predicate/
+# Filter.java:42-148).
+@declare(
+    "join_left_null_filter",
+    sql="""
+    SELECT s_suppkey, s_name, l_orderkey
+    FROM supplier LEFT OUTER JOIN
+         (SELECT * FROM lineitem WHERE l_quantity >= 49.5) l
+      ON s_suppkey = l_suppkey
+    WHERE l_orderkey IS NULL OR l_orderkey % 2 = 0
+    ORDER BY s_suppkey, l_orderkey
+    """,
+    tags=("outer_join", "null_filter"),
+)
+def join_left_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49.5)
+    return (
+        s.join(l, s["s_suppkey"] == l["l_suppkey"], "left_outer")
+        .filter(F.col("l_orderkey").isNull() | (F.col("l_orderkey") % 2 == 0))
+        .select("s_suppkey", "s_name", "l_orderkey")
+        .orderBy("s_suppkey", "l_orderkey")
+    )
+
+
+# CROSS join (small × small) + inequality filter — theta-style join surface.
+@declare(
+    "join_cross_theta",
+    sql="""
+    SELECT r1.r_regionkey AS rk1, r2.r_regionkey AS rk2
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    ORDER BY rk1, rk2
+    """,
+    tags=("cross_join",),
+)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rk1")
+    )
+    r2 = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rk2")
+    )
+    return (
+        r1.crossJoin(r2).filter(F.col("rk1") < F.col("rk2")).orderBy("rk1", "rk2")
+    )

@@ -54,6 +54,8 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
     """Import every query module (side effect: fills REGISTRY)."""
     from . import (  # noqa: F401
         clickbench,
+        joinq,
+        scalarq,
         setopq,
         text_pipeline,
         tpch,

@@ -1,0 +1,190 @@
+"""Scalar-expression surface queries (SURVEY.md §2.8).
+
+The reference evaluates scalar expressions in the host engine (Trino/DuckDB)
+via Calcite's ``SqlStdOperatorTable`` (``PixelsParser.java:94``); the corpus
+exercises arithmetic, CASE, LIKE, IN, BETWEEN, substring, extract, date ±
+interval. This module packs that surface into dedicated projection queries
+so each scalar family is value-checked against the oracle, independent of
+the TPC-H aggregates that also use them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import declare
+
+
+# string functions: substring/upper/lower/length/concat/trim/replace/like
+@declare(
+    "scalar_strings",
+    sql="""
+    SELECT p_partkey,
+           upper(p_name)                       AS uname,
+           lower(p_brand)                      AS lbrand,
+           CAST(length(p_name) AS BIGINT)      AS name_len,
+           substring(p_name, 1, 5)             AS name5,
+           concat(p_brand, ':', p_type)        AS brand_type,
+           replace(p_name, ' ', '_')           AS snake,
+           CASE WHEN p_name LIKE '%bolt%' THEN 'bolt' ELSE 'other' END AS kind
+    FROM part WHERE p_size <= 10
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("uname"),
+            F.lower("p_brand").alias("lbrand"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.substring("p_name", 1, 5).alias("name5"),
+            F.concat_ws(":", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+            F.when(F.col("p_name").like("%bolt%"), "bolt").otherwise("other").alias("kind"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# date/time functions: extract family + date ± interval + date_trunc
+@declare(
+    "scalar_dates",
+    sql="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year  FROM o_orderdate) AS BIGINT) AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+           CAST(EXTRACT(day   FROM o_orderdate) AS BIGINT) AS d,
+           o_orderdate + INTERVAL 108 DAY   AS plus_days,
+           o_orderdate + INTERVAL 3 MONTH   AS plus_months,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+    FROM orders WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+            F.expr("o_orderdate + INTERVAL 108 DAY").alias("plus_days"),
+            F.expr("o_orderdate + INTERVAL 3 MONTH").alias("plus_months"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# math functions: abs/round/floor/ceil/sqrt/ln/power/mod
+@declare(
+    "scalar_math",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000.0)        AS abs_dev,
+           round(l_extendedprice, 1)             AS rounded,
+           floor(l_quantity)                     AS fl,
+           ceil(l_discount * 100)                AS disc_pct,
+           sqrt(l_extendedprice)                 AS root,
+           ln(l_extendedprice)                   AS logp,
+           power(l_quantity, 2.0)                AS qty_sq,
+           CAST(l_orderkey % 7 AS BIGINT)        AS mod7
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+            F.round(F.col("l_extendedprice"), 1).alias("rounded"),
+            F.floor(F.col("l_quantity")).alias("fl"),
+            F.ceil(F.col("l_discount") * 100).alias("disc_pct"),
+            F.sqrt(F.col("l_extendedprice")).alias("root"),
+            F.log(F.col("l_extendedprice")).alias("logp"),
+            F.pow(F.col("l_quantity"), 2.0).alias("qty_sq"),
+            (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# conditional + null handling: CASE/coalesce/nullif/if
+@declare(
+    "scalar_conditionals",
+    sql="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 500 THEN 'low'
+                ELSE 'high' END                         AS bal_class,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal ELSE -c_acctbal END
+               AS signed_bal
+    FROM customer WHERE c_custkey < 300
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "case_when", "null_handling"),
+)
+def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 500, "low")
+            .otherwise("high")
+            .alias("bal_class"),
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+            ).alias("seg"),
+            F.when(F.col("c_nationkey") % 2 == 0, F.col("c_acctbal"))
+            .otherwise(-F.col("c_acctbal"))
+            .alias("signed_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# regex + split-based string ops (ClickBench-style string matching).
+@declare(
+    "scalar_regex",
+    sql="""
+    SELECT doc_id,
+           CAST(regexp_matches(text, '^[a-z]+ ') AS BOOLEAN) AS starts_word,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+               AS no_vowel_len,
+           split_part(text, ' ', 1) AS first_word
+    FROM documents WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    tags=("scalar", "regex", "string"),
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.col("text").rlike("^[a-z]+ ").alias("starts_word"),
+            F.length(F.regexp_replace(F.col("text"), "[aeiou]", ""))
+            .cast("bigint")
+            .alias("no_vowel_len"),
+            F.split(F.col("text"), " ").getItem(0).alias("first_word"),
+        )
+        .orderBy("doc_id")
+    )
