@@ -1,7 +1,9 @@
-"""Text-analysis + dedup queries over ``documents`` (beyond-parity north star).
+"""Text-analysis + dedup queries over ``documents`` (LLM-pipeline north star).
 
-Built on pixels_spark.functions.{text,dedup}; SQL-expressible variants carry a
-DuckDB oracle, hash-dependent ones (MinHash/SimHash) get rows-only checks.
+Built on ``pixels_spark.functions.{text,dedup}``. SQL-expressible operators
+carry a DuckDB oracle; MinHash/SimHash use Spark's xxhash64 (engine-specific)
+so they get rows-only checks — their *correctness* is pinned by property
+tests in tests/test_dedup.py (candidates ⊇ truly-similar pairs, etc.).
 """
 
 from __future__ import annotations
@@ -10,4 +12,195 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import dedup as D
+from ..functions import multimodal as M
+from ..functions import text as T
 from .registry import declare
+
+_STOP_EN_SQL = "['the','a','of','and','to','in','is','that','it','for']"
+
+
+# token counting + length stats (oracle).
+@declare(
+    "txt_stats",
+    sql=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_count,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           (CAST(length(text) AS DOUBLE)
+            - (len(string_split_regex(trim(text), '\s+')) - 1))
+           / len(string_split_regex(trim(text), '\s+')) AS avg_word_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "scalar"),
+)
+def txt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = T.token_count(F.col("text"))
+    n_chars = F.length("text").cast("double")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("token_count"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        ((n_chars - (n_tokens - 1)) / n_tokens).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+# quality-scoring features (oracle).
+@declare(
+    "txt_quality",
+    sql=rf"""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+           CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> list_contains({_STOP_EN_SQL}, t))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(words: tuple[str, ...]) -> str:
+    lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return (
+        "len(list_intersect(list_distinct("
+        r"string_split_regex(lower(text), '\s+')), " + lst + "))"
+    )
+
+
+def _langid_sql() -> str:
+    scores = {lang: _lang_score_sql(words) for lang, words in T.STOPWORDS.items()}
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in scores
+    )
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    return f"""
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT lang, CASE {cases} ELSE 'und' END AS pred_lang
+          FROM (SELECT lang, {inner} FROM documents) scored) p
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """
+
+
+# language identification heuristic vs labeled lang (oracle).
+@declare("txt_langid", sql=_langid_sql(), tags=("text", "langid"))
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.predicted_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# document fingerprinting + exact-dedup accounting (oracle).
+@declare(
+    "dedup_exact",
+    sql=r"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+                AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+                AS BIGINT) AS n_dropped
+    FROM documents
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = T.fingerprint(F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(fp).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(fp)).alias("n_dropped"),
+    )
+
+
+# exact n-gram Jaccard near-dup pairs via shingle inverted index (oracle).
+@declare(
+    "dedup_ngram_jaccard",
+    sql=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks)-1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3),
+    e AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS sz FROM sh),
+    c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.sz AS size_a, b.sz AS size_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, n_common * 1.0 / (size_a + size_b - n_common) AS jaccard
+    FROM c
+    WHERE n_common * 1.0 / (size_a + size_b - n_common) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "text", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# MinHash-LSH near-dup pairs (rows-only: xxhash64 is engine-specific; the
+# exact-Jaccard verification step makes output pairs engine-agnostic but the
+# candidate set isn't SQL-expressible — property-tested in tests/test_dedup.py).
+@declare("dedup_minhash_lsh", sql=None, tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+# SimHash near-dup pairs (rows-only — engine-specific hash).
+@declare("dedup_simhash", sql=None, tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# BPE-ish sub-word token counting (rows-only: the class-transition regex
+# needs lookaround, which DuckDB's RE2 lacks).
+@declare("txt_bpe_tokens", sql=None, tags=("text",))
+def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
+    ).orderBy("doc_id")
+
+
+# multimodal plumbing: binary payload → Arrow-batched feature extraction
+# (rows-only: mapInPandas has no SQL equivalent; decode itself is stubbed —
+# see functions/multimodal.py).
+@declare("mm_features", sql=None, tags=("multimodal", "pandas_udf"))
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = M.extract_features(M.documents_as_media(d))
+    return feats.orderBy("media_id")

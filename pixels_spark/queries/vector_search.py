@@ -2,7 +2,9 @@
 
 The embedding column maps the reference's VECTOR type
 (``pixels-core/.../TypeDescription.java:218``, ``VectorColumnVector.java``).
-Built on pixels_spark.functions.vector.
+Built on ``pixels_spark.functions.vector``; dot/cosine fold left→right over
+the array in both engines (Spark F.aggregate ≡ DuckDB list_sum∘list_transform),
+so similarity values are bit-identical and the oracle can compare exactly.
 """
 
 from __future__ import annotations
@@ -11,4 +13,138 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import dedup as D
+from ..functions import vector as V
 from .registry import declare
+
+# DuckDB ordered fold dot product matching F.aggregate(zip_with(...)) exactly
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"{_SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_SQL_DOT.format(a=a, b=a)}) * sqrt({_SQL_DOT.format(a=b, b=b)}))"
+    )
+
+
+# per-vector norms / self-dot (vector round-trip ≈ VectorColumnVector IO).
+@declare(
+    "vec_norms",
+    sql=f"""
+    SELECT vec_id, label,
+           sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS l2_norm,
+           {_SQL_DOT.format(a="embedding", b="embedding")} AS self_dot
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("vector",),
+)
+def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        V.l2_norm(F.col("embedding")).alias("l2_norm"),
+        V.dot(F.col("embedding"), F.col("embedding")).alias("self_dot"),
+    ).orderBy("vec_id")
+
+
+# brute-force cosine top-k against a fixed query vector (exact ANN baseline).
+@declare(
+    "vec_knn",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+    SELECT vec_id, {_sql_cos("embedding", "qv")} AS sim
+    FROM embeddings, q
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("vector", "topk", "knn"),
+)
+def vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    return V.knn_brute_force(e, "embedding", "vec_id", q, k=10)
+
+
+# embedding-cosine near-dup pairs within label partitions (oracle).
+@declare(
+    "vec_near_dup",
+    sql=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cos("a.embedding", "b.embedding")} AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    tags=("vector", "dedup", "join"),
+)
+def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(
+        e, "vec_id", "embedding", partition_col="label", threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+# mean vector (centroid) per label — F.zip_with-free aggregation via
+# posexplode + group, the scalable layout for long vectors (oracle).
+@declare(
+    "vec_label_centroids",
+    sql="""
+    SELECT label, dim,
+           CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+               AS mean_v
+    FROM (SELECT label, CAST(u['dim'] AS INTEGER) AS dim,
+                 CAST(u['v'] AS FLOAT) AS v
+          FROM (SELECT label,
+                       unnest(list_transform(range(1, len(embedding)+1),
+                         i -> struct_pack(dim := i-1, v := embedding[i]))) AS u
+                FROM embeddings))
+    GROUP BY label, dim
+    HAVING dim < 8
+    ORDER BY label, dim
+    """,
+    tags=("vector", "aggregation"),
+)
+def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_v")
+        )
+        .filter(F.col("dim") < 8)
+        .orderBy("label", "dim")
+    )
+
+
+# LSH-bucketed candidate pairs — the scale path for near-dup (rows-only:
+# bucket ids depend on seeded hyperplanes inlined as literals; recall
+# property-tested in tests/test_vector.py).
+@declare("vec_lsh_pairs", sql=None, tags=("vector", "lsh"))
+def vec_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        V.lsh_candidate_pairs(e, "embedding", "vec_id", dim=64, n_planes=8)
+        .filter(F.col("sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# IVF assign + probe — ANN with broadcast centroids (rows-only).
+@declare("vec_ivf_knn", sql=None, tags=("vector", "ivf", "knn"))
+def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = V.make_centroids(e, "embedding", "vec_id", n_cells=8)
+    assigned = V.ivf_assign(e, "embedding", cents)
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    return V.ivf_probe(assigned, "embedding", "vec_id", q, cents, k=10, n_probe=2)

@@ -1,0 +1,83 @@
+"""Property tests for vector search ops (LSH/IVF — no SQL oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from pixels_spark.catalog import load_table
+from pixels_spark.functions import vector as V
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_dot_and_norm_match_python(spark, emb):
+    rows = emb.orderBy("vec_id").limit(3).collect()
+    got = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select("vec_id", V.l2_norm(F.col("embedding")).alias("n"))
+        .collect()
+    )
+    for r, g in zip(rows, got):
+        expect = math.sqrt(sum(float(x) * float(x) for x in r.embedding))
+        assert g.n == pytest.approx(expect, rel=1e-12)
+
+
+def test_knn_includes_query_itself(spark, emb):
+    q = V.query_vector(emb, "vec_id", "embedding", qid=7)
+    top = V.knn_brute_force(emb, "embedding", "vec_id", q, k=5).collect()
+    assert top[0].vec_id == 7  # self-similarity = 1.0 is the max
+    assert top[0].sim == pytest.approx(1.0, abs=1e-9)
+    sims = [r.sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_bucket_deterministic_and_bounded(spark, emb):
+    b1 = (
+        emb.select(V.lsh_bucket(F.col("embedding"), dim=64, n_planes=8).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert all(0 <= r.b < 256 for r in b1)
+    b2 = (
+        emb.select(V.lsh_bucket(F.col("embedding"), dim=64, n_planes=8).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert sorted((r.b, r["count"]) for r in b1) == sorted((r.b, r["count"]) for r in b2)
+
+
+def test_lsh_candidates_subset_and_self_pairs(spark, emb):
+    """Identical vectors always share every bucket → must appear as candidates."""
+    clone = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding").limit(5)
+    both = emb.select("vec_id", "embedding").union(clone)
+    pairs = {
+        (r.id_a, r.id_b): r.sim
+        for r in V.lsh_candidate_pairs(both, "embedding", "vec_id", dim=64).collect()
+    }
+    for r in clone.collect():
+        orig = r.vec_id - 1_000_000
+        assert (orig, r.vec_id) in pairs
+        assert pairs[(orig, r.vec_id)] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ivf_probe_matches_brute_force_within_probed_cells(spark, emb):
+    cents = V.make_centroids(emb, "embedding", "vec_id", n_cells=4)
+    assigned = V.ivf_assign(emb, "embedding", cents)
+    assert assigned.count() == emb.count()
+    # every vector gets exactly one cell in range
+    cells = assigned.select("ivf_cell").distinct().collect()
+    assert {r.ivf_cell for r in cells} <= {0, 1, 2, 3}
+    q = V.query_vector(emb, "vec_id", "embedding", qid=7)
+    got = V.ivf_probe(assigned, "embedding", "vec_id", q, cents, k=3, n_probe=4)
+    # n_probe = all cells → identical to brute force
+    brute = V.knn_brute_force(emb, "embedding", "vec_id", q, k=3)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in brute.collect()]
