@@ -1,0 +1,164 @@
+"""MVCC table: hidden commit-ts column + merge-on-read deletes + snapshots.
+
+Reference mapping (SURVEY.md §2.9-2.10):
+- hidden ``_commit_ts`` LongType column per row ≈ the hidden timestamp
+  vector (``pixels-core/.../vector/VectorizedRowBatch.java:54``,
+  ``proto/pixels.proto:68`` hasHiddenColumn), written on every insert
+  (``RetinaResourceManager.insertRecord:705``).
+- deletion table (key, _deleted_ts) ≈ row-group visibility bitmaps
+  (``pixels-retina/.../RGVisibility.java:144-158``): a delete at ts T hides
+  the row from every snapshot ≥ T — merge-on-read via left-anti join.
+- snapshot read at ts ≈ ``PixelsReaderOption.transTimestamp``
+  (``reader/PixelsReaderOption.java:93``) applied in the record reader
+  (``PixelsRecordReaderImpl.java:512-545, 1104-1203``).
+- UPDATE = delete + insert in one transaction (README.md:34-36 CDC mirror).
+- point lookup by key ≈ SinglePointIndex.getUniqueRowId
+  (``pixels-common/.../index/SinglePointIndex.java:108``) — served by
+  parquet min/max pruning on the sorted key column instead of RocksDB.
+
+Storage layout: append-only parquet under ``<root>/data/`` (one subdir per
+commit → snapshot filtering can prune whole commit dirs by path), deletes
+under ``<root>/deletes/``. At 100 TB both are per-table-partition and the
+anti-join key set stays small relative to data (deletes are rare); AQE
+broadcasts it when it fits.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .trans import TransService
+
+COMMIT_TS = "_commit_ts"
+DELETED_TS = "_deleted_ts"
+
+
+class MvccTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_col: str,
+        trans: TransService | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+        self.data_dir = os.path.join(root, "data")
+        self.delete_dir = os.path.join(root, "deletes")
+        self.trans = trans or TransService(root)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- write path --------------------------------------------------------
+    def insert(self, df: DataFrame, ts: int | None = None) -> int:
+        """Append rows stamped with a fresh commit timestamp
+        (≈ insertRecord: MemTable append + hidden ts). Returns the ts."""
+        ctx = None
+        if ts is None:
+            ctx = self.trans.begin_trans()
+            ts = ctx.timestamp
+        out = df.withColumn(COMMIT_TS, F.lit(ts).cast("long"))
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.data_dir, f"commit={ts}")
+        )
+        if ctx is not None:
+            self.trans.commit_trans(ctx)
+        return ts
+
+    def delete(self, keys: Sequence | DataFrame, ts: int | None = None) -> int:
+        """Row-level delete by key at a commit timestamp
+        (≈ deleteRecord:537 flipping visibility bits at ts)."""
+        ctx = None
+        if ts is None:
+            ctx = self.trans.begin_trans()
+            ts = ctx.timestamp
+        if isinstance(keys, DataFrame):
+            kdf = keys.select(F.col(keys.columns[0]).alias(self.key_col))
+        else:
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in keys], [self.key_col]
+            )
+        out = kdf.withColumn(DELETED_TS, F.lit(ts).cast("long"))
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.delete_dir, f"commit={ts}")
+        )
+        if ctx is not None:
+            self.trans.commit_trans(ctx)
+        return ts
+
+    def update(self, df: DataFrame) -> int:
+        """UPDATE = delete old versions of the keys + insert new rows in one
+        transaction (one commit ts), per the reference's CDC convention."""
+        ctx = self.trans.begin_trans()
+        self.delete(df.select(self.key_col), ts=ctx.timestamp)
+        self.insert(df, ts=ctx.timestamp)
+        self.trans.commit_trans(ctx)
+        return ctx.timestamp
+
+    # -- read path ---------------------------------------------------------
+    def _deletes(self) -> DataFrame | None:
+        if not os.path.isdir(self.delete_dir) or not os.listdir(self.delete_dir):
+            return None
+        return self.spark.read.option("basePath", self.delete_dir).parquet(
+            self.delete_dir
+        )
+
+    def read(self, snapshot_ts: int | None = None) -> DataFrame:
+        """Snapshot read: rows committed at or before ``snapshot_ts`` whose
+        key has no delete at or before ``snapshot_ts``; a deleted key
+        re-inserted later reappears (visibility per version: only versions
+        older than the delete are hidden). Latest-committed by default."""
+        if snapshot_ts is None:
+            snapshot_ts = self.trans.high_watermark
+        data = self.spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
+        visible = data.filter(F.col(COMMIT_TS) <= snapshot_ts)
+        dels = self._deletes()
+        if dels is not None:
+            d = (
+                dels.filter(F.col(DELETED_TS) <= snapshot_ts)
+                .groupBy(self.key_col)
+                .agg(F.max(DELETED_TS).alias("_del_ts"))
+                .withColumnRenamed(self.key_col, "_del_key")
+            )
+            # strict <: a delete at ts T hides versions committed BEFORE T,
+            # so a delete+insert in one transaction (UPDATE, same ts) leaves
+            # the new version visible — matching the reference's CDC mirror
+            # convention (delete old version, insert new, one commit).
+            visible = visible.join(
+                d,
+                (visible[self.key_col] == F.col("_del_key"))
+                & (visible[COMMIT_TS] < F.col("_del_ts")),
+                "left_anti",
+            )
+        return visible
+
+    def read_latest_version(self, snapshot_ts: int | None = None) -> DataFrame:
+        """Snapshot read keeping only the newest visible version per key
+        (UPDATE semantics on read)."""
+        visible = self.read(snapshot_ts)
+        w_cols = [c for c in visible.columns if c != COMMIT_TS]
+        latest = visible.groupBy(self.key_col).agg(
+            F.max(COMMIT_TS).alias("_max_ts")
+        )
+        return (
+            visible.join(
+                latest.withColumnRenamed(self.key_col, "_lk"),
+                (visible[self.key_col] == F.col("_lk"))
+                & (visible[COMMIT_TS] == F.col("_max_ts")),
+                "left_semi",
+            )
+            .select(*w_cols, COMMIT_TS)
+        )
+
+    def point_lookup(self, key, snapshot_ts: int | None = None) -> DataFrame:
+        """Primary-key point lookup (≈ SinglePointIndex.getUniqueRowId:108).
+        The key predicate pushes to parquet min/max pruning; with key-sorted
+        files this touches one row group, mirroring the index's
+        key→RowLocation resolution."""
+        return self.read_latest_version(snapshot_ts).filter(
+            F.col(self.key_col) == key
+        )

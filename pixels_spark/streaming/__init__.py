@@ -1,0 +1,14 @@
+"""Structured Streaming layer (≈ Pixels-Retina ingestion + event-time ops).
+
+- ``ingest``  : micro-batch CDC ingestion into an MvccTable via foreachBatch
+                (≈ RetinaService insert/flush pipeline; freshness = trigger
+                interval vs the reference's 10-ms MemTable reads).
+- ``windows`` : watermarked tumbling/sliding/session event-time windows —
+                absent from the reference (Retina is commit-ts CDC replay,
+                SURVEY.md §2.9) but required by the fixtures; Spark-native.
+"""
+
+from .ingest import ingest_stream
+from .windows import session_agg, sliding_agg, tumbling_agg
+
+__all__ = ["ingest_stream", "tumbling_agg", "sliding_agg", "session_agg"]

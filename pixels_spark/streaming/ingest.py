@@ -1,0 +1,49 @@
+"""Streaming ingestion into MVCC tables (≈ Retina CDC replay).
+
+Reference lifecycle (SURVEY.md §3.4): CDC source → RetinaService
+``insertRecord``/``deleteRecord`` → MemTable with hidden ts → flush to
+ordered files; readers merge files + write buffer at their snapshot ts.
+
+Spark mapping: ``readStream`` → ``foreachBatch`` — each micro-batch is one
+transaction: it draws a commit ts, appends to the MvccTable, and commits.
+Freshness = trigger interval; the write buffer disappears because a
+committed micro-batch is immediately snapshot-visible.
+
+Scale notes: foreachBatch keeps the append path identical to batch writes
+(same parquet layout, same hidden column), so the table never forks into
+"streamed" vs "batch" flavors; checkpointing gives exactly-once appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..mvcc.table import MvccTable
+
+
+def ingest_stream(
+    stream_df: DataFrame,
+    table: MvccTable,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    query_name: str = "pixels_ingest",
+) -> StreamingQuery:
+    """Start ingesting a streaming DataFrame into ``table``.
+
+    Each micro-batch commits under one transaction timestamp — the analog of
+    Retina assigning one commit ts per CDC replay batch.
+    """
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.insert(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

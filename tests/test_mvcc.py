@@ -1,0 +1,80 @@
+"""MVCC table tests: snapshots, deletes, updates, point lookups, trans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixels_spark.catalog import load_table
+from pixels_spark.mvcc import MvccTable, TransService
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return MvccTable(spark, str(tmp_path / "t"), key_col="event_id")
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").limit(100).cache()
+
+
+def test_trans_service_monotonic(tmp_path):
+    ts = TransService(str(tmp_path))
+    w1 = ts.begin_trans()
+    w2 = ts.begin_trans()
+    assert w2.timestamp > w1.timestamp
+    # readers see nothing until commit
+    assert ts.begin_trans(read_only=True).timestamp == 0
+    ts.commit_trans(w1)
+    assert ts.begin_trans(read_only=True).timestamp == w1.timestamp
+    ts.commit_trans(w2)
+    assert ts.high_watermark == w2.timestamp
+
+
+def test_insert_and_snapshot_isolation(table, events):
+    t1 = table.insert(events.filter(F.col("event_id") < 50))
+    t2 = table.insert(events.filter(F.col("event_id") >= 50))
+    # time travel: snapshot at t1 excludes the second commit
+    assert table.read(t1).count() == events.filter(F.col("event_id") < 50).count()
+    assert table.read(t2).count() == events.count()
+    # default read = latest watermark
+    assert table.read().count() == events.count()
+
+
+def test_delete_visibility(table, events):
+    t1 = table.insert(events)
+    some = [r.event_id for r in events.limit(10).collect()]
+    t2 = table.delete(some)
+    assert table.read(t1).count() == events.count()  # before delete
+    after = table.read(t2)
+    assert after.count() == events.count() - 10
+    assert after.filter(F.col("event_id").isin(some)).count() == 0
+
+
+def test_reinsert_after_delete_reappears(table, events):
+    first = events.limit(5)
+    t1 = table.insert(first)
+    t2 = table.delete([r.event_id for r in first.collect()])
+    assert table.read(t2).count() == 0
+    t3 = table.insert(first)  # same keys, new version
+    assert table.read(t3).count() == 5
+    assert table.read(t2).count() == 0  # old snapshot unchanged
+
+
+def test_update_semantics(table, events):
+    table.insert(events.limit(20))
+    changed = events.limit(20).withColumn("value", F.lit(999.0))
+    t2 = table.update(changed)
+    latest = table.read_latest_version(t2)
+    assert latest.count() == 20
+    vals = {r.value for r in latest.collect()}
+    assert vals == {999.0}
+
+
+def test_point_lookup(table, events):
+    table.insert(events)
+    key = events.first().event_id
+    row = table.point_lookup(key).collect()
+    assert len(row) == 1
+    assert row[0].event_id == key

@@ -1,0 +1,106 @@
+"""Storage layer tests: LOAD → COMPACT → STAT lifecycle + metadata."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixels_spark.catalog import SCHEMAS, load_table
+from pixels_spark.storage import compact, load, stats
+from pixels_spark.storage.metadata import MetadataStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return MetadataStore(str(tmp_path / "warehouse"))
+
+
+def test_metadata_hierarchy(store):
+    store.create_schema("tpch")
+    store.create_table("tpch", "lineitem", [{"name": "l_orderkey", "type": "bigint"}])
+    assert store.get_tables("tpch") == ["lineitem"]
+    assert store.get_columns("tpch", "lineitem")[0]["name"] == "l_orderkey"
+    store.add_layout("tpch", "lineitem", ordered_paths=["/data/ordered"])
+    store.add_layout(
+        "tpch", "lineitem", ordered_paths=["/data/ordered"], compact_paths=["/data/compact"]
+    )
+    layouts = store.get_layouts("tpch", "lineitem")
+    assert [l["version"] for l in layouts] == [0, 1]
+    assert store.reader_path("tpch", "lineitem") == "/data/compact"
+    # persistence round-trip
+    store2 = MetadataStore(store.root)
+    assert store2.reader_path("tpch", "lineitem") == "/data/compact"
+
+
+def test_load_csv_roundtrip(spark, sf_dir, store, tmp_path):
+    # produce a delimited source from the fixture, then LOAD it back
+    src_df = load_table(spark, sf_dir, "supplier")
+    csv_dir = str(tmp_path / "src")
+    src_df.write.option("delimiter", "|").mode("overwrite").csv(csv_dir)
+    dest = str(tmp_path / "tables" / "supplier")
+    out = load.load_and_register(
+        spark, store, "tpch", "supplier", csv_dir, dest, SCHEMAS["supplier"],
+        delimiter="|", files_per_load=4,
+    )
+    assert out.count() == src_df.count()
+    assert [f.name for f in out.schema.fields] == [f.name for f in src_df.schema.fields]
+    assert store.get_table("tpch", "supplier")["row_count"] == src_df.count()
+    # values survive the text round-trip
+    a = {tuple(r) for r in src_df.collect()}
+    b = {tuple(r) for r in out.collect()}
+    assert a == b
+
+
+def test_load_encoding_level_0_disables_dictionary(spark, sf_dir, store, tmp_path):
+    src_df = load_table(spark, sf_dir, "region")
+    csv_dir = str(tmp_path / "src")
+    src_df.write.option("delimiter", "|").mode("overwrite").csv(csv_dir)
+    dest = str(tmp_path / "el0")
+    out = load.load_table(
+        spark, csv_dir, dest, SCHEMAS["region"], delimiter="|", encoding_level=0
+    )
+    assert out.count() == 5
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, sf_dir, store, tmp_path):
+    # write an intentionally fragmented ordered layout (many small files
+    # ≈ single-row-group LOAD output), then COMPACT at factor 8
+    ordered = str(tmp_path / "ordered")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(32).write.mode("overwrite").parquet(ordered)
+    store.create_schema("tpch")
+    store.create_table("tpch", "lineitem", [])
+    store.add_layout("tpch", "lineitem", ordered_paths=[ordered])
+
+    compacted = str(tmp_path / "compact")
+    out = compact.compact_and_register(
+        spark, store, "tpch", "lineitem", compacted, compact_factor=8
+    )
+    assert out.count() == li.count()
+    n_files = len(
+        [f for f in os.listdir(compacted) if f.endswith(".parquet")]
+    )
+    assert n_files <= 32 / 8 + 1
+    assert store.reader_path("tpch", "lineitem") == compacted
+    # both layouts remain readable (ordered + compact ≈ Layout dual paths)
+    assert spark.read.parquet(ordered).count() == li.count()
+
+
+def test_stats_and_selectivity(spark, sf_dir, store):
+    li = load_table(spark, sf_dir, "lineitem")
+    store.create_schema("tpch")
+    store.create_table("tpch", "lineitem", [])
+    s = stats.stat_and_register(li, store, "tpch", "lineitem")
+    assert s["l_quantity"].min_value == 1.0
+    assert s["l_quantity"].max_value == 50.0
+    assert s["l_orderkey"].n_nulls == 0
+    assert s["l_returnflag"].n_distinct == 3
+    # range selectivity: quantity < 24 over [1, 50] ≈ 23/49
+    sel = stats.estimate_range_selectivity(s["l_quantity"], None, 24.0)
+    assert sel == pytest.approx((24 - 1) / 49, abs=0.01)
+    eq = stats.estimate_equality_selectivity(s["l_returnflag"])
+    assert eq == pytest.approx(1 / 3)
+    # persisted on the table metadata
+    assert "stats" in store.get_table("tpch", "lineitem")["properties"]

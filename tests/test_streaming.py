@@ -1,0 +1,102 @@
+"""Structured Streaming tests: ingestion into MVCC + event-time windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixels_spark.catalog import SCHEMAS, load_table
+from pixels_spark.mvcc import MvccTable
+from pixels_spark.streaming import (
+    ingest_stream,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def _as_stream(spark, events, tmp_path, n_files: int = 4):
+    """Materialize events as a multi-file dir and open it as a file stream
+    (maxFilesPerTrigger=1 → n_files micro-batches)."""
+    src = str(tmp_path / "stream_src")
+    events.repartition(n_files).write.mode("overwrite").parquet(src)
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_ingest_stream_commits_batches(spark, events, tmp_path):
+    stream = _as_stream(spark, events, tmp_path)
+    table = MvccTable(spark, str(tmp_path / "mvcc"), key_col="event_id")
+    q = ingest_stream(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert table.read().count() == events.count()
+    # multiple micro-batches → multiple commit timestamps (CDC batches)
+    n_commits = table.read().select("_commit_ts").distinct().count()
+    assert n_commits >= 2
+    # snapshot at the first commit sees only that batch
+    first_ts = table.read().agg(F.min("_commit_ts")).first()[0]
+    assert 0 < table.read(first_ts).count() < events.count()
+
+
+def test_tumbling_agg_matches_batch_groupby(spark, events):
+    got = tumbling_agg(events, window="1 day").select(
+        F.col("win.start").alias("day"), "event_type", "n_events"
+    )
+    expect = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    diff = got.exceptAll(expect).count() + expect.exceptAll(got).count()
+    assert diff == 0
+
+
+def test_sliding_agg_window_multiplicity(spark, events):
+    # every event lands in exactly window/slide sliding windows
+    total = sliding_agg(events, window="1 hour", slide="30 minutes").agg(
+        F.sum("n_events")
+    ).first()[0]
+    assert total == events.count() * 2
+
+
+def test_session_agg_matches_gaps_and_islands(spark, events, sf_dir):
+    """F.session_window sessions == the batch gaps-and-islands sessionize."""
+    from pixels_spark.queries import load_all_modules
+
+    sessions = session_agg(events, gap="30 minutes")
+    got = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    reg = load_all_modules()
+    base = reg["win_sessionize"].fn(spark, sf_dir)
+    expect = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    diff = got.exceptAll(expect).count() + expect.exceptAll(got).count()
+    assert diff == 0
+
+
+def test_streaming_tumbling_agg_with_watermark(spark, events, tmp_path):
+    """End-to-end streaming window agg: file stream → watermark → window →
+    memory sink (append mode emits only watermark-closed windows; with
+    availableNow the final watermark closes everything)."""
+    stream = _as_stream(spark, events, tmp_path)
+    agg = tumbling_agg(stream, window="1 day", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("win_counts")
+    # all but the last day's windows must have closed
+    n_days = events.select(F.date_trunc("day", "ts")).distinct().count()
+    assert got.select("win").distinct().count() >= n_days - 1
