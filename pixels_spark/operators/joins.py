@@ -1,0 +1,116 @@
+"""Equi-join operators + algorithm selection.
+
+Reference: ``pixels-executor/.../join/`` — ``JoinType.java:28-34``
+(EQUI_INNER/LEFT/RIGHT/FULL; semi/anti are *not* kernel types,
+``Joiner.java:44-45``), ``JoinAlgorithm.java:26-35`` (BROADCAST /
+PARTITIONED / SORTED / *_CHAIN), ``HashJoiner``/``SortedJoiner`` kernels,
+and the cost decision in ``pixels-planner/.../PlanOptimizer.java:94-123``
+(small side ≤ 256 MB and ≤ 20.48 M rows → BROADCAST else PARTITIONED;
+build side = fewer selectivity-adjusted rows, :125-172).
+
+Spark mapping: join type strings map 1:1; the algorithm maps to join hints
+(broadcast / shuffle_hash / merge) with Catalyst+AQE as the default chooser.
+``choose_join_algorithm`` reproduces the reference's static thresholds for
+parity tests; production should leave ``algorithm=None`` and let AQE decide
+at runtime with real sizes — strictly better than static choice at 100 TB.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class JoinType(str, Enum):
+    """≈ JoinType.java:28-34 (+ the SQL-surface semi/anti that the reference
+    delegates to its host engine)."""
+
+    EQUI_INNER = "inner"
+    EQUI_LEFT = "left_outer"
+    EQUI_RIGHT = "right_outer"
+    EQUI_FULL = "full_outer"
+    SEMI = "left_semi"
+    ANTI = "left_anti"
+
+
+class JoinAlgorithm(str, Enum):
+    """≈ JoinAlgorithm.java:26-35. CHAIN variants are compositions — see
+    chain_join()."""
+
+    BROADCAST = "broadcast"
+    PARTITIONED = "shuffle_hash"
+    SORTED = "merge"
+
+
+# ≈ join.broadcast.threshold.mb=256 / .rows=20480000 (pixels.properties:187-189)
+BROADCAST_THRESHOLD_BYTES = 256 * 1024 * 1024
+BROADCAST_THRESHOLD_ROWS = 20_480_000
+
+
+def choose_join_algorithm(
+    small_side_bytes: int, small_side_rows: int
+) -> JoinAlgorithm:
+    """≈ PlanOptimizer.getJoinAlgorithm:94-123 static thresholds."""
+    if (
+        small_side_bytes <= BROADCAST_THRESHOLD_BYTES
+        and small_side_rows <= BROADCAST_THRESHOLD_ROWS
+    ):
+        return JoinAlgorithm.BROADCAST
+    return JoinAlgorithm.PARTITIONED
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | Column,
+    how: JoinType = JoinType.EQUI_INNER,
+    algorithm: JoinAlgorithm | None = None,
+    build_right: bool = True,
+) -> DataFrame:
+    """Equi-join with an optional explicit algorithm.
+
+    ``algorithm=None`` → Catalyst/AQE decides (recommended). Otherwise the
+    hint goes on the build side (≈ join endian, PlanOptimizer:125-172).
+    Null keys never match (SQL semantics ≈ Joiner.java:45-46).
+    """
+    if algorithm is not None:
+        hinted = right if build_right else left
+        hinted = hinted.hint(algorithm.value)
+        right, left = (hinted, left) if build_right else (right, hinted)
+    return left.join(right, on, how.value)
+
+
+def chain_join(
+    large: DataFrame,
+    smalls: list[tuple[DataFrame, list[str] | Column]],
+    how: JoinType = JoinType.EQUI_INNER,
+) -> DataFrame:
+    """Left-deep chain of broadcast joins against one large table
+    (≈ BROADCAST_CHAIN, BaseBroadcastChainJoinWorker.java:71 /
+    PixelsPlanner.getMultiPipelineJoinOperator:357-574). Each small side is
+    broadcast; the large side streams through all hash tables in one stage —
+    which is exactly what Catalyst emits for chained broadcast joins."""
+    out = large
+    for small, on in smalls:
+        out = out.join(F.broadcast(small), on, how.value)
+    return out
+
+
+def partitioned_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    num_partitions: int | None = None,
+    how: JoinType = JoinType.EQUI_INNER,
+) -> DataFrame:
+    """Explicitly co-partitioned join (≈ PARTITIONED: BasePartitionWorker
+    hash-partitions both sides, BasePartitionedJoinWorker joins per
+    partition). Spark's shuffle-hash join does the same; the explicit
+    repartition form exists for when a downstream op reuses the
+    partitioning (shuffle reuse ≈ the reference's materialized partitions)."""
+    if num_partitions:
+        left = left.repartition(num_partitions, *keys)
+        right = right.repartition(num_partitions, *keys)
+    return left.join(right.hint("shuffle_hash"), keys, how.value)
