@@ -57,6 +57,7 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
         joinq,
         scalarq,
         setopq,
+        sqlq,
         streamq,
         text_pipeline,
         tpch,

@@ -1,0 +1,90 @@
+"""Declared queries running through the SQL entry point (``spark.sql``).
+
+These prove the full SQL surface (parser → Catalyst → execution) end-to-end:
+the Spark side executes the *same* dialect-shared SQL text that DuckDB
+verifies, covering subqueries/HAVING/CTE forms as text rather than
+DataFrame compositions (≈ the reference's Calcite-validated corpus,
+``pixels-parser/src/test/.../TpchQuery.java``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sql import sql
+from .registry import declare
+
+# Q6 as shared-dialect SQL text (runs verbatim on both engines).
+_Q6 = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@declare("sql_tpch_q6", sql=_Q6, tags=("sql_frontend", "scan", "filter"))
+def sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q6)
+
+
+# correlated EXISTS subquery as SQL text (Catalyst decorrelates it the way
+# Calcite's SUBQUERY_REMOVE_RULES + RelDecorrelator do for the reference).
+_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@declare("sql_tpch_q4", sql=_Q4, tags=("sql_frontend", "subquery"))
+def sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q4)
+
+
+# CTE + HAVING + scalar subquery as SQL text.
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@declare("sql_tpch_q15", sql=_Q15, tags=("sql_frontend", "cte", "scalar_subquery"))
+def sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _Q15)
+
+
+# window function as SQL text.
+_WIN = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rn
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_custkey, rn
+"""
+
+
+@declare("sql_window", sql=_WIN, tags=("sql_frontend", "window"))
+def sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql(spark, sf_dir, _WIN)
