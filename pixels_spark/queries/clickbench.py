@@ -239,3 +239,104 @@ def cb_type_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("user_id")).alias("users"))
         .orderBy("event_type", "day")
     )
+
+
+# CB Q20-style point lookup by key value (≈ SinglePointIndex point query
+# served by predicate pushdown + row-group pruning).
+@declare(
+    "cb_point_lookup",
+    sql="SELECT event_id, user_id, value FROM events WHERE event_id = 4242",
+    tags=("point_lookup", "filter"),
+)
+def cb_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") == 4242)
+        .select("event_id", "user_id", "value")
+    )
+
+
+# CB Q24-27-style: raw scan + ORDER BY + LIMIT (no aggregation) —
+# TakeOrderedAndProject over the filtered scan.
+@declare(
+    "cb_scan_order_limit",
+    sql="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+    FROM events WHERE event_type <> 'view'
+    ORDER BY ts, event_id LIMIT 10
+    """,
+    tags=("topk", "scan", "filter"),
+)
+def cb_scan_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "view")
+        .select("event_id", "ts", "event_type")
+        .orderBy("ts", "event_id")
+        .limit(10)
+    )
+
+
+# CB Q39-42-style pagination: ORDER BY ... OFFSET n FETCH NEXT k.
+@declare(
+    "cb_pagination",
+    sql="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id
+    OFFSET 100 ROWS FETCH NEXT 10 ROWS ONLY
+    """,
+    tags=("topk", "offset", "aggregation"),
+)
+def cb_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .offset(100)
+        .limit(10)
+    )
+
+
+# CB Q30-style wide sum expressions (codegen stress; exact BIGINT sums).
+@declare(
+    "cb_wide_sums",
+    sql="SELECT "
+    + ", ".join(
+        f"CAST(sum(user_id + {i}) AS BIGINT) AS s{i}" for i in range(10)
+    )
+    + " FROM events",
+    tags=("aggregation", "scalar"),
+)
+def cb_wide_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        *[
+            F.sum(F.col("user_id") + i).cast("bigint").alias(f"s{i}")
+            for i in range(10)
+        ]
+    )
+
+
+# CB Q19/Q36-style group-by-expression + string MIN (Q22's MIN(url)).
+@declare(
+    "cb_group_expr",
+    sql="""
+    SELECT CAST(user_id % 100 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           min(props) AS min_props
+    FROM events GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("aggregation", "scalar"),
+)
+def cb_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 100).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("props").alias("min_props"),
+        )
+        .orderBy("bucket")
+    )
