@@ -156,11 +156,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # exceed 2^53 and would round) to Spark's µs TimestampType. Matches
         # DuckDB's CAST(ts AS TIMESTAMP) truncation, per FIXTURES.md "ingest
         # as µs". ≈ Pixels TIMESTAMP precision 0-6 (proto/pixels.proto:125).
+        # Engine-staged copies (bench LOAD) already carry a µs timestamp —
+        # convert only when ts arrives as the raw long.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

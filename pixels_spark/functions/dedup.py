@@ -23,6 +23,21 @@ from pyspark.sql import functions as F
 from .text import fingerprint, tokens
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a compute-heavy operator's input across the cluster.
+
+    Small/compacted tables often arrive as one parquet row group → one
+    partition, which serializes CPU-bound work (shingling, hashing, vector
+    math) onto a single core no matter how many executors exist (measured:
+    the sf0.1 shingle explode ran 1-task). Hash-partitioning on the id both
+    engages every core and pre-spreads skew; for inputs already wider than
+    the session parallelism it is a cheap same-size shuffle that the
+    subsequent groupBy would have performed anyway.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -77,26 +92,37 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle inverted index.
 
     explode(shingles) → self-join on shingle → count common shingles per
     pair → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. The shingle join only
     produces pairs that share ≥1 shingle — sub-quadratic on real corpora.
+
+    ``block_col`` (e.g. language, source, length bucket) restricts pairs to
+    equal blocking-key values — the standard dedup blocking strategy: the
+    shingle join's candidate volume drops by roughly the sum of squared
+    block frequencies, at the cost of never comparing across blocks.
     """
-    sh = df.select(
+    cols = [
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_sh"),
-    ).withColumn("_size", F.size("_sh"))
-    exploded = sh.select("_id", "_size", F.explode("_sh").alias("_shingle"))
+    ]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    sh = spread(df, id_col).select(*cols).withColumn("_size", F.size("_sh"))
+    keep = ["_id", "_size"] + (["_blk"] if block_col else [])
+    exploded = sh.select(*keep, F.explode("_sh").alias("_shingle"))
+    join_keys = ["_shingle"] + (["_blk"] if block_col else [])
     a = exploded.select(
-        F.col("_id").alias("id_a"), F.col("_size").alias("_size_a"), "_shingle"
+        F.col("_id").alias("id_a"), F.col("_size").alias("_size_a"), *join_keys
     )
     b = exploded.select(
-        F.col("_id").alias("id_b"), F.col("_size").alias("_size_b"), "_shingle"
+        F.col("_id").alias("id_b"), F.col("_size").alias("_size_b"), *join_keys
     )
     common = (
-        a.join(b, "_shingle")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "_size_a", "_size_b")
         .agg(F.count(F.lit(1)).alias("_common"))
@@ -134,7 +160,7 @@ def minhash_signatures(
     is also robust to long-document skew because map-side partial MIN
     combines before the shuffle.)
     """
-    sh = df.select(
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
     )
@@ -235,7 +261,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     conditional sum per bit → reassemble the sign bits. One shuffle total;
     the 64 sums ride the same hash-aggregate.
     """
-    toks = df.select(
+    toks = spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
     ).withColumn("_h", F.xxhash64("_tok"))
@@ -326,7 +352,7 @@ def embedding_near_dup_pairs(
     ]
     if partition_col:
         cols.append(F.col(partition_col).alias("_part"))
-    base = df.select(*cols)
+    base = spread(df, id_col).select(*cols)
     on = ["_part"] if partition_col else []
     a = base.select(
         F.col("_id").alias("id_a"),

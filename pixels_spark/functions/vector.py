@@ -113,7 +113,9 @@ def lsh_candidate_pairs(
     join shuffles only (bucket, id, vec); cosine is evaluated on candidates
     only — the 1/2^n_planes collision rate is what makes this sub-quadratic.
     """
-    b = df.select(
+    from .dedup import spread
+
+    b = spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
@@ -153,8 +155,14 @@ def ivf_assign(
     no corpus shuffle. Persist the result partitioned by ``ivf_cell`` to get
     data locality for probes.
     """
+    from .dedup import spread
+
     sim = cosine(F.col(vec_col), F.col(centroid_vec))
-    joined = df.crossJoin(F.broadcast(centroids)).withColumn("_sim", sim)
+    joined = (
+        spread(df, df.columns[0])
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", sim)
+    )
     return (
         joined.groupBy(*df.columns)
         .agg(F.max_by(F.col(centroid_id), F.col("_sim")).alias("ivf_cell"))

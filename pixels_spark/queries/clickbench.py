@@ -340,3 +340,65 @@ def cb_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ROLLUP hierarchy totals (SURVEY §2.4: not in the reference's corpus but
+# free in Spark — declared for beyond-parity coverage).
+@declare(
+    "cb_rollup",
+    sql=f"""
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {_sql_dsum("value")} AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, 2)
+    ORDER BY event_type NULLS FIRST, hour NULLS FIRST
+    """,
+    tags=("aggregation", "rollup"),
+)
+def cb_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .rollup("event_type", F.hour("ts").cast("bigint").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("hour").asc_nulls_first())
+    )
+
+
+# CUBE over two dims.
+@declare(
+    "cb_cube",
+    sql="""
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS ubucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY CUBE (event_type, 2)
+    ORDER BY event_type NULLS FIRST, ubucket NULLS FIRST
+    """,
+    tags=("aggregation", "cube"),
+)
+def cb_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .cube("event_type", (F.col("user_id") % 10).cast("bigint").alias("ubucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("ubucket").asc_nulls_first()
+        )
+    )
+
+
+# HLL approximate distinct (the 100 TB alternative to exact COUNT(DISTINCT);
+# rows-only — HLL implementations differ across engines by design).
+@declare("cb_approx_distinct", sql=None, tags=("aggregation", "approx"))
+def cb_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .orderBy("event_type")
+    )

@@ -135,22 +135,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# exact n-gram Jaccard near-dup pairs via shingle inverted index (oracle).
+# exact n-gram Jaccard near-dup pairs via shingle inverted index, blocked by
+# language (standard dedup blocking — near-dups across languages are not
+# meaningful and the block join keeps candidate volume sub-quadratic; oracle).
 @declare(
     "dedup_ngram_jaccard",
     sql=r"""
     WITH sh AS (
-      SELECT doc_id,
+      SELECT doc_id, lang,
              list_distinct(list_transform(range(1, len(toks)-1),
                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
-      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
             FROM documents)
       WHERE len(toks) >= 3),
-    e AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS sz FROM sh),
+    e AS (SELECT doc_id, lang, unnest(s) AS shingle, len(s) AS sz FROM sh),
     c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  a.sz AS size_a, b.sz AS size_b,
                  CAST(count(*) AS BIGINT) AS n_common
-          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM e a JOIN e b
+            ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
           GROUP BY 1, 2, 3, 4)
     SELECT id_a, id_b, n_common * 1.0 / (size_a + size_b - n_common) AS jaccard
     FROM c
@@ -161,9 +164,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, block_col="lang"
+    ).orderBy("id_a", "id_b")
 
 
 # MinHash-LSH near-dup pairs (rows-only: xxhash64 is engine-specific; the
