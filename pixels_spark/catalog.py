@@ -169,6 +169,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def load_table_tolerant(
+    spark: SparkSession, sf_dir: str, name: str, schema: StructType | None = None
+) -> DataFrame:
+    """Tolerant schema-evolution read: project the declared schema over
+    whatever the files contain — columns missing from the files come back
+    as typed nulls, extra file columns are dropped.
+
+    ≈ the reference's tolerant read (missing columns → null vectors,
+    ``pixels-core/.../reader/PixelsReaderOption.java:34,126`` /
+    PixelsRecordReaderImpl), which is how old files stay readable after
+    ADD COLUMN without rewrite.
+    """
+    from pyspark.sql import functions as F
+
+    target = schema or SCHEMAS[name]
+    df = load_table(spark, sf_dir, name)
+    present = {f.name for f in df.schema.fields}
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in present
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in target.fields
+    ]
+    return df.select(*cols)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

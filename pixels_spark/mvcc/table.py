@@ -65,6 +65,12 @@ class MvccTable:
         out.write.mode("overwrite").parquet(
             os.path.join(self.data_dir, f"commit={ts}")
         )
+        # persist the table schema (≈ footer types) so reads survive a
+        # vacuum that removes every commit directory
+        schema_path = os.path.join(self.root, "_schema.json")
+        if not os.path.exists(schema_path):
+            with open(schema_path, "w") as f:
+                f.write(out.schema.json())
         if ctx is not None:
             self.trans.commit_trans(ctx)
         return ts
@@ -114,6 +120,23 @@ class MvccTable:
         older than the delete are hidden). Latest-committed by default."""
         if snapshot_ts is None:
             snapshot_ts = self.trans.high_watermark
+        commits = [
+            e for e in os.listdir(self.data_dir) if e.startswith("commit=")
+        ] if os.path.isdir(self.data_dir) else []
+        if not commits:
+            # empty table (never written, or fully vacuumed): serve the
+            # persisted schema with zero rows
+            import json as _json
+
+            from pyspark.sql.types import StructType as _ST
+
+            schema_path = os.path.join(self.root, "_schema.json")
+            if os.path.exists(schema_path):
+                with open(schema_path) as f:
+                    schema = _ST.fromJson(_json.load(f))
+            else:
+                schema = _ST()
+            return self.spark.createDataFrame([], schema)
         data = self.spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
         visible = data.filter(F.col(COMMIT_TS) <= snapshot_ts)
         dels = self._deletes()
@@ -153,6 +176,47 @@ class MvccTable:
             )
             .select(*w_cols, COMMIT_TS)
         )
+
+    def vacuum(self, retain_ts: int) -> list[int]:
+        """Garbage-collect commit directories no snapshot ≥ ``retain_ts``
+        can see (≈ Retina's retired-file GC,
+        ``pixels-retina/.../StorageGarbageCollector.java`` /
+        ``processRetiredFiles:411``): a data commit is removable when every
+        row in it is deleted at or before ``retain_ts`` (remember: a delete
+        at ts T hides versions with commit < T). Returns removed commit ts.
+
+        Time travel to snapshots older than ``retain_ts`` is forfeited for
+        the removed commits — same contract as the reference's GC horizon.
+        """
+        import shutil
+
+        dels = self._deletes()
+        if dels is None:
+            return []
+        removed: list[int] = []
+        d = (
+            dels.filter(F.col(DELETED_TS) <= retain_ts)
+            .groupBy(self.key_col)
+            .agg(F.max(DELETED_TS).alias("_del_ts"))
+            .withColumnRenamed(self.key_col, "_del_key")
+        )
+        for entry in sorted(os.listdir(self.data_dir)):
+            if not entry.startswith("commit="):
+                continue
+            ts = int(entry.split("=", 1)[1])
+            if ts >= retain_ts:
+                continue
+            part = self.spark.read.parquet(os.path.join(self.data_dir, entry))
+            survivors = part.join(
+                d,
+                (part[self.key_col] == F.col("_del_key"))
+                & (F.lit(ts) < F.col("_del_ts")),
+                "left_anti",
+            ).count()
+            if survivors == 0:
+                shutil.rmtree(os.path.join(self.data_dir, entry))
+                removed.append(ts)
+        return removed
 
     def point_lookup(self, key, snapshot_ts: int | None = None) -> DataFrame:
         """Primary-key point lookup (≈ SinglePointIndex.getUniqueRowId:108).
