@@ -92,8 +92,8 @@ def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - 50000.0)        AS abs_dev,
            round(l_extendedprice, 1)             AS rounded,
-           floor(l_quantity)                     AS fl,
-           ceil(l_discount * 100)                AS disc_pct,
+           CAST(floor(l_quantity) AS BIGINT)     AS fl,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
            sqrt(l_extendedprice)                 AS root,
            ln(l_extendedprice)                   AS logp,
            power(l_quantity, 2.0)                AS qty_sq,

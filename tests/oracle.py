@@ -56,6 +56,42 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# canonical type buckets for cross-engine schema comparison
+_SPARK_CANON = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "string": "string",
+    "boolean": "bool",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "date": "date",
+}
+_DUCK_CANON = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "HUGEINT": "int",
+    "FLOAT": "float",
+    "DOUBLE": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "bool",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "DATE": "date",
+}
+
+
+def _spark_canon_types(sdf) -> dict[str, str]:
+    return {
+        name: _SPARK_CANON.get(dt.split("(")[0], dt) for name, dt in sdf.dtypes
+    }
+
+
 def compare(spark, sf_dir: str, fn, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     sdf = fn(spark, sf_dir)
@@ -64,9 +100,12 @@ def compare(spark, sf_dir: str, fn, sql: str) -> list[str]:
 
     con = duckdb_connection(sf_dir)
     try:
-        res = con.execute(sql)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        rel = con.sql(sql)
+        d_cols = list(rel.columns)
+        d_types = {
+            c: _DUCK_CANON.get(str(t), str(t)) for c, t in zip(rel.columns, rel.types)
+        }
+        d_rows = rel.fetchall()
     finally:
         con.close()
 
@@ -74,6 +113,14 @@ def compare(spark, sf_dir: str, fn, sql: str) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         return problems
+    s_types = _spark_canon_types(sdf)
+    type_diffs = {
+        c: (s_types[c], d_types[c])
+        for c in s_cols
+        if s_types.get(c) != d_types.get(c)
+    }
+    if type_diffs:
+        problems.append(f"dtypes differ: {type_diffs}")
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
     sc, s_canon = _canon_rows(s_cols, s_rows)
