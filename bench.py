@@ -44,10 +44,17 @@ HEADLINE = (
     "win_sessionize",
     "setop_except",
     "txt_quality",
+    "txt_langid",
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "vec_knn",
     "vec_near_dup",
+    "vec_ivf_knn",
+    "cb_rollup",
+    "ev_sliding_hourly",
+    "sql_tpch_q6",
 )
 
 

@@ -8,7 +8,13 @@
                 SURVEY.md §2.9) but required by the fixtures; Spark-native.
 """
 
-from .ingest import ingest_stream
+from .ingest import ingest_cdc_stream, ingest_stream
 from .windows import session_agg, sliding_agg, tumbling_agg
 
-__all__ = ["ingest_stream", "tumbling_agg", "sliding_agg", "session_agg"]
+__all__ = [
+    "ingest_stream",
+    "ingest_cdc_stream",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+]

@@ -47,3 +47,50 @@ def ingest_stream(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def ingest_cdc_stream(
+    stream_df: DataFrame,
+    table: MvccTable,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    trigger: dict | None = None,
+    query_name: str = "pixels_cdc_ingest",
+) -> StreamingQuery:
+    """CDC replay with op routing (≈ Retina's insertRecord/deleteRecord and
+    the UPDATE = delete+insert mirror convention, README.md:34-36).
+
+    ``stream_df`` carries an ``op_col`` of 'I' (insert), 'U' (update) or
+    'D' (delete). Each micro-batch becomes ONE transaction (one commit ts):
+    deletes for the batch's D/U keys + inserts of the I/U payloads — so a
+    snapshot either sees the whole batch or none of it, matching the
+    reference's per-replay-batch atomicity.
+    """
+    from pyspark.sql import functions as F
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ctx = table.trans.begin_trans()
+        payload = batch_df.drop(op_col)
+        del_keys = batch_df.filter(F.col(op_col).isin("D", "U")).select(
+            table.key_col
+        )
+        ins_rows = payload.join(
+            batch_df.filter(F.col(op_col).isin("I", "U")).select(table.key_col),
+            table.key_col,
+            "left_semi",
+        )
+        if not del_keys.isEmpty():
+            table.delete(del_keys, ts=ctx.timestamp)
+        if not ins_rows.isEmpty():
+            table.insert(ins_rows, ts=ctx.timestamp)
+        table.trans.commit_trans(ctx)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -100,3 +100,46 @@ def test_streaming_tumbling_agg_with_watermark(spark, events, tmp_path):
     # all but the last day's windows must have closed
     n_days = events.select(F.date_trunc("day", "ts")).distinct().count()
     assert got.select("win").distinct().count() >= n_days - 1
+
+
+def test_cdc_ingest_op_routing(spark, events, tmp_path):
+    """CDC stream with I/U/D ops: one transaction per micro-batch, final
+    state reflects inserts minus deletes with updates applied."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from pixels_spark.streaming import ingest_cdc_stream
+
+    base = events.limit(30).cache()
+    ids = [r.event_id for r in base.collect()]
+    ins = base.withColumn("op", F.lit("I"))
+    # update first 5 (value -> 111.0), delete next 5
+    upd = (
+        base.filter(F.col("event_id").isin(ids[:5]))
+        .withColumn("value", F.lit(111.0))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = base.filter(F.col("event_id").isin(ids[5:10])).withColumn(
+        "op", F.lit("D")
+    )
+    src = str(tmp_path / "cdc_src")
+    # two files -> two micro-batches: all inserts, then updates+deletes
+    ins.coalesce(1).write.mode("overwrite").parquet(src)
+    upd.union(dels).coalesce(1).write.mode("append").parquet(src)
+
+    cdc_schema = StructType(
+        list(SCHEMAS["events"].fields) + [StructField("op", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(cdc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = MvccTable(spark, str(tmp_path / "cdc_tbl"), key_col="event_id")
+    q = ingest_cdc_stream(stream, table, str(tmp_path / "cdc_ckpt"))
+    q.awaitTermination(120)
+
+    latest = table.read_latest_version()
+    assert latest.count() == 25  # 30 inserted - 5 deleted
+    assert latest.filter(F.col("event_id").isin(ids[5:10])).count() == 0
+    updated = latest.filter(F.col("event_id").isin(ids[:5]))
+    assert {r.value for r in updated.collect()} == {111.0}
