@@ -114,3 +114,32 @@ def partitioned_join(
         left = left.repartition(num_partitions, *keys)
         right = right.repartition(num_partitions, *keys)
     return left.join(right.hint("shuffle_hash"), keys, how.value)
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: JoinType = JoinType.EQUI_INNER,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the large side's key, replicate the
+    small side across ``salt_buckets`` salts, join on (key, salt).
+
+    The classic manual remedy when one key holds a disproportionate share
+    of rows: a plain shuffle join sends the whole hot key to one reducer,
+    salting splits it across ``salt_buckets`` tasks. AQE's skew-join
+    splitting (enabled in session.py) handles most cases automatically at
+    runtime — use this form when the skew is known ahead of time or the
+    join sits below an operator AQE can't split (e.g. a window).
+
+    The small side is replicated ×salt_buckets, so keep it genuinely small
+    (dimension-sized); result equals the unsalted join exactly.
+    """
+    salted_large = large.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    salted_small = small.withColumn("_salt", salts)
+    out = salted_large.join(salted_small, [key, "_salt"], how.value)
+    return out.drop("_salt")

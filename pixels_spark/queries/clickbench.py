@@ -402,3 +402,29 @@ def cb_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+# exact interpolated quantiles (Spark percentile ≡ DuckDB quantile_cont,
+# both type-7 linear interpolation — verified bit-exact).
+@declare(
+    "cb_quantiles",
+    sql="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("aggregation", "quantile"),
+)
+def cb_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -766,19 +766,24 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("semi_join", "having", "topk"),
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The HAVING subquery is evaluated as a window sum over l_orderkey
+    # instead of a separate aggregate + semi join: lineitem shuffles on the
+    # order key ONCE (window), the qualifying rows flow straight into the
+    # orders/customer joins — one fewer full-fact shuffle than the naive
+    # decorrelation, which is the plan you want at 100 TB. Quantity sums are
+    # integer-valued doubles (exact), so window-sum == group-sum bitwise.
+    from pyspark.sql import Window
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("tot_qty"))
-        .filter(F.col("tot_qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+    w = Window.partitionBy("l_orderkey")
+    big_items = l.withColumn("tot_qty", F.sum("l_quantity").over(w)).filter(
+        F.col("tot_qty") > 150
     )
     return (
-        o.join(big, o["o_orderkey"] == F.col("big_orderkey"), "left_semi")
+        big_items.join(o, F.col("l_orderkey") == o["o_orderkey"])
         .join(c, F.col("o_custkey") == c["c_custkey"])
-        .join(l, F.col("o_orderkey") == l["l_orderkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")

@@ -276,3 +276,18 @@ def test_top_k_matches_sorted_head(spark, sf_dir):
     assert got == expect
     plan = explain_str(top_k(o, 5, F.col("o_totalprice").desc()))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from pixels_spark.operators.joins import salted_join
+
+    l = _li(spark, sf_dir).select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = l.join(o, "l_orderkey")
+    salted = salted_join(l, o, "l_orderkey", salt_buckets=8)
+    assert salted.count() == plain.count()
+    # value-level equality
+    diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+    assert diff == 0
