@@ -207,3 +207,44 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     feats = M.extract_features(M.documents_as_media(d))
     return feats.orderBy("media_id")
+
+
+# end-to-end corpus cleaning: quality-feature filter -> per-language
+# kept/dropped accounting (the composition an LLM data pipeline actually
+# runs; oracle replays the same thresholds).
+@declare(
+    "txt_corpus_clean",
+    sql=rf"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM (SELECT lang,
+                 (length(text) >= 100
+                  AND len(string_split_regex(trim(text), '\s+')) >= 20
+                  AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                      / length(text) >= 0.6) AS keep
+          FROM documents) flags
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "quality", "dedup", "pipeline"),
+)
+def txt_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = T.quality_features(F.col("text"))
+    keep = (
+        (F.length("text") >= 100)
+        & (T.token_count(F.col("text")) >= 20)
+        & (q["alpha_ratio"] >= 0.6)
+    )
+    return (
+        d.withColumn("keep", keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )

@@ -904,40 +904,60 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("semi_join", "anti_join", "aggregation", "topk"),
 )
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXISTS/NOT EXISTS over "other suppliers in the same order" evaluated
+    # without the naive 3-pass self-join: per-(order, supplier) max shipdate
+    # (one lineitem shuffle), then per-order windows derive, for each
+    # supplier, the max shipdate among the OTHER suppliers:
+    #   M = mx            if this supplier isn't the unique holder of mx
+    #     = second max    if it is
+    # A row waits iff the order has ≥2 suppliers (EXISTS) and its shipdate
+    # ≥ M (NOT EXISTS later other-supplier shipment). Two lineitem-wide
+    # shuffles total vs three semi/anti passes — the shape that matters
+    # when lineitem is the 100 TB fact.
+    from pyspark.sql import Window
+
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = l.select(
-        F.col("l_orderkey").alias("l1_orderkey"),
-        F.col("l_suppkey").alias("l1_suppkey"),
-        F.col("l_shipdate").alias("l1_shipdate"),
+
+    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("ms")
     )
-    l2 = l.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    w = Window.partitionBy("l_orderkey")
+    enriched = (
+        per_os.withColumn("mx", F.max("ms").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_at_mx",
+            F.sum(F.when(F.col("ms") == F.col("mx"), 1).otherwise(0)).over(w),
+        )
+        .withColumn(
+            "mx2", F.max(F.when(F.col("ms") < F.col("mx"), F.col("ms"))).over(w)
+        )
     )
-    l3 = l.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
-        F.col("l_shipdate").alias("l3_shipdate"),
+    other_max = F.when(
+        (F.col("ms") < F.col("mx")) | (F.col("n_at_mx") > 1), F.col("mx")
+    ).otherwise(F.col("mx2"))
+    qual = (
+        enriched.filter(F.col("n_supp") >= 2)
+        .withColumn("other_max", other_max)
+        .select(
+            F.col("l_orderkey").alias("q_orderkey"),
+            F.col("l_suppkey").alias("q_suppkey"),
+            "other_max",
+        )
     )
     waiting = (
-        l1.join(o, F.col("l1_orderkey") == o["o_orderkey"], "left_semi")
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_semi")
         .join(
-            l2,
-            (F.col("l2_orderkey") == F.col("l1_orderkey"))
-            & (F.col("l2_suppkey") != F.col("l1_suppkey")),
-            "left_semi",
+            qual,
+            (F.col("l_orderkey") == F.col("q_orderkey"))
+            & (F.col("l_suppkey") == F.col("q_suppkey")),
         )
-        .join(
-            l3,
-            (F.col("l3_orderkey") == F.col("l1_orderkey"))
-            & (F.col("l3_suppkey") != F.col("l1_suppkey"))
-            & (F.col("l3_shipdate") > F.col("l1_shipdate")),
-            "left_anti",
-        )
+        .filter(F.col("l_shipdate") >= F.col("other_max"))
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l1_suppkey") == s["s_suppkey"])
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
