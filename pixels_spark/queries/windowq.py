@@ -232,3 +232,98 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ranking-family completeness: ntile + percent_rank + cume_dist.
+@declare(
+    "win_ranking_family",
+    sql="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WHERE o_orderkey < 1000
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    tags=("window",),
+)
+def win_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# first/last value over an explicit frame.
+@declare(
+    "win_first_last",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# RANGE frame: count of same-customer orders within ±30 days by order date.
+@declare(
+    "win_range_frame",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_day
+                               RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+                AS BIGINT) AS orders_within_30d
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(date_diff('day', DATE '1990-01-01',
+                                CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day
+          FROM orders)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "range_frame"),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "epoch_day",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+        .cast("bigint"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("epoch_day").rangeBetween(-30, 30)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("orders_within_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
