@@ -104,3 +104,32 @@ def test_stats_and_selectivity(spark, sf_dir, store):
     assert eq == pytest.approx(1 / 3)
     # persisted on the table metadata
     assert "stats" in store.get_table("tpch", "lineitem")["properties"]
+
+
+def test_encoding_levels_change_parquet_encodings(spark, sf_dir, tmp_path):
+    """EL0 vs EL2 must materially change the written parquet encodings
+    (≈ EncodingLevel.java EL0 = no dictionary, EL2 = dictionary+RLE)."""
+    import pyarrow.parquet as pq
+
+    src_df = load_table(spark, sf_dir, "lineitem").limit(2000)
+    csv_dir = str(tmp_path / "src")
+    src_df.write.option("delimiter", "|").mode("overwrite").csv(csv_dir)
+
+    def encodings(dest):
+        files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+        md = pq.read_metadata(os.path.join(dest, files[0]))
+        encs = set()
+        rg = md.row_group(0)
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            if c.path_in_schema == "l_returnflag":
+                encs.update(c.encodings)
+        return encs
+
+    el2 = str(tmp_path / "el2")
+    load.load_table(spark, csv_dir, el2, SCHEMAS["lineitem"], delimiter="|", encoding_level=2)
+    el0 = str(tmp_path / "el0")
+    load.load_table(spark, csv_dir, el0, SCHEMAS["lineitem"], delimiter="|", encoding_level=0)
+    e2, e0 = encodings(el2), encodings(el0)
+    assert any("DICTIONARY" in e for e in e2), e2
+    assert not any("DICTIONARY" in e for e in e0), e0
