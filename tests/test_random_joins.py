@@ -1,0 +1,65 @@
+"""Property-style randomized equi-join testing against DuckDB.
+
+Complements test_random_predicates: hypothesis picks a join type, optional
+side filters, and key column; counts and key checksums must match DuckDB's
+answer for the equivalent SQL join.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pixels_spark.catalog import load_table, table_path
+from pixels_spark.operators import JoinType, equi_join
+
+JOIN_SQL = {
+    JoinType.EQUI_INNER: "JOIN",
+    JoinType.EQUI_LEFT: "LEFT JOIN",
+    JoinType.EQUI_RIGHT: "RIGHT JOIN",
+    JoinType.EQUI_FULL: "FULL JOIN",
+    JoinType.SEMI: "SEMI JOIN",
+    JoinType.ANTI: "ANTI JOIN",
+}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(sorted(JOIN_SQL, key=lambda j: j.value)),
+    bal=st.floats(0, 1000, allow_nan=False),
+    price=st.floats(1000, 500000, allow_nan=False),
+)
+def test_random_joins_match_duckdb(spark, duck, sf_dir, how, bal, price):
+    bal, price = round(bal, 2), round(price, 2)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > bal)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > price)
+    joined = equi_join(
+        c, o.withColumnRenamed("o_custkey", "c_custkey"), ["c_custkey"], how
+    )
+    n_spark = joined.count()
+    n_duck = duck.execute(
+        f"""SELECT count(*) FROM
+            (SELECT * FROM customer WHERE c_acctbal > {bal}) c
+            {JOIN_SQL[how]}
+            (SELECT * FROM orders WHERE o_totalprice > {price}) o
+            ON c.c_custkey = o.o_custkey"""
+    ).fetchone()[0]
+    assert n_spark == n_duck, f"{how} bal>{bal} price>{price}"
