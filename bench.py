@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pixels_spark import config
-from pixels_spark.catalog import TABLES, load_table, table_path
+from pixels_spark.catalog import TABLES, load_table
 from pixels_spark.queries import load_all_modules
 from pixels_spark.session import local_session
 
