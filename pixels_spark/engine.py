@@ -1,0 +1,115 @@
+"""PixelsSparkEngine — the single user-facing facade.
+
+A user of the reference interacts with: a metadata service (schemas/tables/
+layouts), ETL verbs (LOAD/COMPACT/STAT/IMPORT/COPY), SQL through a host
+engine, programmatic reads with projection/predicate/snapshot options, and
+Retina for mutable/streamed tables. This class packages the equivalent
+surface of this repo behind one object, so "switching engines" is:
+
+    eng = PixelsSparkEngine(spark, warehouse="/data/warehouse")
+    eng.load("tpch", "lineitem", src_csv, schema=..., delimiter="|")
+    eng.compact("tpch", "lineitem")
+    eng.stat("tpch", "lineitem")
+    df = eng.table("tpch", "lineitem")          # reads preferred layout
+    eng.sql_register("tpch")                    # temp views for spark.sql
+    out = eng.sql("SELECT ... FROM lineitem")
+    mv  = eng.mvcc_table("events_live", key_col="event_id")
+
+Every method delegates to the module-level operators (storage/, mvcc/,
+sql.py) — the facade adds no logic, only coherence.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .mvcc import MvccTable, TransService
+from .storage import compact as _compact
+from .storage import etl as _etl
+from .storage import load as _load
+from .storage import stats as _stats
+from .storage.metadata import MetadataStore
+
+
+class PixelsSparkEngine:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.meta = MetadataStore(warehouse)
+        self.trans = TransService(warehouse)
+
+    # -- paths -------------------------------------------------------------
+    def _table_dir(self, schema: str, table: str, suffix: str = "") -> str:
+        return os.path.join(self.warehouse, schema, table + suffix)
+
+    # -- ETL (≈ pixels-cli verbs) -------------------------------------------
+    def load(
+        self,
+        schema: str,
+        table: str,
+        source: str,
+        table_schema: StructType,
+        **kwargs,
+    ) -> DataFrame:
+        return _load.load_and_register(
+            self.spark,
+            self.meta,
+            schema,
+            table,
+            source,
+            self._table_dir(schema, table),
+            table_schema,
+            **kwargs,
+        )
+
+    def compact(self, schema: str, table: str, **kwargs) -> DataFrame:
+        return _compact.compact_and_register(
+            self.spark,
+            self.meta,
+            schema,
+            table,
+            self._table_dir(schema, table, "_compact"),
+            **kwargs,
+        )
+
+    def stat(self, schema: str, table: str, approx: bool = False):
+        return _stats.stat_and_register(
+            self.table(schema, table), self.meta, schema, table, approx=approx
+        )
+
+    def import_table(self, schema: str, table: str, path: str) -> DataFrame:
+        return _etl.import_table(self.spark, self.meta, schema, table, path)
+
+    def copy(self, source: str, dest: str) -> int:
+        return _etl.copy_table(self.spark, source, dest)
+
+    def file_meta(self, path: str) -> dict:
+        return _etl.file_meta(path)
+
+    # -- reads --------------------------------------------------------------
+    def table(self, schema: str, table: str) -> DataFrame:
+        """Read the table's preferred layout (compact if present)."""
+        return self.spark.read.parquet(self.meta.reader_path(schema, table))
+
+    def sql_register(self, schema: str) -> None:
+        """Register every table of a schema as temp views for spark.sql."""
+        for t in self.meta.get_tables(schema):
+            self.table(schema, t).createOrReplaceTempView(t)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- mutable tables (≈ Retina) ------------------------------------------
+    def mvcc_table(self, name: str, key_col: str) -> MvccTable:
+        """A mutable snapshot-isolated table sharing the engine's
+        transaction service (one commit-ts domain per warehouse, like the
+        reference's central timestamp oracle)."""
+        return MvccTable(
+            self.spark,
+            os.path.join(self.warehouse, "_mvcc", name),
+            key_col=key_col,
+            trans=self.trans,
+        )

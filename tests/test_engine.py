@@ -1,0 +1,47 @@
+"""End-to-end engine facade test: the 'switch from the reference' story."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pixels_spark.catalog import SCHEMAS, load_table
+from pixels_spark.engine import PixelsSparkEngine
+
+
+def test_engine_lifecycle(spark, sf_dir, tmp_path):
+    eng = PixelsSparkEngine(spark, str(tmp_path / "wh"))
+
+    # LOAD from delimited text
+    src = load_table(spark, sf_dir, "orders")
+    csv = str(tmp_path / "csv")
+    src.write.option("delimiter", "|").mode("overwrite").csv(csv)
+    df = eng.load("tpch", "orders", csv, SCHEMAS["orders"], delimiter="|", files_per_load=8)
+    assert df.count() == src.count()
+
+    # COMPACT → reader flips to compact layout
+    eng.compact("tpch", "orders", compact_factor=4)
+    assert "_compact" in eng.meta.reader_path("tpch", "orders")
+    assert eng.table("tpch", "orders").count() == src.count()
+
+    # STAT
+    s = eng.stat("tpch", "orders")
+    assert s["o_orderkey"].n_nulls == 0
+
+    # IMPORT an existing table + SQL over registered views
+    eng.import_table("tpch", "customer", f"{sf_dir}/customer.parquet")
+    eng.sql_register("tpch")
+    out = eng.sql(
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+           FROM customer JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    )
+    assert out.count() == 5
+
+    # MVCC table sharing the engine's transaction domain
+    mv = eng.mvcc_table("orders_live", key_col="o_orderkey")
+    t1 = mv.insert(src.limit(10))
+    mv.delete([src.first().o_orderkey])
+    assert mv.read(t1).count() == 10
+    assert mv.read().count() == 9
+    # same ts oracle as the engine
+    assert eng.trans.high_watermark >= t1
