@@ -257,25 +257,49 @@ def minhash_dedup_pairs(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document.
 
-    explode(tokens) → per-(doc,bit) ±1 contributions → groupBy(doc) with one
-    conditional sum per bit → reassemble the sign bits. One shuffle total;
-    the 64 sums ride the same hash-aggregate.
+    explode(tokens) → groupBy(doc) with packed set-bit counters →
+    reassemble the sign bits. One shuffle total; see inline comment for the
+    16-bit-lane packing (valid for documents ≤ 65535 tokens).
     """
+    assert bits % 4 == 0
     toks = spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
     ).withColumn("_h", F.xxhash64("_tok"))
+
+    # Packed counters: 4 bit-indicators per aggregate, one per 16-bit lane
+    # of a long — 16 sums instead of 64 (~3× less aggregate work). A lane
+    # counts up to 65535 tokens exactly; sign test per bit b becomes
+    # 2·set_count(b) > n_tokens ⇔ the classic ±1 sum is positive (ties →
+    # 0-bit, unchanged).
+    def packed(group: int) -> Column:
+        expr = F.lit(0).cast("long")
+        for lane in range(4):
+            b = group * 4 + lane
+            bit = F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)).cast("long")
+            expr = expr + F.shiftleft(bit, lane * 16)
+        return expr
+
+    n_groups = bits // 4
     bit_sums = toks.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_b{i}")
-            for i in range(bits)
-        ]
+        *[F.sum(packed(g)).alias(f"_p{g}") for g in range(n_groups)],
+        F.count(F.lit(1)).alias("_n"),
     )
     sig = F.lit(0).cast("bigint")
-    for i in range(bits):
-        sig = sig + F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("bigint") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("bigint")).otherwise(0)
+    for g in range(n_groups):
+        for lane in range(4):
+            b = g * 4 + lane
+            set_count = F.shiftright(F.col(f"_p{g}"), lane * 16).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            weight = (
+                F.lit(1 << b).cast("bigint")
+                if b < 63
+                else F.lit(-(1 << 63)).cast("bigint")
+            )
+            sig = sig + F.when((set_count * 2) > F.col("_n"), weight).otherwise(
+                F.lit(0).cast("bigint")
+            )
     return bit_sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 
 
@@ -374,3 +398,81 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: pairs → connected components → canonical selection
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Group near-duplicate pairs (id_a, id_b) into clusters: returns
+    (id, component) where component = the smallest id reachable from id.
+
+    Distributed min-label propagation: every node starts labeled with the
+    smallest direct neighbor (or itself); each iteration joins labels
+    across edges and keeps the minimum, until a fixpoint. Converges in
+    O(diameter) iterations — near-dup clusters are shallow (dup groups are
+    dense), so it terminates in 2-3 rounds in practice; ``max_iterations``
+    bounds adversarial chains. Each iteration is one join + one groupBy on
+    the edge list — no driver-side state (the union-find equivalent of the
+    large-star/small-star map-reduce algorithm).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    # initial label: min(self, direct neighbors)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("nbr_min")).alias("component"),
+        )
+    )
+    for _ in range(max_iterations):
+        # propagate: candidate label via any neighbor's label
+        candidate = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(candidate, labels["id"] == candidate["src"], "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup dedup, end to end: keep one document per duplicate cluster
+    (the smallest id — deterministic), plus every document that appears in
+    no pair. This is the step an LLM corpus pipeline actually ships:
+    pairs → clusters → survivors."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("_loser")
+    )
+    return df.join(losers, df[id_col] == F.col("_loser"), "left_anti")

@@ -248,3 +248,19 @@ def txt_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# full near-dup dedup: jaccard pairs -> connected components -> keep one per
+# cluster; per-language survivor counts (rows-only: the iterative component
+# propagation isn't single-statement SQL; properties pinned in
+# tests/test_dedup.py::test_canonical_docs_on_real_pairs).
+@declare("dedup_canonical", sql=None, tags=("dedup", "clustering", "pipeline"))
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5, block_col="lang")
+    kept = D.canonical_docs(d, pairs)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )

@@ -84,3 +84,37 @@ def test_ngram_jaccard_self_similarity(spark, docs):
     for r in clone.collect():
         orig = r.doc_id - 1_000_000
         assert pairs.get((orig, r.doc_id)) == pytest.approx(1.0)
+
+
+def test_connected_components_properties(spark, docs):
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11),
+         Row(id_a=3, id_b=4), Row(id_a=20, id_b=21), Row(id_a=21, id_b=22)]
+    )
+    comps = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    # chain 1-2-3-4 collapses to component 1 (diameter > 1 ⇒ propagation ran)
+    assert comps[1] == comps[2] == comps[3] == comps[4] == 1
+    assert comps[10] == comps[11] == 10
+    assert comps[20] == comps[21] == comps[22] == 20
+
+
+def test_canonical_docs_on_real_pairs(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    kept = D.canonical_docs(docs, pairs)
+    n_docs = docs.count()
+    n_pairs_ids = (
+        pairs.select(F.col("id_a").alias("i"))
+        .union(pairs.select(F.col("id_b").alias("i")))
+        .distinct()
+        .count()
+    )
+    comps = D.connected_components(pairs)
+    n_components = comps.select("component").distinct().count()
+    # survivors = docs not in any pair + one per component
+    assert kept.count() == n_docs - n_pairs_ids + n_components
+    # the kept member of each cluster is its smallest id
+    min_ids = {r.component for r in comps.collect()}
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert min_ids <= kept_ids
