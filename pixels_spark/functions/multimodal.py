@@ -104,13 +104,38 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def documents_as_media(docs: DataFrame) -> DataFrame:
+DECODERS = {
+    "image": decode_image,
+    "audio": decode_audio,
+}
+
+
+def decode(kind: str, payload: bytes) -> object:
+    """Kind-dispatched decode seam. Real deployments register decoders in
+    DECODERS; this environment's stubs raise NotImplementedError, which is
+    the documented contract for missing media libraries."""
+    try:
+        decoder = DECODERS[kind]
+    except KeyError:
+        raise ValueError(f"no decoder registered for media kind {kind!r}") from None
+    return decoder(payload)
+
+
+def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Adapter producing a MEDIA_SCHEMA DataFrame from the documents fixture
     (text bytes as payload) so the pipeline is exercisable without real
-    media fixtures."""
+    media fixtures. ``kind`` assigns image/audio/video round-robin when set
+    to 'mixed'."""
+    if kind == "mixed":
+        kind_col = F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        )
+    else:
+        kind_col = F.lit(kind)
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
+        kind_col.alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.to_json(F.struct(F.lit("text/plain").alias("mime"))).alias("meta"),
     )

@@ -34,3 +34,21 @@ def test_media_schema_and_feature_extraction(spark, sf_dir):
         assert got.n_bytes == n
         assert got.checksum == checksum
         assert got.feat_mean == pytest.approx(mean)
+
+
+def test_mixed_kinds_and_decode_dispatch(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = M.documents_as_media(docs, kind="mixed")
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    # feature extraction is kind-agnostic plumbing — runs over all kinds
+    feats = M.extract_features(media)
+    assert feats.count() == 30
+    # decode dispatch: registered kinds raise the stub error, unknown kinds
+    # a clear ValueError
+    with pytest.raises(NotImplementedError):
+        M.decode("image", b"x")
+    with pytest.raises(NotImplementedError):
+        M.decode("audio", b"x")
+    with pytest.raises(ValueError):
+        M.decode("hologram", b"x")

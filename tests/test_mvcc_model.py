@@ -1,0 +1,79 @@
+"""Model-based MVCC testing: random op sequences vs an in-memory model.
+
+The trickiest semantics in the engine are snapshot visibility under
+interleaved insert/delete/update (delete hides strictly-older versions;
+updates are atomic delete+insert). A reference Python model replays each
+random operation sequence; after every commit, `read(ts)` for EVERY
+historical ts must match the model exactly — the strongest guarantee that
+time travel never changes retroactively.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+from pixels_spark.mvcc import MvccTable
+
+
+class Model:
+    """Reference implementation: versions = {key: [(commit_ts, value)]},
+    deletes = {key: [delete_ts]}."""
+
+    def __init__(self):
+        self.versions: dict[int, list[tuple[int, int]]] = {}
+        self.deletes: dict[int, list[int]] = {}
+
+    def insert(self, keys, val, ts):
+        for k in keys:
+            self.versions.setdefault(k, []).append((ts, val))
+
+    def delete(self, keys, ts):
+        for k in keys:
+            self.deletes.setdefault(k, []).append(ts)
+
+    def visible_rows(self, ts) -> int:
+        n = 0
+        for k, vers in self.versions.items():
+            dels = [d for d in self.deletes.get(k, []) if d <= ts]
+            dmax = max(dels) if dels else -1
+            for cts, _ in vers:
+                if cts <= ts and not (cts < dmax):
+                    n += 1
+        return n
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_random_histories_match_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    table = MvccTable(spark, str(tmp_path / f"t{seed}"), key_col="k")
+    model = Model()
+    commit_log: list[int] = []
+    keyspace = list(range(20))
+
+    for step in range(6):
+        op = rng.choice(["insert", "delete", "update"])
+        keys = rng.sample(keyspace, rng.randint(1, 6))
+        if op == "insert":
+            df = spark.createDataFrame([Row(k=k, v=step) for k in keys])
+            ts = table.insert(df)
+            model.insert(keys, step, ts)
+        elif op == "delete":
+            ts = table.delete(keys)
+            model.delete(keys, ts)
+        else:  # update = delete + insert at one ts
+            df = spark.createDataFrame([Row(k=k, v=step) for k in keys])
+            ts = table.update(df)
+            model.delete(keys, ts)
+            model.insert(keys, step, ts)
+        commit_log.append(ts)
+
+        # EVERY historical snapshot must still match the model
+        for t in commit_log:
+            got = table.read(t).count()
+            want = model.visible_rows(t)
+            assert got == want, (
+                f"seed={seed} step={step} snapshot@{t}: engine={got} model={want}"
+            )
