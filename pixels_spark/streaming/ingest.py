@@ -94,3 +94,25 @@ def ingest_cdc_stream(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: drop repeated keys arriving within the
+    watermark horizon (the ingest-time dedup an LLM pipeline runs before
+    documents ever land — duplicates from source retries/CDC replays never
+    reach storage).
+
+    ``dropDuplicatesWithinWatermark`` bounds state by the watermark delay:
+    a key is remembered only until the watermark passes its event time —
+    O(arrival-rate × delay) state, not O(stream history). Exact global
+    dedup across all history belongs to the batch path (exact_dedup /
+    fingerprints) over the stored table.
+    """
+    return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )

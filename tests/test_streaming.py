@@ -143,3 +143,31 @@ def test_cdc_ingest_op_routing(spark, events, tmp_path):
     assert latest.filter(F.col("event_id").isin(ids[5:10])).count() == 0
     updated = latest.filter(F.col("event_id").isin(ids[:5]))
     assert {r.value for r in updated.collect()} == {111.0}
+
+
+def test_dedup_stream_drops_replayed_duplicates(spark, events, tmp_path):
+    from pixels_spark.streaming.ingest import dedup_stream
+
+    base = events.limit(200).cache()
+    src = str(tmp_path / "dup_src")
+    # simulate a CDC replay: the same 200 events arrive twice (two files)
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    base.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = dedup_stream(stream, ["event_id"], watermark_delay="365 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out")
+    assert got.count() == base.count()  # every duplicate dropped
+    assert got.select("event_id").distinct().count() == base.count()
