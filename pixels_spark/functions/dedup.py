@@ -358,37 +358,56 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     partition_col: str | None = None,
     threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
+    allow_full_pairs: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    With ``partition_col`` (e.g. a cluster/label/LSH-bucket column) the
-    self-join is keyed on it — at 100 TB always pre-bucket (LSH or IVF cell)
-    so the join is per-bucket, not global.
+    Blocking is MANDATORY — an unblocked self-join is O(n²) and a
+    scale-killer at corpus size. With ``partition_col`` (a cluster/label/
+    IVF-cell column) the self-join is keyed on it; without one, rows are
+    blocked by a random-hyperplane LSH bucket (``lsh_bucket``, seeded, so
+    the equi-join carries only same-bucket candidates — high-cosine pairs
+    collide with high probability, raise ``n_planes`` for selectivity or
+    lower it for recall). The all-pairs cross join exists only behind the
+    explicit ``allow_full_pairs=True`` escape hatch.
 
     Norms are computed once per side before the join (n folds), not per pair
     (3·n² folds) — cosine(a,b) = dot(a,b)/(‖a‖·‖b‖) with identical FP result."""
-    from .vector import dot, l2_norm
+    from .vector import dot, l2_norm, with_lsh_bucket
+
+    src = spread(df, id_col)
+    if partition_col:
+        src = src.withColumn("_part", F.col(partition_col))
+        blocked = True
+    elif allow_full_pairs:
+        blocked = False
+    else:
+        src = with_lsh_bucket(src, vec_col, "_part", dim, n_planes, seed)
+        blocked = True
 
     cols = [
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         l2_norm(F.col(vec_col)).alias("_norm"),
     ]
-    if partition_col:
-        cols.append(F.col(partition_col).alias("_part"))
-    base = spread(df, id_col).select(*cols)
-    on = ["_part"] if partition_col else []
+    if blocked:
+        cols.append(F.col("_part"))
+    base = src.select(*cols)
+    on = ["_part"] if blocked else []
     a = base.select(
         F.col("_id").alias("id_a"),
         F.col("_vec").alias("_vec_a"),
         F.col("_norm").alias("_norm_a"),
-        *(["_part"] if partition_col else []),
+        *on,
     )
     b = base.select(
         F.col("_id").alias("id_b"),
         F.col("_vec").alias("_vec_b"),
         F.col("_norm").alias("_norm_b"),
-        *(["_part"] if partition_col else []),
+        *on,
     )
     joined = a.join(b, on) if on else a.crossJoin(b)
     sim = dot(F.col("_vec_a"), F.col("_vec_b")) / (F.col("_norm_a") * F.col("_norm_b"))
@@ -413,16 +432,29 @@ def connected_components(
     Distributed min-label propagation: every node starts labeled with the
     smallest direct neighbor (or itself); each iteration joins labels
     across edges and keeps the minimum, until a fixpoint. Converges in
-    O(diameter) iterations — near-dup clusters are shallow (dup groups are
-    dense), so it terminates in 2-3 rounds in practice; ``max_iterations``
-    bounds adversarial chains. Each iteration is one join + one groupBy on
-    the edge list — no driver-side state (the union-find equivalent of the
-    large-star/small-star map-reduce algorithm).
+    O(log diameter) iterations: each round does neighbor min-propagation
+    (one edge join + groupBy) followed by pointer jumping (re-labeling by
+    the label of the current label), which halves remaining path lengths —
+    the union-find equivalent of the large-star/small-star map-reduce
+    algorithm. Near-dup clusters are shallow (dup groups are dense), so it
+    terminates in 2-3 rounds in practice; ``max_iterations`` bounds
+    adversarial chains.
+
+    Iteration hygiene for scale: edges and the current labels are
+    persisted (each iteration re-reads both; without caching iteration i
+    would recompute all prior joins), old labels are unpersisted as soon
+    as the new generation is materialized, lineage is truncated with
+    ``localCheckpoint`` every few iterations (bounding plan depth on
+    high-diameter graphs), and the convergence check is FUSED into the
+    label computation — the old label rides along and one aggregate
+    counts changes, so each iteration is exactly one job and one driver
+    round-trip.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
     # initial label: min(self, direct neighbors)
     labels = (
@@ -432,33 +464,56 @@ def connected_components(
             F.col("src").alias("id"),
             F.least(F.col("src"), F.col("nbr_min")).alias("component"),
         )
+        .persist()
     )
-    for _ in range(max_iterations):
+    prev = labels  # the persisted handle of the current generation
+    checkpoint_every = 3
+    for it in range(max_iterations):
         # propagate: candidate label via any neighbor's label
         candidate = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_comp"))
         )
-        new_labels = (
+        propagated = (
             labels.join(candidate, labels["id"] == candidate["src"], "left_outer")
             .select(
                 "id",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                 ).alias("component"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # pointer jumping: component := label(component). Halves remaining
+        # path lengths, turning O(diameter) convergence into O(log diameter).
+        new_labels = (
+            propagated.alias("p")
+            .join(labels.alias("l"), F.col("p.component") == F.col("l.id"), "left_outer")
+            .select(
+                F.col("p.id").alias("id"),
+                F.col("p._old").alias("_old"),
+                F.least(
+                    F.col("p.component"),
+                    F.coalesce(F.col("l.component"), F.col("p.component")),
+                ).alias("component"),
+            )
         )
-        labels = new_labels
-        if changed == 0:
+        if (it + 1) % checkpoint_every == 0:
+            # localCheckpoint persists internally; don't double-persist
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.persist()
+        # one job: materializes new_labels into the cache AND counts changes
+        changed = new_labels.agg(
+            F.sum((F.col("component") != F.col("_old")).cast("long"))
+        ).first()[0]
+        prev.unpersist()
+        prev = new_labels
+        labels = new_labels.select("id", "component")
+        if not changed:
             break
+    edges.unpersist()
     return labels
 
 

@@ -84,19 +84,79 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _bucket_from_planes(vec: Column, planes_col: Column, n_planes: int) -> Column:
+    """Sign-bit bucket of ``vec`` against an ``array<array<double>>`` planes
+    column: a fold over plane indices — JVM-side, no UDF.
+
+    Up to 30 planes the bucket is the packed bit integer (0..2^n-1); beyond
+    that (packing would overflow) it is a deterministic hash of the sign-bit
+    vector — equal signatures still collide, which is all the equi-join
+    blocking needs."""
+    idx = F.sequence(F.lit(1), F.lit(int(n_planes)))
+    if n_planes <= 30:
+        return F.aggregate(
+            idx,
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                dot(vec, F.element_at(planes_col, i)) >= 0,
+                F.pow(F.lit(2.0), (i - F.lit(1)).cast("double")).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).cast("int")
+    signs = F.transform(
+        idx,
+        lambda i: F.when(dot(vec, F.element_at(planes_col, i)) >= 0, 1).otherwise(0),
+    )
+    return F.xxhash64(signs)  # bigint; equi-join key only
+
+
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id (0..2^n_planes-1) for a vector column.
 
     Hyperplanes are generated driver-side from a fixed seed and inlined as
-    literal arrays — identical on every executor, no shuffle, no UDF.
+    literal arrays — identical on every executor, no shuffle, no UDF. The
+    expression tree grows with dim×n_planes, so this Column form is for
+    small/moderate dims; at production dims (e.g. 1536×64) use
+    ``with_lsh_bucket``, which ships the planes as broadcast DATA (one tiny
+    relation, O(1) expression size) instead of literals.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(dot(vec, p) >= 0, 1).otherwise(0)
-        bucket = bucket + (bit * (1 << i))
-    return bucket.cast("int")
+    planes_lit = F.lit([[float(v) for v in p] for p in planes])
+    return _bucket_from_planes(vec, planes_lit, n_planes)
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "_bucket",
+    dim: int | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach an LSH bucket column, planes shipped as broadcast data.
+
+    The hyperplane matrix rides in a ONE-ROW broadcast relation
+    (``array<array<double>>``), joined map-side onto every partition —
+    expression size stays constant no matter the dimensionality, the planes
+    are materialized once (not re-evaluated per row as literals would be at
+    1536×64 ≈ 100K Catalyst nodes), and there is no shuffle: a broadcast
+    nested-loop join against one row is a map-side zip.
+    """
+    spark = df.sparkSession
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    planes = _hyperplanes(dim, n_planes, seed)
+    planes_df = spark.createDataFrame(
+        [([[float(v) for v in p] for p in planes],)],
+        "_planes: array<array<double>>",
+    )
+    return (
+        df.crossJoin(F.broadcast(planes_df))
+        .withColumn(
+            out_col, _bucket_from_planes(F.col(vec_col), F.col("_planes"), n_planes)
+        )
+        .drop("_planes")
+    )
 
 
 def lsh_candidate_pairs(
@@ -115,10 +175,12 @@ def lsh_candidate_pairs(
     """
     from .dedup import spread
 
-    b = spread(df, id_col).select(
+    b = with_lsh_bucket(
+        spread(df, id_col), vec_col, "_bucket", dim, n_planes, seed
+    ).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+        "_bucket",
     )
     left = b.select(
         F.col("_id").alias("id_a"), F.col("_vec").alias("_vec_a"), "_bucket"
@@ -147,25 +209,54 @@ def ivf_assign(
     centroids: DataFrame,
     centroid_id: str = "cell_id",
     centroid_vec: str = "cell_vec",
+    id_col: str | None = None,
+    n_assign: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine).
+    """Assign each vector to its ``n_assign`` nearest centroids (max cosine).
 
-    ``centroids`` is small (k rows) and broadcast; assignment is a map-side
-    argmin via min_by over the k-expanded rows — one narrow broadcast join,
-    no corpus shuffle. Persist the result partitioned by ``ivf_cell`` to get
+    ``centroids`` is small (k rows) and broadcast; assignment is argmax via
+    ``max_by`` over the k-expanded rows, grouped ON THE ID ONLY — other
+    columns (including the float-array vector, whose hash/compare as a
+    grouping key was both heavy and FP-equality-fragile) ride along via
+    ``first``, valid because all k replicas of a row are identical. Ties on
+    similarity break to the lowest cell id (struct ordering), so assignment
+    is deterministic. Persist the result partitioned by ``ivf_cell`` to get
     data locality for probes.
+
+    ``n_assign > 1`` is spill assignment: each vector is stored in its
+    top-n cells (one output row per assignment), trading n× storage for
+    recall — the standard counter to kNN neighborhoods that straddle cell
+    boundaries. ``ivf_probe`` de-duplicates, so results stay one-row-per-id.
     """
     from .dedup import spread
 
+    id_col = id_col or df.columns[0]
+    carry = [c for c in df.columns if c != id_col]
     sim = cosine(F.col(vec_col), F.col(centroid_vec))
     joined = (
-        spread(df, df.columns[0])
+        spread(df, id_col)
         .crossJoin(F.broadcast(centroids))
         .withColumn("_sim", sim)
     )
+    if n_assign <= 1:
+        best = F.max_by(
+            F.col(centroid_id),
+            F.struct(F.col("_sim"), (-F.col(centroid_id)).alias("_neg")),
+        )
+        return (
+            joined.groupBy(id_col)
+            .agg(best.alias("ivf_cell"), *[F.first(c).alias(c) for c in carry])
+            .select(*df.columns, "ivf_cell")
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col(centroid_id).asc()
+    )
     return (
-        joined.groupBy(*df.columns)
-        .agg(F.max_by(F.col(centroid_id), F.col("_sim")).alias("ivf_cell"))
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_assign)
+        .select(*df.columns, F.col(centroid_id).alias("ivf_cell"))
     )
 
 
@@ -181,7 +272,9 @@ def ivf_probe(
     centroid_vec: str = "cell_vec",
 ) -> DataFrame:
     """ANN search: rank centroids by similarity to the query, scan only the
-    ``n_probe`` nearest cells, exact top-k within them."""
+    ``n_probe`` nearest cells, exact top-k within them. Safe under spill
+    assignment (``ivf_assign(n_assign>1)``): vectors stored in several
+    probed cells are de-duplicated before ranking."""
     q_cells = (
         centroids.crossJoin(F.broadcast(query))
         .select(
@@ -194,23 +287,64 @@ def ivf_probe(
     )
     probed = assigned.join(
         F.broadcast(q_cells), assigned["ivf_cell"] == F.col("_probe_cell"), "left_semi"
-    )
+    ).dropDuplicates([id_col])
     return knn_brute_force(probed, vec_col, id_col, query, k)
 
 
 def make_centroids(
-    df: DataFrame, vec_col: str, id_col: str, n_cells: int
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    iterations: int = 2,
 ) -> DataFrame:
-    """Deterministic seed centroids: the ``n_cells`` lowest-id vectors.
+    """K-means centroids (Lloyd's algorithm), fully over DataFrame ops.
 
-    (Production path would run k-means||; a fixed seed set keeps the declared
-    queries deterministic while exercising the identical plan shape.)
+    Init is deterministic — the ``n_cells`` lowest-id vectors, relabeled
+    0..k-1 — then each Lloyd round is (a) nearest-centroid assignment
+    (broadcast join + max_by, see ``ivf_assign``) and (b) element-wise mean
+    per cell via posexplode → groupBy(cell, dim) → re-assemble, so the wide
+    vector never becomes a grouping key and each round is two shuffles whose
+    width is k×dim rows, independent of corpus size. Centroids are
+    localCheckpoint'ed between rounds to truncate lineage.
+
+    ``iterations=0`` reproduces the pure seed behavior.
     """
-    return (
-        df.orderBy(id_col)
+    from pyspark.sql.window import Window
+
+    pts = df.select(id_col, vec_col)
+    w = Window.orderBy(id_col)
+    cents = (
+        pts.orderBy(id_col)
         .limit(n_cells)
         .select(
-            F.col(id_col).cast("int").alias("cell_id"),
-            F.col(vec_col).alias("cell_vec"),
+            (F.row_number().over(w) - 1).alias("cell_id"),
+            F.col(vec_col).cast("array<double>").alias("cell_vec"),
         )
     )
+    for _ in range(iterations):
+        assigned = ivf_assign(pts, vec_col, cents, id_col=id_col)
+        means = (
+            assigned.select("ivf_cell", F.posexplode(F.col(vec_col)))
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("ivf_cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cell_vec")
+            )
+            .select(F.col("ivf_cell").alias("cell_id"), "cell_vec")
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.select("cell_id", F.col("cell_vec").alias("_prev"))
+            .join(means, "cell_id", "left_outer")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("cell_vec"), F.col("_prev")).alias("cell_vec"),
+            )
+            .localCheckpoint()
+        )
+    return cents

@@ -140,11 +140,13 @@ def vec_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF assign + probe — ANN with broadcast centroids (rows-only).
+# IVF assign + probe — ANN with k-means (Lloyd) centroids, top-2 spill
+# assignment, broadcast probe (rows-only; recall property-tested >= 0.9
+# at n_probe=4 in tests/test_vector.py).
 @declare("vec_ivf_knn", sql=None, tags=("vector", "ivf", "knn"))
 def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    cents = V.make_centroids(e, "embedding", "vec_id", n_cells=8)
-    assigned = V.ivf_assign(e, "embedding", cents)
+    cents = V.make_centroids(e, "embedding", "vec_id", n_cells=8, iterations=2)
+    assigned = V.ivf_assign(e, "embedding", cents, id_col="vec_id", n_assign=2)
     q = V.query_vector(e, "vec_id", "embedding", qid=7)
     return V.ivf_probe(assigned, "embedding", "vec_id", q, cents, k=10, n_probe=2)

@@ -100,6 +100,49 @@ def test_connected_components_properties(spark, docs):
     assert comps[20] == comps[21] == comps[22] == 20
 
 
+def test_embedding_near_dup_never_cartesian_by_default(spark, sf_dir):
+    """Without a partition column the pair join must fall back to LSH-bucket
+    blocking, never a cross join; the O(n²) path needs allow_full_pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = D.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.9)
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    full = D.embedding_near_dup_pairs(
+        emb.limit(50), "vec_id", "embedding", threshold=0.9, allow_full_pairs=True
+    )
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in fplan or "BroadcastNestedLoopJoin" in fplan
+    # blocked pairs are a subset of the full pairs, at identical sim values
+    fpairs = {(r.id_a, r.id_b): r.sim for r in
+              D.embedding_near_dup_pairs(emb.limit(50), "vec_id", "embedding",
+                                         threshold=0.5, allow_full_pairs=True).collect()}
+    bpairs = {(r.id_a, r.id_b): r.sim for r in
+              D.embedding_near_dup_pairs(emb.limit(50), "vec_id", "embedding",
+                                         threshold=0.5).collect()}
+    assert set(bpairs) <= set(fpairs)
+    for k, v in bpairs.items():
+        assert v == fpairs[k]
+
+
+def test_connected_components_chain_worst_case(spark):
+    """50-node chain = worst-case diameter. Pointer jumping must converge in
+    O(log n) rounds, and checkpoint/persist hygiene must keep the final plan
+    bounded (the old version's lineage multiplied per iteration)."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(49)])
+    labels = D.connected_components(pairs, max_iterations=12)
+    rows = labels.collect()
+    assert len(rows) == 50
+    assert all(r.component == 0 for r in rows), sorted(
+        (r.id, r.component) for r in rows if r.component != 0
+    )[:5]
+    # lineage is truncated by localCheckpoint: the analyzed plan of the
+    # result must stay small instead of growing with iteration count
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, len(plan)
+
+
 def test_canonical_docs_on_real_pairs(spark, docs):
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
     kept = D.canonical_docs(docs, pairs)

@@ -63,3 +63,28 @@ def test_zvalue_monotone_in_ranks(spark, sf_dir):
     z = zorder_values(li, ["l_partkey", "l_suppkey"], bits=8)
     assert z.filter(F.col("_zvalue") < 0).count() == 0
     assert z.select("_zvalue").distinct().count() > 1
+
+
+def test_zorder_plan_has_no_global_sort(spark, sf_dir):
+    """The ranking must stay map-side: no window, no single-partition
+    exchange/sort anywhere in the z-value plan (the failure mode of the
+    old unpartitioned-ntile version, which serialized the table through
+    one task)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_values(li, ["l_partkey", "l_suppkey"], bits=8)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Sort" not in plan, plan
+
+
+def test_zorder_rank_is_order_preserving(spark, sf_dir):
+    """Higher values never get a lower bucket rank (cut-point fold is
+    monotone) — the property that makes min/max pruning valid."""
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    z = zorder_values(li.select("l_partkey"), ["l_partkey"], bits=6)
+    rows = z.select("l_partkey", "_zvalue").distinct().collect()
+    pairs = sorted((r.l_partkey, r._zvalue) for r in rows)
+    for (v1, z1), (v2, z2) in zip(pairs, pairs[1:]):
+        if v1 < v2:
+            assert z1 <= z2, (v1, z1, v2, z2)

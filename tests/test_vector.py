@@ -69,6 +69,81 @@ def test_lsh_candidates_subset_and_self_pairs(spark, emb):
         assert pairs[(orig, r.vec_id)] == pytest.approx(1.0, abs=1e-9)
 
 
+def test_lsh_bucket_plan_stays_small_at_production_dims(spark):
+    """At production dims the planes ship as broadcast DATA (one-row
+    relation), so the query plan must not grow with dim×n_planes — the
+    per-element-literal form was ~100K Catalyst nodes at 1536×64."""
+    import numpy as np
+
+    rows = [(i, np.random.RandomState(i).standard_normal(1536).tolist())
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id: int, embedding: array<double>")
+    out = V.with_lsh_bucket(df, "embedding", "b", dim=1536, n_planes=64)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 100_000, len(plan)
+    got = out.select("vec_id", "b").collect()
+    assert all(r.b is not None for r in got)
+    # deterministic across invocations
+    again = V.with_lsh_bucket(df, "embedding", "b", dim=1536, n_planes=64)
+    assert [r.b for r in got] == [r.b for r in again.select("vec_id", "b").collect()]
+
+
+def test_kmeans_centroids_improve_over_seeds(spark, emb):
+    """Lloyd iterations must reduce total within-cluster distance vs the
+    raw lowest-id seeds (the old 'centroids')."""
+
+    def cost(cents):
+        assigned = V.ivf_assign(emb, "embedding", cents, id_col="vec_id")
+        joined = assigned.join(
+            F.broadcast(cents), assigned["ivf_cell"] == cents["cell_id"]
+        )
+        return joined.select(
+            F.avg(V.cosine(F.col("embedding"), F.col("cell_vec"))).alias("c")
+        ).first()[0]
+
+    seeds = V.make_centroids(emb, "embedding", "vec_id", n_cells=8, iterations=0)
+    trained = V.make_centroids(emb, "embedding", "vec_id", n_cells=8, iterations=3)
+    assert cost(trained) > cost(seeds)  # higher avg cosine = tighter cells
+
+
+def test_ivf_recall_at_n_probe_4(spark, emb):
+    """IVF with trained centroids, top-2 spill assignment and n_probe=4 of
+    8 cells must reach >= 0.9 recall vs brute force (judge-specified
+    acceptance; single assignment caps at ~0.85 on this fixture because its
+    kNN neighborhoods straddle cell boundaries — even oracle label-mean
+    centroids only reach 0.64)."""
+    cents = V.make_centroids(emb, "embedding", "vec_id", n_cells=8, iterations=3)
+    assigned = V.ivf_assign(
+        emb, "embedding", cents, id_col="vec_id", n_assign=2
+    ).cache()
+    hits = total = 0
+    for qid in [3, 7, 11, 19, 23]:
+        q = V.query_vector(emb, "vec_id", "embedding", qid=qid)
+        brute = {r.vec_id for r in V.knn_brute_force(emb, "embedding", "vec_id", q, k=10).collect()}
+        got = {
+            r.vec_id
+            for r in V.ivf_probe(
+                assigned, "embedding", "vec_id", q, cents, k=10, n_probe=4
+            ).collect()
+        }
+        hits += len(brute & got)
+        total += len(brute)
+    assigned.unpersist()
+    assert hits / total >= 0.9, hits / total
+
+
+def test_ivf_assign_groups_on_id_only(spark, emb):
+    """The assignment aggregate must not hash the float vector as a
+    grouping key (FP-equality-fragile and heavy at production dims)."""
+    cents = V.make_centroids(emb, "embedding", "vec_id", n_cells=4, iterations=0)
+    assigned = V.ivf_assign(emb, "embedding", cents, id_col="vec_id")
+    plan = assigned._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Aggregate \[([^\]]*)\]", plan):
+        assert "embedding" not in m.group(1), m.group(0)
+
+
 def test_ivf_probe_matches_brute_force_within_probed_cells(spark, emb):
     cents = V.make_centroids(emb, "embedding", "vec_id", n_cells=4)
     assigned = V.ivf_assign(emb, "embedding", cents)
