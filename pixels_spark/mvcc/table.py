@@ -63,7 +63,7 @@ class MvccTable:
             ts = ctx.timestamp
         out = df.withColumn(COMMIT_TS, F.lit(ts).cast("long"))
         out.write.mode("overwrite").parquet(
-            os.path.join(self.data_dir, f"commit={ts}")
+            os.path.join(self.data_dir, f"_commit={ts}")
         )
         # persist the table schema (≈ footer types) so reads survive a
         # vacuum that removes every commit directory
@@ -90,7 +90,7 @@ class MvccTable:
             )
         out = kdf.withColumn(DELETED_TS, F.lit(ts).cast("long"))
         out.write.mode("overwrite").parquet(
-            os.path.join(self.delete_dir, f"commit={ts}")
+            os.path.join(self.delete_dir, f"_commit={ts}")
         )
         if ctx is not None:
             self.trans.commit_trans(ctx)
@@ -121,7 +121,7 @@ class MvccTable:
         if snapshot_ts is None:
             snapshot_ts = self.trans.high_watermark
         commits = [
-            e for e in os.listdir(self.data_dir) if e.startswith("commit=")
+            e for e in os.listdir(self.data_dir) if e.startswith("_commit=")
         ] if os.path.isdir(self.data_dir) else []
         if not commits:
             # empty table (never written, or fully vacuumed): serve the
@@ -138,11 +138,24 @@ class MvccTable:
                 schema = _ST()
             return self.spark.createDataFrame([], schema)
         data = self.spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
-        visible = data.filter(F.col(COMMIT_TS) <= snapshot_ts)
+        # the _commit=<ts> dirs surface as a discovered partition column:
+        # filtering on it prunes whole commit directories BY PATH (no file
+        # footer even opened for future commits); the row-level _commit_ts
+        # filter stays as the authoritative visibility predicate. The
+        # partition column is dropped before returning so the schema matches
+        # the persisted one (and can't collide with user columns — the
+        # underscore name is reserved).
+        visible = (
+            data.filter(F.col("_commit") <= snapshot_ts)
+            .drop("_commit")
+            .filter(F.col(COMMIT_TS) <= snapshot_ts)
+        )
         dels = self._deletes()
         if dels is not None:
             d = (
-                dels.filter(F.col(DELETED_TS) <= snapshot_ts)
+                dels.filter(F.col("_commit") <= snapshot_ts)
+                .drop("_commit")
+                .filter(F.col(DELETED_TS) <= snapshot_ts)
                 .groupBy(self.key_col)
                 .agg(F.max(DELETED_TS).alias("_del_ts"))
                 .withColumnRenamed(self.key_col, "_del_key")
@@ -195,13 +208,15 @@ class MvccTable:
             return []
         removed: list[int] = []
         d = (
-            dels.filter(F.col(DELETED_TS) <= retain_ts)
+            dels.filter(F.col("_commit") <= retain_ts)
+            .drop("_commit")
+            .filter(F.col(DELETED_TS) <= retain_ts)
             .groupBy(self.key_col)
             .agg(F.max(DELETED_TS).alias("_del_ts"))
             .withColumnRenamed(self.key_col, "_del_key")
         )
         for entry in sorted(os.listdir(self.data_dir)):
-            if not entry.startswith("commit="):
+            if not entry.startswith("_commit="):
                 continue
             ts = int(entry.split("=", 1)[1])
             if ts >= retain_ts:

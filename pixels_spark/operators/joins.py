@@ -134,8 +134,22 @@ def salted_join(
     join sits below an operator AQE can't split (e.g. a window).
 
     The small side is replicated ×salt_buckets, so keep it genuinely small
-    (dimension-sized); result equals the unsalted join exactly.
+    (dimension-sized); result equals the unsalted join exactly — for the
+    supported join types. Right/full-outer are rejected: every unmatched
+    (key, salt) replica of the small side would emit its own null-padded
+    row, so the salted result would NOT equal the unsalted join.
     """
+    if how not in (
+        JoinType.EQUI_INNER,
+        JoinType.EQUI_LEFT,
+        JoinType.SEMI,
+        JoinType.ANTI,
+    ):
+        raise ValueError(
+            f"salted_join does not support {how.value!r}: the replicated "
+            "small side emits spurious null-padded rows for unmatched "
+            "(key, salt) replicas under right/full outer joins"
+        )
     salted_large = large.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

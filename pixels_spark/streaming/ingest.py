@@ -72,15 +72,14 @@ def ingest_cdc_stream(
         if batch_df.isEmpty():
             return
         ctx = table.trans.begin_trans()
-        payload = batch_df.drop(op_col)
         del_keys = batch_df.filter(F.col(op_col).isin("D", "U")).select(
             table.key_col
         )
-        ins_rows = payload.join(
-            batch_df.filter(F.col(op_col).isin("I", "U")).select(table.key_col),
-            table.key_col,
-            "left_semi",
-        )
+        # inserts come DIRECTLY from the I/U rows — a semi-join of all
+        # payload rows against I/U keys would also resurrect a D row's
+        # stale payload when one batch carries both a delete and an
+        # insert for the same key
+        ins_rows = batch_df.filter(F.col(op_col).isin("I", "U")).drop(op_col)
         if not del_keys.isEmpty():
             table.delete(del_keys, ts=ctx.timestamp)
         if not ins_rows.isEmpty():

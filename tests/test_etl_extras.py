@@ -74,7 +74,7 @@ def test_vacuum_removes_fully_deleted_commits(spark, sf_dir, tmp_path):
     assert removed == [t1]
     # current snapshot unchanged, commit dir gone
     assert t.read(t3).count() == events.count() - 20
-    assert not os.path.isdir(os.path.join(str(tmp_path / "t"), "data", f"commit={t1}"))
+    assert not os.path.isdir(os.path.join(str(tmp_path / "t"), "data", f"_commit={t1}"))
     # partially-deleted commits are never removed
     t4 = t.delete([r.event_id for r in rest.limit(5).collect()])
     assert t.vacuum(retain_ts=t4) == []

@@ -32,6 +32,79 @@ def test_trans_service_monotonic(tmp_path):
     assert ts.high_watermark == w2.timestamp
 
 
+def test_watermark_waits_for_straggling_lower_ts(tmp_path):
+    """Committing ts N while ts N-1 is in flight must NOT expose N: the
+    watermark only advances over the contiguously committed prefix, so
+    snapshots taken at the watermark are repeatable."""
+    ts = TransService(str(tmp_path))
+    w1 = ts.begin_trans()
+    w2 = ts.begin_trans()
+    ts.commit_trans(w2)  # higher ts commits first
+    assert ts.high_watermark < w1.timestamp  # w1 still pending holds it back
+    ts.commit_trans(w1)
+    assert ts.high_watermark == w2.timestamp
+
+
+def test_abort_releases_watermark(tmp_path):
+    ts = TransService(str(tmp_path))
+    w1 = ts.begin_trans()
+    w2 = ts.begin_trans()
+    ts.commit_trans(w2)
+    assert ts.high_watermark < w1.timestamp
+    ts.abort_trans(w1)
+    assert ts.high_watermark == w2.timestamp
+
+
+def test_concurrent_writers_never_share_a_ts(tmp_path):
+    """The flock'd oracle must hand out distinct timestamps under process
+    concurrency (the unlocked read-modify-write could double-issue)."""
+    import multiprocessing as mp
+
+    root = str(tmp_path)
+    TransService(root)  # initialize state file
+
+    def draw(n, out):
+        svc = TransService(root)
+        got = []
+        for _ in range(n):
+            ctx = svc.begin_trans()
+            got.append(ctx.timestamp)
+            svc.commit_trans(ctx)
+        out.extend(got)
+
+    mgr = mp.Manager()
+    out = mgr.list()
+    procs = [mp.Process(target=draw, args=(20, out)) for _ in range(4)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    all_ts = list(out)
+    assert len(all_ts) == 80
+    assert len(set(all_ts)) == 80, "duplicate timestamps issued"
+
+
+def test_read_schema_has_no_partition_column(table, events):
+    """read() must not leak the _commit partition-discovery column, and the
+    snapshot filter must prune commit directories by path."""
+    t1 = table.insert(events.limit(5))
+    table.insert(events.limit(10))
+    snap = table.read(snapshot_ts=t1)
+    assert "_commit" not in snap.columns and "commit" not in snap.columns
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_commit" in plan, plan
+
+
+def test_user_column_named_commit_survives(spark, tmp_path):
+    """A payload column literally named 'commit' must round-trip (the old
+    commit=<ts> dir names collided with it via partition discovery)."""
+    t = MvccTable(spark, str(tmp_path / "c"), key_col="k")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "commit"])
+    t.insert(df)
+    got = t.read().orderBy("k").collect()
+    assert [(r.k, r.commit) for r in got] == [(1, "a"), (2, "b")]
+
+
 def test_insert_and_snapshot_isolation(table, events):
     t1 = table.insert(events.filter(F.col("event_id") < 50))
     t2 = table.insert(events.filter(F.col("event_id") >= 50))

@@ -291,3 +291,23 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     # value-level equality
     diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
     assert diff == 0
+
+
+def test_salted_join_rejects_outer_types(spark, sf_dir):
+    """Right/full outer over a salted small side would emit a null-padded
+    row per unmatched (key, salt) replica — must be rejected up front."""
+    import pytest
+
+    from pixels_spark.operators.joins import JoinType, salted_join
+
+    l = _li(spark, sf_dir).select("l_orderkey", "l_quantity").limit(10)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    ).limit(10)
+    for how in (JoinType.EQUI_RIGHT, JoinType.EQUI_FULL):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(l, o, "l_orderkey", how=how)
+    # left outer remains exact
+    plain = l.join(o, "l_orderkey", "left_outer")
+    salted = salted_join(l, o, "l_orderkey", how=JoinType.EQUI_LEFT)
+    assert salted.exceptAll(plain).count() + plain.exceptAll(salted).count() == 0

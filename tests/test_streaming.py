@@ -145,6 +145,47 @@ def test_cdc_ingest_op_routing(spark, events, tmp_path):
     assert {r.value for r in updated.collect()} == {111.0}
 
 
+def test_cdc_delete_and_insert_same_key_one_batch(spark, events, tmp_path):
+    """A single micro-batch carrying BOTH a D and an I for the same key must
+    end with exactly one row per key holding the I payload — the old
+    semi-join insert path resurrected the deleted row's stale payload."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from pixels_spark.streaming import ingest_cdc_stream
+
+    base = events.limit(10).cache()
+    ids = [r.event_id for r in base.collect()]
+    seed = base.withColumn("op", F.lit("I"))
+    src = str(tmp_path / "cdc_di_src")
+    seed.coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2: D + I for the SAME key (ids[0]) with a new payload value
+    d_row = base.filter(F.col("event_id") == ids[0]).withColumn("op", F.lit("D"))
+    i_row = (
+        base.filter(F.col("event_id") == ids[0])
+        .withColumn("value", F.lit(999.0))
+        .withColumn("op", F.lit("I"))
+    )
+    d_row.union(i_row).coalesce(1).write.mode("append").parquet(src)
+
+    cdc_schema = StructType(
+        list(SCHEMAS["events"].fields) + [StructField("op", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(cdc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = MvccTable(spark, str(tmp_path / "cdc_di_tbl"), key_col="event_id")
+    q = ingest_cdc_stream(stream, table, str(tmp_path / "cdc_di_ckpt"))
+    q.awaitTermination(120)
+
+    latest = table.read_latest_version()
+    hit = latest.filter(F.col("event_id") == ids[0]).collect()
+    assert len(hit) == 1, hit  # no stale-payload duplicate
+    assert hit[0].value == 999.0
+    assert latest.count() == 10
+
+
 def test_dedup_stream_drops_replayed_duplicates(spark, events, tmp_path):
     from pixels_spark.streaming.ingest import dedup_stream
 
