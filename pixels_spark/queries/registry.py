@@ -54,6 +54,7 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
     """Import every query module (side effect: fills REGISTRY)."""
     from . import (  # noqa: F401
         clickbench,
+        clickbench_str,
         joinq,
         scalarq,
         setopq,
