@@ -95,9 +95,28 @@ class PixelsSparkEngine:
         return self.spark.read.parquet(self.meta.reader_path(schema, table))
 
     def sql_register(self, schema: str) -> None:
-        """Register every table of a schema as temp views for spark.sql."""
+        """Register every table AND cataloged view of a schema for
+        spark.sql. Tables first (views reference them); view SQL comes from
+        the metadata catalog (≈ MetadataService.createView:453 viewData)."""
         for t in self.meta.get_tables(schema):
             self.table(schema, t).createOrReplaceTempView(t)
+        for v in self.meta.get_views(schema):
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {v} AS "
+                + self.meta.get_view(schema, v)
+            )
+
+    def create_view(
+        self, schema: str, view: str, view_sql: str, update_if_exists: bool = False
+    ) -> None:
+        """Catalog a view (persisted SQL text) and register it immediately
+        (≈ MetadataService.createView:453)."""
+        self.meta.create_view(schema, view, view_sql, update_if_exists)
+        self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {view} AS {view_sql}")
+
+    def drop_view(self, schema: str, view: str) -> None:
+        self.meta.drop_view(schema, view)
+        self.spark.catalog.dropTempView(view)
 
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)

@@ -88,3 +88,40 @@ ORDER BY o_custkey, rn
 @declare("sql_window", sql=_WIN, tags=("sql_frontend", "window"))
 def sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, sf_dir, _WIN)
+
+
+# query THROUGH a cataloged view: the view SQL is persisted in the metadata
+# catalog (≈ MetadataService.createView:453 viewData) and registered the way
+# PixelsSparkEngine.sql_register replays catalog views into the session.
+_VIEW_SQL = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+@declare(
+    "sql_cataloged_view",
+    sql=f"SELECT event_type, day, cnt FROM ({_VIEW_SQL}) v "
+    "WHERE cnt > 0 ORDER BY event_type, day",
+    tags=("sql_frontend", "view", "metadata"),
+)
+def sql_cataloged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..catalog import register_views
+    from ..storage.metadata import MetadataStore
+
+    register_views(spark, sf_dir)
+    store = MetadataStore(tempfile.mkdtemp(prefix="pixels_view_cat_"))
+    store.create_schema("analytics")
+    store.create_view("analytics", "v_event_daily", _VIEW_SQL, update_if_exists=True)
+    # registration reads the SQL text back out of the persisted catalog
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW v_event_daily AS "
+        + store.get_view("analytics", "v_event_daily")
+    )
+    return spark.sql(
+        "SELECT event_type, day, cnt FROM v_event_daily "
+        "WHERE cnt > 0 ORDER BY event_type, day"
+    )

@@ -85,3 +85,40 @@ def file_meta(path: str) -> dict[str, Any]:
             {"num_rows": rg.num_rows, "total_byte_size": rg.total_byte_size, "columns": cols}
         )
     return out
+
+
+def materialize_projection(
+    spark: SparkSession,
+    store: MetadataStore,
+    schema_name: str,
+    table: str,
+    cols: list[str],
+    dest: str,
+) -> None:
+    """Materialize a column-subset copy of ``table`` and register it as a
+    projection pattern on the latest layout (≈ the write side of
+    ``Projections.java`` patterns consumed by InvertedProjectionsIndex).
+
+    The narrow copy is a plain distributed select→write — at 100 TB it costs
+    one scan of the projected columns only (parquet is columnar, untouched
+    columns are never read) and zero shuffles. Reads whose column set fits
+    then scan this path instead of the full-width table via
+    ``MetadataStore.reader_path(columns=...)``."""
+    src = store.reader_path(schema_name, table)
+    spark.read.parquet(src).select(*cols).write.mode("overwrite").parquet(dest)
+    store.add_projection(schema_name, table, cols, dest)
+
+
+def read_routed(
+    spark: SparkSession,
+    store: MetadataStore,
+    schema_name: str,
+    table: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read ``table`` through projection-pattern routing: the scan is bound
+    to the narrowest materialized path covering ``columns`` (falling back
+    to the table's compact/ordered path)."""
+    path = store.reader_path(schema_name, table, columns=columns)
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df

@@ -82,6 +82,41 @@ class MetadataStore:
         self._data["schemas"].pop(name, None)
         self._save()
 
+    # -- view ops (≈ MetadataService.createView:453 / getViews / dropView:
+    # viewData is the SQL text, persisted in the catalog — views here are
+    # cataloged objects that survive sessions, unlike engine temp views) --
+    def create_view(
+        self,
+        schema_name: str,
+        view_name: str,
+        view_sql: str,
+        update_if_exists: bool = False,
+    ) -> None:
+        if schema_name not in self._data["schemas"]:
+            raise KeyError(f"schema {schema_name!r} does not exist")
+        views = self._data["schemas"][schema_name].setdefault("views", {})
+        if view_name in views and not update_if_exists:
+            raise ValueError(
+                f"view {schema_name}.{view_name} exists (pass update_if_exists=True)"
+            )
+        views[view_name] = view_sql
+        self._save()
+
+    def get_views(self, schema_name: str) -> list[str]:
+        return sorted(self._data["schemas"].get(schema_name, {}).get("views", {}))
+
+    def get_view(self, schema_name: str, view_name: str) -> str:
+        try:
+            return self._data["schemas"][schema_name]["views"][view_name]
+        except KeyError:
+            raise KeyError(f"view {schema_name}.{view_name} not found") from None
+
+    def drop_view(self, schema_name: str, view_name: str) -> None:
+        self._data["schemas"].get(schema_name, {}).get("views", {}).pop(
+            view_name, None
+        )
+        self._save()
+
     # -- table ops (≈ createTable:256, getColumns:581, updateRowCount:428) -
     def create_table(
         self,
@@ -126,7 +161,13 @@ class MetadataStore:
         ordered_paths: list[str] | None = None,
         compact_paths: list[str] | None = None,
         splits: dict[str, Any] | None = None,
+        projections: list[dict[str, Any]] | None = None,
     ) -> Layout:
+        """``projections``: materialized column-subset paths
+        (≈ Projections.java / ProjectionPattern), each
+        ``{"cols": [...], "path": str}`` — a physically narrower copy of the
+        table that any query touching only those columns can read instead
+        of the full-width path."""
         t = self.get_table(schema_name, table)
         version = len(t["layouts"])
         layout = Layout(
@@ -135,10 +176,20 @@ class MetadataStore:
             ordered_paths=ordered_paths or [],
             compact_paths=compact_paths or [],
             splits=splits or {},
+            projections=projections or [],
         )
         t["layouts"].append(asdict(layout))
         self._save()
         return layout
+
+    def add_projection(
+        self, schema_name: str, table: str, cols: list[str], path: str
+    ) -> None:
+        """Register a materialized projection on the latest layout
+        (≈ MetadataService.addLayout with a new projections pattern)."""
+        layout = self.latest_layout(schema_name, table)
+        layout["projections"].append({"cols": sorted(cols), "path": path})
+        self._save()
 
     def get_layouts(self, schema_name: str, table: str) -> list[dict]:
         return self.get_table(schema_name, table)["layouts"]
@@ -149,10 +200,30 @@ class MetadataStore:
             raise KeyError(f"table {schema_name}.{table} has no layouts")
         return layouts[-1]
 
-    def reader_path(self, schema_name: str, table: str) -> str:
-        """Preferred read path: compact if present, else ordered — the same
-        preference the reference's split index applies to compacted layouts."""
+    def reader_path(
+        self, schema_name: str, table: str, columns: list[str] | None = None
+    ) -> str:
+        """Preferred read path for a query touching ``columns``.
+
+        Projection-pattern routing (≈ InvertedProjectionsIndex.search:
+        ``pixels-common/.../layout/InvertedProjectionsIndex.java:63-99``,
+        consumed per Layout.java:49-55): among the layout's materialized
+        projections whose column set COVERS the query's columns, pick the
+        narrowest (fewest physical columns — least bytes scanned). With no
+        covering projection, or no ``columns`` given, fall back to compact
+        if present else ordered — the same preference the reference's split
+        index applies to compacted layouts."""
         layout = self.latest_layout(schema_name, table)
+        if columns:
+            need = set(columns)
+            covering = [
+                p
+                for p in layout.get("projections", [])
+                if need <= set(p["cols"])
+            ]
+            if covering:
+                best = min(covering, key=lambda p: (len(p["cols"]), p["path"]))
+                return best["path"]
         paths = layout["compact_paths"] or layout["ordered_paths"]
         if not paths:
             raise KeyError(f"layout v{layout['version']} has no paths")

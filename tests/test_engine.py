@@ -37,6 +37,23 @@ def test_engine_lifecycle(spark, sf_dir, tmp_path):
     )
     assert out.count() == 5
 
+    # cataloged views: persisted in metadata, registered for SQL, and
+    # replayed by sql_register in a fresh engine over the same warehouse
+    eng.create_view(
+        "tpch",
+        "big_orders",
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000",
+    )
+    n_big = eng.sql("SELECT count(*) AS c FROM big_orders").first().c
+    assert n_big == src.filter(F.col("o_totalprice") > 100000).count()
+    eng2 = PixelsSparkEngine(spark, str(tmp_path / "wh"))
+    assert eng2.meta.get_views("tpch") == ["big_orders"]
+    spark.catalog.dropTempView("big_orders")
+    eng2.sql_register("tpch")  # replays the cataloged view
+    assert eng2.sql("SELECT count(*) AS c FROM big_orders").first().c == n_big
+    eng2.drop_view("tpch", "big_orders")
+    assert eng2.meta.get_views("tpch") == []
+
     # MVCC table sharing the engine's transaction domain
     mv = eng.mvcc_table("orders_live", key_col="o_orderkey")
     t1 = mv.insert(src.limit(10))

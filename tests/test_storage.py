@@ -133,3 +133,72 @@ def test_encoding_levels_change_parquet_encodings(spark, sf_dir, tmp_path):
     e2, e0 = encodings(el2), encodings(el0)
     assert any("DICTIONARY" in e for e in e2), e2
     assert not any("DICTIONARY" in e for e in e0), e0
+
+
+def test_projection_pattern_routing(spark, sf_dir, store, tmp_path):
+    """A query's column set must route to the NARROWEST covering
+    materialized projection (≈ InvertedProjectionsIndex.search), falling
+    back to the base path when not covered — asserted via the files the
+    scan actually reads."""
+    from pixels_spark.storage.etl import (
+        import_table,
+        materialize_projection,
+        read_routed,
+    )
+
+    base = str(tmp_path / "li_base")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").parquet(base)
+    store.create_schema("tpch")
+    import_table(spark, store, "tpch", "lineitem", base)
+
+    wide = str(tmp_path / "proj_wide")
+    narrow = str(tmp_path / "proj_narrow")
+    materialize_projection(
+        spark, store, "tpch", "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+        wide,
+    )
+    materialize_projection(
+        spark, store, "tpch", "lineitem", ["l_orderkey", "l_quantity"], narrow
+    )
+
+    # 2-col read routes to the 2-col projection
+    assert store.reader_path("tpch", "lineitem", ["l_quantity", "l_orderkey"]) == narrow
+    # 3-col read is only covered by the 5-col projection
+    got3 = store.reader_path("tpch", "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    assert got3 == wide
+    # uncovered column set falls back to the base path
+    assert store.reader_path("tpch", "lineitem", ["l_orderkey", "l_comment"]) == base
+    assert store.reader_path("tpch", "lineitem") == base
+
+    routed = read_routed(spark, store, "tpch", "lineitem", ["l_orderkey", "l_quantity"])
+    files = {
+        r.file_path
+        for r in routed.select(
+            F.input_file_name().alias("file_path")
+        ).distinct().collect()
+    }
+    assert files and all("proj_narrow" in f for f in files), files
+    # values identical to the base table
+    expect = (
+        spark.read.parquet(base)
+        .agg(F.sum("l_orderkey"), F.sum("l_quantity"))
+        .first()
+    )
+    assert tuple(routed.agg(F.sum("l_orderkey"), F.sum("l_quantity")).first()) == tuple(expect)
+
+
+def test_view_crud_and_persistence(store):
+    store.create_schema("analytics")
+    store.create_view("analytics", "v1", "SELECT 1 AS one")
+    assert store.get_views("analytics") == ["v1"]
+    assert store.get_view("analytics", "v1") == "SELECT 1 AS one"
+    with pytest.raises(ValueError):
+        store.create_view("analytics", "v1", "SELECT 2 AS one")
+    store.create_view("analytics", "v1", "SELECT 2 AS two", update_if_exists=True)
+    assert store.get_view("analytics", "v1") == "SELECT 2 AS two"
+    # persistence round-trip
+    store2 = MetadataStore(store.root)
+    assert store2.get_view("analytics", "v1") == "SELECT 2 AS two"
+    store2.drop_view("analytics", "v1")
+    assert store2.get_views("analytics") == []
