@@ -5,11 +5,13 @@ the same modeling the reference applies to VARBINARY
 (``pixels-core/.../vector/BinaryColumnVector.java``), extended with the
 Arrow-batched decode/feature-extraction pattern an LLM data pipeline needs.
 
-The actual decoders (PIL/ffmpeg/torchaudio) are NOT installed in this
-environment, so ``decode_image``/``decode_audio`` raise NotImplementedError
-behind a clearly-marked seam, and ``fake_feature_extractor`` provides a
-deterministic stand-in so the Spark-side plumbing — schema, batch iteration,
-partition-parallel mapInPandas, feature schema — is real and tested.
+Decoders: WAV (RIFF/PCM) and PPM (P6) are parsed with PURE-PYTHON header
+readers — no external media libraries — so the decode seam exercises a real
+branch end-to-end: ``media_features`` computes actual width/height/
+sample-rate/duration inside the ``mapInPandas`` batches. Formats that need
+PIL/ffmpeg/torchaudio (JPEG/PNG/MP4/...) still raise NotImplementedError
+behind the same seam, and ``fake_feature_extractor`` remains as the
+deterministic stand-in for opaque payloads.
 
 Scale notes: mapInPandas streams Arrow batches (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``) so executor memory is
@@ -59,15 +61,121 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def decode_ppm(payload: bytes) -> dict:
+    """Pure-Python PPM (P6, binary) decoder: header → width/height/maxval,
+    body → per-channel byte stats. Raises ValueError on malformed input and
+    NotImplementedError for non-PPM image formats (JPEG/PNG need PIL)."""
+    if payload[:2] != b"P6":
+        raise NotImplementedError(
+            "only PPM (P6) images decode without PIL/opencv — not installed"
+        )
+    # header tokens separated by whitespace, # comments run to end of line
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    width, height, maxval = (int(t) for t in tokens)
+    pos += 1  # single whitespace byte after maxval
+    body = payload[pos : pos + width * height * 3]
+    if len(body) < width * height * 3:
+        raise ValueError("truncated PPM body")
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_pixels": width * height,
+        "mean_byte": (sum(body) / len(body)) if body else 0.0,
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Pure-Python WAV (RIFF/PCM) decoder: fmt chunk → channels/sample-rate/
+    bit depth, data chunk → sample count and duration. Raises ValueError on
+    malformed input and NotImplementedError for non-WAV audio (MP3/OGG need
+    ffmpeg/torchaudio)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only WAV (RIFF/PCM) audio decodes without ffmpeg — not installed"
+        )
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _audio_fmt, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    n_samples = data_size // block_align if block_align else 0
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_s": (n_samples / sample_rate) if sample_rate else 0.0,
+    }
+
+
 def decode_image(payload: bytes) -> object:
-    """STUB: real impl would be PIL.Image.open(io.BytesIO(payload)).
-    Image libraries are not available in this environment."""
-    raise NotImplementedError("image decoding requires PIL/opencv — not installed")
+    """Image decode seam: PPM parses natively; everything else would be
+    PIL.Image.open (not installed)."""
+    return decode_ppm(payload)
 
 
 def decode_audio(payload: bytes) -> object:
-    """STUB: real impl would be torchaudio/librosa load."""
-    raise NotImplementedError("audio decoding requires torchaudio — not installed")
+    """Audio decode seam: WAV parses natively; everything else would be
+    torchaudio/librosa (not installed)."""
+    return decode_wav(payload)
+
+
+def synthesize_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic P6 fixture (gradient + seed offset) for tests."""
+    header = f"P6\n# synthetic\n{width} {height}\n255\n".encode()
+    body = bytes(
+        (x * 3 + ch + seed) % 256
+        for x in range(width * height)
+        for ch in range(3)
+    )
+    return header + body
+
+
+def synthesize_wav(
+    sample_rate: int = 16000, n_samples: int = 1600, channels: int = 1
+) -> bytes:
+    """Deterministic 16-bit PCM WAV fixture for tests."""
+    import struct
+
+    block_align = channels * 2
+    data = b"\x00\x01" * (n_samples * channels)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate,
+            sample_rate * block_align, block_align, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
 
 
 def fake_feature_extractor(payload: bytes) -> tuple[int, int, float]:
@@ -108,6 +216,76 @@ DECODERS = {
     "image": decode_image,
     "audio": decode_audio,
 }
+
+# real-decode feature row: nullable per-kind fields + error channel (a 100 TB
+# corpus always contains undecodable payloads; they must become rows, not
+# task failures)
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Decode-and-featurize with the REAL decoders (WAV/PPM pure-Python
+    parsers) over Arrow batches: width/height for images, sample-rate/
+    duration for audio; undecodable payloads yield an ``err`` row instead
+    of failing the task. Same mapInPandas shape as ``extract_features`` —
+    executor memory stays O(batch)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                row = {
+                    "media_id": mid,
+                    "kind": kind,
+                    "n_bytes": len(payload),
+                    "width": None,
+                    "height": None,
+                    "sample_rate": None,
+                    "duration_s": None,
+                    "err": None,
+                }
+                try:
+                    d = decode(kind, bytes(payload))
+                    row["width"] = d.get("width")
+                    row["height"] = d.get("height")
+                    row["sample_rate"] = d.get("sample_rate")
+                    row["duration_s"] = d.get("duration_s")
+                except (NotImplementedError, ValueError, KeyError) as e:
+                    row["err"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic mixed WAV/PPM MEDIA_SCHEMA fixture (no media libs
+    needed): even ids are PPM images with varying dims, odd ids are WAVs
+    with varying sample rates."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 4 + (i % 8), 3 + (i % 5)
+            rows.append((i, "image", synthesize_ppm(w, h, seed=i), '{"mime": "image/x-portable-pixmap"}'))
+        else:
+            sr = 8000 * (1 + i % 3)
+            rows.append((i, "audio", synthesize_wav(sr, n_samples=sr // 10), '{"mime": "audio/wav"}'))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def decode(kind: str, payload: bytes) -> object:

@@ -44,13 +44,27 @@ class MvccTable:
         root: str,
         key_col: str,
         trans: TransService | None = None,
+        indexed: bool = False,
+        index_files: int | None = None,
     ):
+        """``indexed=True`` maintains a point-lookup index on ingest
+        (≈ SinglePointIndex key→RowLocation,
+        ``pixels-common/.../index/SinglePointIndex.java:108-202``): each
+        insert clusters rows by key (range partition + sort) and records
+        every written file's (min_key, max_key) in a manifest, so
+        ``point_lookup`` opens only the files whose key range covers the
+        probe — O(matching files), not O(table), on a multi-file table.
+        ``index_files`` bounds files per commit (defaults to the session's
+        shuffle parallelism)."""
         self.spark = spark
         self.root = root
         self.key_col = key_col
         self.data_dir = os.path.join(root, "data")
         self.delete_dir = os.path.join(root, "deletes")
         self.trans = trans or TransService(root)
+        self.indexed = indexed
+        self.index_files = index_files
+        self.index_path = os.path.join(root, "_point_index.json")
         os.makedirs(self.data_dir, exist_ok=True)
 
     # -- write path --------------------------------------------------------
@@ -62,9 +76,17 @@ class MvccTable:
             ctx = self.trans.begin_trans()
             ts = ctx.timestamp
         out = df.withColumn(COMMIT_TS, F.lit(ts).cast("long"))
-        out.write.mode("overwrite").parquet(
-            os.path.join(self.data_dir, f"_commit={ts}")
-        )
+        if self.indexed:
+            # cluster by key so each file covers a narrow, disjoint key
+            # range — what makes the per-file manifest selective
+            parts = [self.index_files] if self.index_files else []
+            out = out.repartitionByRange(*parts, self.key_col).sortWithinPartitions(
+                self.key_col
+            )
+        commit_dir = os.path.join(self.data_dir, f"_commit={ts}")
+        out.write.mode("overwrite").parquet(commit_dir)
+        if self.indexed:
+            self._index_commit(commit_dir, ts)
         # persist the table schema (≈ footer types) so reads survive a
         # vacuum that removes every commit directory
         schema_path = os.path.join(self.root, "_schema.json")
@@ -74,6 +96,50 @@ class MvccTable:
         if ctx is not None:
             self.trans.commit_trans(ctx)
         return ts
+
+    def _index_commit(self, commit_dir: str, ts: int) -> None:
+        """Record (file, min_key, max_key) for every file of a commit in the
+        manifest (the putPrimaryEntries analog — file-granular instead of
+        row-granular because parquet min/max + in-file sort already resolve
+        the row)."""
+        import fcntl
+        import json
+
+        import pyarrow.parquet as pq
+
+        entries = []
+        for fname in sorted(os.listdir(commit_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(commit_dir, fname)
+            md = pq.read_metadata(fpath)
+            mn = mx = None
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    if c.path_in_schema == self.key_col and c.statistics:
+                        s = c.statistics
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+            if mn is not None:
+                entries.append(
+                    {"path": fpath, "commit_ts": ts, "min": mn, "max": mx}
+                )
+        with open(self.index_path + ".lock", "a") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                idx = []
+                if os.path.exists(self.index_path):
+                    with open(self.index_path) as f:
+                        idx = json.load(f)
+                idx.extend(entries)
+                tmp = self.index_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(idx, f)
+                os.replace(tmp, self.index_path)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def delete(self, keys: Sequence | DataFrame, ts: int | None = None) -> int:
         """Row-level delete by key at a commit timestamp
@@ -231,13 +297,80 @@ class MvccTable:
             if survivors == 0:
                 shutil.rmtree(os.path.join(self.data_dir, entry))
                 removed.append(ts)
+        if removed and os.path.exists(self.index_path):
+            import json
+
+            with open(self.index_path) as f:
+                idx = json.load(f)
+            gone = set(removed)
+            idx = [e for e in idx if e["commit_ts"] not in gone]
+            tmp = self.index_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(idx, f)
+            os.replace(tmp, self.index_path)
         return removed
 
     def point_lookup(self, key, snapshot_ts: int | None = None) -> DataFrame:
         """Primary-key point lookup (≈ SinglePointIndex.getUniqueRowId:108).
-        The key predicate pushes to parquet min/max pruning; with key-sorted
-        files this touches one row group, mirroring the index's
-        key→RowLocation resolution."""
-        return self.read_latest_version(snapshot_ts).filter(
-            F.col(self.key_col) == key
+
+        On an ``indexed`` table the manifest resolves the key to the files
+        whose [min,max] range covers it — the scan opens ONLY those files
+        (key→RowLocation at file granularity; the in-file sort + parquet
+        row-group stats resolve the rest). Unindexed tables fall back to
+        partition-column + min/max pruning over the full layout."""
+        if snapshot_ts is None:
+            snapshot_ts = self.trans.high_watermark
+        if not (self.indexed and os.path.exists(self.index_path)):
+            return self.read_latest_version(snapshot_ts).filter(
+                F.col(self.key_col) == key
+            )
+        import json
+
+        with open(self.index_path) as f:
+            idx = json.load(f)
+        cands = [
+            e["path"]
+            for e in idx
+            if e["commit_ts"] <= snapshot_ts and e["min"] <= key <= e["max"]
+        ]
+        if not cands:
+            return self.read_latest_version(snapshot_ts).filter(
+                F.col(self.key_col) == key
+            ).limit(0)
+        visible = (
+            self.spark.read.parquet(*cands)
+            .filter(F.col(COMMIT_TS) <= snapshot_ts)
+            .filter(F.col(self.key_col) == key)
+        )
+        dels = self._deletes()
+        if dels is not None:
+            d = (
+                dels.filter(F.col("_commit") <= snapshot_ts)
+                .drop("_commit")
+                .filter(
+                    (F.col(DELETED_TS) <= snapshot_ts)
+                    & (F.col(self.key_col) == key)
+                )
+                .groupBy(self.key_col)
+                .agg(F.max(DELETED_TS).alias("_del_ts"))
+                .withColumnRenamed(self.key_col, "_del_key")
+            )
+            visible = visible.join(
+                d,
+                (visible[self.key_col] == F.col("_del_key"))
+                & (visible[COMMIT_TS] < F.col("_del_ts")),
+                "left_anti",
+            )
+        w_cols = [c for c in visible.columns if c != COMMIT_TS]
+        latest = visible.groupBy(self.key_col).agg(
+            F.max(COMMIT_TS).alias("_max_ts")
+        )
+        return (
+            visible.join(
+                latest.withColumnRenamed(self.key_col, "_lk"),
+                (visible[self.key_col] == F.col("_lk"))
+                & (visible[COMMIT_TS] == F.col("_max_ts")),
+                "left_semi",
+            )
+            .select(*w_cols, COMMIT_TS)
         )

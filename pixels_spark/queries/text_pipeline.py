@@ -209,6 +209,15 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.orderBy("media_id")
 
 
+# real decode path: WAV/PPM pure-Python parsers inside mapInPandas batches
+# (rows-only: synthesized payloads + Arrow batch decode have no SQL
+# equivalent; per-value correctness is pinned by tests/test_multimodal.py).
+@declare("mm_decode", sql=None, tags=("multimodal", "pandas_udf", "decode"))
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthetic_media(spark, n=64)
+    return M.media_features(media).orderBy("media_id")
+
+
 # end-to-end corpus cleaning: quality-feature filter -> per-language
 # kept/dropped accounting (the composition an LLM data pipeline actually
 # runs; oracle replays the same thresholds).

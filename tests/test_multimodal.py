@@ -52,3 +52,52 @@ def test_mixed_kinds_and_decode_dispatch(spark, sf_dir):
         M.decode("audio", b"x")
     with pytest.raises(ValueError):
         M.decode("hologram", b"x")
+
+
+def test_ppm_decoder_roundtrip():
+    p = M.synthesize_ppm(7, 5, seed=3)
+    d = M.decode_ppm(p)
+    assert (d["width"], d["height"], d["maxval"], d["n_pixels"]) == (7, 5, 255, 35)
+    # comments + arbitrary whitespace in header parse too
+    p2 = b"P6 # c\n# another\n 3\t2\n255\n" + bytes(18)
+    d2 = M.decode_ppm(p2)
+    assert (d2["width"], d2["height"]) == (3, 2)
+    with pytest.raises(ValueError):
+        M.decode_ppm(b"P6\n3 2\n255\n\x00\x00")  # truncated body
+
+
+def test_wav_decoder_roundtrip():
+    p = M.synthesize_wav(sample_rate=16000, n_samples=1600, channels=2)
+    d = M.decode_wav(p)
+    assert d["sample_rate"] == 16000
+    assert d["channels"] == 2
+    assert d["bits_per_sample"] == 16
+    assert d["n_samples"] == 1600
+    assert d["duration_s"] == pytest.approx(0.1)
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+
+
+def test_media_features_real_decode_distributed(spark):
+    """The mapInPandas seam must run the REAL WAV/PPM decoders and surface
+    undecodable payloads as err rows, not task failures."""
+    media = M.synthetic_media(spark, n=32)
+    bad = spark.createDataFrame(
+        [(999, "image", b"\x89PNG not a ppm", "{}"),
+         (998, "hologram", b"??", "{}")],
+        M.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in M.media_features(media.union(bad)).collect()}
+    assert len(feats) == 34
+    for i in range(32):
+        r = feats[i]
+        assert r.err is None, r
+        if i % 2 == 0:
+            assert r.width == 4 + (i % 8) and r.height == 3 + (i % 5)
+            assert r.sample_rate is None
+        else:
+            assert r.sample_rate == 8000 * (1 + i % 3)
+            assert r.duration_s == pytest.approx(0.1)
+            assert r.width is None
+    assert "NotImplementedError" in feats[999].err
+    assert "ValueError" in feats[998].err

@@ -105,6 +105,74 @@ def test_user_column_named_commit_survives(spark, tmp_path):
     assert [(r.k, r.commit) for r in got] == [(1, "a"), (2, "b")]
 
 
+def test_indexed_point_lookup_reads_one_file(spark, sf_dir, tmp_path):
+    """On an indexed multi-file table the manifest must bind the lookup to
+    the single file whose key range covers the probe (SinglePointIndex
+    key->RowLocation contract, file-granular)."""
+    t = MvccTable(
+        spark, str(tmp_path / "idx"), key_col="event_id",
+        indexed=True, index_files=8,
+    )
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    t.insert(ev)
+    n_files = len([
+        f for f in __import__("os").listdir(
+            str(tmp_path / "idx" / "data")
+        ) if f.startswith("_commit=")
+    ])
+    assert n_files == 1  # one commit dir...
+    import json
+    with open(t.index_path) as f:
+        idx = json.load(f)
+    assert len(idx) == 8  # ...holding 8 key-clustered files
+    # disjoint key ranges (clustering worked)
+    spans = sorted((e["min"], e["max"]) for e in idx)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo
+
+    probe = ev.orderBy("event_id").limit(1).first().event_id
+    # the manifest resolves the probe to exactly one covering file...
+    cands = [e for e in idx if e["min"] <= probe <= e["max"]]
+    assert len(cands) == 1, cands
+    got = t.point_lookup(probe)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].event_id == probe
+    # ...and the data scan in the plan is bound to that single file
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    fname = cands[0]["path"].rsplit("/", 1)[-1]
+    others = [e["path"].rsplit("/", 1)[-1] for e in idx if e is not cands[0]]
+    assert fname.split(".")[0][:30] in plan or "1 paths" in plan, plan
+    for o in others:
+        assert o.split(".")[0][:30] not in plan
+    # correctness vs the unindexed path
+    unindexed = MvccTable(
+        spark, str(tmp_path / "idx"), key_col="event_id", trans=t.trans
+    )
+    expect = unindexed.point_lookup(probe).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in expect]
+
+
+def test_indexed_lookup_respects_deletes_and_versions(spark, sf_dir, tmp_path):
+    t = MvccTable(
+        spark, str(tmp_path / "idx2"), key_col="event_id",
+        indexed=True, index_files=4,
+    )
+    ev = load_table(spark, sf_dir, "events").limit(50).cache()
+    k = ev.orderBy("event_id").limit(1).first().event_id
+    t.insert(ev)
+    # update the probe key (delete+insert, one ts)
+    newrow = ev.filter(F.col("event_id") == k).withColumn("value", F.lit(777.0))
+    t.update(newrow)
+    got = t.point_lookup(k).collect()
+    assert len(got) == 1 and got[0].value == 777.0
+    t.delete([k])
+    assert t.point_lookup(k).count() == 0
+    # time travel still sees the old version through the index
+    first_ts = 1
+    old = t.point_lookup(k, snapshot_ts=first_ts).collect()
+    assert len(old) == 1 and old[0].value != 777.0
+
+
 def test_insert_and_snapshot_isolation(table, events):
     t1 = table.insert(events.filter(F.col("event_id") < 50))
     t2 = table.insert(events.filter(F.col("event_id") >= 50))
