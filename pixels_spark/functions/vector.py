@@ -64,11 +64,22 @@ def knn_brute_force(
 
     Plan shape: broadcast 1-row query → map-side similarity → global top-k
     (TakeOrderedAndProject). No corpus shuffle; scales to any corpus size.
+
+    Norms are projected once per side before the expansion (HOFs are
+    interpreted and not CSE'd, so ``cosine()`` inline would fold three
+    dim-length aggregates per pair where one suffices — the corpus norm is a
+    per-row constant and the query norm a per-query constant).
     """
-    sim_fn = cosine if metric == "cosine" else dot
-    sim = sim_fn(F.col(vec_col), F.col("_qvec"))
+    if metric == "cosine":
+        corpus = df.select(F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vnorm"))
+        q = query.select(F.col("_qvec"), l2_norm(F.col("_qvec")).alias("_qnorm"))
+        sim = dot(F.col(vec_col), F.col("_qvec")) / (F.col("_vnorm") * F.col("_qnorm"))
+    else:
+        corpus = df.select(F.col(id_col), F.col(vec_col))
+        q = query
+        sim = dot(F.col(vec_col), F.col("_qvec"))
     return (
-        df.crossJoin(F.broadcast(query))
+        corpus.crossJoin(F.broadcast(q))
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
@@ -232,10 +243,17 @@ def ivf_assign(
 
     id_col = id_col or df.columns[0]
     carry = [c for c in df.columns if c != id_col]
-    sim = cosine(F.col(vec_col), F.col(centroid_vec))
+    # Norms projected BEFORE the k-way expansion: cosine() inline would
+    # re-fold both norms per (row, centroid) pair — 3 interpreted HOF
+    # aggregates where 1 (the pair dot) suffices.
+    cents = centroids.withColumn("_cnorm", l2_norm(F.col(centroid_vec)))
+    sim = dot(F.col(vec_col), F.col(centroid_vec)) / (
+        F.col("_vnorm") * F.col("_cnorm")
+    )
     joined = (
         spread(df, id_col)
-        .crossJoin(F.broadcast(centroids))
+        .withColumn("_vnorm", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents))
         .withColumn("_sim", sim)
     )
     if n_assign <= 1:
@@ -297,6 +315,7 @@ def make_centroids(
     id_col: str,
     n_cells: int,
     iterations: int = 2,
+    max_train_rows: int | None = 65536,
 ) -> DataFrame:
     """K-means centroids (Lloyd's algorithm), fully over DataFrame ops.
 
@@ -308,11 +327,29 @@ def make_centroids(
     width is k×dim rows, independent of corpus size. Centroids are
     localCheckpoint'ed between rounds to truncate lineage.
 
+    Lloyd trains on a deterministic hash-sample capped at
+    ``max_train_rows`` (k-means quality saturates far below full-corpus
+    size; training over 100 TB of embeddings would pay ``iterations``
+    full-corpus passes for no recall gain). The cap only engages when the
+    corpus exceeds it, so small-fixture results are unchanged;
+    ``max_train_rows=None`` always trains on everything.
+
     ``iterations=0`` reproduces the pure seed behavior.
     """
     from pyspark.sql.window import Window
 
     pts = df.select(id_col, vec_col)
+    if iterations > 0 and max_train_rows is not None:
+        n = pts.count()
+        if n > max_train_rows:
+            m = -(-n // max_train_rows)  # ceil
+            train = pts.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0
+            )
+        else:
+            train = pts
+    else:
+        train = pts
     w = Window.orderBy(id_col)
     cents = (
         pts.orderBy(id_col)
@@ -323,7 +360,7 @@ def make_centroids(
         )
     )
     for _ in range(iterations):
-        assigned = ivf_assign(pts, vec_col, cents, id_col=id_col)
+        assigned = ivf_assign(train, vec_col, cents, id_col=id_col)
         means = (
             assigned.select("ivf_cell", F.posexplode(F.col(vec_col)))
             .groupBy("ivf_cell", "pos")
