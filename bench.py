@@ -55,6 +55,8 @@ HEADLINE = (
     "cb_rollup",
     "ev_sliding_hourly",
     "sql_tpch_q6",
+    "asof_attribution",
+    "range_price_bands",
 )
 
 

@@ -1,0 +1,192 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and interval (range) join.
+
+Beyond-reference operators (the reference engine has no temporal join
+worker; its join surface is equi/semi/anti — ``pixels-executor/.../join/
+JoinType.java``). These are the two shapes a time-series / feature-store
+workload needs most, expressed Spark-first:
+
+- ``asof_join``: for each left row, the single right row with the largest
+  ``right_ts <= left_ts`` (backward; ``forward`` symmetric) sharing the
+  ``by`` keys. Implemented as union + window ``last(..., ignorenulls)`` —
+  ONE shuffle on the ``by`` keys and a per-partition sort, no range-join
+  row explosion, no per-key driver loop. This is the canonical distributed
+  as-of (same plan shape Flink/QuestDB use); a naive non-equi join would be
+  O(|L|·|R|) per key and is what Spark's BroadcastNestedLoopJoin degrades
+  to.
+- ``range_join``: point-in-interval join binned to equi-join form: each
+  interval explodes to the fixed-width buckets it covers, each point maps
+  to exactly one bucket, the join is an equi-join on (keys..., bucket) with
+  a residual bounds filter. Points are never duplicated; intervals
+  duplicate by ceil(span/width), so pick ``bucket_width`` near the median
+  interval span. A pure non-equi join in Spark plans as a nested-loop —
+  this form shuffles hash-partitioned like any equi-join and scales
+  linearly.
+
+Both return deterministic results: as-of ties on ``right_ts`` break to the
+largest ``tie_break`` column value when given (else the right row chosen is
+the last in (ts, tie_break-less) order, which is only deterministic if
+``(by, right_ts)`` is unique — pre-aggregate the right side otherwise).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    how: str = "left",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """As-of join: latest-right-at-or-before (backward) / earliest-right-at-
+    or-after (forward) per left row, matched within ``by`` keys.
+
+    Returns all ``left`` columns plus every non-key right column renamed
+    ``{right_prefix}{col}`` (nullable when unmatched). ``how='inner'`` keeps
+    only matched rows. ``tolerance`` (microseconds, int or Column) nulls
+    out matches with ``abs(left_ts - right_ts)`` beyond it.
+
+    Plan: union both sides aligned on (by, _t) → window
+    ``last(_payload, ignorenulls=True)`` over rows-unbounded-preceding →
+    keep left rows. One hash shuffle on ``by`` + in-partition sort;
+    window state is O(1) per row (a single struct), so partitions stream.
+    Forward direction reuses the same code on negated timestamps rather
+    than a following-window, so the sort order (and the tie rule: equal
+    ts matches, right-before-left) is identical in both directions.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    by = list(by)
+    r_payload = [c for c in right.columns if c not in by]
+    # SQL join semantics: null keys never match. The union+window form would
+    # otherwise co-partition null-keyed rows and match them to each other.
+    for k in by:
+        right = right.filter(F.col(k).isNotNull())
+    # Event-time sort key in microseconds; forward = backward on negated time.
+    sign = F.lit(1) if direction == "backward" else F.lit(-1)
+
+    r = right.select(
+        *by,
+        (sign * F.unix_micros(F.col(right_ts))).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("_match"),
+    )
+    l = left.select(
+        *left.columns,
+        (sign * F.unix_micros(F.col(left_ts))).alias("_t"),
+        F.lit(1).alias("_side"),
+    ).withColumn("_match", F.lit(None).cast(r.schema["_match"].dataType))
+    l_cols = [c for c in left.columns]
+    unioned = l.select(*by, "_t", "_side", "_match", *[c for c in l_cols if c not in by]).unionByName(
+        r.select(*by, "_t", "_side", "_match", *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c not in by])
+    )
+
+    # Right rows sort before left rows at equal _t => "at-or-before" matches.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn("_m", F.last("_match", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_m")[right_ts])
+        )
+        matched = matched.withColumn(
+            "_m", F.when(gap <= tolerance, F.col("_m"))
+        )
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    out_cols = [F.col(c) for c in l_cols] + [
+        F.col("_m")[c].alias(f"{right_prefix}{c}") for c in r_payload
+    ]
+    return matched.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    on: Sequence[str] = (),
+    how: str = "inner",
+    closed: str = "both",
+) -> DataFrame:
+    """Point-in-interval join, binned to an equi-join.
+
+    Matches each ``points`` row to every ``intervals`` row with
+    ``lo_col <= point_col <= hi_col`` (bounds per ``closed``:
+    'both'|'left'|'right'|'neither'), optionally also equi-matching ``on``
+    keys. Output = all point columns + all interval columns.
+
+    Each interval is exploded to ``ceil(span/bucket_width)+1`` bucket rows;
+    each point maps to exactly ONE bucket — the fact table is never
+    duplicated, the (usually far smaller) interval side carries the
+    replication. The equi-join on (on..., _bucket) hash-shuffles both sides
+    (or broadcasts the exploded intervals when small), then the exact
+    bounds predicate filters residually. ``how='left'`` re-joins unmatched
+    points with null interval columns.
+    """
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"bad closed={closed!r}")
+    on = list(on)
+    overlap = set(points.columns) & set(intervals.columns) - set(on)
+    if overlap:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
+
+    w = float(bucket_width)
+    p = points.withColumn("_bucket", F.floor(F.col(point_col) / w))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    lo_ok = (
+        F.col(point_col) >= F.col(lo_col)
+        if closed in ("both", "left")
+        else F.col(point_col) > F.col(lo_col)
+    )
+    hi_ok = (
+        F.col(point_col) <= F.col(hi_col)
+        if closed in ("both", "right")
+        else F.col(point_col) < F.col(hi_col)
+    )
+    joined = (
+        p.join(iv, on + ["_bucket"], "inner").filter(lo_ok & hi_ok).drop("_bucket")
+    )
+    if how == "inner":
+        return joined
+    if how != "left":
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    iv_cols = [c for c in intervals.columns if c not in on]
+    hit = joined.select(*points.columns).dropDuplicates()
+    cond = None
+    for c in points.columns:  # null-safe: a null point value still matches itself
+        eq = points[c].eqNullSafe(hit[c])
+        cond = eq if cond is None else (cond & eq)
+    unmatched = points.join(hit, cond, "left_anti").select(
+        *points.columns,
+        *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in iv_cols],
+    )
+    return joined.unionByName(unmatched)

@@ -60,6 +60,7 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
         setopq,
         sqlq,
         streamq,
+        temporalq,
         text_pipeline,
         tpch,
         vector_search,

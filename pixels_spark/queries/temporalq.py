@@ -1,0 +1,142 @@
+"""Temporal-join queries: as-of (backward + forward/tolerance) and interval
+range join (``operators/temporal.py``).
+
+Beyond-reference surface (the reference's join kernel is equi-only,
+``pixels-executor/.../join/JoinType.java``), first-class here because
+feature-store / time-series workloads lean on exactly these shapes.
+DuckDB has native ``ASOF JOIN`` — these queries are fully oracled, which
+pins the tricky semantics (tie-at-equal-ts, unmatched rows, tolerance)
+against an independent implementation.
+
+Determinism: events ``(user_id, ts)`` is unique in the fixtures, so the
+as-of match is unique; outputs carry event ids + integer microsecond gaps
+(never raw timestamps), and the range-join aggregates use the DECIMAL-
+accumulated sum convention (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.temporal import asof_join, range_join
+from .registry import declare
+
+
+def _dsum(c: Column) -> Column:
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+def _sql_dsum(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# Backward as-of: attribute each purchase to the user's latest click at or
+# before it (classic last-touch attribution). LEFT semantics — purchases
+# with no preceding click keep null attribution.
+@declare(
+    "asof_attribution",
+    sql="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY purchase_id
+    """,
+    tags=("asof_join", "temporal"),
+)
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    j = asof_join(p, c, by=["user_id"], left_ts="ts", right_ts="ts")
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("r_event_id").alias("click_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+# Forward as-of with tolerance, inner: for each signup, the user's FIRST
+# error at or after it, kept only when within 24h — "did onboarding hit an
+# error soon after signup".
+@declare(
+    "asof_signup_error",
+    sql="""
+    SELECT s.event_id AS signup_id,
+           s.user_id,
+           e.event_id AS error_id,
+           epoch_us(e.ts) - epoch_us(s.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON s.user_id = e.user_id AND s.ts <= e.ts
+    WHERE epoch_us(e.ts) - epoch_us(s.ts) <= 86400000000
+    ORDER BY signup_id
+    """,
+    tags=("asof_join", "temporal"),
+)
+def asof_signup_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    err = e.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    j = asof_join(
+        s,
+        err,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+        tolerance=F.lit(86400000000),
+        how="inner",
+    )
+    return j.select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("r_event_id").alias("error_id"),
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
+    ).orderBy("signup_id")
+
+
+# Interval range join: overlapping price bands over lineitem extended price
+# (each price can fall in 1-2 bands), aggregated per band. Exercises the
+# binned equi-join rewrite — no nested-loop join in the plan.
+@declare(
+    "range_price_bands",
+    sql=f"""
+    SELECT b.band_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {_sql_dsum("l.l_extendedprice")} AS sum_price
+    FROM lineitem l
+    JOIN (SELECT i AS band_id, i * 7000.0 AS lo, i * 7000.0 + 10000.0 AS hi
+          FROM range(16) t(i)) b
+      ON l.l_extendedprice BETWEEN b.lo AND b.hi
+    GROUP BY b.band_id
+    ORDER BY b.band_id
+    """,
+    tags=("range_join", "temporal", "aggregation"),
+)
+def range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    bands = spark.range(16).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 7000.0).alias("lo"),
+        (F.col("id") * 7000.0 + 10000.0).alias("hi"),
+    )
+    rj = range_join(
+        li, bands, "l_extendedprice", "lo", "hi", bucket_width=5000.0
+    )
+    return (
+        rj.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )

@@ -1,0 +1,154 @@
+"""asof_join / range_join semantics (operators/temporal.py).
+
+Hand-built micro-cases pin the tricky edges — equal-ts ties, unmatched
+rows, tolerance, null keys, bound closedness — and plan asserts pin the
+scale contract: no nested-loop/cartesian join anywhere in either operator.
+The fixture-scale behavior is oracled against DuckDB's native ASOF JOIN by
+the declared queries (queries/temporalq.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixels_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:00:05"), 101.0),
+            ("A", _ts("2024-01-01 10:01:00"), 102.0),
+            ("B", _ts("2024-01-01 10:00:03"), 200.0),
+            (None, _ts("2024-01-01 10:00:00"), 999.0),
+        ],
+        "sym string, qts timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:04"), 10),  # -> 10:00:00 quote
+            (2, "A", _ts("2024-01-01 10:00:05"), 20),  # equal ts matches
+            (3, "A", _ts("2024-01-01 09:59:00"), 30),  # before all -> null
+            (4, "B", _ts("2024-01-01 10:05:00"), 40),  # -> B's only quote
+            (5, "C", _ts("2024-01-01 10:00:00"), 50),  # no right key -> null
+            (6, None, _ts("2024-01-01 10:00:00"), 60),  # null key never matches
+        ],
+        "tid long, sym string, tts timestamp, qty long",
+    )
+
+
+def test_asof_backward_left(spark, quotes, trades):
+    out = {
+        r["tid"]: (r["r_px"], r["r_qts"])
+        for r in asof_join(
+            trades, quotes, by=["sym"], left_ts="tts", right_ts="qts"
+        ).collect()
+    }
+    assert out[1] == (100.0, _ts("2024-01-01 10:00:00"))
+    assert out[2] == (101.0, _ts("2024-01-01 10:00:05"))  # ts tie: inclusive
+    assert out[3] == (None, None)
+    assert out[4] == (200.0, _ts("2024-01-01 10:00:03"))
+    assert out[5] == (None, None)
+    assert out[6] == (None, None)  # null-null must NOT match (SQL semantics)
+
+
+def test_asof_inner_drops_unmatched(spark, quotes, trades):
+    got = asof_join(
+        trades, quotes, by=["sym"], left_ts="tts", right_ts="qts", how="inner"
+    )
+    assert sorted(r["tid"] for r in got.collect()) == [1, 2, 4]
+
+
+def test_asof_forward_and_tolerance(spark, quotes, trades):
+    fwd = {
+        r["tid"]: r["r_px"]
+        for r in asof_join(
+            trades, quotes, by=["sym"], left_ts="tts", right_ts="qts",
+            direction="forward",
+        ).collect()
+    }
+    # trade 1 at 10:00:04 -> next quote 10:00:05; trade 3 -> first A quote
+    assert fwd[1] == 101.0
+    assert fwd[2] == 101.0  # equal ts still matches in forward mode
+    assert fwd[3] == 100.0
+    assert fwd[4] is None  # B has no later quote
+
+    tol = {
+        r["tid"]: r["r_px"]
+        for r in asof_join(
+            trades, quotes, by=["sym"], left_ts="tts", right_ts="qts",
+            direction="forward", tolerance=F.lit(30_000_000),  # 30s in us
+        ).collect()
+    }
+    assert tol[1] == 101.0 and tol[3] is None  # 60s gap exceeds 30s tolerance
+
+
+def test_asof_plan_has_no_nested_loop(spark, quotes, trades):
+    plan = asof_join(
+        trades, quotes, by=["sym"], left_ts="tts", right_ts="qts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 17.0), (4, 99.0), (5, None)],
+        "pid long, x double",
+    )
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    return spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 10.0, 20.0), (300, 4.0, 18.0)],
+        "iid long, lo double, hi double",
+    )
+
+
+def test_range_join_closed_both(spark, points, intervals):
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "x", "lo", "hi", 8.0).collect()
+    )
+    assert got == [(1, 100), (1, 300), (2, 100), (2, 200), (2, 300), (3, 200), (3, 300)]
+
+
+def test_range_join_open_bounds(spark, points, intervals):
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "x", "lo", "hi", 8.0, closed="neither"
+        ).collect()
+    )
+    # x=10 now matches neither [0,10) upper-open nor (10,20] lower-open
+    assert got == [(1, 100), (1, 300), (2, 300), (3, 200), (3, 300)]
+
+
+def test_range_join_left_keeps_unmatched(spark, points, intervals):
+    got = range_join(points, intervals, "x", "lo", "hi", 8.0, how="left")
+    rows = {(r["pid"], r["iid"]) for r in got.collect()}
+    assert (4, None) in rows and (5, None) in rows  # out-of-range + null point
+    assert len([p for p, i in rows if i is None]) == 2
+
+
+def test_range_join_plan_is_equi(spark, points, intervals):
+    plan = range_join(
+        points, intervals, "x", "lo", "hi", 8.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
