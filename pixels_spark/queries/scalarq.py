@@ -188,3 +188,48 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# TIME type surface (SURVEY §1.2): millis-of-day int convention
+# (TypeDescription.java:192-218 TIME / TimeColumnVector). Extraction,
+# range filter, bucketing, and display formatting all as integer
+# arithmetic — order-preserving, pushdown-friendly.
+@declare(
+    "scalar_time_of_day",
+    sql="""
+    WITH t AS (
+      SELECT (epoch_us(ts) % 86400000000) // 1000 AS tod_ms FROM events
+    ), g AS (
+      SELECT CAST(tod_ms // 3600000 AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT)          AS cnt,
+             CAST(min(tod_ms) AS BIGINT)       AS min_ms,
+             CAST(max(tod_ms) AS BIGINT)       AS max_ms
+      FROM t WHERE tod_ms >= 32400000 AND tod_ms < 61200000
+      GROUP BY 1
+    )
+    SELECT hour, cnt, min_ms, max_ms,
+           lpad(CAST(min_ms // 3600000 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST((min_ms % 3600000) // 60000 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST((min_ms % 60000) // 1000 AS VARCHAR), 2, '0') || '.' ||
+           lpad(CAST(min_ms % 1000 AS VARCHAR), 3, '0') AS min_time
+    FROM g ORDER BY hour
+    """,
+    tags=("scalar", "time_type"),
+)
+def scalar_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..types import _idiv, time_from_timestamp, time_to_string
+
+    tod = time_from_timestamp(F.col("ts"))
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(tod.alias("tod_ms"))
+        .filter((F.col("tod_ms") >= 32_400_000) & (F.col("tod_ms") < 61_200_000))
+        .groupBy(_idiv(F.col("tod_ms"), 3_600_000).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("tod_ms").cast("bigint").alias("min_ms"),
+            F.max("tod_ms").cast("bigint").alias("max_ms"),
+        )
+        .withColumn("min_time", time_to_string(F.col("min_ms")))
+        .orderBy("hour")
+    )

@@ -149,6 +149,14 @@ class MetadataStore:
     def get_columns(self, schema_name: str, table: str) -> list[dict[str, str]]:
         return self.get_table(schema_name, table)["columns"]
 
+    def spark_schema(self, schema_name: str, table: str):
+        """Registered columns as a real StructType, via the §1.2 type
+        mapping (TypeDescription.java aliases incl. decimal(p,s), TIME →
+        Integer millis, vector(dim) → array<double>)."""
+        from ..types import to_struct
+
+        return to_struct(self.get_columns(schema_name, table))
+
     def update_row_count(self, schema_name: str, table: str, row_count: int) -> None:
         self.get_table(schema_name, table)["row_count"] = row_count
         self._save()
