@@ -38,15 +38,16 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
-    """Sub-word-ish token count: splits on whitespace AND between letter/digit
-    /punctuation class changes — a cheap, deterministic proxy for BPE token
-    counts used to budget LLM training data."""
-    pieces = F.split(
-        F.trim(text),
-        r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])|(?<=[^\w\s])",
-    )
-    return F.size(F.filter(pieces, lambda p: p != "")).cast("bigint")
+    """Sub-word-ish token count: a token is a maximal letter run, a maximal
+    digit run, or a single other non-space character — a cheap,
+    deterministic proxy for BPE token counts used to budget LLM training
+    data. Expressed as a match count (no lookaround), so the identical
+    RE2-compatible pattern runs in DuckDB as the oracle."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("bigint")
 
 
 def quality_features(text: Column) -> dict[str, Column]:

@@ -189,9 +189,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# BPE-ish sub-word token counting (rows-only: the class-transition regex
-# needs lookaround, which DuckDB's RE2 lacks).
-@declare("txt_bpe_tokens", sql=None, tags=("text",))
+# BPE-ish sub-word token counting — match-count form (letter runs / digit
+# runs / single other chars), identical RE2 pattern in both engines.
+@declare(
+    "txt_bpe_tokens",
+    sql=r"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text",),
+)
 def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
