@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small + deterministic; real deployments would swap
@@ -103,6 +104,59 @@ def fingerprint(text: Column) -> Column:
     robust to spacing/case differences (the classic exact-dedup key)."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer et al.,
+    SIGMOD'03): hash every character k-gram, then keep the minimum hash of
+    each sliding window of ``window`` consecutive grams. Guarantees any
+    shared substring of length >= k + window - 1 contributes at least one
+    common fingerprint — the partial-overlap detector that whole-document
+    hashes (``fingerprint``) can't provide.
+
+    Returns distinct ``(id_col, fp)`` rows. The gram hash is the first 16
+    hex chars of md5 — deterministic and available in DuckDB, so queries
+    over this are fully oracle-checkable (a true rolling Rabin hash would
+    be engine-local with no cross-engine oracle; in a distributed plan the
+    hash is recomputed per gram either way).
+
+    Scale: explode factor = document length (shuffle-free, map-side); the
+    winnow is one window per document partition, so cost is one shuffle on
+    ``id_col``. Pre-chunk pathological multi-MB documents before calling.
+    """
+    t = F.col(text_col)
+    n_pos = F.length(t) - F.lit(k - 1)
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark — guard short docs
+    positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(positions).alias("_pos"),
+        t.alias("_t"),
+    ).select(
+        id_col,
+        "_pos",
+        F.substring(F.md5(F.substring(F.col("_t"), F.col("_pos"), k)), 1, 16).alias(
+            "_h"
+        ),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("_h").over(w))
+        .select(id_col, "fp")
+        .distinct()
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -283,3 +283,41 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+# Winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD'03): k-gram
+# md5 hashes, min per sliding window — partial-overlap detection that the
+# whole-document fingerprint can't do. Fully oracled (md5 exists in both
+# engines; identical window semantics).
+@declare(
+    "txt_winnow_fp",
+    sql="""
+    WITH g AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 7, 0))) AS pos
+      FROM documents
+    ), h AS (
+      SELECT doc_id, pos, substr(md5(substr(text, pos, 8)), 1, 16) AS hh
+      FROM g
+    ), wi AS (
+      SELECT doc_id,
+             min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM h
+    )
+    SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fp, min(fp) AS min_fp
+    FROM wi GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def txt_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fps = T.winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fp"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
