@@ -6,9 +6,14 @@
 - ``windows`` : watermarked tumbling/sliding/session event-time windows —
                 absent from the reference (Retina is commit-ts CDC replay,
                 SURVEY.md §2.9) but required by the fixtures; Spark-native.
+- ``stateful``: custom per-key state machine via applyInPandasWithState
+                (exactly-once closed-session emission with event-time
+                timeouts) — the template for operators session_window
+                can't express.
 """
 
 from .ingest import ingest_cdc_stream, ingest_stream
+from .stateful import sessionize_stateful
 from .windows import session_agg, sliding_agg, tumbling_agg
 
 __all__ = [
@@ -17,4 +22,5 @@ __all__ = [
     "tumbling_agg",
     "sliding_agg",
     "session_agg",
+    "sessionize_stateful",
 ]

@@ -1,0 +1,143 @@
+"""Custom stateful streaming operator: session assembly with
+``applyInPandasWithState`` (Arrow-batched per-group state, event-time
+timeouts).
+
+Where ``session_agg`` delegates to Spark's built-in ``session_window``
+aggregation, this operator owns the per-key state machine — the seam for
+session semantics the built-in can't express (exactly-once *closed-session*
+emission, custom close conditions, running aggregates carried in state).
+It is the template the brief's "custom stateful operator" case calls for.
+
+Correctness under reordering: events may arrive out of order within the
+watermark delay, so sessions are NOT finalized on sight. Per user the
+state buffers (ts, value) pairs newer than the watermark; a session is
+emitted only once it is *watermark-safe* — ``session_end + gap <=
+watermark`` — at which point no event that could extend or merge it can
+still arrive. Events older than the watermark are dropped (standard late
+policy). This makes the emitted set a pure function of (events, gap,
+watermark path), independent of micro-batch boundaries.
+
+Scale: state per user is bounded by the events inside the watermark
+horizon (delay window), not by history — emitted sessions leave the
+buffer, and event-time timeouts flush users with no new traffic. The only
+shuffle is the groupBy hash partitioning on the key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+# buffered not-yet-safe events (micros since epoch; ints keep the Arrow
+# round-trip exact)
+STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Emit each user session exactly once, when the watermark proves it
+    closed (no event within ``gap_seconds`` of its end can still arrive)."""
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def _sessions(ts_us: list[int], vals: list[float]):
+        """Gaps-and-islands over sorted (ts, value) pairs."""
+        out = []  # (start, end, n, total)
+        for t, v in sorted(zip(ts_us, vals)):
+            if out and t - out[-1][1] <= gap_us:
+                s = out[-1]
+                out[-1] = (s[0], t, s[2] + 1, s[3] + v)
+            else:
+                out.append((t, t, 1, v))
+        return out
+
+    def assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        ts_us: list[int] = []
+        vals: list[float] = []
+        if state.exists:
+            prev_ts, prev_vals = state.get
+            ts_us += list(prev_ts)
+            vals += list(prev_vals)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                t = (pdf[ts_col].astype("int64") // 1000).to_list()
+                v = pdf[value_col].fillna(0.0).astype("float64").to_list()
+                for ti, vi in zip(t, v):
+                    if ti >= wm_us:  # late-beyond-watermark events dropped
+                        ts_us.append(int(ti))
+                        vals.append(float(vi))
+
+        if not ts_us:
+            if state.exists:
+                state.remove()
+            return
+
+        sessions = _sessions(ts_us, vals)
+        safe = [s for s in sessions if s[1] + gap_us <= wm_us]
+        open_ = [s for s in sessions if s[1] + gap_us > wm_us]
+
+        if open_:
+            keep_from = open_[0][0]  # buffer every event of unsafe sessions
+            kept = [(t, v) for t, v in zip(ts_us, vals) if t >= keep_from]
+            state.update(([t for t, _ in kept], [v for _, v in kept]))
+            # wake when the earliest unsafe session could become safe
+            state.setTimeoutTimestamp((open_[0][1] + gap_us) // 1000 + 1)
+        elif state.exists:
+            state.remove()
+
+        if safe:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(safe),
+                    "session_start": [pd.Timestamp(s[0], unit="us") for s in safe],
+                    "session_end": [pd.Timestamp(s[1], unit="us") for s in safe],
+                    "n_events": [s[2] for s in safe],
+                    "total_value": [s[3] for s in safe],
+                }
+            )
+
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(user_col).applyInPandasWithState(
+        assemble,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

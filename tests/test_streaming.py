@@ -212,3 +212,98 @@ def test_dedup_stream_drops_replayed_duplicates(spark, events, tmp_path):
     got = spark.table("dedup_out")
     assert got.count() == base.count()  # every duplicate dropped
     assert got.select("event_id").distinct().count() == base.count()
+
+
+def _batch_sessions(events, gap_us=1800 * 1_000_000):
+    """Gaps-and-islands reference sessions: (user, start_us, end_us, n)."""
+    rows = sorted(
+        events.select("user_id", "ts", "value").collect(),
+        key=lambda r: (r["user_id"], r["ts"]),
+    )
+    out, cur = [], None
+    for r in rows:
+        t = int(r["ts"].timestamp() * 1_000_000)
+        if cur is None or r["user_id"] != cur[0] or t - cur[2] > gap_us:
+            if cur:
+                out.append(tuple(cur))
+            cur = [r["user_id"], t, t, 1]
+        else:
+            cur[2], cur[3] = t, cur[3] + 1
+    if cur:
+        out.append(tuple(cur))
+    return out
+
+
+def _ordered_stream(spark, events, tmp_path, n_files: int):
+    """Time-ordered micro-batches: file i holds the i-th ts-range slice and
+    files carry increasing mtimes, so the file source replays in event-time
+    order (how a real ingest feed arrives)."""
+    import os
+    import time as _time
+
+    src = str(tmp_path / "stream_src_ordered")
+    os.makedirs(src, exist_ok=True)
+    pdf = events.orderBy("ts").toPandas()
+    chunk = -(-len(pdf) // n_files)
+    now = _time.time()
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        path = os.path.join(src, f"{i:02d}.parquet")
+        part.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (now + i, now + i))
+    from pixels_spark.catalog import SCHEMAS
+
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _run_sessionize(spark, stream, tmp_path, tag):
+    from pixels_spark.streaming import sessionize_stateful
+
+    out_dir, ckpt = str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}")
+    q = (
+        sessionize_stateful(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        (r["user_id"], int(r["session_start"].timestamp() * 1_000_000),
+         int(r["session_end"].timestamp() * 1_000_000), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def _watermark_safe(ref, events, gap_us=1800 * 1_000_000, delay_us=2 * 3600 * 1_000_000):
+    from pyspark.sql import functions as F
+
+    max_us = int(
+        events.agg(F.max("ts")).first()[0].timestamp() * 1_000_000
+    )
+    wm = max_us - delay_us
+    return {s for s in ref if s[2] + gap_us <= wm}
+
+
+def test_sessionize_stateful_single_batch(spark, events, tmp_path):
+    """Emitted sessions == exactly the watermark-safe reference sessions."""
+    stream = _ordered_stream(spark, events, tmp_path, n_files=1)
+    got = _run_sessionize(spark, stream, tmp_path, "one")
+    ref = _batch_sessions(events)
+    assert got == _watermark_safe(ref, events)
+
+
+def test_sessionize_stateful_batch_boundary_independent(spark, events, tmp_path):
+    """Splitting the same feed into 4 micro-batches must not change the
+    emitted set — closure is proven by the watermark, not batch edges."""
+    stream = _ordered_stream(spark, events, tmp_path, n_files=4)
+    got = _run_sessionize(spark, stream, tmp_path, "four")
+    ref = _batch_sessions(events)
+    assert got == _watermark_safe(ref, events)
