@@ -428,3 +428,136 @@ def cb_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# CB Q4: AVG over a numeric id column (avg = exact int sum / count, so the
+# double division is deterministic).
+@declare(
+    "cb_avg_user",
+    sql="""
+    SELECT CAST(sum(user_id) AS DOUBLE) / count(*) AS avg_user FROM events
+    """,
+    tags=("aggregation",),
+)
+def cb_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").agg(
+        (F.sum("user_id").cast("double") / F.count(F.lit(1))).alias("avg_user")
+    )
+
+
+# CB Q10: one group key, the full agg battery (COUNT / SUM / AVG /
+# COUNT(DISTINCT)) + top-k — region analog is a user-id bucket.
+@declare(
+    "cb_region_multi_agg",
+    sql=f"""
+    SELECT user_id % 10 AS region,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {_sql_dsum("value")} AS sum_value,
+           {_sql_dsum("value")} / count(*) AS avg_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY user_id % 10
+    ORDER BY cnt DESC, region
+    LIMIT 10
+    """,
+    tags=("aggregation", "distinct", "topk"),
+)
+def cb_region_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = F.count(F.lit(1))
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("region"))
+        .agg(
+            cnt.alias("cnt"),
+            _dsum(F.col("value")).alias("sum_value"),
+            (_dsum(F.col("value")) / cnt).alias("avg_value"),
+            F.count_distinct(F.col("user_id")).alias("users"),
+        )
+        .orderBy(F.col("cnt").desc(), "region")
+        .limit(10)
+    )
+
+
+# CB Q17: two-key group-by, top-k by count (full tie-break for determinism).
+@declare(
+    "cb_user_type_group",
+    sql="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY cnt DESC, user_id, event_type
+    LIMIT 10
+    """,
+    tags=("aggregation", "topk"),
+)
+def cb_user_type_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id", "event_type")
+        .limit(10)
+    )
+
+
+# CB Q19: group key includes extract(minute) — expression key evaluated
+# pre-shuffle.
+@declare(
+    "cb_minute_group",
+    sql="""
+    SELECT user_id, CAST(extract(minute FROM ts) AS BIGINT) AS m, event_type,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id, extract(minute FROM ts), event_type
+    ORDER BY cnt DESC, user_id, m, event_type
+    LIMIT 10
+    """,
+    tags=("aggregation", "datetime", "topk"),
+)
+def cb_minute_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.minute(F.col("ts")).cast("bigint").alias("m"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id", "m", "event_type")
+        .limit(10)
+    )
+
+
+# CB Q31/Q33: high-cardinality two-key group with mixed aggs (count + flag
+# sum + avg) — the shuffle carries (key, partials) only.
+@declare(
+    "cb_pair_multi_agg",
+    sql=f"""
+    SELECT event_id % 1000 AS eid_bucket, user_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           {_sql_dsum("value")} / count(*) AS avg_value
+    FROM events
+    GROUP BY event_id % 1000, user_id
+    ORDER BY cnt DESC, eid_bucket, user_id
+    LIMIT 10
+    """,
+    tags=("aggregation", "topk"),
+)
+def cb_pair_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = F.count(F.lit(1))
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.pmod(F.col("event_id"), F.lit(1000)).alias("eid_bucket"), F.col("user_id")
+        )
+        .agg(
+            cnt.alias("cnt"),
+            F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_big"),
+            (_dsum(F.col("value")) / cnt).alias("avg_value"),
+        )
+        .orderBy(F.col("cnt").desc(), "eid_bucket", "user_id")
+        .limit(10)
+    )

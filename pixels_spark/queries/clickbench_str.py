@@ -329,3 +329,59 @@ def cb_phrase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "lang")
         .limit(10)
     )
+
+
+# CB Q41: selective equality on a computed hash + (hash, day) group-by —
+# urlhash/refererhash analog is an md5 prefix of props (md5 exists in both
+# engines, so the hash key is oracle-stable).
+@declare(
+    "cb_hash_day_group",
+    sql="""
+    SELECT substr(md5(props), 1, 8) AS h, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE substr(md5(props), 1, 1) = 'a'
+    GROUP BY substr(md5(props), 1, 8), CAST(ts AS DATE)
+    ORDER BY cnt DESC, h, day
+    LIMIT 10
+    """,
+    tags=("aggregation", "strings", "topk"),
+)
+def cb_hash_day_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.substring(F.md5(F.col("props")), 1, 8)
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.substring(F.md5(F.col("props")), 1, 1) == "a")
+        .groupBy(h.alias("h"), F.to_date(F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "h", "day")
+        .limit(10)
+    )
+
+
+# CB Q42: highly-selective conjunctive filter + two derived dimension keys.
+@declare(
+    "cb_dims_point_group",
+    sql="""
+    SELECT CAST(floor(value * 10) AS BIGINT) AS w, event_id % 7 AS h,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE event_type = 'click' AND user_id % 100 = 3
+    GROUP BY floor(value * 10), event_id % 7
+    ORDER BY cnt DESC, w, h
+    LIMIT 10
+    """,
+    tags=("aggregation", "filter", "topk"),
+)
+def cb_dims_point_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "click") & (F.pmod(F.col("user_id"), F.lit(100)) == 3))
+        .groupBy(
+            F.floor(F.col("value") * 10).cast("bigint").alias("w"),
+            F.pmod(F.col("event_id"), F.lit(7)).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w", "h")
+        .limit(10)
+    )
