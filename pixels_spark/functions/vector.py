@@ -309,6 +309,62 @@ def ivf_probe(
     return knn_brute_force(probed, vec_col, id_col, query, k)
 
 
+def write_ivf_index(
+    assigned: DataFrame,
+    path: str,
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Materialize an IVF-assigned corpus partitioned by cell.
+
+    One directory per cell (`ivf_cell=<n>/`) — the physical layout that
+    turns ``ivf_probe_index`` into an O(probed cells) read: partition
+    pruning keeps unprobed cells' files out of the scan entirely, which is
+    the property that makes IVF pay at 100 TB (probe cost scales with
+    n_probe × cell size, not corpus size).
+    """
+    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    centroid_id: str = "cell_id",
+    centroid_vec: str = "cell_vec",
+) -> DataFrame:
+    """ANN search against a ``write_ivf_index`` layout.
+
+    The probe cells are resolved driver-side (ranking k centroid rows
+    against the query — O(k), the standard ANN index lookup), then the
+    corpus scan carries ``ivf_cell IN (probed)`` as a STATIC partition
+    filter: only the probed cells' directories are listed or read
+    (asserted via inputFiles in tests). Spill-assigned duplicates are
+    collapsed before ranking, as in ``ivf_probe``.
+    """
+    ranked = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            F.col(centroid_id),
+            cosine(F.col(centroid_vec), F.col("_qvec")).alias("_csim"),
+        )
+        .orderBy(F.col("_csim").desc(), F.col(centroid_id))
+        .limit(n_probe)
+        .collect()
+    )
+    cells = [r[centroid_id] for r in ranked]
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("ivf_cell").isin(cells))
+        .dropDuplicates([id_col])
+    )
+    return knn_brute_force(corpus, vec_col, id_col, query, k)
+
+
 def make_centroids(
     df: DataFrame,
     vec_col: str,

@@ -156,3 +156,49 @@ def test_ivf_probe_matches_brute_force_within_probed_cells(spark, emb):
     # n_probe = all cells → identical to brute force
     brute = V.knn_brute_force(emb, "embedding", "vec_id", q, k=3)
     assert [r.vec_id for r in got.collect()] == [r.vec_id for r in brute.collect()]
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    """write_ivf_index + ivf_probe_index: the probe reads ONLY the probed
+    cells' partition directories, and returns exactly what the in-memory
+    probe over the same assignment returns."""
+    from pixels_spark.catalog import load_table
+    from pixels_spark.functions import vector as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = V.make_centroids(e, "embedding", "vec_id", n_cells=8, iterations=1)
+    assigned = V.ivf_assign(e, "embedding", cents, id_col="vec_id", n_assign=2)
+    path = str(tmp_path / "ivf_index")
+    V.write_ivf_index(assigned, path)
+
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    got = V.ivf_probe_index(
+        spark, path, "embedding", "vec_id", q, cents, k=10, n_probe=2
+    )
+    expect = V.ivf_probe(
+        assigned, "embedding", "vec_id", q, cents, k=10, n_probe=2
+    )
+    assert [(r["vec_id"], round(r["sim"], 9)) for r in got.collect()] == [
+        (r["vec_id"], round(r["sim"], 9)) for r in expect.collect()
+    ]
+
+    # partition pruning: every scanned file lives under a probed cell dir
+    ranked = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell_id", V.cosine(F.col("cell_vec"), F.col("_qvec")).alias("s"))
+        .orderBy(F.col("s").desc(), "cell_id")
+        .limit(2)
+        .collect()
+    )
+    probed = {f"ivf_cell={r['cell_id']}" for r in ranked}
+    corpus = spark.read.parquet(path).filter(
+        F.col("ivf_cell").isin([r["cell_id"] for r in ranked])
+    )
+    plan = corpus._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200]
+    # input_file_name() reflects files actually scanned post-pruning
+    # (inputFiles() would list the whole relation)
+    files = [r[0] for r in corpus.select(F.input_file_name()).distinct().collect()]
+    assert files, "scan read no files"
+    for f in files:
+        assert any(p in f for p in probed), f"unpruned file scanned: {f}"
