@@ -178,6 +178,83 @@ def synthesize_wav(
     return hdr + data
 
 
+def resize_ppm(payload: bytes, factor: int) -> bytes:
+    """Pure-Python nearest-neighbor downscale of a P6 PPM by an integer
+    ``factor`` (every factor-th pixel in both axes). A real image
+    transform — no PIL — exercising the resize seam end-to-end; non-PPM
+    payloads raise NotImplementedError via ``decode_ppm``'s check."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    if factor == 1:
+        return payload
+    info = decode_ppm(payload)  # validates + gives dims
+    w, h, maxval = info["width"], info["height"], info["maxval"]
+    body_off = len(payload) - w * h * 3
+    body = payload[body_off:]
+    ow, oh = (w + factor - 1) // factor, (h + factor - 1) // factor
+    out = bytearray()
+    for y in range(0, h, factor):
+        row = body[y * w * 3 : (y + 1) * w * 3]
+        for x in range(0, w, factor):
+            out += row[x * 3 : x * 3 + 3]
+    return f"P6\n{ow} {oh}\n{maxval}\n".encode() + bytes(out)
+
+
+# Toy deterministic video container: b"PVID" + u32 frame count, then each
+# frame as u32 length + P6 PPM bytes. Real MP4/AVI demuxing needs ffmpeg
+# (not installed); the container keeps the frame-sampling seam REAL — the
+# sampler parses, selects, and re-emits actual image payloads.
+VIDEO_MAGIC = b"PVID"
+
+
+def synthesize_video(n_frames: int, width: int = 8, height: int = 6) -> bytes:
+    import struct
+
+    frames = [synthesize_ppm(width, height, seed=i) for i in range(n_frames)]
+    out = VIDEO_MAGIC + struct.pack("<I", n_frames)
+    for fr in frames:
+        out += struct.pack("<I", len(fr)) + fr
+    return out
+
+
+def decode_video(payload: bytes) -> dict:
+    """Header-level video metadata: frame count + first-frame dimensions."""
+    import struct
+
+    if payload[:4] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            "only the PVID fixture container demuxes without ffmpeg — not installed"
+        )
+    (n_frames,) = struct.unpack_from("<I", payload, 4)
+    first = next(iter_video_frames(payload), None)
+    dims = decode_ppm(first) if first else {"width": 0, "height": 0}
+    return {
+        "n_frames": n_frames,
+        "width": dims["width"],
+        "height": dims["height"],
+    }
+
+
+def iter_video_frames(payload: bytes):
+    import struct
+
+    if payload[:4] != VIDEO_MAGIC:
+        raise NotImplementedError("not a PVID container")
+    (n_frames,) = struct.unpack_from("<I", payload, 4)
+    pos = 8
+    for _ in range(n_frames):
+        (size,) = struct.unpack_from("<I", payload, pos)
+        yield payload[pos + 4 : pos + 4 + size]
+        pos += 4 + size
+
+
+def sample_video_frames(payload: bytes, every_n: int) -> list[bytes]:
+    """Every n-th frame of a PVID container as standalone PPM payloads."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    return [f for i, f in enumerate(iter_video_frames(payload)) if i % every_n == 0]
+
+
 def fake_feature_extractor(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for decode→featurize: (n_bytes, checksum,
     mean byte value). Same signature/shape a real extractor would return."""
@@ -215,6 +292,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 DECODERS = {
     "image": decode_image,
     "audio": decode_audio,
+    "video": decode_video,
 }
 
 # real-decode feature row: nullable per-kind fields + error channel (a 100 TB
@@ -229,6 +307,7 @@ DECODED_SCHEMA = StructType(
         StructField("height", LongType()),
         StructField("sample_rate", LongType()),
         StructField("duration_s", DoubleType()),
+        StructField("n_frames", LongType()),
         StructField("err", StringType()),
     ]
 )
@@ -257,6 +336,7 @@ def media_features(media: DataFrame) -> DataFrame:
                     "height": None,
                     "sample_rate": None,
                     "duration_s": None,
+                    "n_frames": None,
                     "err": None,
                 }
                 try:
@@ -265,6 +345,7 @@ def media_features(media: DataFrame) -> DataFrame:
                     row["height"] = d.get("height")
                     row["sample_rate"] = d.get("sample_rate")
                     row["duration_s"] = d.get("duration_s")
+                    row["n_frames"] = d.get("n_frames")
                 except (NotImplementedError, ValueError, KeyError) as e:
                     row["err"] = f"{type(e).__name__}: {e}"
                 rows.append(row)
@@ -274,18 +355,84 @@ def media_features(media: DataFrame) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic mixed WAV/PPM MEDIA_SCHEMA fixture (no media libs
-    needed): even ids are PPM images with varying dims, odd ids are WAVs
-    with varying sample rates."""
+    """Deterministic mixed WAV/PPM/PVID MEDIA_SCHEMA fixture (no media libs
+    needed): ids ≡ 0 (mod 3) are PPM images with varying dims, ≡ 1 are WAVs
+    with varying sample rates, ≡ 2 are PVID videos with varying frame
+    counts."""
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 == 0:
             w, h = 4 + (i % 8), 3 + (i % 5)
             rows.append((i, "image", synthesize_ppm(w, h, seed=i), '{"mime": "image/x-portable-pixmap"}'))
-        else:
+        elif i % 3 == 1:
             sr = 8000 * (1 + i % 3)
             rows.append((i, "audio", synthesize_wav(sr, n_samples=sr // 10), '{"mime": "audio/wav"}'))
+        else:
+            rows.append((i, "video", synthesize_video(2 + i % 4), '{"mime": "video/x-pvid"}'))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_images(media: DataFrame, factor: int) -> DataFrame:
+    """Downscale every image payload by ``factor`` (nearest-neighbor, pure
+    Python) inside Arrow batches; non-image rows pass through untouched.
+    Output stays MEDIA_SCHEMA, so resizes compose with decode/featurize —
+    the standard preprocessing chain of an image-training pipeline."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind == "image":
+                    try:
+                        payloads.append(resize_ppm(bytes(payload), factor))
+                    except (NotImplementedError, ValueError):
+                        payloads.append(bytes(payload))  # undecodable: pass through
+                else:
+                    payloads.append(bytes(payload))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def explode_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Sample every n-th frame of each video into standalone IMAGE rows
+    (``media_id`` becomes ``video_id * 1000 + frame_index``); non-video
+    rows are dropped. Feed the result to ``resize_images`` /
+    ``media_features`` — frame sampling is the fan-out stage of a video
+    pipeline, so it runs in mapInPandas where the fan-out multiplies rows
+    inside the executor, never through the driver."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = [f.name for f in MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                try:
+                    frames = sample_video_frames(bytes(payload), every_n)
+                except (NotImplementedError, ValueError):
+                    continue
+                for j, fr in enumerate(frames):
+                    rows.append(
+                        {
+                            "media_id": int(mid) * 1000 + j * every_n,
+                            "kind": "image",
+                            "payload": fr,
+                            "meta": '{"mime": "image/x-portable-pixmap"}',
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def decode(kind: str, payload: bytes) -> object:

@@ -228,6 +228,16 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_features(media).orderBy("media_id")
 
 
+# video preprocessing chain: frame-sample (fan-out in-executor) -> resize
+# (nearest-neighbor, pure Python) -> featurize. Rows-only for the same
+# reason as mm_decode; per-value correctness in tests/test_multimodal.py.
+@declare("mm_video_pipeline", sql=None, tags=("multimodal", "pandas_udf", "video"))
+def mm_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthetic_media(spark, n=64)
+    frames = M.explode_video_frames(media, every_n=2)
+    return M.media_features(M.resize_images(frames, 2)).orderBy("media_id")
+
+
 # end-to-end corpus cleaning: quality-feature filter -> per-language
 # kept/dropped accounting (the composition an LLM data pipeline actually
 # runs; oracle replays the same thresholds).

@@ -92,12 +92,70 @@ def test_media_features_real_decode_distributed(spark):
     for i in range(32):
         r = feats[i]
         assert r.err is None, r
-        if i % 2 == 0:
+        if i % 3 == 0:
             assert r.width == 4 + (i % 8) and r.height == 3 + (i % 5)
-            assert r.sample_rate is None
-        else:
+            assert r.sample_rate is None and r.n_frames is None
+        elif i % 3 == 1:
             assert r.sample_rate == 8000 * (1 + i % 3)
             assert r.duration_s == pytest.approx(0.1)
             assert r.width is None
+        else:
+            assert r.n_frames == 2 + i % 4
+            assert r.width == 8 and r.height == 6  # first-frame dims
     assert "NotImplementedError" in feats[999].err
     assert "ValueError" in feats[998].err
+
+
+def test_resize_ppm_dims_and_content():
+    src = M.synthesize_ppm(8, 6, seed=3)
+    out = M.decode_ppm(M.resize_ppm(src, 2))
+    assert (out["width"], out["height"]) == (4, 3)
+    # factor 1 is identity
+    assert M.resize_ppm(src, 1) == src
+    # non-integer-divisible dims round up (ceil)
+    out = M.decode_ppm(M.resize_ppm(M.synthesize_ppm(7, 5), 2))
+    assert (out["width"], out["height"]) == (4, 3)
+
+
+def test_video_container_roundtrip():
+    v = M.synthesize_video(5, width=8, height=6)
+    meta = M.decode_video(v)
+    assert meta == {"n_frames": 5, "width": 8, "height": 6}
+    frames = M.sample_video_frames(v, 2)
+    assert len(frames) == 3  # frames 0, 2, 4
+    for fr in frames:
+        d = M.decode_ppm(fr)
+        assert (d["width"], d["height"]) == (8, 6)
+
+
+def test_resize_images_operator(spark):
+    media = M.synthetic_media(spark, n=12)
+    resized = M.resize_images(media, 2)
+    feats = {r.media_id: r for r in M.media_features(resized).collect()}
+    assert len(feats) == 12
+    for i in range(12):
+        if i % 3 == 0:  # images halved (ceil)
+            w, h = 4 + (i % 8), 3 + (i % 5)
+            assert (feats[i].width, feats[i].height) == ((w + 1) // 2, (h + 1) // 2)
+        elif i % 3 == 1:  # audio untouched
+            assert feats[i].sample_rate == 8000 * (1 + i % 3)
+        else:  # video untouched
+            assert feats[i].n_frames == 2 + i % 4
+
+
+def test_explode_video_frames_operator(spark):
+    media = M.synthetic_media(spark, n=12)
+    frames = M.explode_video_frames(media, every_n=2)
+    rows = {r.media_id: r for r in frames.collect()}
+    # videos are ids 2,5,8,11 with 2+i%4 frames -> ceil(n/2) sampled each
+    expect_ids = set()
+    for i in (2, 5, 8, 11):
+        n = 2 + i % 4
+        expect_ids |= {i * 1000 + j * 2 for j in range((n + 1) // 2)}
+    assert set(rows) == expect_ids
+    assert all(r.kind == "image" for r in rows.values())
+    feats = M.media_features(frames).collect()
+    assert all(f.err is None and f.width == 8 for f in feats)
+    # composes with resize: frames -> half-size images
+    half = {r.media_id: r for r in M.media_features(M.resize_images(frames, 2)).collect()}
+    assert all(r.width == 4 and r.height == 3 for r in half.values())
