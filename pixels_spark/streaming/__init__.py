@@ -13,6 +13,7 @@
 """
 
 from .ingest import ingest_cdc_stream, ingest_stream
+from .rollup import continuous_rollup, rollup_with_tail
 from .stateful import sessionize_stateful
 from .windows import session_agg, sliding_agg, tumbling_agg
 
@@ -23,4 +24,6 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "sessionize_stateful",
+    "continuous_rollup",
+    "rollup_with_tail",
 ]

@@ -307,3 +307,44 @@ def test_sessionize_stateful_batch_boundary_independent(spark, events, tmp_path)
     got = _run_sessionize(spark, stream, tmp_path, "four")
     ref = _batch_sessions(events)
     assert got == _watermark_safe(ref, events)
+
+
+def test_continuous_rollup_and_tail_merge(spark, events, tmp_path):
+    """Hypertable-style continuous aggregate: append-mode finalized daily
+    buckets land in an MVCC table exactly once; merging with the raw tail
+    reproduces the full batch aggregate."""
+    from pixels_spark.streaming import continuous_rollup, rollup_with_tail
+
+    stream = _ordered_stream(spark, events, tmp_path, n_files=4)
+    table = MvccTable(spark, str(tmp_path / "rollup"), key_col="bucket_start")
+    q = continuous_rollup(
+        stream, table, str(tmp_path / "rollup_ck"), window="1 day"
+    )
+    q.awaitTermination(300)
+
+    def key(r):
+        return (r["bucket_start"], r["event_type"])
+
+    finalized = {key(r): (r["n_events"], r["total_value"])
+                 for r in table.read().collect()}
+    assert finalized, "no buckets finalized"
+    full = {key(r): (r["n_events"], r["total_value"])
+            for r in tumbling_agg(events, window="1 day").select(
+                F.col("win.start").alias("bucket_start"), "event_type",
+                "n_events", "total_value").collect()}
+    # every finalized bucket must match the batch aggregate exactly
+    for k, v in finalized.items():
+        assert full[k][0] == v[0]
+        assert full[k][1] == pytest.approx(v[1])
+    # the last (unfinalized) day is absent from the rollup
+    assert len(finalized) < len(full)
+
+    merged = {key(r): (r["n_events"], r["total_value"])
+              for r in rollup_with_tail(table, events, window="1 day").collect()}
+    assert set(merged) == set(full)
+    for k in full:
+        assert merged[k][0] == full[k][0]
+        assert merged[k][1] == pytest.approx(full[k][1])
+    # finalized buckets arrived across several MVCC commits (time travel)
+    n_commits = table.read().select("_commit_ts").distinct().count()
+    assert n_commits >= 2
