@@ -87,3 +87,62 @@ def test_asof_matches_duckdb(spark, left, right, direction, how):
     )
     con.close()
     assert got == want
+
+
+rows_points = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-20, 120)),  # (key, point)
+    min_size=0, max_size=20,
+)
+rows_intervals = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-20, 100), st.integers(0, 40)),
+    min_size=0, max_size=12,  # (key, lo, span)
+)
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=rows_points,
+    intervals=rows_intervals,
+    closed=st.sampled_from(["both", "left", "right", "neither"]),
+    width=st.sampled_from([7, 16, 64]),
+    keyed=st.booleans(),
+)
+def test_range_join_matches_duckdb(spark, points, intervals, closed, width, keyed):
+    from pixels_spark.operators.temporal import range_join
+
+    p_rows = [(i, k, float(x)) for i, (k, x) in enumerate(points)]
+    iv_rows = [(j, k, float(lo), float(lo + span)) for j, (k, lo, span) in enumerate(intervals)]
+    pdf_ = spark.createDataFrame(p_rows or [], "pid long, k long, x double")
+    ivdf = spark.createDataFrame(iv_rows or [], "iid long, k long, lo double, hi double")
+    on = ["k"] if keyed else []
+    if not keyed:
+        pdf_ = pdf_.drop("k")
+        ivdf = ivdf.drop("k")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pdf_, ivdf, "x", "lo", "hi", bucket_width=width, on=on, closed=closed
+        ).collect()
+    )
+
+    lo_op = ">=" if closed in ("both", "left") else ">"
+    hi_op = "<=" if closed in ("both", "right") else "<"
+    key_cond = " AND p.k = iv.k" if keyed else ""
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame(p_rows, columns=["pid", "k", "x"]).astype(
+        {"pid": "int64", "k": "int64", "x": "float64"}))
+    con.register("iv", pd.DataFrame(iv_rows, columns=["iid", "k", "lo", "hi"]).astype(
+        {"iid": "int64", "k": "int64", "lo": "float64", "hi": "float64"}))
+    want = sorted(
+        (pid, iid)
+        for pid, iid in con.execute(
+            f"SELECT p.pid, iv.iid FROM p JOIN iv"
+            f" ON p.x {lo_op} iv.lo AND p.x {hi_op} iv.hi{key_cond}"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want

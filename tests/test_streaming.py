@@ -348,3 +348,44 @@ def test_continuous_rollup_and_tail_merge(spark, events, tmp_path):
     # finalized buckets arrived across several MVCC commits (time travel)
     n_commits = table.read().select("_commit_ts").distinct().count()
     assert n_commits >= 2
+
+
+def test_sessionize_stateful_drops_late_beyond_watermark(spark, events, tmp_path):
+    """An event older than the watermark arriving in a later batch must be
+    ignored (standard late policy) — the emitted set equals the clean-feed
+    run, unchanged by the stale injection."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from pixels_spark.streaming import sessionize_stateful
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    pdf = events.orderBy("ts").toPandas()
+    half = len(pdf) // 2
+    now = _time.time()
+    pdf.iloc[:half].to_parquet(
+        os.path.join(src, "00.parquet"), index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    # batch 2: second half PLUS a replay of the very first (now stale) event
+    stale = pdf.iloc[[0]].copy()
+    stale["event_id"] = 999_999_999
+    late_batch = pd.concat([pdf.iloc[half:], stale])
+    late_batch.to_parquet(
+        os.path.join(src, "01.parquet"), index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    os.utime(os.path.join(src, "00.parquet"), (now, now))
+    os.utime(os.path.join(src, "01.parquet"), (now + 1, now + 1))
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = _run_sessionize(spark, stream, tmp_path, "late")
+    ref = _batch_sessions(events)
+    assert got == _watermark_safe(ref, events)
