@@ -127,10 +127,46 @@ def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# LSH-bucketed candidate pairs — the scale path for near-dup (rows-only:
-# bucket ids depend on seeded hyperplanes inlined as literals; recall
-# property-tested in tests/test_vector.py).
-@declare("vec_lsh_pairs", sql=None, tags=("vector", "lsh"))
+def _lsh_sql(dim: int = 64, n_planes: int = 8, seed: int = 42,
+             threshold: float = 0.3) -> str:
+    """Full oracle for the LSH bucket join: the seeded hyperplanes are
+    deterministic driver-side constants, so they inline into DuckDB SQL as
+    float literals; the dot fold is the same left-to-right sequence proven
+    bit-identical by vec_knn/vec_norms, so sign bits — and therefore
+    buckets, candidate pairs, and the sim threshold — match exactly."""
+    from ..functions.vector import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def dot_plane(p) -> str:
+        lst = "[" + ",".join(repr(float(v)) for v in p) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * ({lst})[j]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_plane(planes[i])} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {_sql_cos("a.embedding", "c.embedding")} AS sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, sim FROM pairs
+    WHERE sim >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+# LSH-bucketed candidate pairs — the scale path for near-dup. Fully
+# oracled: seeded hyperplanes inline into the SQL as literals (see
+# _lsh_sql); recall additionally property-tested in tests/test_vector.py.
+@declare("vec_lsh_pairs", sql=_lsh_sql(), tags=("vector", "lsh"))
 def vec_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return (
