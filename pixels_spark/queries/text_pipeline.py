@@ -138,28 +138,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact n-gram Jaccard near-dup pairs via shingle inverted index, blocked by
 # language (standard dedup blocking — near-dups across languages are not
 # meaningful and the block join keeps candidate volume sub-quadratic; oracle).
+_NGRAM_PAIRS_SQL = r"""
+    SELECT id_a, id_b, n_common * 1.0 / (size_a + size_b - n_common) AS jaccard
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS size_a, b.sz AS size_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM (SELECT doc_id, lang, unnest(s) AS shingle, len(s) AS sz
+            FROM (SELECT doc_id, lang,
+                         list_distinct(list_transform(range(1, len(toks)-1),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+                  FROM (SELECT doc_id, lang,
+                               string_split_regex(lower(trim(text)), '\s+') AS toks
+                        FROM documents)
+                  WHERE len(toks) >= 3)) a
+      JOIN (SELECT doc_id, lang, unnest(s) AS shingle, len(s) AS sz
+            FROM (SELECT doc_id, lang,
+                         list_distinct(list_transform(range(1, len(toks)-1),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+                  FROM (SELECT doc_id, lang,
+                               string_split_regex(lower(trim(text)), '\s+') AS toks
+                        FROM documents)
+                  WHERE len(toks) >= 3)) b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    WHERE n_common * 1.0 / (size_a + size_b - n_common) >= 0.5
+"""
+
+
 @declare(
     "dedup_ngram_jaccard",
-    sql=r"""
-    WITH sh AS (
-      SELECT doc_id, lang,
-             list_distinct(list_transform(range(1, len(toks)-1),
-               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
-      FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
-            FROM documents)
-      WHERE len(toks) >= 3),
-    e AS (SELECT doc_id, lang, unnest(s) AS shingle, len(s) AS sz FROM sh),
-    c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 a.sz AS size_a, b.sz AS size_b,
-                 CAST(count(*) AS BIGINT) AS n_common
-          FROM e a JOIN e b
-            ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-          GROUP BY 1, 2, 3, 4)
-    SELECT id_a, id_b, n_common * 1.0 / (size_a + size_b - n_common) AS jaccard
-    FROM c
-    WHERE n_common * 1.0 / (size_a + size_b - n_common) >= 0.5
-    ORDER BY id_a, id_b
-    """,
+    sql=f"{_NGRAM_PAIRS_SQL} ORDER BY id_a, id_b",
     tags=("dedup", "text", "join"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,10 +289,32 @@ def txt_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # full near-dup dedup: jaccard pairs -> connected components -> keep one per
-# cluster; per-language survivor counts (rows-only: the iterative component
-# propagation isn't single-statement SQL; properties pinned in
-# tests/test_dedup.py::test_canonical_docs_on_real_pairs).
-@declare("dedup_canonical", sql=None, tags=("dedup", "clustering", "pipeline"))
+# cluster; per-language survivor counts. Fully oracled: the pair source is
+# the (oracled) n-gram Jaccard query and DuckDB replays the component
+# closure with a recursive CTE — the distributed min-label propagation is
+# checked against an independent transitive-closure implementation.
+@declare(
+    "dedup_canonical",
+    sql=f"""
+    WITH RECURSIVE edges AS (
+      SELECT id_a AS a, id_b AS b FROM ({_NGRAM_PAIRS_SQL})
+      UNION ALL
+      SELECT id_b, id_a FROM ({_NGRAM_PAIRS_SQL})
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ), comp AS (
+      SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("dedup", "clustering", "pipeline"),
+)
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(d, threshold=0.5, block_col="lang")
