@@ -357,7 +357,9 @@ def txt_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fps.groupBy("doc_id")
         .agg(
-            F.countDistinct("fp").alias("n_fp"),
+            # winnow_fingerprints returns distinct (doc, fp) rows — a plain
+            # count avoids countDistinct's expand + extra shuffle
+            F.count("fp").alias("n_fp"),
             F.min("fp").alias("min_fp"),
         )
         .orderBy("doc_id")
