@@ -159,6 +159,66 @@ def winnow_fingerprints(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher/RefinedWeb-style quality rules).
+
+    Emits ``n_tokens``, ``distinct_token_ratio`` (unique tokens / total) and
+    ``top_bigram_frac`` (share of a document's bigrams taken by its single
+    most frequent bigram; NULL for one-token documents) — the standard
+    repetition filters used to drop boilerplate/spam from LLM training
+    corpora. The reference engine has no text-quality surface; this extends
+    the pipeline family required by the brief.
+
+    Scale shape: bigrams come from codegen'd ``slice``+``arrays_zip`` (no
+    interpreted lambda — HOF bodies re-evaluate inlined aliases per element —
+    and no per-document window sort), then explode → groupBy(doc, bigram) →
+    groupBy(doc). The entry hash-partition on the id is a *subset* of both
+    grouping keys, so Catalyst runs both aggregations shuffle-free on that
+    one partitioning (plan-asserted: a single Exchange, stacked
+    partial/final HashAggregates, no Window/Join). Token totals ride along
+    as grouping-key dependents of the id, so no re-join with the corpus.
+    """
+    from .dedup import spread  # local: dedup imports text at module level
+
+    t = tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)
+    )
+    ex = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.size(t).alias("_n_tok"),
+        F.size(F.array_distinct(t)).alias("_n_distinct"),
+        F.explode_outer(pairs).alias("_pair"),  # outer: keep 1-token docs
+    )
+    big = ex.withColumn(
+        "_bigram",
+        F.when(
+            F.col("_pair").isNotNull(),
+            F.concat_ws(" ", F.col("_pair")["0"], F.col("_pair")["1"]),
+        ),
+    )
+    cnt = big.groupBy(id_col, "_n_tok", "_n_distinct", "_bigram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        cnt.groupBy(id_col, "_n_tok", "_n_distinct")
+        .agg(F.max(F.when(F.col("_bigram").isNotNull(), F.col("_c"))).alias("_top"))
+        .select(
+            F.col(id_col),
+            F.col("_n_tok").cast("bigint").alias("n_tokens"),
+            (F.col("_n_distinct").cast("double") / F.col("_n_tok")).alias(
+                "distinct_token_ratio"
+            ),
+            (
+                F.col("_top").cast("double")
+                / F.nullif((F.col("_n_tok") - F.lit(1)).cast("bigint"), F.lit(0))
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns to a documents DataFrame."""
     t = F.col(text_col)

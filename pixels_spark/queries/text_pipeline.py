@@ -75,6 +75,42 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Gopher/RefinedWeb-style repetition signals (oracle): distinct-token ratio
+# and top-bigram share — the standard "drop boilerplate/spam" quality filters
+# for LLM training corpora.
+@declare(
+    "txt_repetition",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+    ), stats AS (
+      SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_distinct
+      FROM toks
+    ), btop AS (
+      SELECT doc_id, max(c) AS top_c FROM (
+        SELECT doc_id, bigram, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(l)),
+                                           i -> l[i] || ' ' || l[i+1])) AS bigram
+              FROM toks) b
+        GROUP BY doc_id, bigram) g
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_tok AS BIGINT) AS n_tokens,
+           CAST(s.n_distinct AS DOUBLE) / s.n_tok AS distinct_token_ratio,
+           CAST(b.top_c AS DOUBLE)
+               / NULLIF(CAST(s.n_tok - 1 AS BIGINT), 0) AS top_bigram_frac
+    FROM stats s LEFT JOIN btop b USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.repetition_stats(d).orderBy("doc_id")
+
+
 def _lang_score_sql(words: tuple[str, ...]) -> str:
     lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
     return (
