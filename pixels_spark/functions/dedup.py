@@ -137,6 +137,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Train/test decontamination: flag training documents sharing ANY word
+    n-gram with a benchmark/eval set → (id, n_shared) per contaminated doc.
+
+    The standard LLM-corpus hygiene pass (n-gram overlap against held-out
+    benchmarks) — an any-overlap *semi* relation, distinct from
+    ``ngram_jaccard_pairs``'s pairwise similarity. Beyond-reference per the
+    brief (the reference engine has no text surface).
+
+    Scale shape: both sides explode their per-doc-distinct shingles; the
+    benchmark side is globally distinct'd (benchmarks are tiny next to a
+    100 TB corpus, so AQE turns the equi-join into a broadcast); one
+    inner join on the shingle key then groupBy(id) counts shared shingles —
+    each train shingle matches at most one benchmark row, so ``count(*)``
+    is exactly the shared-shingle count. Sub-quadratic: no pair expansion,
+    one shuffle keyed on the shingle, one on the id.
+    """
+    bsh = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("_shingle"))
+        .distinct()
+    )
+    tsh = spread(train.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_shingle")
+    )
+    return (
+        tsh.join(bsh, "_shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

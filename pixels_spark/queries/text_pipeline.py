@@ -75,6 +75,40 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Train/test decontamination (oracle): training docs sharing any word 4-gram
+# with the held-out benchmark slice (source = 'src19').
+@declare(
+    "txt_decontaminate",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\s+') AS l
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(l) >= 4
+                    THEN list_distinct(list_transform(range(1, len(l) - 2),
+                                       i -> array_to_string(l[i:i+3], ' ')))
+                    ELSE [array_to_string(l, ' ')] END) AS shingle
+      FROM toks
+    ), b AS (
+      SELECT DISTINCT shingle FROM sh WHERE source = 'src19'
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM (SELECT doc_id, shingle FROM sh WHERE source <> 'src19') t
+    JOIN b USING (shingle)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "dedup", "decontamination"),
+)
+def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src19")
+    train = d.filter(F.col("source") != "src19")
+    return D.decontaminate(train, bench, n=4).orderBy("doc_id")
+
+
 # Gopher/RefinedWeb-style repetition signals (oracle): distinct-token ratio
 # and top-bigram share — the standard "drop boilerplate/spam" quality filters
 # for LLM training corpora.

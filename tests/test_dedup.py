@@ -161,3 +161,24 @@ def test_canonical_docs_on_real_pairs(spark, docs):
     min_ids = {r.component for r in comps.collect()}
     kept_ids = {r.doc_id for r in kept.collect()}
     assert min_ids <= kept_ids
+
+
+def test_decontaminate_flags_overlapping_train_docs(spark):
+    from pixels_spark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "completely different words here entirely now"),
+            (3, "zz yy"),  # short doc: whole text is the single shingle
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday"), (101, "zz yy")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_shared"] for r in decontaminate(train, bench, n=4).collect()}
+    # doc 1 shares the 4-gram "the quick brown fox"; doc 3 matches via the
+    # short-doc whole-text shingle; doc 2 shares nothing.
+    assert got == {1: 1, 3: 1}
