@@ -1,0 +1,71 @@
+"""Deterministic corpus sampling / splitting for training-data pipelines.
+
+Random-generator sampling (``df.sample``) is irreproducible across engines,
+partitionings, and reruns; training pipelines instead want *hash* sampling —
+membership decided by a content-derived bucket, so a document lands in the
+same split on every engine, at every scale, under any partitioning. md5 is
+used (not xxhash64) precisely because it is cross-engine: the same math runs
+in DuckDB as the oracle.
+
+All pure Column expressions — no shuffle, no UDF; a split/sample is a
+map-side filter that costs one hash per row and composes with pushdown.
+
+Reference tie-in: the reference engine has no sampling surface (its
+TABLESAMPLE would be delegated to the SQL frontend); these are the
+beyond-parity LLM-pipeline operators required by the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000  # split resolution: 0.01% granularity
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) from the first 4 md5 hex chars
+    of ``salt || key`` — uniform, engine-independent, stable under reruns.
+    ``salt`` decorrelates independent draws over the same keys (e.g. a
+    sample drawn inside a split)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % N_BUCKETS
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic train/val/test ``split`` column.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any remainder
+    falls into the last split). Assignment is a when-chain over cumulative
+    bucket thresholds, so each key's split is a pure function of
+    (key, salt) — re-running over 100 TB, or on a different engine, yields
+    the identical partition of the corpus.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = hash_bucket(F.col(key_col), salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for i, name in enumerate(names):
+        cum += weights[name]
+        hi = N_BUCKETS if i == len(names) - 1 else int(round(cum * N_BUCKETS))
+        cond = b < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert expr is not None
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep keys whose bucket falls below
+    the threshold. Unlike ``df.sample`` this is reproducible, join-stable
+    (the same keys survive in every table sampled with the same salt), and
+    needs no RNG state."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < int(round(fraction * N_BUCKETS)))

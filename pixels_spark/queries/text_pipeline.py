@@ -75,6 +75,49 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Deterministic hash-split (oracle): md5-bucket train/val/test assignment —
+# reproducible across engines/partitionings, unlike RNG sampling. Counts per
+# (source, split) prove the mixture; min/max bucket pin the bucket math.
+@declare(
+    "txt_train_split",
+    sql=r"""
+    WITH b AS (
+      SELECT source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(bucket) AS BIGINT) AS min_bucket,
+           CAST(max(bucket) AS BIGINT) AS max_bucket
+    FROM b
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    tags=("text", "sampling", "split"),
+)
+def txt_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import sampling as S
+
+    d = load_table(spark, sf_dir, "documents")
+    split = S.with_split(d, "doc_id")
+    bucket = S.hash_bucket(F.col("doc_id"))
+    return (
+        split.withColumn("_bucket", bucket)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("_bucket").cast("bigint").alias("min_bucket"),
+            F.max("_bucket").cast("bigint").alias("max_bucket"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 # Train/test decontamination (oracle): training docs sharing any word 4-gram
 # with the held-out benchmark slice (source = 'src19').
 @declare(

@@ -1,0 +1,69 @@
+"""Deterministic hash sampling/splitting (functions/sampling.py)."""
+
+from pyspark.sql import functions as F
+
+from pixels_spark.functions.sampling import (
+    N_BUCKETS,
+    hash_bucket,
+    hash_sample,
+    with_split,
+)
+
+
+def _keys(spark, n=2000):
+    return spark.range(n).select(F.col("id").alias("k"))
+
+
+def test_split_is_total_and_deterministic(spark):
+    df = with_split(_keys(spark), "k")
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # roughly the 80/10/10 mixture (md5 is uniform; wide tolerance)
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # identical on recompute — pure function of the key
+    again = {r["split"]: r["n"] for r in with_split(_keys(spark), "k").groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+
+
+def test_split_respects_custom_weights_and_remainder(spark):
+    df = with_split(_keys(spark), "k", weights={"a": 0.5, "b": 0.5})
+    got = {r["split"] for r in df.select("split").distinct().collect()}
+    assert got == {"a", "b"}
+
+
+def test_hash_sample_fraction_and_join_stability(spark):
+    df = _keys(spark)
+    s = hash_sample(df, "k", 0.2)
+    n = s.count()
+    assert 0.1 < n / 2000 < 0.3
+    # the same keys survive when sampling a second table with the same salt
+    other = df.withColumn("v", F.col("k") * 2)
+    joined = s.join(hash_sample(other, "k", 0.2), "k").count()
+    assert joined == n
+
+
+def test_salt_decorrelates_draws(spark):
+    df = _keys(spark)
+    a = set(r["k"] for r in hash_sample(df, "k", 0.5, salt="x").collect())
+    b = set(r["k"] for r in hash_sample(df, "k", 0.5, salt="y").collect())
+    assert a != b
+    # overlap near 25% of keys, far from 0% and 50%
+    assert 0.1 < len(a & b) / 2000 < 0.4
+
+
+def test_bucket_range(spark):
+    row = (
+        _keys(spark, 500)
+        .select(hash_bucket(F.col("k")).alias("b"))
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .collect()[0]
+    )
+    assert 0 <= row["lo"] and row["hi"] < N_BUCKETS
+
+
+def test_split_plan_has_no_shuffle(spark):
+    from pixels_spark.plans.pushdown import explain_str
+
+    plan = explain_str(with_split(_keys(spark), "k"))
+    assert "Exchange" not in plan, plan
