@@ -69,3 +69,31 @@ def hash_sample(
     (the same keys survive in every table sampled with the same salt), and
     needs no RNG state."""
     return df.filter(hash_bucket(F.col(key_col), salt) < int(round(fraction * N_BUCKETS)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash sampling — the training-data *mixing* step: keep
+    stratum s at rate ``rates[s]`` (strata absent from ``rates`` keep
+    ``default_rate``), e.g. upweight curated sources and downsample crawl.
+
+    Deterministic like ``hash_sample`` (same key+salt → same verdict at any
+    scale), and still one map-side filter: the per-stratum threshold is a
+    when-chain on the stratum column, so there is no shuffle, no join, and
+    the filter composes with partition pruning when ``stratum_col`` is a
+    partition key — at 100 TB, strata with rate 0 are never read at all.
+    """
+    b = hash_bucket(F.col(key_col), salt)
+    thr: Column = F.lit(int(round(default_rate * N_BUCKETS)))
+    for name, rate in rates.items():
+        thr = (
+            F.when(F.col(stratum_col) == name, F.lit(int(round(rate * N_BUCKETS))))
+            .otherwise(thr)
+        )
+    return df.filter(b < thr)

@@ -118,6 +118,41 @@ def txt_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixture sampling (oracle): per-language rates — keep all English, half
+# Chinese, a quarter of everything else — via the deterministic md5 bucket.
+@declare(
+    "txt_mixture",
+    sql=r"""
+    WITH b AS (
+      SELECT lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 10000
+                             WHEN 'zh' THEN 5000
+                             ELSE 2500 END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "sampling", "mixture"),
+)
+def txt_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import sampling as S
+
+    d = load_table(spark, sf_dir, "documents")
+    mixed = S.mixture_sample(
+        d, "doc_id", "lang", {"en": 1.0, "zh": 0.5}, default_rate=0.25
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
 # Train/test decontamination (oracle): training docs sharing any word 4-gram
 # with the held-out benchmark slice (source = 'src19').
 @declare(

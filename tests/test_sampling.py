@@ -67,3 +67,36 @@ def test_split_plan_has_no_shuffle(spark):
 
     plan = explain_str(with_split(_keys(spark), "k"))
     assert "Exchange" not in plan, plan
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from pixels_spark.functions.sampling import mixture_sample
+
+    df = (
+        _keys(spark, 3000)
+        .withColumn("stratum", (F.col("k") % 3).cast("string"))
+    )
+    mixed = mixture_sample(df, "k", "stratum", {"0": 1.0, "1": 0.5}, default_rate=0.0)
+    counts = {
+        r["stratum"]: r["n"]
+        for r in mixed.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["0"] == 1000  # rate 1.0 keeps everything
+    assert "2" not in counts  # default 0.0 drops the stratum entirely
+    assert 0.35 < counts["1"] / 1000 < 0.65
+    # determinism: identical on recompute
+    again = {
+        r["stratum"]: r["n"]
+        for r in mixture_sample(df, "k", "stratum", {"0": 1.0, "1": 0.5}, default_rate=0.0)
+        .groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == again
+
+
+def test_mixture_sample_is_subset_of_hash_sample(spark):
+    from pixels_spark.functions.sampling import mixture_sample
+
+    df = _keys(spark, 1000).withColumn("stratum", F.lit("s"))
+    a = set(r["k"] for r in mixture_sample(df, "k", "stratum", {"s": 0.3}).collect())
+    b = set(r["k"] for r in hash_sample(df, "k", 0.6).collect())
+    assert a <= b  # thresholds nest: bucket < 3000 implies bucket < 6000
