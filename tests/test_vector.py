@@ -202,3 +202,34 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, sf_dir, tmp_path):
     assert files, "scan read no files"
     for f in files:
         assert any(p in f for p in probed), f"unpruned file scanned: {f}"
+
+
+def test_ensure_ivf_index_builds_once_and_probe_query_is_sane(spark, sf_dir, tmp_path):
+    """vec_ivf_probe: ensure_ivf_index builds the cached index exactly once
+    (second call is a no-op on an existing marker), and the probe query
+    returns a valid top-k with the query vector itself ranked first."""
+    import os
+
+    from pixels_spark.queries.vector_search import ensure_ivf_index
+
+    root = str(tmp_path / "ivf_cache")
+    idx, cents = ensure_ivf_index(spark, sf_dir, cache_root=root)
+    assert os.path.exists(os.path.join(os.path.dirname(idx), "_BUILT"))
+    mtime = os.path.getmtime(os.path.join(os.path.dirname(idx), "_BUILT"))
+    idx2, cents2 = ensure_ivf_index(spark, sf_dir, cache_root=root)
+    assert (idx2, cents2) == (idx, cents)
+    assert os.path.getmtime(os.path.join(os.path.dirname(idx), "_BUILT")) == mtime
+
+    from pixels_spark.catalog import load_table
+    from pixels_spark.functions import vector as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    got = V.ivf_probe_index(
+        spark, idx, "embedding", "vec_id", q, spark.read.parquet(cents),
+        k=10, n_probe=2,
+    ).collect()
+    assert 0 < len(got) <= 10
+    assert got[0].vec_id == 7 and got[0].sim == pytest.approx(1.0, abs=1e-9)
+    sims = [r.sim for r in got]
+    assert sims == sorted(sims, reverse=True)
