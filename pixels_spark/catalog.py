@@ -149,28 +149,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(SCHEMAS)}")
-    if name == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS) in parquet, which Spark's reader
-        # rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long and convert
-        # ns→µs with integer division (`div`, not double `/` — ns epochs
-        # exceed 2^53 and would round) to Spark's µs TimestampType. Matches
-        # DuckDB's CAST(ts AS TIMESTAMP) truncation, per FIXTURES.md "ingest
-        # as µs". ≈ Pixels TIMESTAMP precision 0-6 (proto/pixels.proto:125).
-        # Engine-staged copies (bench LOAD) already carry a µs timestamp —
-        # convert only when ts arrives as the raw long.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros yields a session-TZ-sensitive TIMESTAMP; pin UTC
-        # so date_trunc/window boundaries match the oracle's naive
-        # timestamps even when the caller's session isn't UTC-configured
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    # Fixture timestamps are parquet timestamp[us] with isAdjustedToUTC=false
+    # (naive wall-clock), which Spark 4 reads as TIMESTAMP_NTZ; older fixture
+    # generations used INT64 TIMESTAMP(NANOS), which Spark rejects outright
+    # unless read as a raw long (nanosAsLong). Either way the catalog contract
+    # is the declared TimestampType (µs, session-TZ). Pin the session TZ to
+    # UTC *before* any cast so NTZ→TIMESTAMP is value-preserving and
+    # date_trunc/window boundaries match the DuckDB oracle's naive-µs
+    # semantics. ≈ Pixels TIMESTAMP precision 0-6 (proto/pixels.proto:125).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # legacy ns fixture: ns→µs with integer division (`div`, not double
+        # `/` — ns epochs exceed 2^53 and a double round-trip would round)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
 
 
 def load_table_tolerant(

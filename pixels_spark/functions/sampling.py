@@ -24,12 +24,17 @@ N_BUCKETS = 10_000  # split resolution: 0.01% granularity
 
 
 def hash_bucket(key: Column, salt: str = "") -> Column:
-    """Deterministic bucket in [0, N_BUCKETS) from the first 4 md5 hex chars
+    """Deterministic bucket in [0, N_BUCKETS) from the first 8 md5 hex chars
     of ``salt || key`` — uniform, engine-independent, stable under reruns.
     ``salt`` decorrelates independent draws over the same keys (e.g. a
-    sample drawn inside a split)."""
+    sample drawn inside a split).
+
+    8 hex chars, not 4: ``% N_BUCKETS`` over a 16-bit space (65536) gives
+    buckets below 65536 % 10000 = 5536 a 7/65536 share vs 6/65536 — a ~7%
+    relative rate bias. Over the 32-bit space the residue bias is
+    1/429497 ≈ 0.0002%, below the advertised 0.01% granularity."""
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
-    return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % N_BUCKETS
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % N_BUCKETS
 
 
 def with_split(

@@ -126,6 +126,16 @@ class MvccTable:
                 entries.append(
                     {"path": fpath, "commit_ts": ts, "min": mn, "max": mx}
                 )
+        self._index_rmw(lambda idx: idx + entries)
+
+    def _index_rmw(self, mutate) -> None:
+        """Locked read-modify-write of the manifest — the ONE path through
+        which the manifest changes (insert appends, vacuum filters), so an
+        insert landing mid-vacuum can't have its entries dropped by the
+        vacuum's rewrite."""
+        import fcntl
+        import json
+
         with open(self.index_path + ".lock", "a") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
             try:
@@ -133,7 +143,7 @@ class MvccTable:
                 if os.path.exists(self.index_path):
                     with open(self.index_path) as f:
                         idx = json.load(f)
-                idx.extend(entries)
+                idx = mutate(idx)
                 tmp = self.index_path + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(idx, f)
@@ -298,16 +308,10 @@ class MvccTable:
                 shutil.rmtree(os.path.join(self.data_dir, entry))
                 removed.append(ts)
         if removed and os.path.exists(self.index_path):
-            import json
-
-            with open(self.index_path) as f:
-                idx = json.load(f)
             gone = set(removed)
-            idx = [e for e in idx if e["commit_ts"] not in gone]
-            tmp = self.index_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(idx, f)
-            os.replace(tmp, self.index_path)
+            self._index_rmw(
+                lambda idx: [e for e in idx if e["commit_ts"] not in gone]
+            )
         return removed
 
     def point_lookup(self, key, snapshot_ts: int | None = None) -> DataFrame:
@@ -328,6 +332,20 @@ class MvccTable:
 
         with open(self.index_path) as f:
             idx = json.load(f)
+        # the manifest is only authoritative when every visible commit is in
+        # it; a commit written while the table was opened unindexed (or an
+        # interrupted index write) must not make its rows silently
+        # unreachable — fall back to the pruned full-layout scan then.
+        indexed_ts = {e["commit_ts"] for e in idx}
+        on_disk = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self.data_dir)
+            if e.startswith("_commit=")
+        } if os.path.isdir(self.data_dir) else set()
+        if not {t for t in on_disk if t <= snapshot_ts} <= indexed_ts:
+            return self.read_latest_version(snapshot_ts).filter(
+                F.col(self.key_col) == key
+            )
         cands = [
             e["path"]
             for e in idx

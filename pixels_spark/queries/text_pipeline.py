@@ -83,7 +83,7 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=r"""
     WITH b AS (
       SELECT source,
-             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                   AS BIGINT) % 10000 AS bucket
       FROM documents
     )
@@ -125,7 +125,7 @@ def txt_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=r"""
     WITH b AS (
       SELECT lang,
-             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                   AS BIGINT) % 10000 AS bucket
       FROM documents
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_path
 from ..functions import dedup as D
 from ..functions import vector as V
 from .registry import declare
@@ -203,36 +203,78 @@ def ensure_ivf_index(
     k-means and materialize the partitioned layout ONCE (a write job, like
     LOAD), then serve every query from ``ivf_probe_index`` whose scan is
     partition-pruned to the probed cells. The cache keys on the absolute
-    fixture path + build parameters and lives in a writable temp/cache dir
-    because fixture dirs are read-only.
+    fixture path + a fingerprint of the source parquet (file listing with
+    sizes/mtimes — a regenerated or restaged fixture gets a fresh key, never
+    a stale index) + build parameters, and lives in a writable temp/cache
+    dir because fixture dirs are read-only. The build goes into a unique
+    temp dir renamed atomically into place, so concurrent builders (pytest
+    alongside bench with the same root) can't serve a half-written index.
     """
     import hashlib
     import os
+    import shutil
     import tempfile
 
     root = cache_root or os.environ.get(
         "PIXELS_SPARK_IVF_CACHE",
         os.path.join(tempfile.gettempdir(), "pixels_spark_ivf"),
     )
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + _data_fingerprint(table_path(sf_dir, "embeddings"))).encode()
+    ).hexdigest()[:12]
     dest = os.path.join(root, f"{key}_c{n_cells}_i{iterations}_a{n_assign}")
     idx_path = os.path.join(dest, "index")
     cents_path = os.path.join(dest, "centroids.parquet")
-    marker = os.path.join(dest, "_BUILT")
-    if not os.path.exists(marker):
-        e = load_table(spark, sf_dir, "embeddings")
-        cents = V.make_centroids(
-            e, "embedding", "vec_id", n_cells=n_cells, iterations=iterations
-        )
-        assigned = V.ivf_assign(
-            e, "embedding", cents, id_col="vec_id", n_assign=n_assign
-        )
-        V.write_ivf_index(assigned, idx_path)
-        cents.write.mode("overwrite").parquet(cents_path)
-        os.makedirs(dest, exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("ok")
+    if not os.path.exists(os.path.join(dest, "_BUILT")):
+        tmp = tempfile.mkdtemp(prefix=os.path.basename(dest) + ".build.", dir=_ensured(root))
+        try:
+            e = load_table(spark, sf_dir, "embeddings")
+            cents = V.make_centroids(
+                e, "embedding", "vec_id", n_cells=n_cells, iterations=iterations
+            )
+            assigned = V.ivf_assign(
+                e, "embedding", cents, id_col="vec_id", n_assign=n_assign
+            )
+            V.write_ivf_index(assigned, os.path.join(tmp, "index"))
+            cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids.parquet"))
+            with open(os.path.join(tmp, "_BUILT"), "w") as f:
+                f.write("ok")
+            os.rename(tmp, dest)
+        except OSError:
+            # a concurrent builder won the rename; its completed index serves
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(dest, "_BUILT")):
+                raise
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return idx_path, cents_path
+
+
+def _ensured(path: str) -> str:
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _data_fingerprint(path: str) -> str:
+    """Hash of the parquet file listing (relpath, size, mtime) under
+    ``path`` (a file or a directory-style parquet dataset)."""
+    import hashlib
+    import os
+
+    entries = []
+    if os.path.isdir(path):
+        for r, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                p = os.path.join(r, fn)
+                st = os.stat(p)
+                entries.append(f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:12]
 
 
 # IVF probe against a prebuilt partitioned index — the per-query serving

@@ -219,3 +219,60 @@ def test_point_lookup(table, events):
     row = table.point_lookup(key).collect()
     assert len(row) == 1
     assert row[0].event_id == key
+
+
+def test_vacuum_concurrent_with_insert_keeps_manifest_complete(spark, tmp_path):
+    """An insert landing while vacuum rewrites the manifest must not have
+    its entries dropped (both now go through the locked _index_rmw)."""
+    import threading
+
+    t = MvccTable(spark, str(tmp_path / "cv"), key_col="k", indexed=True, index_files=2)
+    first = t.insert(spark.range(10).select(F.col("id").alias("k")))
+    t.delete(list(range(10)))  # makes the first commit vacuumable
+
+    inserted_ts: list[int] = []
+
+    def writer():
+        for i in range(3):
+            inserted_ts.append(
+                t.insert(spark.range(100 + i * 10, 110 + i * 10).select(F.col("id").alias("k")))
+            )
+
+    th = threading.Thread(target=writer)
+    th.start()
+    for _ in range(3):
+        t.vacuum(retain_ts=t.trans.high_watermark + 1)
+    th.join()
+    t.vacuum(retain_ts=t.trans.high_watermark + 1)
+
+    import json
+
+    with open(t.index_path) as f:
+        idx = json.load(f)
+    manifest_ts = {e["commit_ts"] for e in idx}
+    # every surviving insert is fully represented; the vacuumed commit is not
+    for ts in inserted_ts:
+        assert ts in manifest_ts, f"insert {ts} lost from manifest during vacuum"
+    assert first not in manifest_ts
+    # and the rows are all reachable via indexed point lookup
+    assert t.point_lookup(105).count() == 1
+
+
+def test_point_lookup_reaches_rows_of_unindexed_commits(spark, tmp_path):
+    """A commit written while the table was opened unindexed must not be
+    silently unreachable through a later indexed open (manifest
+    incompleteness falls back to the full scan)."""
+    root = str(tmp_path / "ui")
+    plain = MvccTable(spark, root, key_col="k")
+    plain.insert(spark.range(5).select(F.col("id").alias("k")))
+
+    t = MvccTable(spark, root, key_col="k", indexed=True, index_files=2)
+    t.insert(spark.range(100, 105).select(F.col("id").alias("k")))
+
+    # key 3 only exists in the unindexed commit: manifest has no covering
+    # file, but the lookup must still find it
+    assert t.point_lookup(3).count() == 1
+    # a key in the indexed commit still resolves
+    assert t.point_lookup(102).count() == 1
+    # a truly absent key is empty either way
+    assert t.point_lookup(999).count() == 0

@@ -93,6 +93,20 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert counts == again
 
 
+def test_empirical_rate_unbiased_at_1e5(spark):
+    """Regression for the 4-hex-char bucket bias: md5[:4] is a 16-bit space,
+    and 65536 % 10000 = 5536 makes low buckets 7/65536 likely vs 6/65536 —
+    at fraction 0.5 the empirical keep-rate was 0.5358 (+3.6% absolute).
+    With 8 hex chars the residue bias is ~0.0002%; what remains is binomial
+    noise (sigma ~= 0.16% at n=1e5), so 0.5% absolute tolerance both passes
+    reliably and would have caught the 4-char scheme."""
+    n = 100_000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    for frac in (0.5, 0.1):
+        rate = hash_sample(df, "k", frac).count() / n
+        assert abs(rate - frac) < 0.005, f"fraction {frac}: empirical {rate}"
+
+
 def test_mixture_sample_is_subset_of_hash_sample(spark):
     from pixels_spark.functions.sampling import mixture_sample
 
