@@ -97,14 +97,29 @@ class PixelsSparkEngine:
     def sql_register(self, schema: str) -> None:
         """Register every table AND cataloged view of a schema for
         spark.sql. Tables first (views reference them); view SQL comes from
-        the metadata catalog (≈ MetadataService.createView:453 viewData)."""
+        the metadata catalog (≈ MetadataService.createView:453 viewData).
+        Views may reference other views, and the catalog doesn't store the
+        dependency DAG — register to a fixpoint (a failing view is retried
+        after the views it references land), so catalog iteration order
+        never matters; a genuinely unresolvable view raises its own error."""
         for t in self.meta.get_tables(schema):
             self.table(schema, t).createOrReplaceTempView(t)
-        for v in self.meta.get_views(schema):
-            self.spark.sql(
-                f"CREATE OR REPLACE TEMPORARY VIEW {v} AS "
-                + self.meta.get_view(schema, v)
-            )
+        pending = list(self.meta.get_views(schema))
+        while pending:
+            progressed, remaining, last_err = False, [], None
+            for v in pending:
+                try:
+                    self.spark.sql(
+                        f"CREATE OR REPLACE TEMPORARY VIEW {v} AS "
+                        + self.meta.get_view(schema, v)
+                    )
+                    progressed = True
+                except Exception as exc:  # unresolved reference: retry next pass
+                    remaining.append(v)
+                    last_err = exc
+            if not progressed:
+                raise last_err
+            pending = remaining
 
     def create_view(
         self, schema: str, view: str, view_sql: str, update_if_exists: bool = False

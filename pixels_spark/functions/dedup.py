@@ -30,11 +30,15 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     partition, which serializes CPU-bound work (shingling, hashing, vector
     math) onto a single core no matter how many executors exist (measured:
     the sf0.1 shingle explode ran 1-task). Hash-partitioning on the id both
-    engages every core and pre-spreads skew; for inputs already wider than
-    the session parallelism it is a cheap same-size shuffle that the
-    subsequent groupBy would have performed anyway.
+    engages every core and pre-spreads skew; an input already WIDER than
+    the session parallelism keeps its own partition count — spreading must
+    never downscale a big table's parallelism (a 4096-partition 100 TB scan
+    squeezed to defaultParallelism would concentrate, not spread).
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
+    n = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
     return df.repartition(n, key)
 
 

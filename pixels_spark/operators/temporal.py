@@ -22,10 +22,11 @@ workload needs most, expressed Spark-first:
   this form shuffles hash-partitioned like any equi-join and scales
   linearly.
 
-Both return deterministic results: as-of ties on ``right_ts`` break to the
-largest ``tie_break`` column value when given (else the right row chosen is
-the last in (ts, tie_break-less) order, which is only deterministic if
-``(by, right_ts)`` is unique — pre-aggregate the right side otherwise).
+Tie semantics of ``asof_join``: a right row at exactly ``left_ts`` matches
+(right sorts before left at equal time). When several right rows share the
+same ``(by, right_ts)``, the one chosen is whichever sorts last in the
+partition — deterministic only if ``(by, right_ts)`` is unique;
+pre-aggregate the right side to one row per (key, ts) otherwise.
 """
 
 from __future__ import annotations
@@ -47,6 +48,7 @@ def asof_join(
     tolerance: Column | None = None,
     how: str = "left",
     right_prefix: str = "r_",
+    skew_bucket_us: int | None = None,
 ) -> DataFrame:
     """As-of join: latest-right-at-or-before (backward) / earliest-right-at-
     or-after (forward) per left row, matched within ``by`` keys.
@@ -63,6 +65,16 @@ def asof_join(
     Forward direction reuses the same code on negated timestamps rather
     than a following-window, so the sort order (and the tie rule: equal
     ts matches, right-before-left) is identical in both directions.
+
+    ``skew_bucket_us`` bounds skew: the default window partitions by ``by``
+    alone, so ONE hot key (90% of rows on one user) serializes into one
+    task. With a bucket width set, rows are additionally partitioned by
+    ``floor(ts/width)``; earlier-bucket history reaches each bucket as a
+    single carried-in row (the right side pre-folded to its last payload
+    per (key, bucket), then a per-key window over BUCKET SUMMARIES — O(#
+    buckets), not O(rows)). Any window task is then bounded by one key's
+    rows in one time bucket + 1, at the cost of two extra small shuffles —
+    results are identical to the unbucketed plan (fuzz-asserted).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -89,13 +101,54 @@ def asof_join(
         F.lit(1).alias("_side"),
     ).withColumn("_match", F.lit(None).cast(r.schema["_match"].dataType))
     l_cols = [c for c in left.columns]
-    unioned = l.select(*by, "_t", "_side", "_match", *[c for c in l_cols if c not in by]).unionByName(
-        r.select(*by, "_t", "_side", "_match", *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c not in by])
+    l_pad = [c for c in l_cols if c not in by]
+    unioned = l.select(*by, "_t", "_side", "_match", *l_pad).unionByName(
+        r.select(*by, "_t", "_side", "_match", *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_pad])
     )
+
+    if skew_bucket_us is None:
+        part_cols: list = list(by)
+    else:
+        # Skew-bounded form: split each key's timeline into fixed buckets.
+        # History older than a bucket arrives as ONE carried-in row per
+        # (key, bucket): fold the right side to its last payload per
+        # bucket, then run the unbounded window over those summaries —
+        # per-key work is O(#buckets); the final per-row window below is
+        # bounded by one bucket of one key.
+        width = int(skew_bucket_us)
+        unioned = unioned.withColumn("_b", F.floor(F.col("_t") / width))
+        folds = (
+            unioned.filter(F.col("_side") == 0)
+            .groupBy(*by, "_b")
+            .agg(F.max_by("_match", F.col("_t")).alias("_fold"))
+        )
+        wb = (
+            Window.partitionBy(*by)
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = (
+            unioned.select(*by, "_b").distinct()
+            .join(folds, [*by, "_b"], "left")
+            .withColumn("_carry", F.last("_fold", ignorenulls=True).over(wb))
+            .filter(F.col("_carry").isNotNull())
+        )
+        # carry sorts first in its bucket (_t = bucket floor, _side = -1):
+        # before any in-bucket right at the boundary, which is itself newer.
+        carry_rows = carries.select(
+            *by,
+            (F.col("_b") * width).alias("_t"),
+            F.lit(-1).alias("_side"),
+            F.col("_carry").alias("_match"),
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_pad],
+            "_b",
+        )
+        unioned = unioned.unionByName(carry_rows)
+        part_cols = [*by, "_b"]
 
     # Right rows sort before left rows at equal _t => "at-or-before" matches.
     w = (
-        Window.partitionBy(*by)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

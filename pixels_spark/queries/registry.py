@@ -60,6 +60,7 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
         setopq,
         sqlq,
         streamq,
+        streamq_stateful,
         temporalq,
         text_pipeline,
         tpch,

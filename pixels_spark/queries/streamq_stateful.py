@@ -1,0 +1,187 @@
+"""Driver-visible declared queries for the STATEFUL streaming operators.
+
+``streamq`` oracles the window *semantics* in batch mode; these three
+queries run the actual streaming machinery — a real Structured Streaming
+job per call (file source replayed in event-time order, availableNow
+trigger, parquet/MVCC sink) — and return the sink contents, so the driver's
+DuckDB oracle checks the end-to-end streaming path, not a batch stand-in:
+
+- ``stream_sessionize``: ``applyInPandasWithState`` session assembly
+  (streaming/stateful.py) — emitted set == the watermark-safe
+  gaps-and-islands sessions, stated in SQL including the watermark filter.
+- ``stream_dedup``: ``dropDuplicatesWithinWatermark`` ingest dedup over a
+  doubled (CDC-replay) feed — output == the original events exactly.
+- ``stream_rollup``: continuous rollup into an MVCC table + raw-tail merge
+  (streaming/rollup.py) — merged aggregate == the full batch daily rollup.
+
+Reference analog: Retina's ingest surface is verified first-class
+(``pixels-retina/.../RetinaResourceManager.java:705``); these make our
+streaming subsystem equally driver-checked.
+
+Watermark math: Spark tracks event time per-row truncated to MILLISECONDS
+(EventTimeStats), so the final watermark is floor(max_ts, ms) - delay; the
+sessionize oracle reproduces that with date_trunc('milliseconds', max(ts)).
+The replay feeds files in event-time order (mtime order = ts order), so no
+event ever arrives behind the watermark and the replay is loss-free —
+emitted results are a pure function of (fixture, gap, delay), independent
+of micro-batch boundaries (property-tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS, load_table
+from .registry import declare
+
+
+def _ordered_stream(spark: SparkSession, sf_dir: str, workdir: str):
+    """events as a 2-file stream source in event-time order: slice at the
+    time midpoint, mtimes increasing, maxFilesPerTrigger=1 → one micro-batch
+    per slice (so watermark advancement between batches is exercised)."""
+    src = os.path.join(workdir, "src")
+    e = load_table(spark, sf_dir, "events")
+    row = e.agg(F.min("ts").alias("a"), F.max("ts").alias("b")).first()
+    mid = row["a"] + (row["b"] - row["a"]) / 2
+    slices = [e.filter(F.col("ts") <= F.lit(mid)), e.filter(F.col("ts") > F.lit(mid))]
+    _write_slices(slices, src)
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _write_slices(slices: list[DataFrame], src: str) -> None:
+    base, seen = time.time(), set()
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.mode("append").parquet(src)
+        for fn in os.listdir(src):
+            p = os.path.join(src, fn)
+            if fn.endswith(".parquet") and p not in seen:
+                os.utime(p, (base + i, base + i))
+                seen.add(p)
+
+
+def _run_to_parquet(out_stream: DataFrame, workdir: str, tag: str) -> str:
+    out = os.path.join(workdir, f"out_{tag}")
+    q = (
+        out_stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(workdir, f"ck_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"streaming query {tag} did not finish in 600s")
+    return out
+
+
+@declare(
+    "stream_sessionize",
+    sql="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM e),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+      FROM marked),
+    agg AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events, sum(value) AS total_value
+      FROM sessions GROUP BY user_id, sid),
+    wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w FROM e)
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM agg, wm
+    WHERE session_end + INTERVAL 30 MINUTE <= w
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "stateful", "sessionization"),
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once closed-session emission: sessions whose end + gap the
+    final watermark has passed, assembled per-key by the custom
+    applyInPandasWithState operator."""
+    from ..streaming.stateful import sessionize_stateful
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_sess_")
+    stream = _ordered_stream(spark, sf_dir, work)
+    out = _run_to_parquet(sessionize_stateful(stream, gap_seconds=1800), work, "sess")
+    return spark.read.parquet(out).orderBy("user_id", "session_start")
+
+
+@declare(
+    "stream_dedup",
+    sql="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("streaming", "dedup", "ingest"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup: the feed delivers every event TWICE (a CDC
+    replay); dropDuplicatesWithinWatermark must emit each exactly once, so
+    the output equals the original events table."""
+    from ..streaming.ingest import dedup_stream
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_dedup_")
+    src = os.path.join(work, "src")
+    e = load_table(spark, sf_dir, "events")
+    _write_slices([e, e], src)  # the same full table arrives twice
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = dedup_stream(stream, ["event_id"], watermark_delay="365 days")
+    out = _run_to_parquet(deduped, work, "dedup")
+    return spark.read.parquet(out).orderBy("event_id")
+
+
+@declare(
+    "stream_rollup",
+    sql="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS bucket_start,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
+                AS TIMESTAMP) AS bucket_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY bucket_start, event_type
+    """,
+    tags=("streaming", "rollup", "mvcc", "time_series"),
+)
+def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate: streaming daily rollup finalized into an MVCC
+    table (append mode — each bucket exactly once), merged with the raw
+    tail; the merge must equal the full batch daily aggregate. Sums are
+    DECIMAL-accumulated so bucket values are order-exact vs the oracle."""
+    from ..mvcc.table import MvccTable
+    from ..streaming.rollup import continuous_rollup, rollup_with_tail
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_rollup_")
+    stream = _ordered_stream(spark, sf_dir, work)
+    table = MvccTable(spark, os.path.join(work, "rollup"), key_col="bucket_start")
+    q = continuous_rollup(stream, table, os.path.join(work, "ck"), window="1 day")
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("continuous_rollup did not finish in 600s")
+    merged = rollup_with_tail(table, load_table(spark, sf_dir, "events"), window="1 day")
+    return merged.orderBy("bucket_start", "event_type")

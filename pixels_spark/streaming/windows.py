@@ -22,9 +22,13 @@ from pyspark.sql import functions as F
 
 
 def _agg_exprs() -> list[Column]:
+    # decimal-accumulated sum: double addition is order-sensitive and
+    # micro-batch boundaries reorder it; DECIMAL(18,6) makes total_value a
+    # pure function of the window's rows, so continuous-rollup buckets are
+    # bit-identical to a batch recompute (and to the DuckDB oracle)
     return [
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     ]

@@ -62,3 +62,30 @@ def test_engine_lifecycle(spark, sf_dir, tmp_path):
     assert mv.read().count() == 9
     # same ts oracle as the engine
     assert eng.trans.high_watermark >= t1
+
+
+def test_view_on_view_registers_regardless_of_catalog_order(spark, sf_dir, tmp_path):
+    """A view referencing another view must register even when the catalog
+    iterates the dependent first (sql_register retries to a fixpoint)."""
+    import pytest
+
+    eng = PixelsSparkEngine(spark, str(tmp_path / "wh2"))
+    eng.import_table("tpch", "orders", f"{sf_dir}/orders.parquet")
+    eng.sql_register("tpch")
+    # catalog order: the DEPENDENT view first ("a_top" sorts/inserts before
+    # its base "z_base"), so a single-pass registration would fail
+    eng.meta.create_view("tpch", "a_top",
+                         "SELECT max(tp) AS mx FROM z_base")
+    eng.meta.create_view("tpch", "z_base",
+                         "SELECT o_totalprice AS tp FROM orders")
+    assert eng.meta.get_views("tpch") == ["a_top", "z_base"]
+    for v in ("a_top", "z_base"):
+        spark.catalog.dropTempView(v)
+    eng.sql_register("tpch")
+    assert eng.sql("SELECT mx FROM a_top").count() == 1
+
+    # a view with a truly unresolvable reference surfaces its own error
+    eng.meta.create_view("tpch", "broken", "SELECT * FROM no_such_table")
+    with pytest.raises(Exception, match="no_such_table|TABLE_OR_VIEW_NOT_FOUND"):
+        eng.sql_register("tpch")
+    eng.meta.drop_view("tpch", "broken")

@@ -49,8 +49,9 @@ rows_right = st.lists(
     right=rows_right,
     direction=st.sampled_from(["backward", "forward"]),
     how=st.sampled_from(["left", "inner"]),
+    bucket=st.sampled_from([None, 3_000_000, 45_000_000]),
 )
-def test_asof_matches_duckdb(spark, left, right, direction, how):
+def test_asof_matches_duckdb(spark, left, right, direction, how, bucket):
     l_rows = [(i, k, _ts(o)) for i, (k, o) in enumerate(left)]
     r_rows = [(k, _ts(o), float(px)) for k, o, px in right]
     ldf = spark.createDataFrame(
@@ -63,7 +64,7 @@ def test_asof_matches_duckdb(spark, left, right, direction, how):
         (r["lid"], r["r_px"])
         for r in asof_join(
             ldf, rdf, by=["k"], left_ts="lts", right_ts="rts",
-            direction=direction, how=how,
+            direction=direction, how=how, skew_bucket_us=bucket,
         ).collect()
     )
 

@@ -152,3 +152,64 @@ def test_range_join_plan_is_equi(spark, points, intervals):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_skew_bucketing_bounds_partitions_and_matches_plain(spark):
+    """One hot key carrying 90% of rows: the bucketed plan must (a) return
+    exactly the unbucketed result and (b) split the hot key across time
+    buckets so no window partition holds the whole key."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pixels_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    n = 2000
+    # 90% of left rows on key 0, spread over n seconds; rest across 9 keys
+    left = spark.range(n).select(
+        F.col("id").alias("lid"),
+        F.when(F.col("id") % 10 < 9, 0).otherwise((F.col("id") % 9) + 1).alias("k"),
+        (F.lit(base) + F.make_interval(secs=F.col("id"))).alias("lts"),
+    )
+    right = spark.range(0, n, 7).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise((F.col("id") % 9) + 1).alias("k"),
+        (F.lit(base) + F.make_interval(secs=F.col("id"))).alias("rts"),
+        (F.col("id") * 1.0).alias("px"),
+    ).dropDuplicates(["k", "rts"])
+
+    bucket_us = 100 * 1_000_000  # 100 s → ~20 buckets over the hot key
+    plain = sorted(
+        (r["lid"], r["r_px"])
+        for r in asof_join(left, right, by=["k"], left_ts="lts",
+                           right_ts="rts").collect()
+    )
+    bucketed = sorted(
+        (r["lid"], r["r_px"])
+        for r in asof_join(left, right, by=["k"], left_ts="lts", right_ts="rts",
+                           skew_bucket_us=bucket_us).collect()
+    )
+    assert bucketed == plain
+
+    # bound check: max rows per (key, bucket) window partition is far below
+    # the hot key's total (which the unbucketed plan would process serially)
+    hot_total = left.filter(F.col("k") == 0).count()
+    per_part = (
+        left.withColumn("_b", F.floor(F.unix_micros("lts") / bucket_us))
+        .groupBy("k", "_b")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert hot_total >= 0.85 * n
+    assert per_part <= hot_total / 10
+
+
+def test_spread_never_downscales(spark):
+    from pixels_spark.functions.dedup import spread
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).repartition(4 * n, "id")
+    assert spread(wide, "id").rdd.getNumPartitions() == 4 * n
+    narrow = spark.range(1000).coalesce(1)
+    assert spread(narrow, "id").rdd.getNumPartitions() == n

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Regenerate QUERIES.md from the declared-query registry.
+
+Run after adding/removing declared queries so the doc can never drift from
+``load_all_modules()`` (VERDICT r03 flagged exactly that drift).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pixels_spark.queries import load_all_modules  # noqa: E402
+
+
+def main() -> None:
+    reg = load_all_modules()
+    n = len(reg)
+    n_oracle = sum(1 for q in reg.values() if q.sql is not None)
+    lines = [
+        "# QUERIES — declared query index (auto-generated from the registry)",
+        "",
+        f"{n} queries; {n_oracle} with a DuckDB",
+        "oracle (value-hash checked at sf0.01 by the driver), the rest rows-only",
+        "(hash-based ops whose semantics aren't SQL-expressible; property-tested",
+        "in tests/). Source modules: `pixels_spark/queries/*.py`. All 22 TPC-H",
+        "analogs additionally run as verbatim SQL text on the engine's own",
+        "spark.sql path (tests/test_sql_dialect.py).",
+        "",
+        "Regenerate with `python tools/gen_queries_md.py`.",
+        "",
+        "| query | oracle | tags | summary |",
+        "|---|---|---|---|",
+    ]
+    for name in sorted(reg):
+        q = reg[name]
+        oracle = "✅" if q.sql is not None else "rows-only"
+        doc = (q.doc or "").split("\n")[0].strip()
+        lines.append(f"| `{name}` | {oracle} | {', '.join(q.tags)} | {doc} |")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "QUERIES.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}: {n} queries, {n_oracle} oracled")
+
+
+if __name__ == "__main__":
+    main()
