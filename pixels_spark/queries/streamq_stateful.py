@@ -153,6 +153,56 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "stream_cdc",
+    sql="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value,
+           props
+    FROM events
+    WHERE event_id % 10 <> 1
+    ORDER BY event_id
+    """,
+    tags=("streaming", "cdc", "mvcc"),
+)
+def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay into an MVCC table (≈ Retina insertRecord/deleteRecord,
+    RetinaResourceManager.java:705): batch 1 inserts every event, batch 2
+    updates event_id%10==0 (value doubled) and deletes event_id%10==1 —
+    the final latest-version snapshot must equal the oracle's CASE/WHERE
+    restatement. Each micro-batch commits as ONE transaction."""
+    from ..mvcc.table import MvccTable
+    from ..streaming.ingest import ingest_cdc_stream
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_cdc_")
+    src = os.path.join(work, "src")
+    e = load_table(spark, sf_dir, "events")
+    inserts = e.withColumn("op", F.lit("I"))
+    updates = (
+        e.filter(F.col("event_id") % 10 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = e.filter(F.col("event_id") % 10 == 1).withColumn("op", F.lit("D"))
+    _write_slices([inserts, updates.unionByName(deletes)], src)
+
+    cdc_schema = StructType(
+        list(SCHEMAS["events"].fields) + [StructField("op", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(cdc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
+    q = ingest_cdc_stream(stream, table, os.path.join(work, "ck"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("cdc ingest did not finish in 600s")
+    return table.read_latest_version().drop("_commit_ts").orderBy("event_id")
+
+
+@declare(
     "stream_rollup",
     sql="""
     SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
