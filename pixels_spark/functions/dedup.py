@@ -115,7 +115,17 @@ def ngram_jaccard_pairs(
     ]
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))
-    sh = spread(df, id_col).select(*cols).withColumn("_size", F.size("_sh"))
+    # lineage cut: the shingled table feeds BOTH sides of the self-join and
+    # exchange reuse doesn't fire across the aliased sides — without it the
+    # tokenize+shingle CPU (the expensive part) runs twice. Materialize the
+    # compact per-doc form (one row per doc, shingle array), not the
+    # exploded form, so the stored footprint is ~the text size.
+    sh = (
+        spread(df, id_col)
+        .select(*cols)
+        .withColumn("_size", F.size("_sh"))
+        .localCheckpoint(eager=False)
+    )
     keep = ["_id", "_size"] + (["_blk"] if block_col else [])
     exploded = sh.select(*keep, F.explode("_sh").alias("_shingle"))
     join_keys = ["_shingle"] + (["_blk"] if block_col else [])
@@ -230,7 +240,12 @@ def minhash_lsh_candidates(
     shuffle keyed by band content, never a cross join.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # lineage cut (see ngram_jaccard_pairs): the signature job — shingle
+    # explode + num_hashes MIN aggregates — would otherwise run once per
+    # self-join side; the signature table is tiny (id + num_hashes longs)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
+        eager=False
+    )
     banded = sig.select(
         "_id",
         F.explode(
@@ -354,8 +369,15 @@ def simhash_near_pairs(
 
     Band trick: split 64 bits into 4×16-bit chunks; any pair within hamming
     ≤3 agrees exactly on ≥1 chunk (pigeonhole), so an equi-join per chunk
-    finds all of them without O(n²)."""
-    sigs = simhash(df, id_col, text_col)
+    finds all of them without O(n²).
+
+    The signature table feeds BOTH sides of the self-join; Spark's exchange
+    reuse does not fire across the differently-aliased sides, so without a
+    lineage cut the token-explode + groupBy (the expensive 99% of the job)
+    runs twice. ``localCheckpoint`` materializes the tiny signature table
+    (2 longs per doc) once; both join sides then scan the materialization —
+    at 100 TB this halves the operator."""
+    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     chunks = sigs.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
@@ -380,12 +402,16 @@ def simhash_near_pairs(
         F.col("_id").alias("id_b"), F.col("simhash").alias("_sig_b"), "chunk", "chunk_val"
     )
     hamming = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b")))
+    # hamming-filter BEFORE the dedup shuffle: the distinct only has to
+    # carry pairs that already passed the (highly selective) distance test,
+    # not every same-chunk candidate — order is semantics-preserving since
+    # hamming is a pure function of the pair
     return (
         a.join(b, ["chunk", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -37,6 +37,115 @@ COMMIT_TS = "_commit_ts"
 DELETED_TS = "_deleted_ts"
 
 
+class _JsonManifest:
+    """Point-index manifest persisted as a JSON file with flock'd atomic
+    read-modify-write (the default; human-inspectable). One of the pluggable
+    persistence backends mirroring the reference's SinglePointIndex
+    implementations (rocksdb/sqlite/mapdb/memory,
+    ``pixels-index/``, ``SinglePointIndex.java:108-202``)."""
+
+    def __init__(self, root: str):
+        self.path = os.path.join(root, "_point_index.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def load(self) -> list[dict]:
+        import json
+
+        if not self.exists():
+            return []
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _rmw(self, mutate) -> None:
+        import fcntl
+        import json
+
+        with open(self.path + ".lock", "a") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                idx = self.load()
+                idx = mutate(idx)
+                tmp = self.path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(idx, f)
+                os.replace(tmp, self.path)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    def append(self, entries: list[dict]) -> None:
+        self._rmw(lambda idx: idx + entries)
+
+    def remove_commits(self, ts_set: set[int]) -> None:
+        self._rmw(lambda idx: [e for e in idx if e["commit_ts"] not in ts_set])
+
+
+class _SqliteManifest:
+    """Point-index manifest in SQLite — transactional appends/removes
+    without an external lock file; the closest stdlib analog to the
+    reference's SqlitePointIndex. Key bounds are stored JSON-encoded so
+    int/float/string keys round-trip with their comparison semantics."""
+
+    def __init__(self, root: str):
+        self.path = os.path.join(root, "_point_index.db")
+
+    def _con(self):
+        import sqlite3
+
+        con = sqlite3.connect(self.path, timeout=30.0)
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS entries ("
+            "path TEXT NOT NULL, commit_ts INTEGER NOT NULL, "
+            "min_key TEXT NOT NULL, max_key TEXT NOT NULL)"
+        )
+        con.execute(
+            "CREATE INDEX IF NOT EXISTS idx_commit ON entries(commit_ts)"
+        )
+        return con
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def load(self) -> list[dict]:
+        import json
+
+        if not self.exists():
+            return []
+        with self._con() as con:
+            rows = con.execute(
+                "SELECT path, commit_ts, min_key, max_key FROM entries"
+            ).fetchall()
+        return [
+            {"path": p, "commit_ts": ts, "min": json.loads(mn), "max": json.loads(mx)}
+            for p, ts, mn, mx in rows
+        ]
+
+    def append(self, entries: list[dict]) -> None:
+        import json
+
+        with self._con() as con:
+            con.execute("BEGIN IMMEDIATE")
+            con.executemany(
+                "INSERT INTO entries (path, commit_ts, min_key, max_key) "
+                "VALUES (?, ?, ?, ?)",
+                [
+                    (e["path"], e["commit_ts"], json.dumps(e["min"]), json.dumps(e["max"]))
+                    for e in entries
+                ],
+            )
+
+    def remove_commits(self, ts_set: set[int]) -> None:
+        with self._con() as con:
+            con.execute("BEGIN IMMEDIATE")
+            con.executemany(
+                "DELETE FROM entries WHERE commit_ts = ?", [(t,) for t in ts_set]
+            )
+
+
+_MANIFEST_BACKENDS = {"json": _JsonManifest, "sqlite": _SqliteManifest}
+
+
 class MvccTable:
     def __init__(
         self,
@@ -46,6 +155,7 @@ class MvccTable:
         trans: TransService | None = None,
         indexed: bool = False,
         index_files: int | None = None,
+        index_backend: str = "json",
     ):
         """``indexed=True`` maintains a point-lookup index on ingest
         (≈ SinglePointIndex key→RowLocation,
@@ -55,7 +165,13 @@ class MvccTable:
         ``point_lookup`` opens only the files whose key range covers the
         probe — O(matching files), not O(table), on a multi-file table.
         ``index_files`` bounds files per commit (defaults to the session's
-        shuffle parallelism)."""
+        shuffle parallelism). ``index_backend`` picks the manifest
+        persistence ('json' flock'd file | 'sqlite' transactional DB),
+        mirroring the reference's pluggable SinglePointIndex impls."""
+        if index_backend not in _MANIFEST_BACKENDS:
+            raise ValueError(
+                f"index_backend must be one of {sorted(_MANIFEST_BACKENDS)}"
+            )
         self.spark = spark
         self.root = root
         self.key_col = key_col
@@ -64,7 +180,8 @@ class MvccTable:
         self.trans = trans or TransService(root)
         self.indexed = indexed
         self.index_files = index_files
-        self.index_path = os.path.join(root, "_point_index.json")
+        self.manifest = _MANIFEST_BACKENDS[index_backend](root)
+        self.index_path = self.manifest.path
         os.makedirs(self.data_dir, exist_ok=True)
 
     # -- write path --------------------------------------------------------
@@ -102,9 +219,6 @@ class MvccTable:
         manifest (the putPrimaryEntries analog — file-granular instead of
         row-granular because parquet min/max + in-file sort already resolve
         the row)."""
-        import fcntl
-        import json
-
         import pyarrow.parquet as pq
 
         entries = []
@@ -126,30 +240,10 @@ class MvccTable:
                 entries.append(
                     {"path": fpath, "commit_ts": ts, "min": mn, "max": mx}
                 )
-        self._index_rmw(lambda idx: idx + entries)
-
-    def _index_rmw(self, mutate) -> None:
-        """Locked read-modify-write of the manifest — the ONE path through
-        which the manifest changes (insert appends, vacuum filters), so an
-        insert landing mid-vacuum can't have its entries dropped by the
-        vacuum's rewrite."""
-        import fcntl
-        import json
-
-        with open(self.index_path + ".lock", "a") as lf:
-            fcntl.flock(lf, fcntl.LOCK_EX)
-            try:
-                idx = []
-                if os.path.exists(self.index_path):
-                    with open(self.index_path) as f:
-                        idx = json.load(f)
-                idx = mutate(idx)
-                tmp = self.index_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(idx, f)
-                os.replace(tmp, self.index_path)
-            finally:
-                fcntl.flock(lf, fcntl.LOCK_UN)
+        # manifest mutations are atomic in the backend (flock'd RMW for
+        # json, a transaction for sqlite), so an insert landing mid-vacuum
+        # can't have its entries dropped by the vacuum's rewrite
+        self.manifest.append(entries)
 
     def delete(self, keys: Sequence | DataFrame, ts: int | None = None) -> int:
         """Row-level delete by key at a commit timestamp
@@ -307,11 +401,8 @@ class MvccTable:
             if survivors == 0:
                 shutil.rmtree(os.path.join(self.data_dir, entry))
                 removed.append(ts)
-        if removed and os.path.exists(self.index_path):
-            gone = set(removed)
-            self._index_rmw(
-                lambda idx: [e for e in idx if e["commit_ts"] not in gone]
-            )
+        if removed and self.manifest.exists():
+            self.manifest.remove_commits(set(removed))
         return removed
 
     def point_lookup(self, key, snapshot_ts: int | None = None) -> DataFrame:
@@ -324,14 +415,11 @@ class MvccTable:
         partition-column + min/max pruning over the full layout."""
         if snapshot_ts is None:
             snapshot_ts = self.trans.high_watermark
-        if not (self.indexed and os.path.exists(self.index_path)):
+        if not (self.indexed and self.manifest.exists()):
             return self.read_latest_version(snapshot_ts).filter(
                 F.col(self.key_col) == key
             )
-        import json
-
-        with open(self.index_path) as f:
-            idx = json.load(f)
+        idx = self.manifest.load()
         # the manifest is only authoritative when every visible commit is in
         # it; a commit written while the table was opened unindexed (or an
         # interrupted index write) must not make its rows silently

@@ -276,3 +276,36 @@ def test_point_lookup_reaches_rows_of_unindexed_commits(spark, tmp_path):
     assert t.point_lookup(102).count() == 1
     # a truly absent key is empty either way
     assert t.point_lookup(999).count() == 0
+
+
+def test_sqlite_index_backend_full_lifecycle(spark, sf_dir, tmp_path):
+    """The SQLite manifest backend (≈ the reference's SqlitePointIndex
+    flavor) must serve the same indexed lifecycle as the JSON default:
+    selective point lookups, vacuum pruning, unindexed-commit fallback."""
+    events = load_table(spark, sf_dir, "events").limit(50).cache()
+    t = MvccTable(spark, str(tmp_path / "sq"), key_col="event_id",
+                  indexed=True, index_files=2, index_backend="sqlite")
+    t.insert(events)
+    assert t.index_path.endswith(".db")
+    key = events.orderBy("event_id").first().event_id
+    hit = t.point_lookup(key).collect()
+    assert len(hit) == 1 and hit[0].event_id == key
+    # manifest is selective: candidate files < total files
+    idx = t.manifest.load()
+    assert idx and all({"path", "commit_ts", "min", "max"} <= set(e) for e in idx)
+    covering = [e for e in idx if e["min"] <= key <= e["max"]]
+    assert len(covering) < len(idx)
+    # delete + vacuum removes the commit's entries from the manifest
+    t.delete([r.event_id for r in events.collect()])
+    removed = t.vacuum(retain_ts=t.trans.high_watermark + 1)
+    assert removed
+    assert t.manifest.load() == []
+    # absent key on the (complete) empty manifest is authoritative-empty
+    assert t.point_lookup(key).count() == 0
+
+
+def test_bad_index_backend_rejected(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="index_backend"):
+        MvccTable(spark, str(tmp_path / "x"), key_col="k", index_backend="rocksdb")
