@@ -202,3 +202,50 @@ def test_view_crud_and_persistence(store):
     assert store2.get_view("analytics", "v1") == "SELECT 2 AS two"
     store2.drop_view("analytics", "v1")
     assert store2.get_views("analytics") == []
+
+
+def test_compact_no_reencode_is_byte_level(spark, sf_dir, tmp_path):
+    """The no-re-encode compactor must concatenate serialized row groups
+    verbatim (≈ pixels-core compactor): same total row groups, and every
+    column chunk's compressed size identical to its source — proof nothing
+    was decoded/re-encoded."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pixels_spark.catalog import load_table
+    from pixels_spark.storage.compact import compact_path
+
+    src = str(tmp_path / "ord")
+    load_table(spark, sf_dir, "orders").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    dest = str(tmp_path / "cmp")
+    out = compact_path(spark, src, dest, compact_factor=3, no_reencode=True)
+
+    src_files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    dst_files = sorted(glob.glob(f"{dest}/part-*.parquet"))
+    assert len(dst_files) == 2  # 6 files / factor 3
+
+    def chunk_sizes(paths):
+        out = []
+        for p in paths:
+            md = pq.read_metadata(p)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                out.append(
+                    tuple(
+                        (g.column(c).path_in_schema, g.column(c).total_compressed_size)
+                        for c in range(g.num_columns)
+                    )
+                )
+        return out
+
+    # every source row group appears in the output with identical
+    # per-column compressed byte sizes (order may interleave across files)
+    assert sorted(chunk_sizes(src_files)) == sorted(chunk_sizes(dst_files))
+
+    # and the data reads back identically
+    src_df = spark.read.parquet(src)
+    assert out.count() == src_df.count()
+    assert out.exceptAll(src_df).count() == 0
