@@ -53,7 +53,9 @@ def build_session(
         # --- Arrow for the (rare) pandas-UDF paths; batch size bounds memory ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-        # fixture events.ts is ns; allow non-lossy handling where supported
+        # UTC-pinned sessions make the catalog's NTZ→TIMESTAMP normalization
+        # value-preserving and keep date_trunc/window boundaries aligned
+        # with the DuckDB oracle's naive-µs semantics (catalog.load_table)
         "spark.sql.session.timeZone": "UTC",
     }
     if extra_conf:

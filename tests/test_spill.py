@@ -29,14 +29,26 @@ def spill_spark(spark, sf_dir):
     """Same master, pathological spill thresholds. Built AFTER the shared
     session is torn down? No — Spark allows one context; use newSession()
     with runtime-settable confs instead, and set the static ones via the
-    SQLConf that accepts runtime changes."""
+    SQLConf that accepts runtime changes.
+
+    The threshold scales with the fixture size so the spill-FILE count per
+    partition stays bounded: every spill file costs a 1 MB
+    UnsafeSorterSpillReader buffer when the partition is read back, so a
+    fixed threshold of 4 at sf0.01 (15k-row global window partitions →
+    ~4000 files → ~4 GB of read buffers) OOMs the driver JVM. rows/256
+    still forces hundreds of spills at every SF — the spill path is
+    exercised — while capping read-back memory at ~256 MB."""
+    from pixels_spark.catalog import load_table
+
+    n = load_table(spark, sf_dir, "orders").count()
+    thr = str(max(4, n // 256))
     s = spark.newSession()
     for k, v in {
-        "spark.sql.windowExec.buffer.in.memory.threshold": "4",
-        "spark.sql.windowExec.buffer.spill.threshold": "4",
-        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "4",
-        "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "4",
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "4",
+        "spark.sql.windowExec.buffer.in.memory.threshold": thr,
+        "spark.sql.windowExec.buffer.spill.threshold": thr,
+        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": thr,
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold": thr,
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": thr,
     }.items():
         s.conf.set(k, v)
     return s
