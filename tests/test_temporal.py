@@ -213,3 +213,41 @@ def test_spread_never_downscales(spark):
     assert spread(wide, "id").rdd.getNumPartitions() == 4 * n
     narrow = spark.range(1000).coalesce(1)
     assert spread(narrow, "id").rdd.getNumPartitions() == n
+
+
+def test_asof_tolerance_and_inner_with_skew_bucketing(spark):
+    """tolerance and how='inner' must compose with the bucketed plan —
+    matches the unbucketed result exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pixels_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.range(300).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 5).alias("k"),
+        (F.lit(base) + F.make_interval(secs=F.col("id") * 3)).alias("lts"),
+    )
+    right = spark.range(0, 900, 11).select(
+        (F.col("id") % 5).alias("k"),
+        (F.lit(base) + F.make_interval(secs=F.col("id"))).alias("rts"),
+        (F.col("id") * 1.0).alias("px"),
+    ).dropDuplicates(["k", "rts"])
+
+    for how in ("left", "inner"):
+        for direction in ("backward", "forward"):
+            kw = dict(by=["k"], left_ts="lts", right_ts="rts",
+                      direction=direction, how=how,
+                      tolerance=F.lit(20 * 1_000_000))
+            plain = sorted(
+                (r["lid"], r["r_px"])
+                for r in asof_join(left, right, **kw).collect()
+            )
+            bucketed = sorted(
+                (r["lid"], r["r_px"])
+                for r in asof_join(left, right, skew_bucket_us=60 * 1_000_000,
+                                   **kw).collect()
+            )
+            assert bucketed == plain, (how, direction)
