@@ -306,6 +306,46 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_md5_bands(
+    text: Column, n: int = 3, num_hashes: int = 8, rows_per_band: int = 2
+) -> Column:
+    """Per-row MinHash LSH bands as a pure column expression (no shuffle,
+    no explode) — array<struct<band:int, bh:string>>.
+
+    md5-based hash family (hash_i(s) = first 8 hex chars of
+    md5('i|' || s) as a bigint) instead of xxhash64: md5 exists in DuckDB
+    with identical semantics, so band values — and therefore collision
+    sets — are EXACTLY restatable in oracle SQL (same trick as
+    ``sampling.hash_bucket``). Stateless per row: safe in streaming
+    projections where a groupBy would need its own state.
+    """
+    sh = word_shingles(text, n)
+
+    # single-arg factory, NOT `lambda s, i=i`: F.transform passes the array
+    # index to any two-argument callable, silently replacing the bound seed
+    # with an index Column
+    def _hasher(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8), 16, 10
+        ).cast("long")
+
+    sigs = [F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)]
+    n_bands = num_hashes // rows_per_band
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[sigs[b * rows_per_band + j].cast("string") for j in range(rows_per_band)],
+                ).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -152,6 +152,95 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("event_id")
 
 
+def _md5_minhash_sql(n: int = 3, num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """Oracle restatement of functions.dedup.minhash_md5_bands: the md5
+    hash family is computable in DuckDB with bit-identical results (same
+    conv/substr/md5 pattern proven by the sampling oracles), so the band
+    values — and therefore the collision/suppression sets — match exactly."""
+    hash_i = (
+        "list_min(list_transform(s, x -> CAST(concat('0x', "
+        "substr(md5(concat('{i}|', x)), 1, 8)) AS BIGINT)))"
+    )
+    sig_cols = ",\n             ".join(
+        f"{hash_i.format(i=i)} AS h{i}" for i in range(num_hashes)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_structs = ", ".join(
+        "struct_pack(band := {b}, bh := concat_ws(',', {hs}))".format(
+            b=b,
+            hs=", ".join(
+                f"CAST(h{b * rows_per_band + j} AS VARCHAR)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {n}
+                  THEN list_distinct(list_transform(range(1, len(toks)-{n - 2}),
+                         i -> concat_ws(' ', {", ".join(f"toks[i+{j}]" for j in range(n))})))
+                  ELSE [array_to_string(toks, ' ')] END AS s
+      FROM toks),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM sh),
+    bands AS (
+      SELECT doc_id, u['band'] AS band, u['bh'] AS bh
+      FROM (SELECT doc_id, unnest([{band_structs}]) AS u FROM sigs)),
+    hits AS (
+      SELECT DISTINCT b2.doc_id
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.bh = b2.bh AND b1.doc_id < b2.doc_id)
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS suppressed
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@declare(
+    "stream_dedup_minhash",
+    sql=_md5_minhash_sql(),
+    tags=("streaming", "stateful", "dedup", "minhash"),
+)
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate suppression at ingest: each arriving doc's
+    MinHash-LSH bands are checked against per-band state; a doc is
+    suppressed iff any band collides with an earlier doc — the ingest-time
+    counterpart of the batch MinHash-LSH dedup, run through a real
+    stateful streaming job and oracled exactly (md5 hash family)."""
+    from ..functions.dedup import minhash_md5_bands
+    from ..streaming.stateful import band_first_seen
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_nd_")
+    src = os.path.join(work, "src")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = d.agg(((F.min("doc_id") + F.max("doc_id")) / 2).alias("m")).first()["m"]
+    _write_slices(
+        [d.filter(F.col("doc_id") <= half), d.filter(F.col("doc_id") > half)], src
+    )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    band_rows = stream.select(
+        "doc_id", F.explode(minhash_md5_bands(F.col("text"))).alias("_b")
+    ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    out = _run_to_parquet(band_first_seen(band_rows), work, "nd")
+    return (
+        spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(F.max("suppressed").alias("suppressed"))
+        .orderBy("doc_id")
+    )
+
+
 @declare(
     "stream_cdc",
     sql="""

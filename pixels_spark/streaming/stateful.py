@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -140,4 +141,66 @@ def sessionize_stateful(
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", LongType()),
+        StructField("suppressed", BooleanType()),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = StructType([StructField("min_id", LongType())])
+
+
+def band_first_seen(
+    band_rows: DataFrame,
+    id_col: str = "doc_id",
+    band_col: str = "band",
+    hash_col: str = "bh",
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup suppression core: per (band, hash)
+    group, remember the smallest id ever seen; every arriving row is
+    flagged ``suppressed`` iff an earlier id (state or same-batch) shares
+    the band value. A doc is then a near-duplicate iff ANY of its bands is
+    flagged — the standard LSH collision rule, applied at ingest.
+
+    State per group is ONE long (the minimum id): O(#distinct band values
+    in horizon), independent of corpus size. Feed ids in arrival order
+    (the replay queries order by doc_id) so "earlier" is well-defined; a
+    production deployment would key id on (event-time, doc_id) and expire
+    state via a timeout — the declared replay keeps NoTimeout for a
+    horizonless exact oracle.
+    """
+
+    def flag(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        band, _bh = key
+        min_id = state.get[0] if state.exists else None
+        out_ids, out_flags = [], []
+        rows = []
+        for pdf in pdfs:
+            if len(pdf):
+                rows.extend(
+                    zip(pdf[id_col].astype("int64").tolist(), [int(band)] * len(pdf))
+                )
+        rows.sort()
+        for did, _b in rows:
+            out_ids.append(did)
+            out_flags.append(min_id is not None and min_id < did)
+            if min_id is None or did < min_id:
+                min_id = did
+        state.update((int(min_id),))
+        yield pd.DataFrame(
+            {"doc_id": out_ids, "band": [int(band)] * len(out_ids),
+             "suppressed": out_flags}
+        )
+
+    return band_rows.groupBy(band_col, hash_col).applyInPandasWithState(
+        flag,
+        DEDUP_OUTPUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )
