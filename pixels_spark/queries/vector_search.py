@@ -176,6 +176,41 @@ def vec_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# int8-quantized kNN — the memory-bound serving path (4× smaller corpus
+# footprint). Fully oracled: the floor-based symmetric quantization and the
+# dequantized cosine fold are restated in DuckDB exactly (floor(x/s + 0.5)
+# is engine-identical where round() is not).
+_SQL_DEQ = (
+    "list_transform({v}, x -> CAST(CASE WHEN sc = 0 THEN 0 "
+    "ELSE floor(CAST(x AS DOUBLE) / sc + 0.5) END AS INTEGER) * sc)"
+)
+
+
+@declare(
+    "vec_knn_int8",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    z AS (
+      SELECT vec_id,
+             {_SQL_DEQ.format(v="embedding")} AS deq
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+            FROM embeddings)
+    )
+    SELECT vec_id, {_sql_cos("deq", "qv")} AS sim
+    FROM z, q
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("vector", "topk", "knn", "quantization"),
+)
+def vec_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    return V.knn_int8(e, "embedding", "vec_id", q, k=10)
+
+
 # IVF assign + probe — ANN with k-means (Lloyd) centroids, top-2 spill
 # assignment, broadcast probe (rows-only; recall property-tested >= 0.9
 # at n_probe=4 in tests/test_vector.py).

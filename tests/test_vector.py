@@ -233,3 +233,37 @@ def test_ensure_ivf_index_builds_once_and_probe_query_is_sane(spark, sf_dir, tmp
     assert got[0].vec_id == 7 and got[0].sim == pytest.approx(1.0, abs=1e-9)
     sims = [r.sim for r in got]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_int8_knn_recall_vs_exact(spark, sf_dir):
+    """int8 quantization must preserve search quality: top-10 overlap with
+    the exact kNN >= 8/10, and per-element dequantization error is bounded
+    by scale/2."""
+    from pyspark.sql import functions as F
+
+    from pixels_spark.catalog import load_table
+    from pixels_spark.functions import vector as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    exact = [r["vec_id"] for r in
+             V.knn_brute_force(e, "embedding", "vec_id", q, k=10).collect()]
+    quant = [r["vec_id"] for r in
+             V.knn_int8(e, "embedding", "vec_id", q, k=10).collect()]
+    assert len(set(exact) & set(quant)) >= 8, (exact, quant)
+
+    z = e.select("embedding", V.quantize_int8(F.col("embedding")).alias("z")).limit(50)
+    err = z.select(
+        F.greatest(
+            F.lit(0.0),
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "z.q",
+                    lambda x, qv: F.abs(x.cast("double") - qv.cast("double") * F.col("z.scale"))
+                    - F.col("z.scale") / 2 - F.lit(1e-12),
+                )
+            ),
+        ).alias("excess")
+    ).agg(F.max("excess")).first()[0]
+    assert err <= 0.0, f"dequantization error exceeded scale/2 by {err}"
