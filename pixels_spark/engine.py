@@ -106,7 +106,7 @@ class PixelsSparkEngine:
             self.table(schema, t).createOrReplaceTempView(t)
         pending = list(self.meta.get_views(schema))
         while pending:
-            progressed, remaining, last_err = False, [], None
+            progressed, remaining, errs = False, [], {}
             for v in pending:
                 try:
                     self.spark.sql(
@@ -116,9 +116,17 @@ class PixelsSparkEngine:
                     progressed = True
                 except Exception as exc:  # unresolved reference: retry next pass
                     remaining.append(v)
-                    last_err = exc
+                    errs[v] = exc
             if not progressed:
-                raise last_err
+                # no view landed this pass: every remaining one is genuinely
+                # unresolvable — report them all, not just the last
+                detail = "; ".join(
+                    f"{v}: {type(e).__name__}: {str(e).splitlines()[0]}"
+                    for v, e in errs.items()
+                )
+                raise RuntimeError(
+                    f"unresolvable catalog views {sorted(errs)}: {detail}"
+                ) from next(iter(errs.values()))
             pending = remaining
 
     def create_view(

@@ -35,11 +35,20 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     never downscale a big table's parallelism (a 4096-partition 100 TB scan
     squeezed to defaultParallelism would concentrate, not spread).
     """
-    n = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
-    return df.repartition(n, key)
+    default_par = df.sparkSession.sparkContext.defaultParallelism
+    # Peeking at the input's width via df.rdd forces plan-to-RDD
+    # conversion; under AQE that can eagerly materialize upstream query
+    # stages (running their shuffles once here and again in the real job).
+    # The initial physical plan (sparkPlan — built, never executed) already
+    # knows the width statically when the top is a shuffle
+    # (HashPartitioning(n) etc.); only for unknown-partitioned shuffle-free
+    # plans (scan+map — the common dedup input) fall back to
+    # getNumPartitions, which is cheap there (no query stages to run).
+    plan = df._jdf.queryExecution().sparkPlan()
+    n_in = plan.outputPartitioning().numPartitions()
+    if n_in <= 1 and "Exchange" not in plan.toString():
+        n_in = df.rdd.getNumPartitions()
+    return df.repartition(max(default_par, n_in), key)
 
 
 # ---------------------------------------------------------------------------

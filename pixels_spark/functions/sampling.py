@@ -32,7 +32,12 @@ def hash_bucket(key: Column, salt: str = "") -> Column:
     8 hex chars, not 4: ``% N_BUCKETS`` over a 16-bit space (65536) gives
     buckets below 65536 % 10000 = 5536 a 7/65536 share vs 6/65536 — a ~7%
     relative rate bias. Over the 32-bit space the residue bias is
-    1/429497 ≈ 0.0002%, below the advertised 0.01% granularity."""
+    1/429497 ≈ 0.0002%, below the advertised 0.01% granularity.
+
+    COMPATIBILITY BREAK (round 4): widening 4→8 hex chars reassigned every
+    key's bucket. Splits/samples persisted under the old 4-char hashing are
+    NOT comparable to reruns under this version — re-materialize any stored
+    train/val/test membership rather than mixing the two vintages."""
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % N_BUCKETS
 

@@ -25,6 +25,7 @@ broadcasts it when it fits.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from collections.abc import Sequence
 
@@ -89,20 +90,33 @@ class _SqliteManifest:
 
     def __init__(self, root: str):
         self.path = os.path.join(root, "_point_index.db")
+        self._ddl_done = False
 
-    def _con(self):
+    @contextlib.contextmanager
+    def _con(self, write: bool = False):
+        """One short-lived connection per operation, always closed (a
+        bare ``with sqlite3.connect(...)`` commits but never closes —
+        sustained ingest would leak file descriptors). DDL runs once per
+        manifest instance, and only when writing or the db already
+        exists, so pure reads on a missing index stay read-only."""
         import sqlite3
 
         con = sqlite3.connect(self.path, timeout=30.0)
-        con.execute(
-            "CREATE TABLE IF NOT EXISTS entries ("
-            "path TEXT NOT NULL, commit_ts INTEGER NOT NULL, "
-            "min_key TEXT NOT NULL, max_key TEXT NOT NULL)"
-        )
-        con.execute(
-            "CREATE INDEX IF NOT EXISTS idx_commit ON entries(commit_ts)"
-        )
-        return con
+        try:
+            if not self._ddl_done and (write or os.path.exists(self.path)):
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS entries ("
+                    "path TEXT NOT NULL, commit_ts INTEGER NOT NULL, "
+                    "min_key TEXT NOT NULL, max_key TEXT NOT NULL)"
+                )
+                con.execute(
+                    "CREATE INDEX IF NOT EXISTS idx_commit ON entries(commit_ts)"
+                )
+                self._ddl_done = True
+            with con:  # transaction scope: commit on success, rollback on error
+                yield con
+        finally:
+            con.close()
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
@@ -124,7 +138,7 @@ class _SqliteManifest:
     def append(self, entries: list[dict]) -> None:
         import json
 
-        with self._con() as con:
+        with self._con(write=True) as con:
             con.execute("BEGIN IMMEDIATE")
             con.executemany(
                 "INSERT INTO entries (path, commit_ts, min_key, max_key) "
@@ -136,7 +150,7 @@ class _SqliteManifest:
             )
 
     def remove_commits(self, ts_set: set[int]) -> None:
-        with self._con() as con:
+        with self._con(write=True) as con:
             con.execute("BEGIN IMMEDIATE")
             con.executemany(
                 "DELETE FROM entries WHERE commit_ts = ?", [(t,) for t in ts_set]

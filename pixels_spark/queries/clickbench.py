@@ -29,17 +29,16 @@ def _sql_dsum(expr: str) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
-# CB Q1-style: bare count.
 @declare(
     "cb_count",
     sql="SELECT CAST(count(*) AS BIGINT) AS cnt FROM events",
     tags=("aggregation", "scan"),
 )
 def cb_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q1-style: bare count."""
     return load_table(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-# CB Q2-style: filtered count + sum + avg.
 @declare(
     "cb_filtered_agg",
     sql=f"""
@@ -51,6 +50,7 @@ def cb_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "filter"),
 )
 def cb_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q2-style: filtered count + sum + avg."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     cnt = F.count(F.lit(1))
     return e.agg(
@@ -60,7 +60,6 @@ def cb_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q4/Q5-style: min/max + exact distinct count.
 @declare(
     "cb_minmax_distinct",
     sql="""
@@ -72,6 +71,7 @@ def cb_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "distinct_agg"),
 )
 def cb_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q4/Q5-style: min/max + exact distinct count."""
     return load_table(spark, sf_dir, "events").agg(
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
@@ -79,7 +79,6 @@ def cb_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# group-by-all-types: avg/sum/count per event_type.
 @declare(
     "cb_by_type",
     sql=f"""
@@ -91,6 +90,7 @@ def cb_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation",),
 )
 def cb_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group-by-all-types: avg/sum/count per event_type."""
     cnt = F.count(F.lit(1))
     return (
         load_table(spark, sf_dir, "events")
@@ -104,7 +104,6 @@ def cb_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB top-k users by engagement.
 @declare(
     "cb_top_users",
     sql=f"""
@@ -116,6 +115,7 @@ def cb_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "topk"),
 )
 def cb_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB top-k users by engagement."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -128,7 +128,6 @@ def cb_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# daily time-series rollup (≈ tumbling window in batch form).
 @declare(
     "cb_daily",
     sql=f"""
@@ -141,6 +140,7 @@ def cb_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "time_series", "distinct_agg"),
 )
 def cb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daily time-series rollup (≈ tumbling window in batch form)."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
@@ -153,7 +153,6 @@ def cb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# hour-of-day histogram (extract + group).
 @declare(
     "cb_hourly_histogram",
     sql=f"""
@@ -165,6 +164,7 @@ def cb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "scalar"),
 )
 def cb_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour-of-day histogram (extract + group)."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy(F.hour("ts").cast("bigint").alias("hour"))
@@ -176,7 +176,6 @@ def cb_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# JSON scalar extraction from props (§2.8 get_json_object surface).
 @declare(
     "cb_json_props",
     sql=f"""
@@ -188,6 +187,7 @@ def cb_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("json", "aggregation"),
 )
 def cb_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from props (§2.8 get_json_object surface)."""
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return (
         load_table(spark, sf_dir, "events")
@@ -200,7 +200,6 @@ def cb_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# heavy-hitter users (HAVING over count).
 @declare(
     "cb_active_users",
     sql="""
@@ -211,6 +210,7 @@ def cb_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "having"),
 )
 def cb_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """heavy-hitter users (HAVING over count)."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -220,7 +220,6 @@ def cb_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# type × day distinct-user matrix.
 @declare(
     "cb_type_day_users",
     sql="""
@@ -232,6 +231,7 @@ def cb_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "distinct_agg", "in_list"),
 )
 def cb_type_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """type × day distinct-user matrix."""
     return (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("view", "click", "purchase"))
@@ -241,14 +241,15 @@ def cb_type_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q20-style point lookup by key value (≈ SinglePointIndex point query
-# served by predicate pushdown + row-group pruning).
 @declare(
     "cb_point_lookup",
     sql="SELECT event_id, user_id, value FROM events WHERE event_id = 4242",
     tags=("point_lookup", "filter"),
 )
 def cb_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q20-style point lookup by key value (≈ SinglePointIndex point query
+    served by predicate pushdown + row-group pruning).
+    """
     return (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") == 4242)
@@ -256,8 +257,6 @@ def cb_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q24-27-style: raw scan + ORDER BY + LIMIT (no aggregation) —
-# TakeOrderedAndProject over the filtered scan.
 @declare(
     "cb_scan_order_limit",
     sql="""
@@ -268,6 +267,9 @@ def cb_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("topk", "scan", "filter"),
 )
 def cb_scan_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q24-27-style: raw scan + ORDER BY + LIMIT (no aggregation) —
+    TakeOrderedAndProject over the filtered scan.
+    """
     return (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") != "view")
@@ -277,7 +279,6 @@ def cb_scan_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q39-42-style pagination: ORDER BY ... OFFSET n FETCH NEXT k.
 @declare(
     "cb_pagination",
     sql="""
@@ -289,6 +290,7 @@ def cb_scan_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("topk", "offset", "aggregation"),
 )
 def cb_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q39-42-style pagination: ORDER BY ... OFFSET n FETCH NEXT k."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -299,7 +301,6 @@ def cb_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q30-style wide sum expressions (codegen stress; exact BIGINT sums).
 @declare(
     "cb_wide_sums",
     sql="SELECT "
@@ -310,6 +311,7 @@ def cb_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "scalar"),
 )
 def cb_wide_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q30-style wide sum expressions (codegen stress; exact BIGINT sums)."""
     e = load_table(spark, sf_dir, "events")
     return e.agg(
         *[
@@ -319,7 +321,6 @@ def cb_wide_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q19/Q36-style group-by-expression + string MIN (Q22's MIN(url)).
 @declare(
     "cb_group_expr",
     sql="""
@@ -331,6 +332,7 @@ def cb_wide_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "scalar"),
 )
 def cb_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q19/Q36-style group-by-expression + string MIN (Q22's MIN(url))."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy((F.col("user_id") % 100).cast("bigint").alias("bucket"))
@@ -342,8 +344,6 @@ def cb_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ROLLUP hierarchy totals (SURVEY §2.4: not in the reference's corpus but
-# free in Spark — declared for beyond-parity coverage).
 @declare(
     "cb_rollup",
     sql=f"""
@@ -358,6 +358,9 @@ def cb_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "rollup"),
 )
 def cb_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.4: not in the reference's corpus but
+    free in Spark — declared for beyond-parity coverage).
+    """
     return (
         load_table(spark, sf_dir, "events")
         .rollup("event_type", F.hour("ts").cast("bigint").alias("hour"))
@@ -369,7 +372,6 @@ def cb_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CUBE over two dims.
 @declare(
     "cb_cube",
     sql="""
@@ -382,6 +384,7 @@ def cb_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "cube"),
 )
 def cb_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims."""
     return (
         load_table(spark, sf_dir, "events")
         .cube("event_type", (F.col("user_id") % 10).cast("bigint").alias("ubucket"))
@@ -392,10 +395,11 @@ def cb_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL approximate distinct (the 100 TB alternative to exact COUNT(DISTINCT);
-# rows-only — HLL implementations differ across engines by design).
 @declare("cb_approx_distinct", sql=None, tags=("aggregation", "approx"))
 def cb_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (the 100 TB alternative to exact COUNT(DISTINCT);
+    rows-only — HLL implementations differ across engines by design).
+    """
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -404,8 +408,6 @@ def cb_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# exact interpolated quantiles (Spark percentile ≡ DuckDB quantile_cont,
-# both type-7 linear interpolation — verified bit-exact).
 @declare(
     "cb_quantiles",
     sql="""
@@ -418,6 +420,9 @@ def cb_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "quantile"),
 )
 def cb_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact interpolated quantiles (Spark percentile ≡ DuckDB quantile_cont, both
+    type-7 linear interpolation — verified bit-exact).
+    """
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -430,8 +435,6 @@ def cb_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q4: AVG over a numeric id column (avg = exact int sum / count, so the
-# double division is deterministic).
 @declare(
     "cb_avg_user",
     sql="""
@@ -440,13 +443,14 @@ def cb_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation",),
 )
 def cb_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q4: AVG over a numeric id column (avg = exact int sum / count, so the
+    double division is deterministic).
+    """
     return load_table(spark, sf_dir, "events").agg(
         (F.sum("user_id").cast("double") / F.count(F.lit(1))).alias("avg_user")
     )
 
 
-# CB Q10: one group key, the full agg battery (COUNT / SUM / AVG /
-# COUNT(DISTINCT)) + top-k — region analog is a user-id bucket.
 @declare(
     "cb_region_multi_agg",
     sql=f"""
@@ -463,6 +467,9 @@ def cb_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "distinct", "topk"),
 )
 def cb_region_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q10: one group key, the full agg battery (COUNT / SUM / AVG /
+    COUNT(DISTINCT)) + top-k — region analog is a user-id bucket.
+    """
     cnt = F.count(F.lit(1))
     return (
         load_table(spark, sf_dir, "events")
@@ -478,7 +485,6 @@ def cb_region_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q17: two-key group-by, top-k by count (full tie-break for determinism).
 @declare(
     "cb_user_type_group",
     sql="""
@@ -491,6 +497,7 @@ def cb_region_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "topk"),
 )
 def cb_user_type_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q17: two-key group-by, top-k by count (full tie-break for determinism)."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
@@ -500,8 +507,6 @@ def cb_user_type_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q19: group key includes extract(minute) — expression key evaluated
-# pre-shuffle.
 @declare(
     "cb_minute_group",
     sql="""
@@ -515,6 +520,9 @@ def cb_user_type_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "datetime", "topk"),
 )
 def cb_minute_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q19: group key includes extract(minute) — expression key evaluated pre-
+    shuffle.
+    """
     return (
         load_table(spark, sf_dir, "events")
         .groupBy(
@@ -528,8 +536,6 @@ def cb_minute_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q31/Q33: high-cardinality two-key group with mixed aggs (count + flag
-# sum + avg) — the shuffle carries (key, partials) only.
 @declare(
     "cb_pair_multi_agg",
     sql=f"""
@@ -545,6 +551,9 @@ def cb_minute_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "topk"),
 )
 def cb_pair_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q31/Q33: high-cardinality two-key group with mixed aggs (count + flag
+    sum + avg) — the shuffle carries (key, partials) only.
+    """
     cnt = F.count(F.lit(1))
     return (
         load_table(spark, sf_dir, "events")

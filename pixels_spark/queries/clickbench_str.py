@@ -25,7 +25,6 @@ from ..catalog import load_table
 from .registry import declare
 
 
-# CB Q20: point filter on a numeric column, no aggregation.
 @declare(
     "cb_user_point_scan",
     sql="""
@@ -35,6 +34,7 @@ from .registry import declare
     tags=("filter", "scan"),
 )
 def cb_user_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q20: point filter on a numeric column, no aggregation."""
     return (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") == 7)
@@ -43,13 +43,13 @@ def cb_user_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q21: COUNT(*) over a LIKE predicate ('%google%' over url).
 @declare(
     "cb_like_count",
     sql="SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents WHERE text LIKE '%scan%'",
     tags=("filter", "strings"),
 )
 def cb_like_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q21: COUNT(*) over a LIKE predicate ('%google%' over url)."""
     return (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").like("%scan%"))
@@ -57,7 +57,6 @@ def cb_like_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q22: LIKE + empty-phrase funnel, MIN(url) + top-k by count.
 @declare(
     "cb_like_min_group",
     sql="""
@@ -68,6 +67,7 @@ def cb_like_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("filter", "strings", "aggregation", "topk"),
 )
 def cb_like_min_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q22: LIKE + empty-phrase funnel, MIN(url) + top-k by count."""
     return (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").like("%scan%") & (F.col("lang") != ""))
@@ -78,7 +78,6 @@ def cb_like_min_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q23: LIKE + NOT LIKE + distinct-count per group.
 @declare(
     "cb_like_notlike",
     sql="""
@@ -90,6 +89,7 @@ def cb_like_min_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("filter", "strings", "distinct_agg", "topk"),
 )
 def cb_like_notlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q23: LIKE + NOT LIKE + distinct-count per group."""
     return (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").like("%join%") & ~F.col("text").like("%merge%"))
@@ -104,7 +104,6 @@ def cb_like_notlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q25: phrase scan ordered by a non-string key.
 @declare(
     "cb_phrase_order_scan",
     sql="""
@@ -114,6 +113,7 @@ def cb_like_notlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scan", "topk", "strings"),
 )
 def cb_phrase_order_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q25: phrase scan ordered by a non-string key."""
     return (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("lang") == "en")
@@ -123,13 +123,13 @@ def cb_phrase_order_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q26: ORDER BY a string column (binary collation on both engines).
 @declare(
     "cb_order_by_string",
     sql="SELECT doc_id, text FROM documents ORDER BY text, doc_id LIMIT 10",
     tags=("scan", "topk", "strings"),
 )
 def cb_order_by_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q26: ORDER BY a string column (binary collation on both engines)."""
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -138,7 +138,6 @@ def cb_order_by_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q35: constant + string group keys.
 @declare(
     "cb_group_const_expr",
     sql="""
@@ -148,6 +147,7 @@ def cb_order_by_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "topk"),
 )
 def cb_group_const_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q35: constant + string group keys."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy(F.lit(1).alias("one"), "event_type")
@@ -157,7 +157,6 @@ def cb_group_const_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q36: adjacent arithmetic expressions as group keys.
 @declare(
     "cb_group_adjacent_exprs",
     sql="""
@@ -170,6 +169,7 @@ def cb_group_const_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "scalar", "topk"),
 )
 def cb_group_adjacent_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q36: adjacent arithmetic expressions as group keys."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -184,7 +184,6 @@ def cb_group_adjacent_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q37: date-range + multi-predicate funnel, top pageviews.
 @declare(
     "cb_daterange_funnel",
     sql="""
@@ -198,6 +197,7 @@ def cb_group_adjacent_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("filter", "aggregation", "topk"),
 )
 def cb_daterange_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q37: date-range + multi-predicate funnel, top pageviews."""
     return (
         load_table(spark, sf_dir, "events")
         .filter(
@@ -213,7 +213,6 @@ def cb_daterange_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q39: grouped pageviews with OFFSET pagination over a string key.
 @declare(
     "cb_offset_group_string",
     sql="""
@@ -225,6 +224,7 @@ def cb_daterange_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "offset", "strings"),
 )
 def cb_offset_group_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q39: grouped pageviews with OFFSET pagination over a string key."""
     return (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("lang") != "")
@@ -236,7 +236,6 @@ def cb_offset_group_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q40: CASE expression as both output column and group key.
 @declare(
     "cb_case_src_group",
     sql="""
@@ -250,6 +249,7 @@ def cb_offset_group_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "scalar", "topk"),
 )
 def cb_case_src_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q40: CASE expression as both output column and group key."""
     src = (
         F.when(F.col("lang").isin("en", "es"), F.col("source")).otherwise(F.lit(""))
     ).alias("src")
@@ -262,7 +262,6 @@ def cb_case_src_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# URL-path-style trim: regexp_replace group key (CB's URL normalizations).
 @declare(
     "cb_regex_trim_group",
     sql="""
@@ -274,6 +273,7 @@ def cb_case_src_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("strings", "regex", "aggregation"),
 )
 def cb_regex_trim_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-path-style trim: regexp_replace group key (CB's URL normalizations)."""
     return (
         load_table(spark, sf_dir, "documents")
         .groupBy(
@@ -287,7 +287,6 @@ def cb_regex_trim_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# substring(...) as group key (CB substring group-bys).
 @declare(
     "cb_substr_prefix_group",
     sql="""
@@ -297,6 +296,7 @@ def cb_regex_trim_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("strings", "aggregation", "topk"),
 )
 def cb_substr_prefix_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring(...) as group key (CB substring group-bys)."""
     return (
         load_table(spark, sf_dir, "documents")
         .groupBy(F.substring(F.col("text"), 1, 8).alias("prefix"))
@@ -306,7 +306,6 @@ def cb_substr_prefix_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q13/Q14-style empty-phrase funnel with per-group distinct counts.
 @declare(
     "cb_phrase_funnel",
     sql="""
@@ -318,6 +317,7 @@ def cb_substr_prefix_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("strings", "distinct_agg", "topk"),
 )
 def cb_phrase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q13/Q14-style empty-phrase funnel with per-group distinct counts."""
     return (
         load_table(spark, sf_dir, "documents")
         .filter((F.col("text") != "") & F.col("text").like("%the%"))
@@ -331,9 +331,6 @@ def cb_phrase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q41: selective equality on a computed hash + (hash, day) group-by —
-# urlhash/refererhash analog is an md5 prefix of props (md5 exists in both
-# engines, so the hash key is oracle-stable).
 @declare(
     "cb_hash_day_group",
     sql="""
@@ -348,6 +345,10 @@ def cb_phrase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "strings", "topk"),
 )
 def cb_hash_day_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q41: selective equality on a computed hash + (hash, day) group-by —
+    urlhash/refererhash analog is an md5 prefix of props (md5 exists in both
+    engines, so the hash key is oracle-stable).
+    """
     h = F.substring(F.md5(F.col("props")), 1, 8)
     return (
         load_table(spark, sf_dir, "events")
@@ -359,7 +360,6 @@ def cb_hash_day_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CB Q42: highly-selective conjunctive filter + two derived dimension keys.
 @declare(
     "cb_dims_point_group",
     sql="""
@@ -374,6 +374,7 @@ def cb_hash_day_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregation", "filter", "topk"),
 )
 def cb_dims_point_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CB Q42: highly-selective conjunctive filter + two derived dimension keys."""
     return (
         load_table(spark, sf_dir, "events")
         .filter((F.col("event_type") == "click") & (F.pmod(F.col("user_id"), F.lit(100)) == 3))

@@ -22,7 +22,6 @@ from ..catalog import load_table
 from .registry import declare
 
 
-# FULL OUTER equi-join with unmatched rows on both sides.
 @declare(
     "join_full_outer",
     sql="""
@@ -38,6 +37,7 @@ from .registry import declare
     tags=("outer_join", "aggregation"),
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join with unmatched rows on both sides."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 950)
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return (
@@ -51,7 +51,6 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# RIGHT OUTER join (EQUI_RIGHT).
 @declare(
     "join_right_outer",
     sql="""
@@ -64,6 +63,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("outer_join",),
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (EQUI_RIGHT)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "MACHINERY"
     )
@@ -75,9 +75,6 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# LEFT OUTER with null-producing right side, then null-sensitive filter
-# (IS NULL domain ≈ Filter.allowNull/onlyNull, pixels-executor/.../predicate/
-# Filter.java:42-148).
 @declare(
     "join_left_null_filter",
     sql="""
@@ -91,6 +88,10 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("outer_join", "null_filter"),
 )
 def join_left_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with null-producing right side, then null-sensitive filter (IS
+    NULL domain ≈ Filter.allowNull/onlyNull, pixels-executor/.../predicate/
+    Filter.java:42-148).
+    """
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49.5)
     return (
@@ -101,7 +102,6 @@ def join_left_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CROSS join (small × small) + inequality filter — theta-style join surface.
 @declare(
     "join_cross_theta",
     sql="""
@@ -113,6 +113,7 @@ def join_left_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("cross_join",),
 )
 def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (small × small) + inequality filter — theta-style join surface."""
     r1 = load_table(spark, sf_dir, "region").select(
         F.col("r_regionkey").alias("rk1")
     )

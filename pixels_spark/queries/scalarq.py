@@ -17,7 +17,6 @@ from ..catalog import load_table
 from .registry import declare
 
 
-# string functions: substring/upper/lower/length/concat/trim/replace/like
 @declare(
     "scalar_strings",
     sql="""
@@ -35,6 +34,7 @@ from .registry import declare
     tags=("scalar", "string"),
 )
 def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string functions: substring/upper/lower/length/concat/trim/replace/like"""
     return (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 10)
@@ -52,7 +52,6 @@ def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# date/time functions: extract family + date ± interval + date_trunc
 @declare(
     "scalar_dates",
     sql="""
@@ -69,6 +68,7 @@ def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "date"),
 )
 def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date/time functions: extract family + date ± interval + date_trunc"""
     return (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 200)
@@ -85,7 +85,6 @@ def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# math functions: abs/round/floor/ceil/sqrt/ln/power/mod
 @declare(
     "scalar_math",
     sql="""
@@ -104,6 +103,7 @@ def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "math"),
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """math functions: abs/round/floor/ceil/sqrt/ln/power/mod"""
     return (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") < 100)
@@ -123,7 +123,6 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# conditional + null handling: CASE/coalesce/nullif/if
 @declare(
     "scalar_conditionals",
     sql="""
@@ -140,6 +139,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "case_when", "null_handling"),
 )
 def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conditional + null handling: CASE/coalesce/nullif/if"""
     return (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < 300)
@@ -160,7 +160,6 @@ def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# regex + split-based string ops (ClickBench-style string matching).
 @declare(
     "scalar_regex",
     sql="""
@@ -175,6 +174,7 @@ def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "regex", "string"),
 )
 def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex + split-based string ops (ClickBench-style string matching)."""
     return (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
@@ -190,10 +190,6 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# TIME type surface (SURVEY §1.2): millis-of-day int convention
-# (TypeDescription.java:192-218 TIME / TimeColumnVector). Extraction,
-# range filter, bucketing, and display formatting all as integer
-# arithmetic — order-preserving, pushdown-friendly.
 @declare(
     "scalar_time_of_day",
     sql="""
@@ -217,6 +213,11 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "time_type"),
 )
 def scalar_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME type surface (SURVEY §1.2): millis-of-day int convention
+    (TypeDescription.java:192-218 TIME / TimeColumnVector). Extraction, range
+    filter, bucketing, and display formatting all as integer arithmetic —
+    order-preserving, pushdown-friendly.
+    """
     from ..types import _idiv, time_from_timestamp, time_to_string
 
     tod = time_from_timestamp(F.col("ts"))

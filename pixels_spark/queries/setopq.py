@@ -19,7 +19,6 @@ from ..catalog import load_table
 from .registry import declare
 
 
-# UNION (distinct) across two dimension projections.
 @declare(
     "setop_union",
     sql="""
@@ -31,6 +30,7 @@ from .registry import declare
     tags=("set_op",),
 )
 def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) across two dimension projections."""
     c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 900)
@@ -42,7 +42,6 @@ def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.union(s).distinct().orderBy("nationkey")
 
 
-# UNION ALL preserving duplicates, then aggregated.
 @declare(
     "setop_union_all",
     sql="""
@@ -55,6 +54,7 @@ def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("set_op", "aggregation"),
 )
 def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL preserving duplicates, then aggregated."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
@@ -69,7 +69,6 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# INTERSECT (distinct semantics in both engines).
 @declare(
     "setop_intersect",
     sql="""
@@ -81,6 +80,7 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("set_op",),
 )
 def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics in both engines)."""
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 400000)
@@ -94,7 +94,6 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.intersect(c).orderBy("custkey")
 
 
-# EXCEPT — customers with no high-value order.
 @declare(
     "setop_except",
     sql="""
@@ -106,6 +105,7 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("set_op",),
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — customers with no high-value order."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey")
     )

@@ -28,6 +28,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 @declare("sql_tpch_q6", sql=_Q6, tags=("sql_frontend", "scan", "filter"))
 def sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 run as verbatim SQL text through the engine frontend."""
     return sql(spark, sf_dir, _Q6)
 
 
@@ -47,6 +48,7 @@ ORDER BY o_orderpriority
 
 @declare("sql_tpch_q4", sql=_Q4, tags=("sql_frontend", "subquery"))
 def sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 as SQL text: correlated EXISTS subquery, Catalyst-decorrelated."""
     return sql(spark, sf_dir, _Q4)
 
 
@@ -70,6 +72,7 @@ ORDER BY s_suppkey
 
 @declare("sql_tpch_q15", sql=_Q15, tags=("sql_frontend", "cte", "scalar_subquery"))
 def sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 as SQL text: CTE revenue view + scalar MAX subquery."""
     return sql(spark, sf_dir, _Q15)
 
 
@@ -87,6 +90,7 @@ ORDER BY o_custkey, rn
 
 @declare("sql_window", sql=_WIN, tags=("sql_frontend", "window"))
 def sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function (rank over partition) as verbatim SQL text."""
     return sql(spark, sf_dir, _WIN)
 
 
@@ -107,6 +111,8 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
     tags=("sql_frontend", "view", "metadata"),
 )
 def sql_cataloged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query THROUGH a view persisted in the metadata catalog and replayed
+    into the session (MetadataService.createView analog)."""
     import tempfile
 
     from ..catalog import register_views

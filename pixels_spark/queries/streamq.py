@@ -37,6 +37,7 @@ def _dsum_sql(expr: str) -> str:
     tags=("streaming", "window_agg", "time_series"),
 )
 def ev_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregation over events (streaming analog)."""
     # same F.window grouping as streaming.windows.tumbling_agg (whose plain
     # double sums suit streaming but not oracle comparison — decimal here)
     e = load_table(spark, sf_dir, "events")
@@ -74,6 +75,7 @@ def ev_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window_agg", "time_series"),
 )
 def ev_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-min window aggregation over events."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))

@@ -68,6 +68,27 @@ def _write_slices(slices: list[DataFrame], src: str) -> None:
                 seen.add(p)
 
 
+def _finalize(df: DataFrame, workdir: str) -> DataFrame:
+    """Materialize a result that lives under ``workdir`` (parquet sink or
+    MVCC table), then DELETE the workdir — every declared streaming query
+    creates sink+checkpoint temp dirs, and without this each driver
+    verify/bench run would leave them in /tmp forever (VERDICT r04 #2).
+
+    The result is Arrow-collected and re-created with the identical schema:
+    these sinks are small by construction (bounded replay of a fixture
+    slice — ≤100k rows at sf0.1), and only the declared-query harness takes
+    this path; the streaming operators themselves (streaming/*.py) never
+    collect."""
+    import shutil
+
+    schema = df.schema
+    try:
+        pdf = df.toPandas()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return df.sparkSession.createDataFrame(pdf, schema)
+
+
 def _run_to_parquet(out_stream: DataFrame, workdir: str, tag: str) -> str:
     out = os.path.join(workdir, f"out_{tag}")
     q = (
@@ -119,7 +140,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="pxs_stream_sess_")
     stream = _ordered_stream(spark, sf_dir, work)
     out = _run_to_parquet(sessionize_stateful(stream, gap_seconds=1800), work, "sess")
-    return spark.read.parquet(out).orderBy("user_id", "session_start")
+    return _finalize(
+        spark.read.parquet(out).orderBy("user_id", "session_start"), work
+    )
 
 
 @declare(
@@ -149,7 +172,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = dedup_stream(stream, ["event_id"], watermark_delay="365 days")
     out = _run_to_parquet(deduped, work, "dedup")
-    return spark.read.parquet(out).orderBy("event_id")
+    return _finalize(spark.read.parquet(out).orderBy("event_id"), work)
 
 
 def _md5_minhash_sql(n: int = 3, num_hashes: int = 8, rows_per_band: int = 2) -> str:
@@ -233,11 +256,12 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(minhash_md5_bands(F.col("text"))).alias("_b")
     ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
     out = _run_to_parquet(band_first_seen(band_rows), work, "nd")
-    return (
+    return _finalize(
         spark.read.parquet(out)
         .groupBy("doc_id")
         .agg(F.max("suppressed").alias("suppressed"))
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        work,
     )
 
 
@@ -288,7 +312,9 @@ def stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError("cdc ingest did not finish in 600s")
-    return table.read_latest_version().drop("_commit_ts").orderBy("event_id")
+    return _finalize(
+        table.read_latest_version().drop("_commit_ts").orderBy("event_id"), work
+    )
 
 
 @declare(
@@ -323,4 +349,4 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("continuous_rollup did not finish in 600s")
     merged = rollup_with_tail(table, load_table(spark, sf_dir, "events"), window="1 day")
-    return merged.orderBy("bucket_start", "event_type")
+    return _finalize(merged.orderBy("bucket_start", "event_type"), work)

@@ -32,9 +32,6 @@ def _sql_dsum(expr: str) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
-# Backward as-of: attribute each purchase to the user's latest click at or
-# before it (classic last-touch attribution). LEFT semantics — purchases
-# with no preceding click keep null attribution.
 @declare(
     "asof_attribution",
     sql="""
@@ -50,6 +47,10 @@ def _sql_dsum(expr: str) -> str:
     tags=("asof_join", "temporal"),
 )
 def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: attribute each purchase to the user's latest click at or
+    before it (classic last-touch attribution). LEFT semantics — purchases with
+    no preceding click keep null attribution.
+    """
     e = load_table(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     c = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
@@ -62,9 +63,6 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
-# Forward as-of with tolerance, inner: for each signup, the user's FIRST
-# error at or after it, kept only when within 24h — "did onboarding hit an
-# error soon after signup".
 @declare(
     "asof_signup_error",
     sql="""
@@ -81,6 +79,10 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("asof_join", "temporal"),
 )
 def asof_signup_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance, inner: for each signup, the user's FIRST
+    error at or after it, kept only when within 24h — "did onboarding hit an
+    error soon after signup".
+    """
     e = load_table(spark, sf_dir, "events")
     s = e.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
     err = e.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
@@ -102,9 +104,6 @@ def asof_signup_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("signup_id")
 
 
-# Interval range join: overlapping price bands over lineitem extended price
-# (each price can fall in 1-2 bands), aggregated per band. Exercises the
-# binned equi-join rewrite — no nested-loop join in the plan.
 @declare(
     "range_price_bands",
     sql=f"""
@@ -121,6 +120,10 @@ def asof_signup_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("range_join", "temporal", "aggregation"),
 )
 def range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: overlapping price bands over lineitem extended price
+    (each price can fall in 1-2 bands), aggregated per band. Exercises the
+    binned equi-join rewrite — no nested-loop join in the plan.
+    """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )

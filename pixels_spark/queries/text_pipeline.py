@@ -20,7 +20,6 @@ from .registry import declare
 _STOP_EN_SQL = "['the','a','of','and','to','in','is','that','it','for']"
 
 
-# token counting + length stats (oracle).
 @declare(
     "txt_stats",
     sql=r"""
@@ -36,6 +35,7 @@ _STOP_EN_SQL = "['the','a','of','and','to','in','is','that','it','for']"
     tags=("text", "scalar"),
 )
 def txt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token counting + length stats (oracle)."""
     d = load_table(spark, sf_dir, "documents")
     n_tokens = T.token_count(F.col("text"))
     n_chars = F.length("text").cast("double")
@@ -47,7 +47,6 @@ def txt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# quality-scoring features (oracle).
 @declare(
     "txt_quality",
     sql=rf"""
@@ -65,6 +64,7 @@ def txt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality"),
 )
 def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality-scoring features (oracle)."""
     d = load_table(spark, sf_dir, "documents")
     q = T.quality_features(F.col("text"))
     return d.select(
@@ -75,9 +75,6 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# Deterministic hash-split (oracle): md5-bucket train/val/test assignment —
-# reproducible across engines/partitionings, unlike RNG sampling. Counts per
-# (source, split) prove the mixture; min/max bucket pin the bucket math.
 @declare(
     "txt_train_split",
     sql=r"""
@@ -101,6 +98,10 @@ def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "sampling", "split"),
 )
 def txt_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-split (oracle): md5-bucket train/val/test assignment —
+    reproducible across engines/partitionings, unlike RNG sampling. Counts per
+    (source, split) prove the mixture; min/max bucket pin the bucket math.
+    """
     from ..functions import sampling as S
 
     d = load_table(spark, sf_dir, "documents")
@@ -118,8 +119,6 @@ def txt_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mixture sampling (oracle): per-language rates — keep all English, half
-# Chinese, a quarter of everything else — via the deterministic md5 bucket.
 @declare(
     "txt_mixture",
     sql=r"""
@@ -140,6 +139,9 @@ def txt_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "sampling", "mixture"),
 )
 def txt_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling (oracle): per-language rates — keep all English, half
+    Chinese, a quarter of everything else — via the deterministic md5 bucket.
+    """
     from ..functions import sampling as S
 
     d = load_table(spark, sf_dir, "documents")
@@ -153,8 +155,6 @@ def txt_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Train/test decontamination (oracle): training docs sharing any word 4-gram
-# with the held-out benchmark slice (source = 'src19').
 @declare(
     "txt_decontaminate",
     sql=r"""
@@ -181,15 +181,15 @@ def txt_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "decontamination"),
 )
 def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (oracle): training docs sharing any word 4-gram
+    with the held-out benchmark slice (source = 'src19').
+    """
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("source") == "src19")
     train = d.filter(F.col("source") != "src19")
     return D.decontaminate(train, bench, n=4).orderBy("doc_id")
 
 
-# Gopher/RefinedWeb-style repetition signals (oracle): distinct-token ratio
-# and top-bigram share — the standard "drop boilerplate/spam" quality filters
-# for LLM training corpora.
 @declare(
     "txt_repetition",
     sql=r"""
@@ -219,6 +219,10 @@ def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "repetition"),
 )
 def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals (oracle): distinct-token ratio
+    and top-bigram share — the standard "drop boilerplate/spam" quality filters
+    for LLM training corpora.
+    """
     d = load_table(spark, sf_dir, "documents")
     return T.repetition_stats(d).orderBy("doc_id")
 
@@ -247,9 +251,9 @@ def _langid_sql() -> str:
     """
 
 
-# language identification heuristic vs labeled lang (oracle).
 @declare("txt_langid", sql=_langid_sql(), tags=("text", "langid"))
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """language identification heuristic vs labeled lang (oracle)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("lang", T.predicted_lang(F.col("text")).alias("pred_lang"))
@@ -259,7 +263,6 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# document fingerprinting + exact-dedup accounting (oracle).
 @declare(
     "dedup_exact",
     sql=r"""
@@ -274,6 +277,7 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "text"),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """document fingerprinting + exact-dedup accounting (oracle)."""
     d = load_table(spark, sf_dir, "documents")
     fp = T.fingerprint(F.col("text"))
     return d.agg(
@@ -320,34 +324,36 @@ _NGRAM_PAIRS_SQL = r"""
     tags=("dedup", "text", "join"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted index + language
+    blocking (no all-pairs expansion)."""
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.5, block_col="lang"
     ).orderBy("id_a", "id_b")
 
 
-# MinHash-LSH near-dup pairs (rows-only: xxhash64 is engine-specific; the
-# exact-Jaccard verification step makes output pairs engine-agnostic but the
-# candidate set isn't SQL-expressible — property-tested in tests/test_dedup.py).
 @declare("dedup_minhash_lsh", sql=None, tags=("dedup", "minhash", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only: xxhash64 is engine-specific; the
+    exact-Jaccard verification step makes output pairs engine-agnostic but the
+    candidate set isn't SQL-expressible — property-tested in
+    tests/test_dedup.py).
+    """
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
         d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
     ).orderBy("id_a", "id_b")
 
 
-# SimHash near-dup pairs (rows-only — engine-specific hash).
 @declare("dedup_simhash", sql=None, tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only — engine-specific hash)."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
 
 
-# BPE-ish sub-word token counting — match-count form (letter runs / digit
-# runs / single other chars), identical RE2 pattern in both engines.
 @declare(
     "txt_bpe_tokens",
     sql=r"""
@@ -360,44 +366,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token counting — match-count form (letter runs / digit
+    runs / single other chars), identical RE2 pattern in both engines.
+    """
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id", T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
     ).orderBy("doc_id")
 
 
-# multimodal plumbing: binary payload → Arrow-batched feature extraction
-# (rows-only: mapInPandas has no SQL equivalent; decode itself is stubbed —
-# see functions/multimodal.py).
 @declare("mm_features", sql=None, tags=("multimodal", "pandas_udf"))
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal plumbing: binary payload → Arrow-batched feature extraction
+    (rows-only: mapInPandas has no SQL equivalent; decode itself is stubbed —
+    see functions/multimodal.py).
+    """
     d = load_table(spark, sf_dir, "documents")
     feats = M.extract_features(M.documents_as_media(d))
     return feats.orderBy("media_id")
 
 
-# real decode path: WAV/PPM pure-Python parsers inside mapInPandas batches
-# (rows-only: synthesized payloads + Arrow batch decode have no SQL
-# equivalent; per-value correctness is pinned by tests/test_multimodal.py).
 @declare("mm_decode", sql=None, tags=("multimodal", "pandas_udf", "decode"))
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """real decode path: WAV/PPM pure-Python parsers inside mapInPandas batches
+    (rows-only: synthesized payloads + Arrow batch decode have no SQL
+    equivalent; per-value correctness is pinned by tests/test_multimodal.py).
+    """
     media = M.synthetic_media(spark, n=64)
     return M.media_features(media).orderBy("media_id")
 
 
-# video preprocessing chain: frame-sample (fan-out in-executor) -> resize
-# (nearest-neighbor, pure Python) -> featurize. Rows-only for the same
-# reason as mm_decode; per-value correctness in tests/test_multimodal.py.
 @declare("mm_video_pipeline", sql=None, tags=("multimodal", "pandas_udf", "video"))
 def mm_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """video preprocessing chain: frame-sample (fan-out in-executor) -> resize
+    (nearest-neighbor, pure Python) -> featurize. Rows-only for the same reason
+    as mm_decode; per-value correctness in tests/test_multimodal.py.
+    """
     media = M.synthetic_media(spark, n=64)
     frames = M.explode_video_frames(media, every_n=2)
     return M.media_features(M.resize_images(frames, 2)).orderBy("media_id")
 
 
-# end-to-end corpus cleaning: quality-feature filter -> per-language
-# kept/dropped accounting (the composition an LLM data pipeline actually
-# runs; oracle replays the same thresholds).
 @declare(
     "txt_corpus_clean",
     sql=rf"""
@@ -417,6 +426,10 @@ def mm_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "dedup", "pipeline"),
 )
 def txt_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """end-to-end corpus cleaning: quality-feature filter -> per-language
+    kept/dropped accounting (the composition an LLM data pipeline actually
+    runs; oracle replays the same thresholds).
+    """
     d = load_table(spark, sf_dir, "documents")
     q = T.quality_features(F.col("text"))
     keep = (
@@ -436,11 +449,6 @@ def txt_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# full near-dup dedup: jaccard pairs -> connected components -> keep one per
-# cluster; per-language survivor counts. Fully oracled: the pair source is
-# the (oracled) n-gram Jaccard query and DuckDB replays the component
-# closure with a recursive CTE — the distributed min-label propagation is
-# checked against an independent transitive-closure implementation.
 @declare(
     "dedup_canonical",
     sql=f"""
@@ -464,6 +472,12 @@ def txt_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "clustering", "pipeline"),
 )
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full near-dup dedup: jaccard pairs -> connected components -> keep one per
+    cluster; per-language survivor counts. Fully oracled: the pair source is
+    the (oracled) n-gram Jaccard query and DuckDB replays the component closure
+    with a recursive CTE — the distributed min-label propagation is checked
+    against an independent transitive-closure implementation.
+    """
     d = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(d, threshold=0.5, block_col="lang")
     kept = D.canonical_docs(d, pairs)
@@ -474,10 +488,6 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD'03): k-gram
-# md5 hashes, min per sliding window — partial-overlap detection that the
-# whole-document fingerprint can't do. Fully oracled (md5 exists in both
-# engines; identical window semantics).
 @declare(
     "txt_winnow_fp",
     sql="""
@@ -500,6 +510,11 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "fingerprint"),
 )
 def txt_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD'03): k-gram
+    md5 hashes, min per sliding window — partial-overlap detection that the
+    whole-document fingerprint can't do. Fully oracled (md5 exists in both
+    engines; identical window semantics).
+    """
     d = load_table(spark, sf_dir, "documents")
     fps = T.winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
     return (

@@ -68,10 +68,6 @@ def _sql_dsum(expr: str) -> str:
 _DISC = "l_extendedprice * (1 - l_discount)"
 
 
-# --------------------------------------------------------------------------
-# Q1 — pricing summary report: scan + wide aggregation (sum/avg/count).
-# Exercises the reference's partial+final hash agg (Aggregator.java:163,
-# BaseScanWorker.java:97-119 scan-side partials) — automatic in Spark.
 @declare(
     "tpch_q1",
     sql=f"""
@@ -92,6 +88,11 @@ _DISC = "l_extendedprice * (1 - l_discount)"
     tags=("aggregation", "scan", "filter"),
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q1 — pricing summary report: scan + wide aggregation (sum/avg/count).
+    Exercises the reference's partial+final hash agg (Aggregator.java:163,
+    BaseScanWorker.java:97-119 scan-side partials) — automatic in Spark.
+    """
     l = load_table(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1))
     return (
@@ -111,10 +112,6 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q2 analog — min-cost scalar subquery. Original needs partsupp; adapted to
-# "parts priced at the minimum for their type". Decorrelated into an
-# aggregate + equi-join on (p_type, min price).
 @declare(
     "tpch_q2",
     sql="""
@@ -128,6 +125,11 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar_subquery", "join"),
 )
 def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q2 analog — min-cost scalar subquery. Original needs partsupp; adapted to
+    "parts priced at the minimum for their type". Decorrelated into an
+    aggregate + equi-join on (p_type, min price).
+    """
     p = load_table(spark, sf_dir, "part")
     min_price = p.groupBy(F.col("p_type").alias("mp_type")).agg(
         F.min("p_retailprice").alias("min_price")
@@ -144,9 +146,6 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q3 — shipping priority: 3-way join + agg + top-k. o_shippriority is absent;
-# grouped by o_orderpriority instead.
 @declare(
     "tpch_q3",
     sql=f"""
@@ -165,6 +164,10 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "aggregation", "topk"),
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q3 — shipping priority: 3-way join + agg + top-k. o_shippriority is absent;
+    grouped by o_orderpriority instead.
+    """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < _ts("1996-03-15 00:00:00")
@@ -183,11 +186,6 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q4 — order priority checking. Original EXISTS uses commitdate<receiptdate
-# (absent); adapted: a lineitem shipped after the order date. EXISTS →
-# left-semi join (Calcite decorrelation ≈ PixelsParser.java:306-310; the
-# reference kernel itself has no semi-join — Joiner.java:44-45).
 @declare(
     "tpch_q4",
     sql="""
@@ -203,6 +201,12 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("semi_join", "aggregation"),
 )
 def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q4 — order priority checking. Original EXISTS uses commitdate<receiptdate
+    (absent); adapted: a lineitem shipped after the order date. EXISTS → left-
+    semi join (Calcite decorrelation ≈ PixelsParser.java:306-310; the reference
+    kernel itself has no semi-join — Joiner.java:44-45).
+    """
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-07-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1996-10-01 00:00:00"))
@@ -220,11 +224,6 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q5 — local supplier volume: 6-way chain join (≈ the reference's
-# BROADCAST_CHAIN plan, BaseBroadcastChainJoinWorker.java:71 /
-# PixelsPlanner.getMultiPipelineJoinOperator:357) — Catalyst composes the
-# chain of broadcasts automatically.
 @declare(
     "tpch_q5",
     sql=f"""
@@ -242,6 +241,12 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("chain_join", "aggregation"),
 )
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q5 — local supplier volume: 6-way chain join (≈ the reference's
+    BROADCAST_CHAIN plan, BaseBroadcastChainJoinWorker.java:71 /
+    PixelsPlanner.getMultiPipelineJoinOperator:357) — Catalyst composes the
+    chain of broadcasts automatically.
+    """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
@@ -266,11 +271,6 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q6 — forecasting revenue change: pure scan + domain filters (range +
-# BETWEEN ≈ ColumnFilter ranges, pixels-executor/.../predicate/
-# ColumnFilter.java:69-220) + ungrouped agg. All three predicates push to
-# the parquet scan.
 @declare(
     "tpch_q6",
     sql=f"""
@@ -284,6 +284,12 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scan", "filter", "aggregation"),
 )
 def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q6 — forecasting revenue change: pure scan + domain filters (range +
+    BETWEEN ≈ ColumnFilter ranges, pixels-executor/.../predicate/
+    ColumnFilter.java:69-220) + ungrouped agg. All three predicates push to the
+    parquet scan.
+    """
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.filter(
@@ -296,9 +302,6 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q7 — volume shipping: self-joined dim (nation × 2) + disjunctive pair
-# filter + extract(year).
 @declare(
     "tpch_q7",
     sql=f"""
@@ -320,6 +323,10 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "self_join", "aggregation", "scalar"),
 )
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q7 — volume shipping: self-joined dim (nation × 2) + disjunctive pair
+    filter + extract(year).
+    """
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(_ts("1995-01-01 00:00:00"), _ts("1996-12-31 00:00:00"))
@@ -354,9 +361,6 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q8 — market share: 7-table join + conditional aggregation ratio
-# (CASE WHEN inside sum ≈ AGGREGATE_CASE_TO_FILTER, PixelsParser.java:270).
 @declare(
     "tpch_q8",
     sql=f"""
@@ -381,6 +385,10 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("chain_join", "case_when", "aggregation"),
 )
 def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q8 — market share: 7-table join + conditional aggregation ratio (CASE WHEN
+    inside sum ≈ AGGREGATE_CASE_TO_FILTER, PixelsParser.java:270).
+    """
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
@@ -421,9 +429,6 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q9 — product-type profit analog (no partsupp → profit = discounted price);
-# LIKE filter on p_name + extract(year) + group by nation/year.
 @declare(
     "tpch_q9",
     sql=f"""
@@ -441,6 +446,10 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "like", "aggregation"),
 )
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q9 — product-type profit analog (no partsupp → profit = discounted price);
+    LIKE filter on p_name + extract(year) + group by nation/year.
+    """
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
@@ -462,8 +471,6 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q10 — returned item reporting: join + agg + top-20 by revenue.
 @declare(
     "tpch_q10",
     sql=f"""
@@ -482,6 +489,9 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "aggregation", "topk"),
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q10 — returned item reporting: join + agg + top-20 by revenue.
+    """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
@@ -501,9 +511,6 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q11 analog — important value by nation (no partsupp → supplier acctbal):
-# HAVING against an uncorrelated scalar subquery over the whole table.
 @declare(
     "tpch_q11",
     sql=f"""
@@ -518,6 +525,10 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("having", "scalar_subquery", "aggregation"),
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q11 analog — important value by nation (no partsupp → supplier acctbal):
+    HAVING against an uncorrelated scalar subquery over the whole table.
+    """
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     threshold = s.agg((_dsum(F.col("s_acctbal")) * 0.03).alias("threshold"))
@@ -535,9 +546,6 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q12 analog — priority class counts by line status (l_shipmode absent):
-# CASE WHEN inside sums over a fact-fact join.
 @declare(
     "tpch_q12",
     sql="""
@@ -558,6 +566,10 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "case_when", "aggregation"),
 )
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q12 analog — priority class counts by line status (l_shipmode absent): CASE
+    WHEN inside sums over a fact-fact join.
+    """
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
@@ -575,10 +587,6 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q13 — customer order-count distribution: LEFT OUTER join with an extra
-# join-side predicate, two-level aggregation. (Outer-null padding ≈
-# HashJoiner.writeLeftOuter, pixels-executor/.../join/HashJoiner.java:129.)
 @declare(
     "tpch_q13",
     sql="""
@@ -593,6 +601,11 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("outer_join", "not_like", "aggregation"),
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q13 — customer order-count distribution: LEFT OUTER join with an extra
+    join-side predicate, two-level aggregation. (Outer-null padding ≈
+    HashJoiner.writeLeftOuter, pixels-executor/.../join/HashJoiner.java:129.)
+    """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     per_cust = (
@@ -612,8 +625,6 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q14 — promotion effect: conditional-sum ratio over a join.
 @declare(
     "tpch_q14",
     sql=f"""
@@ -627,6 +638,9 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "case_when", "like", "aggregation"),
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q14 — promotion effect: conditional-sum ratio over a join.
+    """
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-09-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-10-01 00:00:00"))
@@ -641,8 +655,6 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q15 — top supplier: CTE revenue view + max scalar subquery.
 @declare(
     "tpch_q15",
     sql=f"""
@@ -661,6 +673,9 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar_subquery", "join", "aggregation"),
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q15 — top supplier: CTE revenue view + max scalar subquery.
+    """
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
@@ -679,10 +694,6 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q16 analog — supplier count per part attribute (lineitem bridges part↔
-# supplier in lieu of partsupp): COUNT(DISTINCT) + NOT IN subquery → anti
-# join (≈ AGGREGATE_EXPAND_DISTINCT_AGGREGATES, PixelsParser.java:268).
 @declare(
     "tpch_q16",
     sql="""
@@ -700,6 +711,11 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("distinct_agg", "anti_join", "in_list"),
 )
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q16 analog — supplier count per part attribute (lineitem bridges part↔
+    supplier in lieu of partsupp): COUNT(DISTINCT) + NOT IN subquery → anti
+    join (≈ AGGREGATE_EXPAND_DISTINCT_AGGREGATES, PixelsParser.java:268).
+    """
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (~F.col("p_type").like("MEDIUM%"))
@@ -718,10 +734,6 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q17 — small-quantity-order revenue: correlated scalar subquery (per-part
-# avg) decorrelated into an aggregate + join. The avg threshold is exact:
-# l_quantity is integer-valued, so sum/count is order-independent in double.
 @declare(
     "tpch_q17",
     sql=f"""
@@ -734,6 +746,11 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("correlated_subquery", "join", "aggregation"),
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q17 — small-quantity-order revenue: correlated scalar subquery (per-part
+    avg) decorrelated into an aggregate + join. The avg threshold is exact:
+    l_quantity is integer-valued, so sum/count is order-independent in double.
+    """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     part_avg = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
@@ -747,9 +764,6 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q18 — large-volume customers: IN subquery with HAVING → semi join.
-# Quantity sums are integer-valued doubles — exact, no decimal needed.
 @declare(
     "tpch_q18",
     sql="""
@@ -772,6 +786,10 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders/customer joins — one fewer full-fact shuffle than the naive
     # decorrelation, which is the plan you want at 100 TB. Quantity sums are
     # integer-valued doubles (exact), so window-sum == group-sum bitwise.
+    """--------------------------------------------------------------------------
+    Q18 — large-volume customers: IN subquery with HAVING → semi join. Quantity
+    sums are integer-valued doubles — exact, no decimal needed.
+    """
     from pyspark.sql import Window
 
     c = load_table(spark, sf_dir, "customer")
@@ -791,12 +809,6 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q19 — discounted revenue: disjunction of conjunctive range predicates
-# (p_container absent → brand/size/quantity ranges). The reference's pushdown
-# domain model can't express this OR (TableScanFilter is conjunctive-only,
-# pixels-executor/.../predicate/TableScanFilter.java:40) — host engine
-# evaluates; in Spark it's one post-join filter.
 @declare(
     "tpch_q19",
     sql=f"""
@@ -812,6 +824,13 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "disjunctive_filter", "aggregation"),
 )
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q19 — discounted revenue: disjunction of conjunctive range predicates
+    (p_container absent → brand/size/quantity ranges). The reference's pushdown
+    domain model can't express this OR (TableScanFilter is conjunctive-only,
+    pixels-executor/.../predicate/TableScanFilter.java:40) — host engine
+    evaluates; in Spark it's one post-join filter.
+    """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
@@ -835,9 +854,6 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(cond).agg(_dsum(_disc_price()).alias("revenue"))
 
 
-# --------------------------------------------------------------------------
-# Q20 analog — nested IN subqueries → chained semi joins (lineitem bridges
-# part→supplier; no partsupp availability check).
 @declare(
     "tpch_q20",
     sql="""
@@ -854,6 +870,10 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("semi_join", "having", "like"),
 )
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q20 analog — nested IN subqueries → chained semi joins (lineitem bridges
+    part→supplier; no partsupp availability check).
+    """
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
@@ -880,9 +900,6 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q21 analog — suppliers who shipped last in multi-supplier 'F' orders:
-# EXISTS → semi join, NOT EXISTS → anti join on an inequality condition.
 @declare(
     "tpch_q21",
     sql="""
@@ -914,6 +931,10 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≥ M (NOT EXISTS later other-supplier shipment). Two lineitem-wide
     # shuffles total vs three semi/anti passes — the shape that matters
     # when lineitem is the 100 TB fact.
+    """--------------------------------------------------------------------------
+    Q21 analog — suppliers who shipped last in multi-supplier 'F' orders:
+    EXISTS → semi join, NOT EXISTS → anti join on an inequality condition.
+    """
     from pyspark.sql import Window
 
     s = load_table(spark, sf_dir, "supplier")
@@ -965,10 +986,6 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Q22 — global sales opportunity: substring buckets, uncorrelated scalar
-# subquery (avg), NOT EXISTS → anti join. avg threshold uses the decimal
-# accumulation so both engines compare against the identical double.
 @declare(
     "tpch_q22",
     sql=f"""
@@ -986,6 +1003,11 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("anti_join", "scalar_subquery", "substring", "aggregation"),
 )
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--------------------------------------------------------------------------
+    Q22 — global sales opportunity: substring buckets, uncorrelated scalar
+    subquery (avg), NOT EXISTS → anti join. avg threshold uses the decimal
+    accumulation so both engines compare against the identical double.
+    """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(

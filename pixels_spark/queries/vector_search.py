@@ -31,7 +31,6 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
-# per-vector norms / self-dot (vector round-trip ≈ VectorColumnVector IO).
 @declare(
     "vec_norms",
     sql=f"""
@@ -44,6 +43,7 @@ def _sql_cos(a: str, b: str) -> str:
     tags=("vector",),
 )
 def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-vector norms / self-dot (vector round-trip ≈ VectorColumnVector IO)."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
@@ -53,7 +53,6 @@ def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-# brute-force cosine top-k against a fixed query vector (exact ANN baseline).
 @declare(
     "vec_knn",
     sql=f"""
@@ -66,12 +65,12 @@ def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "topk", "knn"),
 )
 def vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brute-force cosine top-k against a fixed query vector (exact ANN baseline)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = V.query_vector(e, "vec_id", "embedding", qid=7)
     return V.knn_brute_force(e, "embedding", "vec_id", q, k=10)
 
 
-# embedding-cosine near-dup pairs within label partitions (oracle).
 @declare(
     "vec_near_dup",
     sql=f"""
@@ -85,14 +84,13 @@ def vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "dedup", "join"),
 )
 def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-dup pairs within label partitions (oracle)."""
     e = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_pairs(
         e, "vec_id", "embedding", partition_col="label", threshold=0.4
     ).orderBy("id_a", "id_b")
 
 
-# mean vector (centroid) per label — F.zip_with-free aggregation via
-# posexplode + group, the scalable layout for long vectors (oracle).
 @declare(
     "vec_label_centroids",
     sql="""
@@ -112,6 +110,9 @@ def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "aggregation"),
 )
 def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mean vector (centroid) per label — F.zip_with-free aggregation via
+    posexplode + group, the scalable layout for long vectors (oracle).
+    """
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("dim", "v"))
@@ -163,11 +164,12 @@ def _lsh_sql(dim: int = 64, n_planes: int = 8, seed: int = 42,
     """
 
 
-# LSH-bucketed candidate pairs — the scale path for near-dup. Fully
-# oracled: seeded hyperplanes inline into the SQL as literals (see
-# _lsh_sql); recall additionally property-tested in tests/test_vector.py.
 @declare("vec_lsh_pairs", sql=_lsh_sql(), tags=("vector", "lsh"))
 def vec_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed candidate pairs — the scale path for near-dup. Fully oracled:
+    seeded hyperplanes inline into the SQL as literals (see _lsh_sql); recall
+    additionally property-tested in tests/test_vector.py.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     return (
         V.lsh_candidate_pairs(e, "embedding", "vec_id", dim=64, n_planes=8)
@@ -206,16 +208,19 @@ _SQL_DEQ = (
     tags=("vector", "topk", "knn", "quantization"),
 )
 def vec_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine kNN over int8-quantized embeddings (4x memory serving
+    path), floor quantization engine-identical to the oracle."""
     e = load_table(spark, sf_dir, "embeddings")
     q = V.query_vector(e, "vec_id", "embedding", qid=7)
     return V.knn_int8(e, "embedding", "vec_id", q, k=10)
 
 
-# IVF assign + probe — ANN with k-means (Lloyd) centroids, top-2 spill
-# assignment, broadcast probe (rows-only; recall property-tested >= 0.9
-# at n_probe=4 in tests/test_vector.py).
 @declare("vec_ivf_knn", sql=None, tags=("vector", "ivf", "knn"))
 def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assign + probe — ANN with k-means (Lloyd) centroids, top-2 spill
+    assignment, broadcast probe (rows-only; recall property-tested >= 0.9 at
+    n_probe=4 in tests/test_vector.py).
+    """
     e = load_table(spark, sf_dir, "embeddings")
     cents = V.make_centroids(e, "embedding", "vec_id", n_cells=8, iterations=2)
     assigned = V.ivf_assign(e, "embedding", cents, id_col="vec_id", n_assign=2)
@@ -312,14 +317,15 @@ def _data_fingerprint(path: str) -> str:
     return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:12]
 
 
-# IVF probe against a prebuilt partitioned index — the per-query serving
-# path (what users actually run after write_ivf_index; build cost is paid
-# once, amortized across queries). The scan is partition-pruned to the
-# probed cells (plan-asserted in tests). Rows-only: iterative k-means
-# centroids have no SQL oracle; top-k correctness vs brute force within
-# probed cells is tested in tests/test_vector.py.
 @declare("vec_ivf_probe", sql=None, tags=("vector", "ivf", "knn"))
 def vec_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against a prebuilt partitioned index — the per-query serving path
+    (what users actually run after write_ivf_index; build cost is paid once,
+    amortized across queries). The scan is partition-pruned to the probed cells
+    (plan-asserted in tests). Rows-only: iterative k-means centroids have no
+    SQL oracle; top-k correctness vs brute force within probed cells is tested
+    in tests/test_vector.py.
+    """
     idx_path, cents_path = ensure_ivf_index(spark, sf_dir)
     cents = spark.read.parquet(cents_path)
     e = load_table(spark, sf_dir, "embeddings")

@@ -27,7 +27,6 @@ def _dec(c: Column) -> Column:
     return c.cast("decimal(18,6)")
 
 
-# row_number top-N per group (the per-group top-k idiom).
 @declare(
     "win_topn_per_customer",
     sql="""
@@ -42,6 +41,7 @@ def _dec(c: Column) -> Column:
     tags=("window", "topk", "join"),
 )
 def win_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number top-N per group (the per-group top-k idiom)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("c_custkey").orderBy(
@@ -56,7 +56,6 @@ def win_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rank + dense_rank with ties.
 @declare(
     "win_rank_orders",
     sql="""
@@ -70,6 +69,7 @@ def win_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank with ties."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
     )
@@ -86,7 +86,6 @@ def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# lag/lead over an ordered per-customer sequence.
 @declare(
     "win_lag_lead",
     sql="""
@@ -100,6 +99,7 @@ def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over an ordered per-customer sequence."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
         load_table(spark, sf_dir, "orders")
@@ -114,7 +114,6 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# running (cumulative) sum — DECIMAL accumulation for cross-engine equality.
 @declare(
     "win_running_sum",
     sql="""
@@ -129,6 +128,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """running (cumulative) sum — DECIMAL accumulation for cross-engine equality."""
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -145,7 +145,6 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# bounded moving average over an event stream (ROWS frame).
 @declare(
     "win_moving_avg",
     sql="""
@@ -160,6 +159,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "time_series"),
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bounded moving average over an event stream (ROWS frame)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -177,9 +177,6 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# session windows in batch form: gaps-and-islands via lag + cumulative flag.
-# (The streaming analog — F.session_window — is exercised in pixels_spark/
-# streaming; this declared query proves the same semantics against SQL.)
 @declare(
     "win_sessionize",
     sql="""
@@ -204,6 +201,10 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "sessionization", "time_series"),
 )
 def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session windows in batch form: gaps-and-islands via lag + cumulative flag.
+    (The streaming analog — F.session_window — is exercised in pixels_spark/
+    streaming; this declared query proves the same semantics against SQL.)
+    """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -234,7 +235,6 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ranking-family completeness: ntile + percent_rank + cume_dist.
 @declare(
     "win_ranking_family",
     sql="""
@@ -250,6 +250,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def win_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ranking-family completeness: ntile + percent_rank + cume_dist."""
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
         load_table(spark, sf_dir, "orders")
@@ -264,7 +265,6 @@ def win_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# first/last value over an explicit frame.
 @declare(
     "win_first_last",
     sql="""
@@ -279,6 +279,7 @@ def win_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over an explicit frame."""
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -296,7 +297,6 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# RANGE frame: count of same-customer orders within ±30 days by order date.
 @declare(
     "win_range_frame",
     sql="""
@@ -313,6 +313,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "range_frame"),
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: count of same-customer orders within ±30 days by order date."""
     o = load_table(spark, sf_dir, "orders").withColumn(
         "epoch_day",
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))

@@ -88,4 +88,12 @@ def test_view_on_view_registers_regardless_of_catalog_order(spark, sf_dir, tmp_p
     eng.meta.create_view("tpch", "broken", "SELECT * FROM no_such_table")
     with pytest.raises(Exception, match="no_such_table|TABLE_OR_VIEW_NOT_FOUND"):
         eng.sql_register("tpch")
+
+    # when SEVERAL views are unresolvable, the error names every one of
+    # them (not just whichever failed last in catalog order)
+    eng.meta.create_view("tpch", "broken2", "SELECT * FROM also_missing")
+    with pytest.raises(RuntimeError, match="broken") as ei:
+        eng.sql_register("tpch")
+    assert "broken2" in str(ei.value) and "'broken'" in str(ei.value)
     eng.meta.drop_view("tpch", "broken")
+    eng.meta.drop_view("tpch", "broken2")

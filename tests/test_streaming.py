@@ -389,3 +389,20 @@ def test_sessionize_stateful_drops_late_beyond_watermark(spark, events, tmp_path
     got = _run_sessionize(spark, stream, tmp_path, "late")
     ref = _batch_sessions(events)
     assert got == _watermark_safe(ref, events)
+
+
+def test_declared_stream_queries_clean_their_tempdirs(spark, sf_dir):
+    """The declared streaming queries must not accumulate sink/checkpoint
+    dirs in /tmp across runs (VERDICT r04 #2): after the result DataFrame
+    is returned it is already materialized and the workdir is gone."""
+    import glob
+
+    from pixels_spark.queries.streamq_stateful import stream_dedup
+
+    def count_dirs():
+        return len(glob.glob("/tmp/pxs_stream_*"))
+
+    before = count_dirs()
+    out = stream_dedup(spark, sf_dir)
+    assert out.count() > 0  # result survives workdir removal
+    assert count_dirs() == before

@@ -37,7 +37,10 @@ def main() -> None:
     for name in sorted(reg):
         q = reg[name]
         oracle = "✅" if q.sql is not None else "rows-only"
-        doc = (q.doc or "").split("\n")[0].strip()
+        # first paragraph, joined — docstrings may hard-wrap mid-sentence
+        doc = " ".join(
+            ln.strip() for ln in (q.doc or "").split("\n\n")[0].split("\n")
+        ).strip()
         lines.append(f"| `{name}` | {oracle} | {', '.join(q.tags)} | {doc} |")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "QUERIES.md")
     with open(out, "w") as f:
