@@ -55,6 +55,7 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
     from . import (  # noqa: F401
         clickbench,
         clickbench_str,
+        decimalq,
         joinq,
         scalarq,
         setopq,

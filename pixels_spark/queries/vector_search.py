@@ -299,22 +299,9 @@ def _ensured(path: str) -> str:
 
 
 def _data_fingerprint(path: str) -> str:
-    """Hash of the parquet file listing (relpath, size, mtime) under
-    ``path`` (a file or a directory-style parquet dataset)."""
-    import hashlib
-    import os
+    from ..storage.derived import data_fingerprint
 
-    entries = []
-    if os.path.isdir(path):
-        for r, _dirs, files in os.walk(path):
-            for fn in sorted(files):
-                p = os.path.join(r, fn)
-                st = os.stat(p)
-                entries.append(f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(path):
-        st = os.stat(path)
-        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:12]
+    return data_fingerprint(path)
 
 
 @declare("vec_ivf_probe", sql=None, tags=("vector", "ivf", "knn"))

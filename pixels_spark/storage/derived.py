@@ -1,0 +1,99 @@
+"""Build-once derived tables keyed by source-fixture fingerprint.
+
+Several surfaces materialize a *derived* stored table from a read-only
+fixture — the IVF cell-partitioned index (vector_search), the DECIMAL
+money table, the STRUCT-typed events table — and serve every subsequent
+query from the materialized layout. This module is the shared lifecycle:
+
+- cache key = absolute fixture path + a fingerprint of the source parquet
+  (file listing with sizes/mtimes), so a regenerated or restaged fixture
+  gets a fresh key and a stale derivation is impossible;
+- the build lands in a unique temp dir renamed atomically into place with
+  a ``_BUILT`` marker, so concurrent builders (pytest alongside bench) can
+  never serve a half-written table;
+- the cache lives in a writable temp/cache dir because fixture dirs are
+  read-only (override via ``PIXELS_SPARK_DERIVED_CACHE``).
+
+Reference analog: the reference's layout optimizer materializes compact
+projections/orderings of a base table once and routes queries to them
+(``pixels-daemon/.../LayoutServiceImpl``); at 100 TB the build is a
+one-off distributed write job (like LOAD) whose cost is amortized across
+every query that reads the derived layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+
+def data_fingerprint(path: str) -> str:
+    """Hash of the parquet file listing (relpath, size, mtime) under
+    ``path`` (a file or a directory-style parquet dataset)."""
+    entries = []
+    if os.path.isdir(path):
+        for r, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                p = os.path.join(r, fn)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:12]
+
+
+def _ensured(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def ensure_derived(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    source_paths: list[str],
+    build: Callable[[SparkSession, str], None],
+    params: str = "",
+    cache_root: str | None = None,
+) -> str:
+    """Materialize derived table ``name`` for fixture ``sf_dir`` exactly
+    once; return the directory the build wrote into.
+
+    ``build(spark, dest_dir)`` writes the derived artifacts under
+    ``dest_dir`` (one or more parquet datasets). ``source_paths`` are the
+    fixture inputs whose fingerprints key the cache; ``params`` folds build
+    parameters into the key so different configurations coexist.
+    """
+    root = cache_root or os.environ.get(
+        "PIXELS_SPARK_DERIVED_CACHE",
+        os.path.join(tempfile.gettempdir(), "pixels_spark_derived"),
+    )
+    fp = ":".join(data_fingerprint(p) for p in source_paths)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{fp}:{params}".encode()
+    ).hexdigest()[:12]
+    dest = os.path.join(root, f"{name}_{key}")
+    if not os.path.exists(os.path.join(dest, "_BUILT")):
+        tmp = tempfile.mkdtemp(prefix=f"{name}_{key}.build.", dir=_ensured(root))
+        try:
+            build(spark, tmp)
+            with open(os.path.join(tmp, "_BUILT"), "w") as f:
+                f.write("ok")
+            os.rename(tmp, dest)
+        except OSError:
+            # a concurrent builder won the rename; its completed build serves
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(dest, "_BUILT")):
+                raise
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    return dest

@@ -87,8 +87,11 @@ _DUCK_CANON = {
 
 
 def _spark_canon_types(sdf) -> dict[str, str]:
+    # decimal(p,s) falls through both canon dicts; compare it precision-exact
+    # but case-insensitive (Spark prints lowercase, DuckDB uppercase)
     return {
-        name: _SPARK_CANON.get(dt.split("(")[0], dt) for name, dt in sdf.dtypes
+        name: _SPARK_CANON.get(dt.split("(")[0], dt.lower())
+        for name, dt in sdf.dtypes
     }
 
 
@@ -103,7 +106,8 @@ def compare(spark, sf_dir: str, fn, sql: str) -> list[str]:
         rel = con.sql(sql)
         d_cols = list(rel.columns)
         d_types = {
-            c: _DUCK_CANON.get(str(t), str(t)) for c, t in zip(rel.columns, rel.types)
+            c: _DUCK_CANON.get(str(t), str(t).lower())
+            for c, t in zip(rel.columns, rel.types)
         }
         d_rows = rel.fetchall()
     finally:
