@@ -62,6 +62,7 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
         sqlq,
         streamq,
         streamq_stateful,
+        structq,
         temporalq,
         text_pipeline,
         tpch,
