@@ -23,6 +23,36 @@ from pyspark.sql import functions as F
 from .text import fingerprint, tokens
 
 
+def cut_lineage(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Materialize an intermediate so downstream reuse (both sides of a
+    self-join, iterative rounds) reads the materialization instead of
+    recomputing the upstream job.
+
+    Default (``reliable=False``): ``localCheckpoint`` — executor-local
+    blocks, zero copy overhead, lineage truncated. The catch at cluster
+    scale: localCheckpoint blocks are NOT recoverable — losing one
+    executor aborts the query instead of recomputing (Spark cannot
+    rebuild them). Fine for interactive/bench runs; wrong for multi-hour
+    1000-executor jobs where an executor loss is routine.
+
+    ``reliable=True``: if the session has a checkpoint dir
+    (``sc.setCheckpointDir``), a reliable checkpoint (replayable from
+    durable storage, lineage truncated); otherwise
+    ``persist(MEMORY_AND_DISK_2)`` — 2× replicated cache, survives one
+    executor loss, recomputes from lineage in the worst case (lineage is
+    kept, so plans grow in iterative use — prefer a checkpoint dir for
+    long chains). Both modes are value-identical (tests/test_dedup.py).
+    """
+    if not reliable:
+        return df.localCheckpoint(eager=False)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=False)
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK_2)
+
+
 def spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition a compute-heavy operator's input across the cluster.
 
@@ -106,6 +136,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle inverted index.
 
@@ -129,11 +160,9 @@ def ngram_jaccard_pairs(
     # tokenize+shingle CPU (the expensive part) runs twice. Materialize the
     # compact per-doc form (one row per doc, shingle array), not the
     # exploded form, so the stored footprint is ~the text size.
-    sh = (
-        spread(df, id_col)
-        .select(*cols)
-        .withColumn("_size", F.size("_sh"))
-        .localCheckpoint(eager=False)
+    sh = cut_lineage(
+        spread(df, id_col).select(*cols).withColumn("_size", F.size("_sh")),
+        reliable,
     )
     keep = ["_id", "_size"] + (["_blk"] if block_col else [])
     exploded = sh.select(*keep, F.explode("_sh").alias("_shingle"))
@@ -241,6 +270,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    reliable: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs agreeing on any full band are candidates.
@@ -252,8 +282,8 @@ def minhash_lsh_candidates(
     # lineage cut (see ngram_jaccard_pairs): the signature job — shingle
     # explode + num_hashes MIN aggregates — would otherwise run once per
     # self-join side; the signature table is tiny (id + num_hashes longs)
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
-        eager=False
+    sig = cut_lineage(
+        minhash_signatures(df, id_col, text_col, n, num_hashes), reliable
     )
     banded = sig.select(
         "_id",
@@ -295,9 +325,12 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    reliable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard over shingles."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, reliable=reliable
+    )
     sh = df.select(
         F.col(id_col).alias("_vid"),
         word_shingles(F.col(text_col), n).alias("_vsh"),
@@ -413,6 +446,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -426,7 +460,7 @@ def simhash_near_pairs(
     runs twice. ``localCheckpoint`` materializes the tiny signature table
     (2 longs per doc) once; both join sides then scan the materialization —
     at 100 TB this halves the operator."""
-    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=False)
+    sigs = cut_lineage(simhash(df, id_col, text_col), reliable)
     chunks = sigs.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
@@ -540,7 +574,7 @@ def embedding_near_dup_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame, max_iterations: int = 20, reliable: bool = False
 ) -> DataFrame:
     """Group near-duplicate pairs (id_a, id_b) into clusters: returns
     (id, component) where component = the smallest id reachable from id.
@@ -616,8 +650,8 @@ def connected_components(
             )
         )
         if (it + 1) % checkpoint_every == 0:
-            # localCheckpoint persists internally; don't double-persist
-            new_labels = new_labels.localCheckpoint(eager=False)
+            # the lineage cut persists internally; don't double-persist
+            new_labels = cut_lineage(new_labels, reliable)
         else:
             new_labels = new_labels.persist()
         # one job: materializes new_labels into the cache AND counts changes
@@ -637,12 +671,13 @@ def canonical_docs(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-dup dedup, end to end: keep one document per duplicate cluster
     (the smallest id — deterministic), plus every document that appears in
     no pair. This is the step an LLM corpus pipeline actually ships:
     pairs → clusters → survivors."""
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, reliable=reliable)
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("_loser")
     )

@@ -29,6 +29,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import cut_lineage
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two equal-length array columns (double)."""
@@ -431,6 +433,7 @@ def make_centroids(
     n_cells: int,
     iterations: int = 2,
     max_train_rows: int | None = 65536,
+    reliable: bool = False,
 ) -> DataFrame:
     """K-means centroids (Lloyd's algorithm), fully over DataFrame ops.
 
@@ -440,7 +443,8 @@ def make_centroids(
     per cell via posexplode → groupBy(cell, dim) → re-assemble, so the wide
     vector never becomes a grouping key and each round is two shuffles whose
     width is k×dim rows, independent of corpus size. Centroids are
-    localCheckpoint'ed between rounds to truncate lineage.
+    lineage-cut between rounds (``functions.dedup.cut_lineage`` —
+    ``reliable=True`` for the fault-tolerant variant on long runs).
 
     Lloyd trains on a deterministic hash-sample capped at
     ``max_train_rows`` (k-means quality saturates far below full-corpus
@@ -490,13 +494,13 @@ def make_centroids(
             .select(F.col("ivf_cell").alias("cell_id"), "cell_vec")
         )
         # empty cells keep their previous centroid
-        cents = (
+        cents = cut_lineage(
             cents.select("cell_id", F.col("cell_vec").alias("_prev"))
             .join(means, "cell_id", "left_outer")
             .select(
                 "cell_id",
                 F.coalesce(F.col("cell_vec"), F.col("_prev")).alias("cell_vec"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
     return cents

@@ -182,3 +182,23 @@ def test_decontaminate_flags_overlapping_train_docs(spark):
     # doc 1 shares the 4-gram "the quick brown fox"; doc 3 matches via the
     # short-doc whole-text shingle; doc 2 shares nothing.
     assert got == {1: 1, 3: 1}
+
+
+def test_cut_lineage_reliable_mode_value_identical(spark, docs, tmp_path):
+    """The fault-tolerant variants (persist-replicated, or reliable
+    checkpoint when a checkpoint dir is set) must produce exactly the
+    pair/cluster sets of the default localCheckpoint path."""
+
+    def pairs_set(df):
+        return {tuple(r) for r in df.select("id_a", "id_b").collect()}
+
+    base = pairs_set(D.minhash_dedup_pairs(docs))
+    assert pairs_set(D.minhash_dedup_pairs(docs, reliable=True)) == base
+    sim_base = pairs_set(D.simhash_near_pairs(docs))
+    assert pairs_set(D.simhash_near_pairs(docs, reliable=True)) == sim_base
+
+    # with a reliable checkpoint dir configured the checkpoint() branch runs
+    sc = spark.sparkContext
+    # (left set for the rest of the session — only reliable=True consults it)
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    assert pairs_set(D.minhash_dedup_pairs(docs, reliable=True)) == base
