@@ -90,6 +90,15 @@ def _finalize(df: DataFrame, workdir: str) -> DataFrame:
 
 
 def _run_to_parquet(out_stream: DataFrame, workdir: str, tag: str) -> str:
+    out, _ = _run_to_parquet_with_progress(out_stream, workdir, tag)
+    return out
+
+
+def _run_to_parquet_with_progress(
+    out_stream: DataFrame, workdir: str, tag: str
+) -> tuple[str, list[dict]]:
+    """Like _run_to_parquet but also returns the per-micro-batch progress
+    dicts (state-store row counts etc.) captured before termination."""
     out = os.path.join(workdir, f"out_{tag}")
     q = (
         out_stream.writeStream.format("parquet")
@@ -101,7 +110,7 @@ def _run_to_parquet(out_stream: DataFrame, workdir: str, tag: str) -> str:
     if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError(f"streaming query {tag} did not finish in 600s")
-    return out
+    return out, [p for p in q.recentProgress if p is not None]
 
 
 @declare(
@@ -173,6 +182,72 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream(stream, ["event_id"], watermark_delay="365 days")
     out = _run_to_parquet(deduped, work, "dedup")
     return _finalize(spark.read.parquet(out).orderBy("event_id"), work)
+
+
+def _bounded_dedup_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[dict]]:
+    """Shared runner for the bounded-state dedup: time-sliced replay where
+    each slice arrives twice in event-time order, deduped with a SHORT
+    watermark (span/8). Returns (deduped result, per-batch progress).
+
+    Exactness argument: a duplicate has the same event time as its
+    original. If the original's state entry is still live, the duplicate is
+    suppressed by state; if the entry was evicted, then the watermark has
+    passed ts+delay > ts, so the duplicate is dropped as late — either way
+    it never reaches the sink, and originals (first arrival of each slice,
+    fed in event-time order) are never late. So the output equals the
+    distinct events exactly while state stays O(rate × delay).
+    """
+    import datetime as dt
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_bdedup_")
+    src = os.path.join(work, "src")
+    e = load_table(spark, sf_dir, "events")
+    row = e.agg(F.min("ts").alias("a"), F.max("ts").alias("b")).first()
+    span = row["b"] - row["a"]
+    delay_s = max(1, int(span.total_seconds()) // 8)
+    n_slices = 4
+    bounds = [row["a"] + (span * i) / n_slices for i in range(1, n_slices)]
+    slices, lo = [], None
+    for hi in [*bounds, None]:
+        cond = F.lit(True) if lo is None else (F.col("ts") > F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col("ts") <= F.lit(hi))
+        s = e.filter(cond)
+        slices += [s, s]  # each slice arrives twice, back-to-back
+        lo = hi
+    _write_slices(slices, src)
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from ..streaming.ingest import dedup_stream
+
+    deduped = dedup_stream(stream, ["event_id"], watermark_delay=f"{delay_s} seconds")
+    out, progress = _run_to_parquet_with_progress(deduped, work, "bdedup")
+    result = _finalize(spark.read.parquet(out).orderBy("event_id"), work)
+    return result, progress
+
+
+@declare(
+    "stream_dedup_bounded",
+    sql="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("streaming", "dedup", "ingest", "bounded_state"),
+)
+def stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE ingest dedup: the doubled replay is deduped with a
+    short watermark (span/8, not 365 days), so per-key state is evicted as
+    the watermark advances — yet the output is still exactly the original
+    events (in-state duplicates are suppressed, evicted-entry duplicates
+    are by then late and dropped). State eviction is asserted in
+    tests/test_streaming.py via the state-store row counts."""
+    result, _ = _bounded_dedup_run(spark, sf_dir)
+    return result
 
 
 def _md5_minhash_sql(n: int = 3, num_hashes: int = 8, rows_per_band: int = 2) -> str:

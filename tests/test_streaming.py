@@ -406,3 +406,28 @@ def test_declared_stream_queries_clean_their_tempdirs(spark, sf_dir):
     out = stream_dedup(spark, sf_dir)
     assert out.count() > 0  # result survives workdir removal
     assert count_dirs() == before
+
+
+def test_bounded_dedup_exact_with_state_eviction(spark, sf_dir):
+    """The short-watermark dedup replay must (a) emit exactly the distinct
+    events and (b) actually EVICT state: the state store's final row count
+    stays well below the total event count (365-day stream_dedup would hold
+    every key)."""
+    from pixels_spark.catalog import load_table
+    from pixels_spark.queries.streamq_stateful import _bounded_dedup_run
+
+    result, progress = _bounded_dedup_run(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert result.count() == n_events  # exact: every event exactly once
+
+    state_rows = [
+        op["numRowsTotal"]
+        for p in progress
+        for op in p.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows, "no state metrics captured"
+    # watermark at span/8 keeps roughly the trailing quarter of keys live;
+    # assert a hard bound well under "remember everything"
+    assert max(state_rows) < n_events, (max(state_rows), n_events)
+    assert state_rows[-1] < 0.8 * n_events, (state_rows[-1], n_events)
