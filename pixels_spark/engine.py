@@ -30,6 +30,7 @@ from .mvcc import MvccTable, TransService
 from .storage import compact as _compact
 from .storage import etl as _etl
 from .storage import load as _load
+from .storage import splits as _splits
 from .storage import stats as _stats
 from .storage.metadata import MetadataStore
 
@@ -90,8 +91,51 @@ class PixelsSparkEngine:
         return _etl.file_meta(path)
 
     # -- reads --------------------------------------------------------------
-    def table(self, schema: str, table: str) -> DataFrame:
-        """Read the table's preferred layout (compact if present)."""
+    def build_splits_index(self, schema: str, table: str) -> dict[str, int]:
+        """Persist the table's per-column footer byte weights on its latest
+        layout (≈ CostBasedSplitsIndex built from footer stats,
+        SplitsIndex.java:24-27). One metadata pass; feeds workload-aware
+        split sizing in ``table(..., workload_cols=...)``."""
+        return _splits.register_splits_index(
+            self.meta, schema, table, self.meta.reader_path(schema, table)
+        )
+
+    def split_advice(
+        self, schema: str, table: str, workload_cols: list[str] | None = None
+    ) -> int | None:
+        """Advised ``maxPartitionBytes`` for a scan of ``workload_cols``
+        (None = full row), or None if no splits index was built."""
+        from . import config
+
+        cb = _splits.stored_col_bytes(self.meta, schema, table)
+        if not cb:
+            return None
+        return _splits.advise_max_partition_bytes(
+            cb, workload_cols, target_task_bytes=int(config.MAX_PARTITION_BYTES)
+        )
+
+    def table(
+        self,
+        schema: str,
+        table: str,
+        workload_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Read the table's preferred layout (compact if present).
+
+        ``workload_cols`` engages workload-aware split sizing when a splits
+        index exists (``build_splits_index``): the session's
+        ``spark.sql.files.maxPartitionBytes`` is set so each task decodes
+        ~target bytes of the PROJECTED columns — narrow scans get larger
+        splits. Spark has no per-read split knob, so this is a session-conf
+        set at scan-build time — one split choice per workload, which is
+        also exactly the reference's CostBasedSplitsIndex granularity.
+        """
+        if workload_cols is not None:
+            advised = self.split_advice(schema, table, workload_cols)
+            if advised is not None:
+                self.spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", str(advised)
+                )
         return self.spark.read.parquet(self.meta.reader_path(schema, table))
 
     def sql_register(self, schema: str) -> None:
