@@ -59,6 +59,9 @@ HEADLINE = (
     "range_price_bands",
     "txt_repetition",
     "txt_decontaminate",
+    # round-5 stored type surfaces (derived tables prebuilt at staging)
+    "dec_money_rollup",
+    "struct_field_rollup",
 )
 
 
@@ -130,6 +133,18 @@ def main() -> None:
     ensure_ivf_index(spark, staged_dir)
     ivf_build_sec = round(time.perf_counter() - t0, 4)
 
+    # likewise prebuild the derived stored-type tables (money / ev_struct):
+    # one-off write jobs like LOAD; the timed dec_*/struct_* queries then
+    # measure the query path against the materialized layout, not the build
+    from pixels_spark.queries.decimalq import money_path
+    from pixels_spark.queries.structq import ev_struct_path
+
+    os.environ["PIXELS_SPARK_DERIVED_CACHE"] = os.path.join(cache_root, "derived")
+    t0 = time.perf_counter()
+    money_path(spark, staged_dir)
+    ev_struct_path(spark, staged_dir)
+    derived_build_sec = round(time.perf_counter() - t0, 4)
+
     # warm the JVM/catalyst once on a cheap query so per-query times measure
     # execution, not first-call JIT/planning setup
     _consume(registry["tpch_q6"].fn(spark, staged_dir))
@@ -158,6 +173,7 @@ def main() -> None:
                 "sf": sf,
                 "load_sec": load_sec,
                 "ivf_build_sec": ivf_build_sec,
+                "derived_build_sec": derived_build_sec,
                 "runs": 2,
                 "all_runs": all_runs,
             }
