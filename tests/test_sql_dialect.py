@@ -47,6 +47,8 @@ DIALECT_SHARED = [
     "sql_cataloged_view", "sql_tpch_q15", "sql_tpch_q4", "sql_tpch_q6",
     "sql_window", "win_first_last", "win_lag_lead", "win_rank_orders",
     "win_ranking_family", "win_running_sum", "win_topn_per_customer",
+    "dec_money_rollup", "dec_net_revenue", "dec_qty_bands",
+    "dec_fine_precision",
 ]
 
 
