@@ -122,20 +122,19 @@ class PixelsSparkEngine:
     ) -> DataFrame:
         """Read the table's preferred layout (compact if present).
 
-        ``workload_cols`` engages workload-aware split sizing when a splits
-        index exists (``build_splits_index``): the session's
-        ``spark.sql.files.maxPartitionBytes`` is set so each task decodes
-        ~target bytes of the PROJECTED columns — narrow scans get larger
-        splits. Spark has no per-read split knob, so this is a session-conf
-        set at scan-build time — one split choice per workload, which is
-        also exactly the reference's CostBasedSplitsIndex granularity.
+        When a splits index exists (``build_splits_index``), EVERY call
+        sets the session's ``spark.sql.files.maxPartitionBytes`` to the
+        advice for ``workload_cols`` (None = full row, which advises the
+        global target) — so each task decodes ~target bytes of the
+        PROJECTED columns, narrow scans get larger splits, and a full-width
+        read never inherits a previous narrow read's larger setting. Spark
+        has no per-read split knob, so this is a session-conf set at
+        scan-build time — one split choice per workload, which is also
+        exactly the reference's CostBasedSplitsIndex granularity.
         """
-        if workload_cols is not None:
-            advised = self.split_advice(schema, table, workload_cols)
-            if advised is not None:
-                self.spark.conf.set(
-                    "spark.sql.files.maxPartitionBytes", str(advised)
-                )
+        advised = self.split_advice(schema, table, workload_cols)
+        if advised is not None:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(advised))
         return self.spark.read.parquet(self.meta.reader_path(schema, table))
 
     def sql_register(self, schema: str) -> None:

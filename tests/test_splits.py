@@ -102,3 +102,21 @@ def test_engine_table_applies_advice_to_session(eng, spark):
         assert applied > int(before)  # narrow scan → larger than global default
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+
+
+def test_full_width_read_resets_narrow_advice(eng, spark):
+    """A full-width engine.table() after a narrow one must not inherit the
+    narrow scan's larger split size — every indexed read re-advises."""
+    from pixels_spark import config
+
+    eng.build_splits_index("tpch", "lineitem")
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        eng.table("tpch", "lineitem", workload_cols=["l_orderkey"])
+        narrow = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        eng.table("tpch", "lineitem")  # full row
+        full = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        assert narrow > full
+        assert full == int(config.MAX_PARTITION_BYTES)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
