@@ -504,3 +504,130 @@ def make_centroids(
             reliable,
         )
     return cents
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the 16-32× memory serving path
+
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 16,
+    k: int = 16,
+    iterations: int = 2,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: the D-dim space splits into ``m`` coordinate
+    blocks of D/m dims; each block gets its own ``k``-centroid k-means
+    (deterministic Lloyd via ``make_centroids``). Returns
+    ``books[sub][code] -> centroid`` as plain lists (m·k·D/m floats — a few
+    KB, deliberately driver-side: codebooks are broadcast constants at
+    serving time, exactly like IVF's centroid table).
+
+    Beyond-reference ANN serving tier: int8 is 4× smaller than float32; PQ
+    at m=16,k=16 stores 16 nibble-range codes per vector — 16× smaller
+    than float32 with D=64, and the ratio grows linearly with D.
+    """
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("_sv")
+        )
+        cents = make_centroids(sub, "_sv", id_col, n_cells=k, iterations=iterations)
+        rows = {r["cell_id"]: list(r["cell_vec"]) for r in cents.collect()}
+        books.append([rows[c] for c in range(k)])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """(id, codes array<int>) — each vector reduced to one code per
+    subspace (nearest codebook centroid by L2). Pure column expressions:
+    per subspace an array<struct(dist,code)> over the k candidates,
+    ``array_min`` picks the argmin (ties → lowest code, deterministic).
+    m·k small aggregate exprs, all whole-stage codegen; no shuffle."""
+    m, k = len(books), len(books[0])
+    d_sub = len(books[0][0])
+
+    def code_for(j: int) -> Column:
+        sv = F.slice(F.col(vec_col), j * d_sub + 1, d_sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sv,
+                            F.array(*[F.lit(float(x)) for x in books[j][c]]),
+                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(c).alias("code"),
+                )
+                for c in range(k)
+            ]
+        )
+        return F.array_min(cands)["code"]
+
+    return df.select(
+        F.col(id_col), F.array(*[code_for(j) for j in range(m)]).alias("codes")
+    )
+
+
+def pq_knn(
+    encoded: DataFrame,
+    id_col: str,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k approximate cosine via Asymmetric Distance Computation: the
+    query is NOT quantized — per (sub, code) we precompute on the driver
+    the partial dot ``<q_sub, centroid>`` and the centroid's squared norm
+    (coordinate blocks are disjoint, so reconstructed ``‖v̂‖² = Σ_sub
+    ‖centroid‖²``), ship both as literal lookup tables (m·k doubles each),
+    and score each row with two element_at folds over its code array —
+    sim(q, v̂) exactly, computed without ever touching a float vector.
+    Same no-shuffle TakeOrderedAndProject shape as the exact kNN.
+    """
+    import math
+
+    m, kk = len(books), len(books[0])
+    d_sub = len(books[0][0])
+    dot_lut, n2_lut = [], []
+    for j in range(m):
+        q_sub = query_vec[j * d_sub : (j + 1) * d_sub]
+        for c in range(kk):
+            cent = books[j][c]
+            dot_lut.append(sum(a * b for a, b in zip(q_sub, cent)))
+            n2_lut.append(sum(x * x for x in cent))
+    qnorm = math.sqrt(sum(x * x for x in query_vec))
+
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+
+    def fold(lut: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(v)) for v in lut])
+        return F.aggregate(
+            F.zip_with(
+                F.col("codes"), idx, lambda c, i: F.element_at(arr, i * kk + c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sim = fold(dot_lut) / (F.sqrt(fold(n2_lut)) * F.lit(qnorm))
+    return (
+        encoded.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -215,6 +215,23 @@ def vec_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_int8(e, "embedding", "vec_id", q, k=10)
 
 
+@declare("vec_knn_pq", sql=None, tags=("vector", "topk", "knn", "quantization", "pq"))
+def vec_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 approximate cosine kNN over PRODUCT-QUANTIZED embeddings —
+    16 codebook codes per 64-dim vector (16x memory vs float32), scored by
+    Asymmetric Distance Computation: two literal-LUT folds per row, never
+    touching a float vector. Rows-only: k-means codebooks have no SQL
+    oracle; ADC==reconstructed-cosine identity and recall >= 6/10 vs exact
+    are pinned in tests/test_vector.py."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = V.pq_codebooks(e, "embedding", "vec_id", m=16, k=32)
+    enc = V.pq_encode(e, "embedding", "vec_id", books)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    return V.pq_knn(enc, "vec_id", books, qvec, k=10)
+
+
 @declare("vec_ivf_knn", sql=None, tags=("vector", "ivf", "knn"))
 def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assign + probe — ANN with k-means (Lloyd) centroids, top-2 spill

@@ -267,3 +267,74 @@ def test_int8_knn_recall_vs_exact(spark, sf_dir):
         ).alias("excess")
     ).agg(F.max("excess")).first()[0]
     assert err <= 0.0, f"dequantization error exceeded scale/2 by {err}"
+
+
+def test_pq_adc_equals_reconstructed_cosine(spark, emb):
+    """The ADC LUT fold must equal cosine(query, reconstructed vector)
+    EXACTLY (coordinate blocks are disjoint, so partial dots and squared
+    norms add) — the internal-consistency oracle for the PQ serving path."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pixels_spark.functions import vector as V
+
+    books = V.pq_codebooks(emb, "embedding", "vec_id", m=8, k=8, iterations=1)
+    enc = V.pq_encode(emb, "embedding", "vec_id", books)
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    got = {
+        r["vec_id"]: r["sim"]
+        for r in V.pq_knn(enc, "vec_id", books, qvec, k=5).collect()
+    }
+    codes = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    qn = math.sqrt(sum(x * x for x in qvec))
+    for vid, sim in got.items():
+        recon = [x for j, c in enumerate(codes[vid]) for x in books[j][c]]
+        dot = sum(a * b for a, b in zip(qvec, recon))
+        rn = math.sqrt(sum(x * x for x in recon))
+        assert abs(sim - dot / (qn * rn)) < 1e-9, vid
+
+
+def test_pq_recall_and_compression(spark, emb):
+    """PQ top-10 must overlap exact top-10 on >=6 ids, and the encoded form
+    must really be m small codes (the 16x memory claim)."""
+    from pyspark.sql import functions as F
+
+    from pixels_spark.functions import vector as V
+
+    m, k = 16, 32
+    books = V.pq_codebooks(emb, "embedding", "vec_id", m=m, k=k)
+    enc = V.pq_encode(emb, "embedding", "vec_id", books)
+    row = enc.first()
+    assert len(row["codes"]) == m
+    assert all(0 <= c < k for c in row["codes"])
+
+    # recall on UNSTRUCTURED (random) vectors is the worst case for PQ and
+    # jitters per query — pin the mean over 5 queries, not a single draw
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(5).collect()]
+    hits = 0
+    for qid in qids:
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        approx = {
+            r["vec_id"] for r in V.pq_knn(enc, "vec_id", books, qvec, k=10).collect()
+        }
+        exact = {
+            r["vec_id"]
+            for r in V.knn_brute_force(
+                emb, "embedding", "vec_id",
+                V.query_vector(emb, "vec_id", "embedding", qid), k=10,
+            ).collect()
+        }
+        hits += len(approx & exact)
+    assert hits >= 25, hits  # mean recall >= 0.5 across 5 queries
+
+
+def test_pq_codebooks_deterministic(spark, emb):
+    from pixels_spark.functions import vector as V
+
+    b1 = V.pq_codebooks(emb, "embedding", "vec_id", m=4, k=4, iterations=1)
+    b2 = V.pq_codebooks(emb, "embedding", "vec_id", m=4, k=4, iterations=1)
+    assert b1 == b2
