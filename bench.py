@@ -62,6 +62,7 @@ HEADLINE = (
     # round-5 stored type surfaces (derived tables prebuilt at staging)
     "dec_money_rollup",
     "struct_field_rollup",
+    "vec_pq_probe",
 )
 
 
@@ -138,11 +139,13 @@ def main() -> None:
     # measure the query path against the materialized layout, not the build
     from pixels_spark.queries.decimalq import money_path
     from pixels_spark.queries.structq import ev_struct_path
+    from pixels_spark.queries.vector_search import ensure_pq_index
 
     os.environ["PIXELS_SPARK_DERIVED_CACHE"] = os.path.join(cache_root, "derived")
     t0 = time.perf_counter()
     money_path(spark, staged_dir)
     ev_struct_path(spark, staged_dir)
+    ensure_pq_index(spark, staged_dir)
     derived_build_sec = round(time.perf_counter() - t0, 4)
 
     # warm the JVM/catalyst once on a cheap query so per-query times measure

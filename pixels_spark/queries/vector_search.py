@@ -321,6 +321,53 @@ def _data_fingerprint(path: str) -> str:
     return data_fingerprint(path)
 
 
+def ensure_pq_index(spark: SparkSession, sf_dir: str, m: int = 16, k: int = 32):
+    """Build-once PQ index for the embeddings table: codebooks (JSON) +
+    the encoded corpus (parquet, one codes array per id). Same build-once
+    fingerprint-keyed lifecycle as the IVF index (storage/derived.py);
+    returns (books, encoded_path)."""
+    import json
+    import os
+
+    from ..storage.derived import ensure_derived
+
+    def build(sp, tmp):
+        e = load_table(sp, sf_dir, "embeddings")
+        books = V.pq_codebooks(e, "embedding", "vec_id", m=m, k=k)
+        with open(os.path.join(tmp, "codebooks.json"), "w") as f:
+            json.dump(books, f)
+        V.pq_encode(e, "embedding", "vec_id", books).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "encoded.parquet"))
+
+    dest = ensure_derived(
+        spark,
+        sf_dir,
+        name="pq",
+        source_paths=[table_path(sf_dir, "embeddings")],
+        build=build,
+        params=f"m{m}_k{k}_v1",
+    )
+    with open(os.path.join(dest, "codebooks.json")) as f:
+        books = json.load(f)
+    return books, os.path.join(dest, "encoded.parquet")
+
+
+@declare("vec_pq_probe", sql=None, tags=("vector", "topk", "knn", "pq"))
+def vec_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC probe against the PREBUILT PQ index — the per-query serving
+    path: read the encoded (16x smaller) corpus, fold two literal LUTs,
+    top-10. Codebook training is amortized like the IVF build. Rows-only:
+    k-means codebooks have no SQL oracle; consistency and recall pinned in
+    tests/test_vector.py."""
+    from pyspark.sql import functions as F
+
+    books, enc_path = ensure_pq_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    return V.pq_knn(spark.read.parquet(enc_path), "vec_id", books, qvec, k=10)
+
+
 @declare("vec_ivf_probe", sql=None, tags=("vector", "ivf", "knn"))
 def vec_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe against a prebuilt partitioned index — the per-query serving path

@@ -338,3 +338,25 @@ def test_pq_codebooks_deterministic(spark, emb):
     b1 = V.pq_codebooks(emb, "embedding", "vec_id", m=4, k=4, iterations=1)
     b2 = V.pq_codebooks(emb, "embedding", "vec_id", m=4, k=4, iterations=1)
     assert b1 == b2
+
+
+def test_pq_index_probe_matches_inline(spark, sf_dir, tmp_path, monkeypatch):
+    """The prebuilt-index probe must return exactly what the inline
+    train+encode+score path returns (stale/partial index impossible), and
+    the second ensure call must be a pure cache hit."""
+    import os
+
+    from pixels_spark.queries import load_all_modules
+    from pixels_spark.queries.vector_search import ensure_pq_index
+
+    monkeypatch.setenv("PIXELS_SPARK_DERIVED_CACHE", str(tmp_path / "dc"))
+    reg = load_all_modules()
+    probe = [tuple(r) for r in reg["vec_pq_probe"].fn(spark, sf_dir).collect()]
+    inline = [tuple(r) for r in reg["vec_knn_pq"].fn(spark, sf_dir).collect()]
+    assert probe == inline
+
+    books, enc = ensure_pq_index(spark, sf_dir)
+    marker = os.path.join(os.path.dirname(enc), "_BUILT")
+    mtime = os.path.getmtime(marker)
+    ensure_pq_index(spark, sf_dir)
+    assert os.path.getmtime(marker) == mtime
