@@ -368,6 +368,94 @@ def vec_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.pq_knn(spark.read.parquet(enc_path), "vec_id", books, qvec, k=10)
 
 
+def ensure_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    n_assign: int = 2,
+    m: int = 16,
+    k: int = 32,
+):
+    """Build-once IVF+PQ index — the full ANN serving stack (FAISS-IVFPQ
+    shape): the corpus is cell-partitioned (partition pruning bounds the
+    scan to probed cells) AND stored as PQ codes (16x smaller than the
+    float vectors the plain IVF index keeps). Returns
+    (books, cents_path, index_path)."""
+    import json
+    import os
+
+    from ..storage.derived import ensure_derived
+
+    def build(sp, tmp):
+        e = load_table(sp, sf_dir, "embeddings")
+        cents = V.make_centroids(e, "embedding", "vec_id", n_cells=n_cells, iterations=2)
+        assigned = V.ivf_assign(e, "embedding", cents, id_col="vec_id", n_assign=n_assign)
+        books = V.pq_codebooks(e, "embedding", "vec_id", m=m, k=k)
+        codes = V.pq_encode(e, "embedding", "vec_id", books)
+        # one encode per id, joined to its (spill) cell assignments; the
+        # stored index carries ONLY (vec_id, codes, ivf_cell) — no floats
+        from pyspark.sql import functions as F
+
+        enc = assigned.select("vec_id", "ivf_cell").join(codes, "vec_id")
+        enc.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+            os.path.join(tmp, "index")
+        )
+        cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids.parquet"))
+        with open(os.path.join(tmp, "codebooks.json"), "w") as f:
+            json.dump(books, f)
+
+    dest = ensure_derived(
+        spark,
+        sf_dir,
+        name="ivfpq",
+        source_paths=[table_path(sf_dir, "embeddings")],
+        build=build,
+        params=f"c{n_cells}_a{n_assign}_m{m}_k{k}_v1",
+    )
+    with open(os.path.join(dest, "codebooks.json")) as f:
+        books = json.load(f)
+    return books, os.path.join(dest, "centroids.parquet"), os.path.join(dest, "index")
+
+
+@declare("vec_ivfpq_probe", sql=None, tags=("vector", "ivf", "pq", "knn"))
+def vec_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ probe: rank centroids driver-side (O(n_cells)), scan ONLY the
+    probed cells' directories (static partition filter), deduplicate spill
+    copies, ADC-score the codes — the scan is bounded by n_probe x cell
+    size AND reads 16x fewer bytes than float vectors. Rows-only (k-means
+    has no SQL oracle); probed-subset equivalence + pruning asserted in
+    tests/test_vector.py."""
+    from pyspark.sql import functions as F
+
+    books, cents_path, idx_path = ensure_ivfpq_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    probed = probed_cells(spark, cents_path, qvec, n_probe=2)
+    enc = (
+        spark.read.parquet(idx_path)
+        .filter(F.col("ivf_cell").isin(probed))
+        .groupBy("vec_id")
+        .agg(F.first("codes").alias("codes"))
+    )
+    return V.pq_knn(enc, "vec_id", books, qvec, k=10)
+
+
+def probed_cells(spark: SparkSession, cents_path: str, qvec: list, n_probe: int) -> list:
+    """Top-``n_probe`` cell ids by centroid cosine vs the query — the
+    O(n_cells) driver-side index lookup every ANN serving path performs."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qvec))
+    ranked = []
+    for r in spark.read.parquet(cents_path).collect():
+        c = list(r["cell_vec"])
+        cn = math.sqrt(sum(x * x for x in c))
+        sim = sum(a * b for a, b in zip(qvec, c)) / (qn * cn) if cn and qn else -1.0
+        ranked.append((sim, r["cell_id"]))
+    ranked.sort(key=lambda t: (-t[0], t[1]))
+    return [cid for _s, cid in ranked[:n_probe]]
+
+
 @declare("vec_ivf_probe", sql=None, tags=("vector", "ivf", "knn"))
 def vec_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe against a prebuilt partitioned index — the per-query serving path

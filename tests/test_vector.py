@@ -360,3 +360,49 @@ def test_pq_index_probe_matches_inline(spark, sf_dir, tmp_path, monkeypatch):
     mtime = os.path.getmtime(marker)
     ensure_pq_index(spark, sf_dir)
     assert os.path.getmtime(marker) == mtime
+
+
+def test_ivfpq_probe_prunes_and_matches_subset_scoring(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """IVF+PQ: (a) the probe scan must read ONLY the probed cells'
+    directories (partition pruning on the codes index); (b) its result
+    must equal ADC-scoring the full encoded corpus RESTRICTED to members
+    of the probed cells — the IVF layer only selects candidates, the PQ
+    layer's math is unchanged."""
+    from pyspark.sql import functions as F
+
+    from pixels_spark.functions import vector as V
+    from pixels_spark.queries import load_all_modules
+    from pixels_spark.queries.vector_search import (
+        ensure_ivfpq_index,
+        probed_cells,
+    )
+
+    monkeypatch.setenv("PIXELS_SPARK_DERIVED_CACHE", str(tmp_path / "dc"))
+    reg = load_all_modules()
+    books, cents_path, idx_path = ensure_ivfpq_index(spark, sf_dir)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    probed = probed_cells(spark, cents_path, qvec, n_probe=2)
+
+    # (a) pruning: input_file_name() reflects files actually scanned
+    # post-pruning (inputFiles() lists the whole relation)
+    scan = spark.read.parquet(idx_path).filter(F.col("ivf_cell").isin(probed))
+    files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
+    assert files, "scan read no files"
+    allowed = {f"ivf_cell={c}" for c in probed}
+    for f in files:
+        assert any(p in f for p in allowed), f"unpruned file scanned: {f}" 
+
+    # (b) equivalence: probe == ADC over the probed cells' member set
+    probe_rows = [tuple(r) for r in reg["vec_ivfpq_probe"].fn(spark, sf_dir).collect()]
+    members = (
+        spark.read.parquet(idx_path)
+        .filter(F.col("ivf_cell").isin(probed))
+        .groupBy("vec_id")
+        .agg(F.first("codes").alias("codes"))
+    )
+    expect = [tuple(r) for r in V.pq_knn(members, "vec_id", books, qvec, k=10).collect()]
+    assert probe_rows == expect
