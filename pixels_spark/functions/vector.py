@@ -519,29 +519,88 @@ def pq_codebooks(
     iterations: int = 2,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: the D-dim space splits into ``m`` coordinate
-    blocks of D/m dims; each block gets its own ``k``-centroid k-means
-    (deterministic Lloyd via ``make_centroids``). Returns
-    ``books[sub][code] -> centroid`` as plain lists (m·k·D/m floats — a few
-    KB, deliberately driver-side: codebooks are broadcast constants at
-    serving time, exactly like IVF's centroid table).
+    blocks of D/m dims; each block gets its own ``k``-centroid L2 k-means.
+    Returns ``books[sub][code] -> centroid`` as plain lists (m·k·D/m
+    floats — a few KB, deliberately driver-side: codebooks are broadcast
+    constants at serving time, exactly like IVF's centroid table).
+
+    All ``m`` subspace k-means run as ONE grouped Lloyd over
+    (sub, id, subvector) rows — each iteration is a broadcast join +
+    argmin and a per-(sub,code,pos) mean, two small shuffles total,
+    instead of m sequential ``make_centroids`` jobs (~6 Spark jobs vs ~80
+    at m=16). Assignment is L2 (what ``pq_encode`` uses), init is
+    deterministic (the k lowest-id subvectors per subspace), ties break to
+    the lowest code.
 
     Beyond-reference ANN serving tier: int8 is 4× smaller than float32; PQ
-    at m=16,k=16 stores 16 nibble-range codes per vector — 16× smaller
-    than float32 with D=64, and the ratio grows linearly with D.
+    at m=16,k=32 stores 16 codes per 64-dim vector — 16× smaller than
+    float32, and the ratio grows linearly with D.
     """
+    from pyspark.sql.window import Window
+
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    books = []
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("_sv")
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(F.col(vec_col), j * d_sub + 1, d_sub)
+                        .cast("array<double>")
+                        .alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_e"),
+    ).select("_id", F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"))
+
+    w = Window.partitionBy("sub").orderBy("_id")
+    cents = (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("sub", (F.col("_rn") - 1).alias("code"), F.col("sv").alias("cv"))
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iterations):
+        assigned = (
+            pts.join(F.broadcast(cents), "sub")
+            .select("sub", "_id", "sv", F.struct(l2.alias("d"), F.col("code")).alias("_dc"))
+            .groupBy("sub", "_id")
+            .agg(F.min("_dc")["code"].alias("code"), F.first("sv").alias("sv"))
         )
-        cents = make_centroids(sub, "_sv", id_col, n_cells=k, iterations=iterations)
-        rows = {r["cell_id"]: list(r["cell_vec"]) for r in cents.collect()}
-        books.append([rows[c] for c in range(k)])
-    return books
+        means = (
+            assigned.select("sub", "code", F.posexplode("sv"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("col").alias("mv"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("mcv")
+            )
+        )
+        # empty codes keep their previous centroid
+        cents = (
+            cents.join(means, ["sub", "code"], "left_outer")
+            .select(
+                "sub", "code", F.coalesce(F.col("mcv"), F.col("cv")).alias("cv")
+            )
+            .localCheckpoint(eager=False)
+        )
+    got = {}
+    for r in cents.collect():
+        got[(r["sub"], r["code"])] = [float(x) for x in r["cv"]]
+    return [[got[(j, c)] for c in range(k)] for j in range(m)]
 
 
 def pq_encode(

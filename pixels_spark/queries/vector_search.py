@@ -346,7 +346,7 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str, m: int = 16, k: int = 32):
         name="pq",
         source_paths=[table_path(sf_dir, "embeddings")],
         build=build,
-        params=f"m{m}_k{k}_v1",
+        params=f"m{m}_k{k}_v2",
     )
     with open(os.path.join(dest, "codebooks.json")) as f:
         books = json.load(f)
@@ -386,16 +386,17 @@ def ensure_ivfpq_index(
 
     from ..storage.derived import ensure_derived
 
+    # reuse the plain PQ index (codebooks + encoded corpus): training and
+    # encoding are shared work, and keeping ONE codebook set per fixture
+    # means PQ and IVF+PQ serve identical scores for the same candidates
+    books, enc_path = ensure_pq_index(spark, sf_dir, m=m, k=k)
+
     def build(sp, tmp):
         e = load_table(sp, sf_dir, "embeddings")
         cents = V.make_centroids(e, "embedding", "vec_id", n_cells=n_cells, iterations=2)
         assigned = V.ivf_assign(e, "embedding", cents, id_col="vec_id", n_assign=n_assign)
-        books = V.pq_codebooks(e, "embedding", "vec_id", m=m, k=k)
-        codes = V.pq_encode(e, "embedding", "vec_id", books)
-        # one encode per id, joined to its (spill) cell assignments; the
-        # stored index carries ONLY (vec_id, codes, ivf_cell) — no floats
-        from pyspark.sql import functions as F
-
+        codes = sp.read.parquet(enc_path)
+        # the stored index carries ONLY (vec_id, codes, ivf_cell) — no floats
         enc = assigned.select("vec_id", "ivf_cell").join(codes, "vec_id")
         enc.write.mode("overwrite").partitionBy("ivf_cell").parquet(
             os.path.join(tmp, "index")
@@ -410,7 +411,7 @@ def ensure_ivfpq_index(
         name="ivfpq",
         source_paths=[table_path(sf_dir, "embeddings")],
         build=build,
-        params=f"c{n_cells}_a{n_assign}_m{m}_k{k}_v1",
+        params=f"c{n_cells}_a{n_assign}_m{m}_k{k}_v2",
     )
     with open(os.path.join(dest, "codebooks.json")) as f:
         books = json.load(f)
