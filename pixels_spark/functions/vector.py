@@ -517,6 +517,7 @@ def pq_codebooks(
     m: int = 16,
     k: int = 16,
     iterations: int = 2,
+    reliable: bool = False,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: the D-dim space splits into ``m`` coordinate
     blocks of D/m dims; each block gets its own ``k``-centroid L2 k-means.
@@ -595,8 +596,8 @@ def pq_codebooks(
             .select(
                 "sub", "code", F.coalesce(F.col("mcv"), F.col("cv")).alias("cv")
             )
-            .localCheckpoint(eager=False)
         )
+        cents = cut_lineage(cents, reliable)
     got = {}
     for r in cents.collect():
         got[(r["sub"], r["code"])] = [float(x) for x in r["cv"]]
