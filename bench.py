@@ -82,14 +82,14 @@ def stage_tables(spark, sf_dir: str, cache_root: str) -> str:
     parallelism, then times queries against the engine-managed layout.
     Staging time is reported separately as ``load_sec``.
     """
-    from pixels_spark.queries.vector_search import _data_fingerprint
+    from pixels_spark.storage.derived import data_fingerprint
 
     n = spark.sparkContext.defaultParallelism
     dest_root = os.path.join(cache_root, os.path.basename(os.path.normpath(sf_dir)))
     marker = os.path.join(dest_root, "_STAGED")
     # key the marker on a fingerprint of the source fixtures so a
     # regenerated fixture dir re-stages instead of serving stale copies
-    fp = "|".join(_data_fingerprint(os.path.join(sf_dir, f"{t}.parquet")) for t in TABLES)
+    fp = "|".join(data_fingerprint(os.path.join(sf_dir, f"{t}.parquet")) for t in TABLES)
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == fp:

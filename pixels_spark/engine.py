@@ -41,6 +41,9 @@ class PixelsSparkEngine:
         self.warehouse = warehouse
         self.meta = MetadataStore(warehouse)
         self.trans = TransService(warehouse)
+        # session conf value before the engine's first split-advice
+        # override; restored when reading a table with no splits index
+        self._pre_advice_split_bytes: str | None = None
 
     # -- paths -------------------------------------------------------------
     def _table_dir(self, schema: str, table: str, suffix: str = "") -> str:
@@ -122,19 +125,30 @@ class PixelsSparkEngine:
     ) -> DataFrame:
         """Read the table's preferred layout (compact if present).
 
-        When a splits index exists (``build_splits_index``), EVERY call
-        sets the session's ``spark.sql.files.maxPartitionBytes`` to the
-        advice for ``workload_cols`` (None = full row, which advises the
-        global target) — so each task decodes ~target bytes of the
-        PROJECTED columns, narrow scans get larger splits, and a full-width
-        read never inherits a previous narrow read's larger setting. Spark
-        has no per-read split knob, so this is a session-conf set at
-        scan-build time — one split choice per workload, which is also
-        exactly the reference's CostBasedSplitsIndex granularity.
+        When a splits index exists (``build_splits_index``), the call sets
+        the session's ``spark.sql.files.maxPartitionBytes`` to the advice
+        for ``workload_cols`` (None = full row, which advises the global
+        target); a read of a table WITHOUT an index restores whatever the
+        session had before the engine's first override — so neither a
+        full-width read nor an unindexed table ever inherits a previous
+        narrow read's larger setting. Spark has no per-read split knob, so
+        this is a session-conf set at scan-build time: one split choice
+        per workload (the reference's CostBasedSplitsIndex granularity),
+        and because the conf is read at EXECUTION time, build-then-execute
+        interleavings of differently-advised DataFrames should execute
+        each one right after building it.
         """
+        conf_key = "spark.sql.files.maxPartitionBytes"
         advised = self.split_advice(schema, table, workload_cols)
         if advised is not None:
-            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(advised))
+            if self._pre_advice_split_bytes is None:
+                self._pre_advice_split_bytes = self.spark.conf.get(conf_key)
+            self.spark.conf.set(conf_key, str(advised))
+        elif self._pre_advice_split_bytes is not None:
+            # un-indexed table after an advised read: restore the session's
+            # own setting rather than leaking the last advice into it
+            self.spark.conf.set(conf_key, self._pre_advice_split_bytes)
+            self._pre_advice_split_bytes = None
         return self.spark.read.parquet(self.meta.reader_path(schema, table))
 
     def sql_register(self, schema: str) -> None:
@@ -164,7 +178,7 @@ class PixelsSparkEngine:
                 # no view landed this pass: every remaining one is genuinely
                 # unresolvable — report them all, not just the last
                 detail = "; ".join(
-                    f"{v}: {type(e).__name__}: {str(e).splitlines()[0]}"
+                    f"{v}: {type(e).__name__}: {(str(e).splitlines() or [''])[0]}"
                     for v, e in errs.items()
                 )
                 raise RuntimeError(

@@ -74,9 +74,16 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     # (HashPartitioning(n) etc.); only for unknown-partitioned shuffle-free
     # plans (scan+map — the common dedup input) fall back to
     # getNumPartitions, which is cheap there (no query stages to run).
+    import re
+
     plan = df._jdf.queryExecution().sparkPlan()
     n_in = plan.outputPartitioning().numPartitions()
-    if n_in <= 1 and "Exchange" not in plan.toString():
+    # only a SHUFFLE exchange makes getNumPartitions expensive under AQE;
+    # a BroadcastExchange (broadcast-join input) has no query stage to
+    # materialize, and skipping the fallback there would downscale a wide
+    # scan-side to defaultParallelism — the bug this guard exists to avoid
+    has_shuffle = re.search(r"(?<!Broadcast)Exchange", plan.toString())
+    if n_in <= 1 and not has_shuffle:
         n_in = df.rdd.getNumPartitions()
     return df.repartition(max(default_par, n_in), key)
 

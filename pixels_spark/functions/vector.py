@@ -542,6 +542,9 @@ def pq_codebooks(
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    n = df.count()
+    if n < k:
+        raise ValueError(f"k={k} codebook entries need >= k vectors, got {n}")
     d_sub = dim // m
     pts = df.select(
         F.col(id_col).alias("_id"),

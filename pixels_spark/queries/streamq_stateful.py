@@ -197,8 +197,6 @@ def _bounded_dedup_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, lis
     fed in event-time order) are never late. So the output equals the
     distinct events exactly while state stays O(rate × delay).
     """
-    import datetime as dt
-
     work = tempfile.mkdtemp(prefix="pxs_stream_bdedup_")
     src = os.path.join(work, "src")
     e = load_table(spark, sf_dir, "events")

@@ -88,8 +88,7 @@ _DISC = "l_extendedprice * (1 - l_discount)"
     tags=("aggregation", "scan", "filter"),
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q1 — pricing summary report: scan + wide aggregation (sum/avg/count).
+    """Q1 — pricing summary report: scan + wide aggregation (sum/avg/count).
     Exercises the reference's partial+final hash agg (Aggregator.java:163,
     BaseScanWorker.java:97-119 scan-side partials) — automatic in Spark.
     """
@@ -125,8 +124,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar_subquery", "join"),
 )
 def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q2 analog — min-cost scalar subquery. Original needs partsupp; adapted to
+    """Q2 analog — min-cost scalar subquery. Original needs partsupp; adapted to
     "parts priced at the minimum for their type". Decorrelated into an
     aggregate + equi-join on (p_type, min price).
     """
@@ -164,8 +162,7 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "aggregation", "topk"),
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q3 — shipping priority: 3-way join + agg + top-k. o_shippriority is absent;
+    """Q3 — shipping priority: 3-way join + agg + top-k. o_shippriority is absent;
     grouped by o_orderpriority instead.
     """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -201,8 +198,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("semi_join", "aggregation"),
 )
 def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q4 — order priority checking. Original EXISTS uses commitdate<receiptdate
+    """Q4 — order priority checking. Original EXISTS uses commitdate<receiptdate
     (absent); adapted: a lineitem shipped after the order date. EXISTS → left-
     semi join (Calcite decorrelation ≈ PixelsParser.java:306-310; the reference
     kernel itself has no semi-join — Joiner.java:44-45).
@@ -241,8 +237,7 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("chain_join", "aggregation"),
 )
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q5 — local supplier volume: 6-way chain join (≈ the reference's
+    """Q5 — local supplier volume: 6-way chain join (≈ the reference's
     BROADCAST_CHAIN plan, BaseBroadcastChainJoinWorker.java:71 /
     PixelsPlanner.getMultiPipelineJoinOperator:357) — Catalyst composes the
     chain of broadcasts automatically.
@@ -284,8 +279,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scan", "filter", "aggregation"),
 )
 def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q6 — forecasting revenue change: pure scan + domain filters (range +
+    """Q6 — forecasting revenue change: pure scan + domain filters (range +
     BETWEEN ≈ ColumnFilter ranges, pixels-executor/.../predicate/
     ColumnFilter.java:69-220) + ungrouped agg. All three predicates push to the
     parquet scan.
@@ -323,8 +317,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "self_join", "aggregation", "scalar"),
 )
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q7 — volume shipping: self-joined dim (nation × 2) + disjunctive pair
+    """Q7 — volume shipping: self-joined dim (nation × 2) + disjunctive pair
     filter + extract(year).
     """
     s = load_table(spark, sf_dir, "supplier")
@@ -385,8 +378,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("chain_join", "case_when", "aggregation"),
 )
 def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q8 — market share: 7-table join + conditional aggregation ratio (CASE WHEN
+    """Q8 — market share: 7-table join + conditional aggregation ratio (CASE WHEN
     inside sum ≈ AGGREGATE_CASE_TO_FILTER, PixelsParser.java:270).
     """
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -446,8 +438,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "like", "aggregation"),
 )
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q9 — product-type profit analog (no partsupp → profit = discounted price);
+    """Q9 — product-type profit analog (no partsupp → profit = discounted price);
     LIKE filter on p_name + extract(year) + group by nation/year.
     """
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -489,8 +480,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "aggregation", "topk"),
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q10 — returned item reporting: join + agg + top-20 by revenue.
+    """Q10 — returned item reporting: join + agg + top-20 by revenue.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -525,8 +515,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("having", "scalar_subquery", "aggregation"),
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q11 analog — important value by nation (no partsupp → supplier acctbal):
+    """Q11 analog — important value by nation (no partsupp → supplier acctbal):
     HAVING against an uncorrelated scalar subquery over the whole table.
     """
     s = load_table(spark, sf_dir, "supplier")
@@ -566,8 +555,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "case_when", "aggregation"),
 )
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q12 analog — priority class counts by line status (l_shipmode absent): CASE
+    """Q12 analog — priority class counts by line status (l_shipmode absent): CASE
     WHEN inside sums over a fact-fact join.
     """
     o = load_table(spark, sf_dir, "orders")
@@ -601,8 +589,7 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("outer_join", "not_like", "aggregation"),
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q13 — customer order-count distribution: LEFT OUTER join with an extra
+    """Q13 — customer order-count distribution: LEFT OUTER join with an extra
     join-side predicate, two-level aggregation. (Outer-null padding ≈
     HashJoiner.writeLeftOuter, pixels-executor/.../join/HashJoiner.java:129.)
     """
@@ -638,8 +625,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "case_when", "like", "aggregation"),
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q14 — promotion effect: conditional-sum ratio over a join.
+    """Q14 — promotion effect: conditional-sum ratio over a join.
     """
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-09-01 00:00:00"))
@@ -673,8 +659,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar_subquery", "join", "aggregation"),
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q15 — top supplier: CTE revenue view + max scalar subquery.
+    """Q15 — top supplier: CTE revenue view + max scalar subquery.
     """
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
@@ -711,8 +696,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("distinct_agg", "anti_join", "in_list"),
 )
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q16 analog — supplier count per part attribute (lineitem bridges part↔
+    """Q16 analog — supplier count per part attribute (lineitem bridges part↔
     supplier in lieu of partsupp): COUNT(DISTINCT) + NOT IN subquery → anti
     join (≈ AGGREGATE_EXPAND_DISTINCT_AGGREGATES, PixelsParser.java:268).
     """
@@ -746,8 +730,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("correlated_subquery", "join", "aggregation"),
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q17 — small-quantity-order revenue: correlated scalar subquery (per-part
+    """Q17 — small-quantity-order revenue: correlated scalar subquery (per-part
     avg) decorrelated into an aggregate + join. The avg threshold is exact:
     l_quantity is integer-valued, so sum/count is order-independent in double.
     """
@@ -786,8 +769,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders/customer joins — one fewer full-fact shuffle than the naive
     # decorrelation, which is the plan you want at 100 TB. Quantity sums are
     # integer-valued doubles (exact), so window-sum == group-sum bitwise.
-    """--------------------------------------------------------------------------
-    Q18 — large-volume customers: IN subquery with HAVING → semi join. Quantity
+    """Q18 — large-volume customers: IN subquery with HAVING → semi join. Quantity
     sums are integer-valued doubles — exact, no decimal needed.
     """
     from pyspark.sql import Window
@@ -824,8 +806,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "disjunctive_filter", "aggregation"),
 )
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q19 — discounted revenue: disjunction of conjunctive range predicates
+    """Q19 — discounted revenue: disjunction of conjunctive range predicates
     (p_container absent → brand/size/quantity ranges). The reference's pushdown
     domain model can't express this OR (TableScanFilter is conjunctive-only,
     pixels-executor/.../predicate/TableScanFilter.java:40) — host engine
@@ -870,8 +851,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("semi_join", "having", "like"),
 )
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q20 analog — nested IN subqueries → chained semi joins (lineitem bridges
+    """Q20 analog — nested IN subqueries → chained semi joins (lineitem bridges
     part→supplier; no partsupp availability check).
     """
     s = load_table(spark, sf_dir, "supplier")
@@ -931,8 +911,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≥ M (NOT EXISTS later other-supplier shipment). Two lineitem-wide
     # shuffles total vs three semi/anti passes — the shape that matters
     # when lineitem is the 100 TB fact.
-    """--------------------------------------------------------------------------
-    Q21 analog — suppliers who shipped last in multi-supplier 'F' orders:
+    """Q21 analog — suppliers who shipped last in multi-supplier 'F' orders:
     EXISTS → semi join, NOT EXISTS → anti join on an inequality condition.
     """
     from pyspark.sql import Window
@@ -1003,8 +982,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("anti_join", "scalar_subquery", "substring", "aggregation"),
 )
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--------------------------------------------------------------------------
-    Q22 — global sales opportunity: substring buckets, uncorrelated scalar
+    """Q22 — global sales opportunity: substring buckets, uncorrelated scalar
     subquery (avg), NOT EXISTS → anti join. avg threshold uses the decimal
     accumulation so both engines compare against the identical double.
     """

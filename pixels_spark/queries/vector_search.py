@@ -259,66 +259,43 @@ def ensure_ivf_index(
     This is the amortized lifecycle a real ANN deployment runs: train
     k-means and materialize the partitioned layout ONCE (a write job, like
     LOAD), then serve every query from ``ivf_probe_index`` whose scan is
-    partition-pruned to the probed cells. The cache keys on the absolute
-    fixture path + a fingerprint of the source parquet (file listing with
-    sizes/mtimes — a regenerated or restaged fixture gets a fresh key, never
-    a stale index) + build parameters, and lives in a writable temp/cache
-    dir because fixture dirs are read-only. The build goes into a unique
-    temp dir renamed atomically into place, so concurrent builders (pytest
-    alongside bench with the same root) can't serve a half-written index.
+    partition-pruned to the probed cells. The build-once/fingerprint-key/
+    atomic-rename mechanics live in ``storage.derived.ensure_derived``
+    (shared with the PQ and money/ev_struct builds); the legacy
+    ``PIXELS_SPARK_IVF_CACHE`` env var still selects the cache root (the
+    bench pins it so its prebuild and the timed probe share a key).
     """
-    import hashlib
     import os
-    import shutil
     import tempfile
+
+    from ..storage.derived import ensure_derived
 
     root = cache_root or os.environ.get(
         "PIXELS_SPARK_IVF_CACHE",
         os.path.join(tempfile.gettempdir(), "pixels_spark_ivf"),
     )
-    key = hashlib.md5(
-        (os.path.abspath(sf_dir) + ":" + _data_fingerprint(table_path(sf_dir, "embeddings"))).encode()
-    ).hexdigest()[:12]
-    dest = os.path.join(root, f"{key}_c{n_cells}_i{iterations}_a{n_assign}")
-    idx_path = os.path.join(dest, "index")
-    cents_path = os.path.join(dest, "centroids.parquet")
-    if not os.path.exists(os.path.join(dest, "_BUILT")):
-        tmp = tempfile.mkdtemp(prefix=os.path.basename(dest) + ".build.", dir=_ensured(root))
-        try:
-            e = load_table(spark, sf_dir, "embeddings")
-            cents = V.make_centroids(
-                e, "embedding", "vec_id", n_cells=n_cells, iterations=iterations
-            )
-            assigned = V.ivf_assign(
-                e, "embedding", cents, id_col="vec_id", n_assign=n_assign
-            )
-            V.write_ivf_index(assigned, os.path.join(tmp, "index"))
-            cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids.parquet"))
-            with open(os.path.join(tmp, "_BUILT"), "w") as f:
-                f.write("ok")
-            os.rename(tmp, dest)
-        except OSError:
-            # a concurrent builder won the rename; its completed index serves
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(os.path.join(dest, "_BUILT")):
-                raise
-        except Exception:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-    return idx_path, cents_path
 
+    def build(sp, tmp):
+        e = load_table(sp, sf_dir, "embeddings")
+        cents = V.make_centroids(
+            e, "embedding", "vec_id", n_cells=n_cells, iterations=iterations
+        )
+        assigned = V.ivf_assign(
+            e, "embedding", cents, id_col="vec_id", n_assign=n_assign
+        )
+        V.write_ivf_index(assigned, os.path.join(tmp, "index"))
+        cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids.parquet"))
 
-def _ensured(path: str) -> str:
-    import os
-
-    os.makedirs(path, exist_ok=True)
-    return path
-
-
-def _data_fingerprint(path: str) -> str:
-    from ..storage.derived import data_fingerprint
-
-    return data_fingerprint(path)
+    dest = ensure_derived(
+        spark,
+        sf_dir,
+        name="ivf",
+        source_paths=[table_path(sf_dir, "embeddings")],
+        build=build,
+        params=f"c{n_cells}_i{iterations}_a{n_assign}_v1",
+        cache_root=root,
+    )
+    return os.path.join(dest, "index"), os.path.join(dest, "centroids.parquet")
 
 
 def ensure_pq_index(spark: SparkSession, sf_dir: str, m: int = 16, k: int = 32):

@@ -199,6 +199,14 @@ class MetadataStore:
         layout["projections"].append({"cols": sorted(cols), "path": path})
         self._save()
 
+    def set_layout_splits(
+        self, schema_name: str, table: str, splits: dict[str, Any]
+    ) -> None:
+        """Attach a splits index to the latest layout (≈ SplitsIndex on
+        Layout) and persist."""
+        self.latest_layout(schema_name, table)["splits"] = splits
+        self._save()
+
     def get_layouts(self, schema_name: str, table: str) -> list[dict]:
         return self.get_table(schema_name, table)["layouts"]
 

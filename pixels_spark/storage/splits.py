@@ -87,8 +87,11 @@ def advise_max_partition_bytes(
         projected = total
     else:
         projected = sum(col_bytes.get(c, 0) for c in workload_cols)
-        if projected <= 0:  # unknown columns: be conservative, not infinite
-            return MAX_SPLIT_BYTES
+        if projected <= 0:
+            # unknown/typo'd columns: the scan will still decode whatever
+            # the query really touches, so the safe answer is the plain
+            # target, not the ceiling (which would hand tasks 4-8x bytes)
+            return max(MIN_SPLIT_BYTES, min(MAX_SPLIT_BYTES, target_task_bytes))
     advised = int(target_task_bytes * total / projected)
     return max(MIN_SPLIT_BYTES, min(MAX_SPLIT_BYTES, advised))
 
@@ -99,12 +102,11 @@ def register_splits_index(
     """Compute the footer byte weights for ``path`` and persist them on the
     table's latest layout (≈ SplitsIndex attached to Layout)."""
     col_bytes = column_chunk_bytes(path)
-    layout = store.latest_layout(schema_name, table)
-    layout["splits"] = {
-        "col_bytes": col_bytes,
-        "total_bytes": sum(col_bytes.values()),
-    }
-    store._save()
+    store.set_layout_splits(
+        schema_name,
+        table,
+        {"col_bytes": col_bytes, "total_bytes": sum(col_bytes.values())},
+    )
     return col_bytes
 
 

@@ -38,8 +38,9 @@ def test_advise_inverts_projected_fraction():
     full = advise_max_partition_bytes(cb, ["a", "b"], t)
     assert narrow == max(MIN_SPLIT_BYTES, 5 * t)
     assert full == max(MIN_SPLIT_BYTES, t)
-    # clamps: zero-byte projection is conservative, never infinite
-    assert advise_max_partition_bytes(cb, ["nope"], t) == MAX_SPLIT_BYTES
+    # unknown/typo'd columns: conservative = the plain target (the scan
+    # still decodes whatever the query really touches), never the ceiling
+    assert advise_max_partition_bytes(cb, ["nope"], t) == max(MIN_SPLIT_BYTES, t)
     assert (
         advise_max_partition_bytes({"a": 1}, ["a"], 10 * MAX_SPLIT_BYTES)
         == MAX_SPLIT_BYTES

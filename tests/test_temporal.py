@@ -213,6 +213,14 @@ def test_spread_never_downscales(spark):
     assert spread(wide, "id").rdd.getNumPartitions() == 4 * n
     narrow = spark.range(1000).coalesce(1)
     assert spread(narrow, "id").rdd.getNumPartitions() == n
+    # a broadcast-join input has a BroadcastExchange but NO shuffle — the
+    # wide scan side's width must still be detected (not squeezed to n)
+    from pyspark.sql import functions as F
+
+    wide_scan = spark.range(10_000).repartition(4 * n, "id")
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    bj = wide_scan.join(F.broadcast(dim), wide_scan["id"] == dim["k"], "left")
+    assert spread(bj, "id").rdd.getNumPartitions() == 4 * n
 
 
 def test_asof_tolerance_and_inner_with_skew_bucketing(spark):
