@@ -48,7 +48,7 @@ DIALECT_SHARED = [
     "sql_window", "win_first_last", "win_lag_lead", "win_rank_orders",
     "win_ranking_family", "win_running_sum", "win_topn_per_customer",
     "dec_money_rollup", "dec_net_revenue", "dec_qty_bands",
-    "dec_fine_precision",
+    "dec_fine_precision", "stream_dedup", "stream_dedup_bounded",
 ]
 
 
