@@ -110,3 +110,48 @@ def estimate_equality_selectivity(stats: ColumnStats) -> float:
     """1/ndv point-predicate selectivity (≈ discrete-value cardinality
     ratio in ColumnFilter)."""
     return 1.0 / max(1, stats.n_distinct)
+
+
+def footer_min_max_count(path: str, columns: list[str]) -> dict[str, dict]:
+    """Answer MIN/MAX/COUNT for ``columns`` straight from the parquet
+    footers — zero data read, no Spark job (≈ the reference answering
+    stat-covered aggregates from RowGroupStatistic / StatsRecorder instead
+    of scanning; Spark's own equivalent, parquet aggregatePushdown, only
+    engages on the DSv2 read path).
+
+    Returns ``{col: {"min": v, "max": v, "count": n, "null_count": n}}``.
+    Raises if any row group lacks statistics for a requested column (a
+    stats-free file cannot answer from footers — fall back to a scan).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = []
+    if os.path.isdir(path):
+        for r, _d, fs in os.walk(path):
+            files += [os.path.join(r, f) for f in fs if f.endswith(".parquet")]
+    else:
+        files = [path]
+    out = {c: {"min": None, "max": None, "count": 0, "null_count": 0} for c in columns}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        for c in columns:
+            if c not in names:
+                raise KeyError(f"column {c!r} not in {f}")
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in columns:
+                col = g.column(names[c])
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(f"row group {rg} of {f} lacks stats for {c!r}")
+                o = out[c]
+                o["count"] += g.num_rows
+                o["null_count"] += st.null_count or 0
+                if o["min"] is None or st.min < o["min"]:
+                    o["min"] = st.min
+                if o["max"] is None or st.max > o["max"]:
+                    o["max"] = st.max
+    return out

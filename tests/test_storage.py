@@ -249,3 +249,28 @@ def test_compact_no_reencode_is_byte_level(spark, sf_dir, tmp_path):
     src_df = spark.read.parquet(src)
     assert out.count() == src_df.count()
     assert out.exceptAll(src_df).count() == 0
+
+
+def test_footer_min_max_count_matches_scan(spark, sf_dir):
+    """Stat-covered aggregates answered from footers alone must equal the
+    full-scan aggregation (no Spark job is run for the footer path)."""
+    from pyspark.sql import functions as F
+
+    from pixels_spark.storage.stats import footer_min_max_count
+
+    path = f"{sf_dir}/lineitem.parquet"
+    got = footer_min_max_count(path, ["l_quantity", "l_orderkey"])
+    row = (
+        spark.read.parquet(path)
+        .agg(
+            F.min("l_quantity"), F.max("l_quantity"),
+            F.min("l_orderkey"), F.max("l_orderkey"),
+            F.count(F.lit(1)),
+        )
+        .first()
+    )
+    assert got["l_quantity"]["min"] == row[0]
+    assert got["l_quantity"]["max"] == row[1]
+    assert got["l_orderkey"]["min"] == row[2]
+    assert got["l_orderkey"]["max"] == row[3]
+    assert got["l_quantity"]["count"] == row[4]
