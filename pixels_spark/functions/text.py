@@ -230,3 +230,70 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", predicted_lang(t)).withColumn(
         "fingerprint", fingerprint(t)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + token-stream sharding (LLM corpus prep, round 5)
+
+# RE2-compatible patterns (no lookaround) so the SAME regex text runs in
+# Spark (Java regex) and DuckDB (RE2) with identical match sets — the
+# property that lets scrubbed output be value-oracled, like the md5 tricks.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> Column:
+    """Redact PII-shaped spans with ``[<KIND>]`` markers — the standard
+    corpus-cleaning pass before training. Pure ``regexp_replace`` chain
+    (JVM codegen, no UDF); patterns are RE2-compatible so the identical
+    semantics are SQL-restatable for the oracle."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> dict[str, Column]:
+    """Per-kind match counts (bigint) — the audit metric that accompanies
+    scrubbing (how much was redacted, per document)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0)).cast(
+            "bigint"
+        )
+        for kind in kinds
+    }
+
+
+def with_token_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_tokens: int = 1024,
+) -> DataFrame:
+    """Assign each document to a training SHARD by its first token's
+    offset in the id-ordered concatenated token stream —
+    ``shard = floor(tokens_before / shard_tokens)``.
+
+    This is context-window budgeting for sequence packing: shards are
+    contiguous, deterministic, engine-independent (a window cumsum over a
+    total order — no RNG, no greedy state), and each holds ~shard_tokens
+    tokens. One window shuffle; at 100 TB shard WITHIN a partition key
+    (source/date) so the total order never becomes a single-partition sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        (F.sum(toks).over(w) - toks).alias("_offset"),
+    ).withColumn(
+        "shard", F.floor(F.col("_offset") / F.lit(shard_tokens)).cast("bigint")
+    ).drop("_offset")

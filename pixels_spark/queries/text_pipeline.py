@@ -527,3 +527,107 @@ def txt_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PII_INJECT_SQL = """
+    SELECT doc_id,
+           concat(text, ' reach user', CAST(doc_id AS VARCHAR),
+                  '@example.com or 555-',
+                  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                  ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1') AS t
+    FROM documents
+"""
+
+
+@declare(
+    "txt_pii_scrub",
+    sql=f"""
+    WITH injected AS ({_PII_INJECT_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b'))
+               AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+               AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '[PHONE]', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IPV4]', 'g'))
+               AS scrub_md5
+    FROM injected
+    ORDER BY doc_id
+    """,
+    tags=("text", "pii", "scrub"),
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with audit counts: emails/phones/IPv4 spans scrubbed
+    to typed markers, per-kind match counts reported. The fixture text has
+    no PII, so the query injects deterministic doc_id-derived spans and
+    both engines scrub the identical stream (RE2-compatible patterns,
+    scrubbed text compared by md5)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+    )
+    counts = T.pii_counts(t)
+    return (
+        d.select(
+            "doc_id",
+            counts["email"].alias("n_email"),
+            counts["phone"].alias("n_phone"),
+            counts["ipv4"].alias("n_ipv4"),
+            F.md5(T.scrub_pii(t)).alias("scrub_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declare(
+    "txt_token_shards",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents),
+    offs AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS off
+      FROM toks)
+    SELECT CAST(floor(off / 1024) AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM offs GROUP BY shard ORDER BY shard
+    """,
+    tags=("text", "sharding", "packing", "window"),
+)
+def txt_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budgeting: docs assigned to ~1024-token training
+    shards by their first token's offset in the id-ordered token stream
+    (window cumsum — deterministic, RNG-free, engine-independent);
+    per-shard doc/token totals and id ranges."""
+    d = load_table(spark, sf_dir, "documents")
+    sharded = T.with_token_shards(d, "doc_id", "text", shard_tokens=1024)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

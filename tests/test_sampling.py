@@ -114,3 +114,63 @@ def test_mixture_sample_is_subset_of_hash_sample(spark):
     a = set(r["k"] for r in mixture_sample(df, "k", "stratum", {"s": 0.3}).collect())
     b = set(r["k"] for r in hash_sample(df, "k", 0.6).collect())
     assert a <= b  # thresholds nest: bucket < 3000 implies bucket < 6000
+
+
+def test_scrub_pii_edge_cases(spark):
+    """Unit coverage for the PII patterns on constructed strings (the
+    fixture has no PII; the declared query injects deterministically)."""
+    from pyspark.sql import functions as F
+
+    from pixels_spark.functions.text import pii_counts, scrub_pii
+
+    rows = [
+        ("a", "mail me a.b-c_9@sub.example.co.uk today"),
+        ("b", "call 555-123-4567 or 555-000-9999"),
+        ("c", "host 192.168.0.1 and 10.255.255.254"),
+        ("d", "no pii here, just 12-34 and a@b"),  # too short / malformed
+        ("e", "x@y.io 1.2.3.4 999-888-7777"),  # all three kinds
+    ]
+    df = spark.createDataFrame(rows, "k string, t string")
+    c = pii_counts(F.col("t"))
+    got = {
+        r["k"]: (r["e"], r["p"], r["i"], r["s"])
+        for r in df.select(
+            "k",
+            c["email"].alias("e"),
+            c["phone"].alias("p"),
+            c["ipv4"].alias("i"),
+            scrub_pii(F.col("t")).alias("s"),
+        ).collect()
+    }
+    assert got["a"][:3] == (1, 0, 0) and "[EMAIL]" in got["a"][3]
+    assert got["b"][:3] == (0, 2, 0) and got["b"][3].count("[PHONE]") == 2
+    assert got["c"][:3] == (0, 0, 2)
+    assert got["d"][:3] == (0, 0, 0) and got["d"][3] == rows[3][1]
+    assert got["e"][:3] == (1, 1, 1)
+
+
+def test_token_shards_are_contiguous_and_sized(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pixels_spark.catalog import load_table
+    from pixels_spark.functions.text import with_token_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    s = with_token_shards(d, shard_tokens=500)
+    rows = sorted(
+        (r["doc_id"], r["shard"], r["n_tokens"]) for r in s.collect()
+    )
+    # shards are non-decreasing in doc order, and each shard's token count
+    # is ~500 (can overshoot by at most one doc's tokens)
+    shards = [sh for _d, sh, _n in rows]
+    assert shards == sorted(shards)
+    from collections import defaultdict
+
+    per = defaultdict(int)
+    for _d, sh, n in rows:
+        per[sh] += n
+    max_doc = max(n for _d, _s, n in rows)
+    for sh, tot in per.items():
+        if sh != max(per):  # last shard may be short
+            assert tot >= 500 - max_doc
+        assert tot <= 500 + max_doc
