@@ -289,6 +289,60 @@ class MvccTable:
         self.trans.commit_trans(ctx)
         return ctx.timestamp
 
+    def merge(
+        self,
+        source: DataFrame,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        delete_unmatched_target: bool = False,
+    ) -> int:
+        """Batch MERGE (upsert) in ONE transaction — the set-oriented form
+        of the reference's per-record CDC ops (insert/update/deleteRecord),
+        expressed the way a Spark lakehouse user expects (Delta-style
+        MERGE INTO):
+
+        - source keys present in the current snapshot: ``when_matched`` =
+          'update' (replace with the source row), 'delete', or 'ignore';
+        - source keys absent: ``when_not_matched`` = 'insert' or 'ignore';
+        - ``delete_unmatched_target=True`` additionally deletes target keys
+          missing from the source (full-sync semantics).
+
+        All actions commit at one timestamp: deletes at ts hide only
+        versions committed strictly before ts, so replaced rows inserted in
+        the same transaction stay visible (the UPDATE convention). Matching
+        is one left-semi/anti join against the current snapshot's key set —
+        no collect, scales with a shuffle on the key.
+        """
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        existing = self.read_latest_version().select(self.key_col)
+        src_keys = source.select(self.key_col)
+        matched = source.join(existing, self.key_col, "left_semi")
+        unmatched = source.join(existing, self.key_col, "left_anti")
+
+        del_keys = None
+        if when_matched in ("update", "delete"):
+            del_keys = matched.select(self.key_col)
+        if delete_unmatched_target:
+            gone = existing.join(src_keys, self.key_col, "left_anti")
+            del_keys = gone if del_keys is None else del_keys.unionByName(gone)
+
+        inserts = None
+        if when_matched == "update":
+            inserts = matched
+        if when_not_matched == "insert":
+            inserts = unmatched if inserts is None else inserts.unionByName(unmatched)
+
+        ctx = self.trans.begin_trans()
+        if del_keys is not None:
+            self.delete(del_keys, ts=ctx.timestamp)
+        if inserts is not None:
+            self.insert(inserts, ts=ctx.timestamp)
+        self.trans.commit_trans(ctx)
+        return ctx.timestamp
+
     # -- read path ---------------------------------------------------------
     def _deletes(self) -> DataFrame | None:
         if not os.path.isdir(self.delete_dir) or not os.listdir(self.delete_dir):

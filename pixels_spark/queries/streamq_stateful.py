@@ -423,3 +423,38 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("continuous_rollup did not finish in 600s")
     merged = rollup_with_tail(table, load_table(spark, sf_dir, "events"), window="1 day")
     return _finalize(merged.orderBy("bucket_start", "event_type"), work)
+
+
+@declare(
+    "mvcc_merge",
+    sql="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           CASE WHEN event_id % 6 = 0 THEN value * 10 ELSE value END AS value,
+           props
+    FROM events
+    WHERE event_id % 3 <> 2
+    ORDER BY event_id
+    """,
+    tags=("mvcc", "merge", "upsert"),
+)
+def mvcc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (Delta-style upsert) into an MVCC table, driver-checked:
+    the target holds event_id%3==0; the source updates the %6==0 half
+    (value x10) and inserts the %3==1 rows — one transaction; the final
+    latest-version snapshot must equal the oracle's CASE/WHERE
+    restatement."""
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_merge_")
+    e = load_table(spark, sf_dir, "events")
+    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
+    table.insert(e.filter(F.col("event_id") % 3 == 0))
+    source = (
+        e.filter(F.col("event_id") % 6 == 0)
+        .withColumn("value", F.col("value") * 10)
+        .unionByName(e.filter(F.col("event_id") % 3 == 1))
+    )
+    table.merge(source)
+    return _finalize(
+        table.read_latest_version().drop("_commit_ts").orderBy("event_id"), work
+    )

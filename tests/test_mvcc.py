@@ -309,3 +309,55 @@ def test_bad_index_backend_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="index_backend"):
         MvccTable(spark, str(tmp_path / "x"), key_col="k", index_backend="rocksdb")
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """MERGE: matched keys replaced, unmatched inserted, all in one commit;
+    the pre-merge snapshot is untouched (time travel)."""
+    from pixels_spark.mvcc import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "m1"), key_col="k")
+    ts0 = t.insert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    src = spark.createDataFrame([(2, "B"), (4, "D")], "k long, v string")
+    ts1 = t.merge(src)  # update k=2, insert k=4
+    now = {r["k"]: r["v"] for r in t.read_latest_version().collect()}
+    assert now == {1: "a", 2: "B", 3: "c", 4: "D"}
+    before = {r["k"]: r["v"] for r in t.read_latest_version(ts0).collect()}
+    assert before == {1: "a", 2: "b", 3: "c"}
+    assert ts1 > ts0
+
+
+def test_merge_matched_delete_and_full_sync(spark, tmp_path):
+    from pixels_spark.mvcc import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "m2"), key_col="k")
+    t.insert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    # matched keys deleted, unmatched source ignored
+    t.merge(
+        spark.createDataFrame([(2, "x"), (9, "y")], "k long, v string"),
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    assert {r["k"] for r in t.read_latest_version().collect()} == {1, 3}
+
+    # full sync: target becomes exactly the source
+    t2 = MvccTable(spark, str(tmp_path / "m3"), key_col="k")
+    t2.insert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    t2.merge(
+        spark.createDataFrame([(2, "B"), (5, "E")], "k long, v string"),
+        delete_unmatched_target=True,
+    )
+    assert {r["k"]: r["v"] for r in t2.read_latest_version().collect()} == {2: "B", 5: "E"}
+
+
+def test_merge_rejects_bad_clauses(spark, tmp_path):
+    import pytest
+
+    from pixels_spark.mvcc import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "m4"), key_col="k")
+    src = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError):
+        t.merge(src, when_matched="upsert")
+    with pytest.raises(ValueError):
+        t.merge(src, when_not_matched="replace")
