@@ -49,6 +49,7 @@ DIALECT_SHARED = [
     "win_ranking_family", "win_running_sum", "win_topn_per_customer",
     "dec_money_rollup", "dec_net_revenue", "dec_qty_bands",
     "dec_fine_precision", "stream_dedup", "stream_dedup_bounded",
+    "stream_cdc", "mvcc_merge",
 ]
 
 
