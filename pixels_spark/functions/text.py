@@ -297,3 +297,93 @@ def with_token_shards(
     ).withColumn(
         "shard", F.floor(F.col("_offset") / F.lit(shard_tokens)).cast("bigint")
     ).drop("_offset")
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics filters: unigram LM scoring + boilerplate removal
+
+def exploded_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, tok) relation — lowercased whitespace tokens, one row per
+    occurrence. The building block for corpus-level statistics (LM counts,
+    document frequency); the explode is map-side, no shuffle."""
+    return df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under an add-one-smoothed
+    LM trained on the corpus itself — the cheap perplexity proxy used to
+    quality-rank corpora before training (high = typical text, very low =
+    noise/outliers).
+
+    ``p(w) = (c(w)+1) / (N+V)``; score = mean over the document's tokens of
+    ``ln p(w)``. Each token's log-prob is quantized to DECIMAL(18,9) before
+    the sum, so the per-document total is order-independent and last-ulp
+    ``ln`` differences between engines cannot surface — the score is
+    EXACTLY SQL-restatable.
+
+    Scale shape: one groupBy(tok) for counts (vocab-sized result,
+    broadcast back), a single-row corpus total cross-broadcast, then one
+    groupBy(id) — the corpus is never joined to itself.
+    """
+    toks = exploded_tokens(df, id_col, text_col)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    corpus = vocab.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    lp = F.log((F.col("c") + F.lit(1.0)) / (F.col("N") + F.col("V"))).cast(
+        "decimal(18,9)"
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), lp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("_lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+    )
+
+
+def remove_frequent_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_ratio: float = 0.5,
+) -> DataFrame:
+    """Boilerplate removal (C4-style): drop every token whose DOCUMENT
+    frequency exceeds ``df_ratio`` of the corpus — headers, footers, nav
+    chrome, and other spans repeated across most documents carry no
+    training signal and skew n-gram statistics.
+
+    Returns (id, n_tokens, n_removed, clean_text). The frequent set is a
+    vocab-sized single-row array cross-broadcast to every document; removal
+    is a JVM higher-order ``filter`` over the token array (no shuffle of
+    the corpus, no UDF). Case-insensitive matching; the original casing is
+    preserved in the surviving tokens.
+    """
+    toks_arr = tokens(F.col(text_col))
+    docfreq = (
+        df.select(F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        docfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("dfreq") > F.lit(df_ratio) * F.col("n_docs"))
+        .agg(F.coalesce(F.sort_array(F.collect_list("tok")), F.array()).alias("_boiler"))
+    )
+    clean = F.filter(
+        toks_arr, lambda t: ~F.array_contains(F.col("_boiler"), F.lower(t))
+    )
+    return df.crossJoin(F.broadcast(boiler)).select(
+        F.col(id_col),
+        F.size(toks_arr).cast("bigint").alias("n_tokens"),
+        (F.size(toks_arr) - F.size(clean)).cast("bigint").alias("n_removed"),
+        F.array_join(clean, " ").alias("clean_text"),
+    )

@@ -631,3 +631,76 @@ def txt_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@declare(
+    "txt_lm_score",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    corpus AS (SELECT sum(c) AS N, count(*) AS V FROM vocab)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(ln((c + 1.0) / (N + V)) AS DECIMAL(18,9))) AS DOUBLE)
+               / count(*) AS avg_logprob
+    FROM toks JOIN vocab USING (tok) CROSS JOIN corpus
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def txt_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus-trained unigram-LM quality score (cheap perplexity proxy):
+    per-doc mean ln p(w) under add-one smoothing; per-token log-probs
+    quantized to DECIMAL(18,9) before the sum so the score is
+    order-independent and exactly oracled."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.unigram_lm_scores(d, "doc_id", "text").orderBy("doc_id")
+
+
+@declare(
+    "txt_boilerplate",
+    sql=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    dfr AS (
+      SELECT tok, count(*) AS dfreq
+      FROM (SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(trim(lower(text)),
+                                                           '\s+'))) AS tok
+            FROM documents)
+      GROUP BY tok),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    boiler AS (
+      SELECT coalesce(list_sort(list(tok)), []) AS bl
+      FROM dfr, tot WHERE dfreq > 0.78 * n_docs)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks)
+                - len(list_filter(toks, t -> NOT list_contains(bl, lower(t))))
+                AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(
+               list_filter(toks, t -> NOT list_contains(bl, lower(t))), ' '),
+               '')) AS clean_md5
+    FROM docs, boiler
+    ORDER BY doc_id
+    """,
+    tags=("text", "boilerplate", "cleaning"),
+)
+def txt_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: tokens appearing in >78% of documents
+    are stripped corpus-wide (case-insensitive; surviving casing kept);
+    per-doc removed counts + md5 of the cleaned text, exactly oracled via
+    the same single-row frequent-set cross-broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    out = T.remove_frequent_tokens(d, "doc_id", "text", df_ratio=0.78)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -450,3 +450,76 @@ def vec_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.ivf_probe_index(
         spark, idx_path, "embedding", "vec_id", q, cents, k=10, n_probe=2
     )
+
+
+_KMEANS_DOT = _SQL_DOT  # ordered fold — bit-identical to F.aggregate
+
+
+@declare(
+    "vec_kmeans_round",
+    sql=f"""
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+    sims AS (
+      SELECT e.vec_id, e.embedding, i.cell_id,
+             {_KMEANS_DOT.format(a="e.embedding", b="i.cvec")} /
+             (sqrt({_KMEANS_DOT.format(a="e.embedding", b="e.embedding")})
+              * sqrt({_KMEANS_DOT.format(a="i.cvec", b="i.cvec")})) AS sim
+      FROM embeddings e CROSS JOIN init i),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id
+      FROM (SELECT vec_id, embedding, cell_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell_id ASC) AS rn
+            FROM sims)
+      WHERE rn = 1),
+    exploded AS (
+      SELECT cell_id, CAST(u['dim'] AS INTEGER) AS dim, CAST(u['v'] AS FLOAT) AS v
+      FROM (SELECT cell_id,
+                   unnest(list_transform(range(1, len(embedding)+1),
+                     i -> struct_pack(dim := i-1, v := embedding[i]))) AS u
+            FROM assigned))
+    SELECT CAST(cell_id AS BIGINT) AS cell_id, dim,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+               / count(*) AS mean_v
+    FROM exploded
+    GROUP BY cell_id, dim
+    HAVING dim < 4
+    ORDER BY cell_id, dim
+    """,
+    tags=("vector", "clustering", "kmeans"),
+)
+def vec_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """one EXACTLY-oracled distributed Lloyd round (document clustering for
+    mixture balancing): deterministic init = 8 lowest-id vectors, cosine
+    argmax assignment (ties → lowest cell), per-cell element-wise means
+    decimal-quantized so the update step is order-independent; reports
+    cell sizes + the first 4 centroid dims. The iterative production path
+    is ``functions.vector.make_centroids`` (same assignment kernel)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    init = V.make_centroids(e, "embedding", "vec_id", n_cells=8, iterations=0)
+    assigned = V.ivf_assign(
+        e.select("vec_id", "embedding"), "embedding", init, id_col="vec_id"
+    )
+    return (
+        assigned.select("ivf_cell", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("ivf_cell", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_v"),
+        )
+        .filter(F.col("dim") < 4)
+        .select(
+            F.col("ivf_cell").cast("bigint").alias("cell_id"),
+            "dim",
+            F.col("n_assigned").cast("bigint").alias("n_assigned"),
+            "mean_v",
+        )
+        .orderBy("cell_id", "dim")
+    )

@@ -36,15 +36,23 @@ def load_table(
     files_per_load: int | None = None,
     encoding_level: int = 2,
     row_group_bytes: int | None = None,
+    pixels_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """Parse delimited text at ``source`` and write a columnar table at
-    ``dest``. Returns the written DataFrame (re-read from dest)."""
+    ``dest``. Returns the written DataFrame (re-read from dest).
+
+    ``pixels_types`` (column → Pixels type string) enables writer-side
+    CHAR/VARCHAR/BINARY length truncation per the reference writer's
+    convention (see ``truncate_to_lengths``); use ``truncation_counts``
+    for the numTruncated audit."""
     reader = (
         spark.read.option("delimiter", delimiter)
         .option("header", str(header).lower())
         .schema(schema)
     )
     df = reader.csv(source)
+    if pixels_types:
+        df = truncate_to_lengths(df, pixels_types)
     writer = df if files_per_load is None else df.repartition(files_per_load)
     opts = {
         # ≈ row.group.size=256MB (pixels.properties:84)
@@ -80,3 +88,48 @@ def load_and_register(
     store.add_layout(schema_name, table, ordered_paths=[dest])
     store.update_row_count(schema_name, table, df.count())
     return df
+
+
+def truncate_to_lengths(df: DataFrame, pixels_types: dict[str, str]) -> DataFrame:
+    """Writer-side CHAR(n)/VARCHAR(n)/(VAR)BINARY(n) length enforcement:
+    overlong values are TRUNCATED to the declared max length, never
+    rejected — exactly the reference writer's convention
+    (``pixels-core/.../writer/VarcharColumnWriter.java:57-63`` caps
+    ``vLens[i]`` at ``maxLength``; CharColumnWriter inherits it).
+
+    ``pixels_types`` maps column name → Pixels type string (e.g.
+    ``{"name": "varchar(25)"}``); non-length-typed columns pass through.
+    Pure ``substring`` projection — map-side, codegen, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    from ..types import type_max_length
+
+    out = df
+    for col, tname in pixels_types.items():
+        n = type_max_length(tname)
+        if n is not None and col in out.columns:
+            out = out.withColumn(col, F.substring(F.col(col), 1, n))
+    return out
+
+
+def truncation_counts(df: DataFrame, pixels_types: dict[str, str]) -> dict[str, int]:
+    """Per-column count of values that exceed the declared length — the
+    reference's ``numTruncated`` warning counter
+    (``VarcharColumnWriter.java:77-84``), as one aggregate job over the
+    pre-truncation data."""
+    from pyspark.sql import functions as F
+
+    from ..types import type_max_length
+
+    aggs = []
+    for col, tname in pixels_types.items():
+        n = type_max_length(tname)
+        if n is not None and col in df.columns:
+            aggs.append(
+                F.sum((F.length(F.col(col)) > n).cast("long")).alias(col)
+            )
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0]
+    return {c: int(row[c] or 0) for c in row.asDict()}

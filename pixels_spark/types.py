@@ -166,3 +166,13 @@ def time_to_string(millis: Column) -> Column:
     s = F.lpad(_idiv(F.pmod(millis, F.lit(60_000)), 1000).cast("string"), 2, "0")
     ms = F.lpad(F.pmod(millis, F.lit(1000)).cast("string"), 3, "0")
     return F.concat(h, F.lit(":"), m, F.lit(":"), s, F.lit("."), ms)
+
+
+def type_max_length(name: str) -> int | None:
+    """Max length for parameterized char/varchar/binary/varbinary Pixels
+    types (``TypeDescription.getMaxLength``); None for every other type or
+    an unparameterized string/binary."""
+    m = _PARAM.match(name.strip().lower())
+    if m and m.group(1) in ("char", "varchar", "binary", "varbinary"):
+        return int(m.group(2))
+    return None

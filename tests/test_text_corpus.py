@@ -1,0 +1,144 @@
+"""Corpus-statistics operators: unigram-LM scoring, boilerplate removal,
+writer-side CHAR/VARCHAR truncation.
+
+(The declared queries txt_lm_score / txt_boilerplate / vec_kmeans_round are
+oracle-compared against DuckDB in test_queries_oracle.py; these tests pin
+the operator-level semantics and edge cases.)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pixels_spark.functions import text as T
+from pixels_spark.storage.load import truncate_to_lengths, truncation_counts
+from pixels_spark.types import type_max_length
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat sat"),
+            Row(doc_id=1, text="the dog ran"),
+            Row(doc_id=2, text="the cat ran far"),
+            Row(doc_id=3, text="THE rare unicorn"),
+        ]
+    )
+
+
+def test_unigram_lm_scores_match_hand_computation(spark):
+    out = {
+        r["doc_id"]: r
+        for r in T.unigram_lm_scores(_docs(spark), "doc_id", "text").collect()
+    }
+    # corpus (lowercased): the x4, cat x2, ran x2, sat, dog, far, rare,
+    # unicorn → N=13, V=8
+    counts = {"the": 4, "cat": 2, "ran": 2, "sat": 1, "dog": 1, "far": 1,
+              "rare": 1, "unicorn": 1}
+    n, v = 13, 8
+
+    def lp(w):  # quantized like the engine: decimal(18,9)
+        return round(math.log((counts[w] + 1.0) / (n + v)), 9)
+
+    doc0 = (lp("the") + lp("cat") + lp("sat")) / 3
+    assert out[0]["n_tokens"] == 3
+    assert abs(out[0]["avg_logprob"] - doc0) < 1e-12
+    # the rare-word doc scores strictly lower than the common-word docs
+    assert out[3]["avg_logprob"] < out[0]["avg_logprob"]
+    assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
+
+
+def test_remove_frequent_tokens_strips_only_frequent(spark):
+    # 'the' appears in 4/4 docs (case-insensitively); everything else ≤ 2/4
+    out = {
+        r["doc_id"]: r
+        for r in T.remove_frequent_tokens(
+            _docs(spark), "doc_id", "text", df_ratio=0.75
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "cat sat"
+    assert out[0]["n_removed"] == 1
+    # casing of surviving tokens is preserved; uppercase THE still removed
+    assert out[3]["clean_text"] == "rare unicorn"
+    assert out[3]["n_removed"] == 1
+    assert all(r["n_tokens"] - r["n_removed"] >= 0 for r in out.values())
+
+
+def test_remove_frequent_tokens_empty_set_is_identity(spark):
+    # threshold above every doc-frequency → nothing removed, text intact
+    out = T.remove_frequent_tokens(_docs(spark), "doc_id", "text", df_ratio=2.0)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(r["n_removed"] == 0 for r in rows.values())
+    assert rows[2]["clean_text"] == "the cat ran far"
+
+
+def test_remove_frequent_tokens_can_empty_a_document(spark):
+    df = _docs(spark).sparkSession.createDataFrame(
+        [Row(doc_id=0, text="x x x"), Row(doc_id=1, text="x")]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in T.remove_frequent_tokens(df, "doc_id", "text", df_ratio=0.5).collect()
+    }
+    assert rows[0]["clean_text"] == "" and rows[0]["n_removed"] == 3
+    assert rows[1]["clean_text"] == "" and rows[1]["n_removed"] == 1
+
+
+def test_type_max_length():
+    assert type_max_length("varchar(25)") == 25
+    assert type_max_length("char(3)") == 3
+    assert type_max_length("binary(16)") == 16
+    assert type_max_length("varbinary(8)") == 8
+    assert type_max_length("varchar") is None
+    assert type_max_length("decimal(15,2)") is None
+    assert type_max_length("bigint") is None
+
+
+def test_truncate_to_lengths_matches_reference_writer(spark):
+    # VarcharColumnWriter.java:57-63 — overlong values truncated, counted
+    df = spark.createDataFrame(
+        [
+            Row(k=1, name="MOROCCO", comment="short"),
+            Row(k=2, name="UNITED KINGDOM", comment="exactly10!"),
+            Row(k=3, name=None, comment="this one is far too long"),
+        ]
+    )
+    types = {"name": "varchar(10)", "comment": "char(10)"}
+    counts = truncation_counts(df, types)
+    assert counts == {"name": 1, "comment": 1}
+    out = {r["k"]: r for r in truncate_to_lengths(df, types).collect()}
+    assert out[1]["name"] == "MOROCCO"  # within bound: untouched
+    assert out[2]["name"] == "UNITED KIN"  # cut at 10
+    assert out[3]["name"] is None  # nulls pass through
+    assert out[2]["comment"] == "exactly10!"
+    assert out[3]["comment"] == "this one i"
+    # binary columns truncate by byte length
+    bdf = spark.createDataFrame([Row(k=1, payload=bytearray(b"0123456789abcdef"))])
+    bout = truncate_to_lengths(bdf, {"payload": "binary(4)"}).collect()[0]
+    assert bytes(bout["payload"]) == b"0123"
+    assert truncation_counts(bdf, {"payload": "binary(4)"}) == {"payload": 1}
+
+
+def test_load_table_applies_pixels_type_truncation(spark, tmp_path):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from pixels_spark.storage.load import load_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part.csv").write_text("1|abcdefghij\n2|xy\n")
+    schema = StructType(
+        [StructField("id", StringType()), StructField("s", StringType())]
+    )
+    out = load_table(
+        spark,
+        str(src),
+        str(tmp_path / "dest"),
+        schema,
+        pixels_types={"s": "varchar(5)"},
+    )
+    got = {r["id"]: r["s"] for r in out.collect()}
+    assert got == {"1": "abcde", "2": "xy"}
