@@ -63,6 +63,9 @@ HEADLINE = (
     "dec_money_rollup",
     "struct_field_rollup",
     "vec_pq_probe",
+    # round-5 corpus-statistics filters
+    "txt_lm_score",
+    "txt_boilerplate",
 )
 
 

@@ -458,3 +458,51 @@ def mvcc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(
         table.read_latest_version().drop("_commit_ts").orderBy("event_id"), work
     )
+
+
+@declare(
+    "mvcc_ivm_rollup",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(CASE WHEN event_id % 6 = 0 THEN value * 10
+                              ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+    FROM events
+    WHERE event_id % 3 <> 2 AND event_id % 9 NOT IN (3, 4)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("mvcc", "ivm", "materialized-view", "rollup"),
+)
+def mvcc_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental materialized-view maintenance: a per-type count+sum
+    rollup materialized over an MVCC table, then kept fresh through an
+    upsert batch (MERGE: x10 updates + inserts) and a delete batch by
+    folding ONLY the delta commits (signed decimal-exact merge) — the
+    refreshed rollup must equal the oracle's from-scratch aggregation."""
+    from ..mvcc.ivm import MaterializedRollup
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_ivm_")
+    e = load_table(spark, sf_dir, "events")
+    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
+    table.insert(e.filter(F.col("event_id") % 3 == 0))
+    mv = MaterializedRollup(
+        spark, os.path.join(work, "mv"), table, ["event_type"], ["value"]
+    )
+    mv.full_refresh()
+    source = (
+        e.filter(F.col("event_id") % 6 == 0)
+        .withColumn("value", F.col("value") * 10)
+        .unionByName(e.filter(F.col("event_id") % 3 == 1))
+    )
+    table.merge(source)
+    table.delete(e.filter((F.col("event_id") % 9).isin(3, 4)).select("event_id"))
+    mv.refresh()
+    out = mv.read().select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
+    return _finalize(out, work)

@@ -1,0 +1,110 @@
+"""Incremental materialized-rollup maintenance (mvcc/ivm.py).
+
+Invariant under test: after ANY sequence of insert/merge/delete batches,
+``refresh()`` (delta folding) equals ``full_refresh()`` (from-scratch
+aggregation) EXACTLY — decimal accumulation makes the delta arithmetic
+drift-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pixels_spark.mvcc.ivm import MaterializedRollup
+from pixels_spark.mvcc.table import MvccTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, tmp_path, name):
+    t = MvccTable(spark, os.path.join(str(tmp_path), name), key_col="k")
+    mv = MaterializedRollup(
+        spark, os.path.join(str(tmp_path), name + "_mv"), t, ["g"], ["v"]
+    )
+    return t, mv
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(k=k, g=g, v=float(v)) for k, g, v in rows])
+
+
+def _full(spark, tmp_path, t, name):
+    """From-scratch rollup over the same table, for equality checks."""
+    ref = MaterializedRollup(
+        spark, os.path.join(str(tmp_path), name), t, ["g"], ["v"]
+    )
+    ref.full_refresh()
+    return ref.read()
+
+
+def test_refresh_equals_full_recompute_through_updates_and_deletes(
+    spark, tmp_path
+):
+    t, mv = _mk(spark, tmp_path, "t1")
+    t.insert(_df(spark, [(1, "a", 1.5), (2, "a", 2.25), (3, "b", 10.0)]))
+    mv.full_refresh()
+    # batch 1: update k=2 (new version), insert k=4
+    t.merge(_df(spark, [(2, "a", 200.0), (4, "b", 4.0)]))
+    # batch 2: delete k=3
+    t.delete([3])
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_full(spark, tmp_path, t, "ref1"))
+    got = {r["g"]: r for r in mv.read().collect()}
+    assert got["a"]["n_rows"] == 2
+    assert float(got["a"]["sum_v"]) == 201.5  # 1.5 + 200.0 (2's old version gone)
+    assert got["b"]["n_rows"] == 1 and float(got["b"]["sum_v"]) == 4.0
+
+
+def test_group_disappears_when_emptied(spark, tmp_path):
+    t, mv = _mk(spark, tmp_path, "t2")
+    t.insert(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    mv.full_refresh()
+    t.delete([2])
+    mv.refresh()
+    assert [r["g"] for r in mv.read().collect()] == ["a"]
+    assert _rows(mv.read()) == _rows(_full(spark, tmp_path, t, "ref2"))
+
+
+def test_noop_refresh_keeps_state_and_data(spark, tmp_path):
+    t, mv = _mk(spark, tmp_path, "t3")
+    t.insert(_df(spark, [(1, "a", 1.0)]))
+    ts = mv.full_refresh()
+    before = _rows(mv.read())
+    assert mv.refresh() == ts  # nothing committed since → no-op
+    assert _rows(mv.read()) == before
+
+
+def test_chain_of_refreshes_stays_exact(spark, tmp_path):
+    t, mv = _mk(spark, tmp_path, "t4")
+    t.insert(_df(spark, [(i, "g" + str(i % 3), i * 0.1) for i in range(30)]))
+    mv.full_refresh()
+    # three delta rounds: update evens, delete multiples of 5, insert new
+    t.merge(_df(spark, [(i, "g" + str(i % 3), i * 7.0) for i in range(0, 30, 2)]))
+    mv.refresh()
+    t.delete(list(range(0, 30, 5)))
+    mv.refresh()
+    t.insert(_df(spark, [(i, "gX", 1.25) for i in range(100, 110)]))
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_full(spark, tmp_path, t, "ref4"))
+
+
+def test_refresh_before_full_refresh_bootstraps(spark, tmp_path):
+    t, mv = _mk(spark, tmp_path, "t5")
+    t.insert(_df(spark, [(1, "a", 1.0)]))
+    mv.refresh()  # no state yet → behaves like full_refresh
+    assert _rows(mv.read()) == _rows(_full(spark, tmp_path, t, "ref5"))
+
+
+def test_old_rollup_dir_is_swapped_out(spark, tmp_path):
+    t, mv = _mk(spark, tmp_path, "t6")
+    t.insert(_df(spark, [(1, "a", 1.0)]))
+    mv.full_refresh()
+    t.insert(_df(spark, [(2, "a", 2.0)]))
+    mv.refresh()
+    dirs = [d for d in os.listdir(mv.path) if d.startswith("rollup_ts=")]
+    assert len(dirs) == 1  # previous generation cleaned up after the swing
