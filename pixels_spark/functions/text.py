@@ -387,3 +387,94 @@ def remove_frequent_tokens(
         (F.size(toks_arr) - F.size(clean)).cast("bigint").alias("n_removed"),
         F.array_join(clean, " ").alias("clean_text"),
     )
+
+
+def pack_token_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_tokens: int = 1024,
+) -> DataFrame:
+    """EXACT sequence packing: split the id-ordered token stream into
+    shards of exactly ``shard_tokens`` tokens, letting documents SPAN
+    shard boundaries — the step after ``with_token_shards`` (which only
+    assigns whole docs). Emits one row per (doc, shard) overlap:
+    ``(id, shard, tok_start, tok_end)`` with doc-local token offsets
+    [tok_start, tok_end), so every shard's spans sum to exactly
+    ``shard_tokens`` (except the final partial shard) and every doc's
+    spans partition [0, n_tokens).
+
+    Pure integer arithmetic over one window cumsum + a bounded
+    ``sequence`` fan-out (a doc of n tokens lands in at most
+    n/shard_tokens + 1 shards) — deterministic, engine-independent,
+    exactly SQL-restatable. Same 100 TB note as with_token_shards: run
+    the total order within a partition key so the sort never
+    concentrates."""
+    from pyspark.sql.window import Window
+
+    S = F.lit(shard_tokens)
+    w = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = token_count(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        (F.sum(toks).over(w) - toks).alias("_off"),
+    ).filter(F.col("n_tokens") > 0)
+    first = F.floor(F.col("_off") / S)
+    last = F.floor((F.col("_off") + F.col("n_tokens") - 1) / S)
+    spans = base.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("_off"),
+        F.explode(F.sequence(first, last)).alias("shard"),
+    )
+    return spans.select(
+        F.col(id_col),
+        F.col("shard").cast("bigint").alias("shard"),
+        F.greatest(F.col("shard") * S - F.col("_off"), F.lit(0))
+        .cast("bigint")
+        .alias("tok_start"),
+        F.least((F.col("shard") + 1) * S - F.col("_off"), F.col("n_tokens"))
+        .cast("bigint")
+        .alias("tok_end"),
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "source",
+    budget_tokens: int = 800,
+) -> DataFrame:
+    """Mixture construction to a TOKEN budget: within each stratum, take
+    documents in deterministic md5 order until the stratum's running
+    token total reaches ``budget_tokens`` (the crossing document is
+    included, so every stratum with enough data reaches the budget) —
+    how training mixes are actually cut ("N tokens of code, M of web"),
+    as the exact counterpart of the rate-based ``mixture_sample``.
+
+    Returns the kept (id, stratum, n_tokens) rows. Deterministic and
+    RNG-free (md5 order is engine-independent), one window shuffle
+    partitioned BY STRATUM — no global sort, scales per stratum."""
+    from pyspark.sql.window import Window
+
+    toks = token_count(F.col(text_col))
+    h = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            toks.alias("n_tokens"),
+            (F.sum(toks).over(w) - toks).alias("_cum_before"),
+        )
+        .filter(F.col("_cum_before") < budget_tokens)
+        .drop("_cum_before")
+    )

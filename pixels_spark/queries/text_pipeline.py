@@ -704,3 +704,86 @@ def txt_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(F.col("clean_text")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+@declare(
+    "txt_pack_spans",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents),
+    offs AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens AS BIGINT)
+                 AS off
+      FROM toks),
+    spans AS (
+      SELECT doc_id, n_tokens, off,
+             unnest(generate_series(off // 1024,
+                                    (off + n_tokens - 1) // 1024)) AS shard
+      FROM offs WHERE n_tokens > 0)
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(greatest(shard * 1024 - off, 0) AS BIGINT) AS tok_start,
+           CAST(least((shard + 1) * 1024 - off, n_tokens) AS BIGINT) AS tok_end
+    FROM spans
+    ORDER BY doc_id, shard
+    """,
+    tags=("text", "packing", "sharding", "window"),
+)
+def txt_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sequence packing: the id-ordered token stream cut into
+    1024-token shards with documents spanning boundaries — one row per
+    (doc, shard) overlap with doc-local [tok_start, tok_end) offsets;
+    every shard's spans sum to exactly 1024 (final shard partial).
+    Integer-exact, window cumsum + bounded sequence fan-out."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.pack_token_spans(d, "doc_id", "text", shard_tokens=1024).orderBy(
+        "doc_id", "shard"
+    )
+
+
+@declare(
+    "txt_token_budget_mix",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS cum_before
+      FROM toks)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+    FROM ordered
+    WHERE cum_before < 800
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "sampling", "mixture", "budget"),
+)
+def txt_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture construction to a TOKEN budget: per source, keep docs in
+    deterministic md5 order until 800 tokens are reached (crossing doc
+    included) — the exact-budget counterpart of the rate-based
+    txt_mixture; per-source kept-doc and token totals."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = T.token_budget_mix(d, "doc_id", "text", "source", budget_tokens=800)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

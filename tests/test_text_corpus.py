@@ -142,3 +142,74 @@ def test_load_table_applies_pixels_type_truncation(spark, tmp_path):
     )
     got = {r["id"]: r["s"] for r in out.collect()}
     assert got == {"1": "abcde", "2": "xy"}
+
+
+def test_pack_token_spans_partitions_stream_exactly(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=" ".join(["a"] * 5)),
+            Row(doc_id=1, text=" ".join(["b"] * 3)),
+            Row(doc_id=2, text=" ".join(["c"] * 9)),
+            Row(doc_id=3, text=" ".join(["d"] * 2)),
+        ]
+    )
+    spans = T.pack_token_spans(df, "doc_id", "text", shard_tokens=4).collect()
+    # stream = 5+3+9+2 = 19 tokens → shards 0..4 (last partial, 3 tokens)
+    per_shard = {}
+    per_doc = {}
+    for r in spans:
+        width = r["tok_end"] - r["tok_start"]
+        assert width > 0
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + width
+        per_doc.setdefault(r["doc_id"], []).append((r["tok_start"], r["tok_end"]))
+    assert per_shard == {0: 4, 1: 4, 2: 4, 3: 4, 4: 3}
+    # each doc's spans tile [0, n) contiguously
+    for doc, n in [(0, 5), (1, 3), (2, 9), (3, 2)]:
+        ivs = sorted(per_doc[doc])
+        assert ivs[0][0] == 0 and ivs[-1][1] == n
+        assert all(a[1] == b[0] for a, b in zip(ivs, ivs[1:]))
+    # doc 2 (9 tokens) straddles three 4-token shards
+    assert len(per_doc[2]) == 3
+
+
+def test_pack_token_spans_whitespace_doc_counts_one_empty_token(spark):
+    # the shared cross-engine convention (token_count ≡ DuckDB
+    # string_split_regex): splitting trimmed-empty text yields [''] —
+    # one degenerate token, so the doc still gets a 1-wide span
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="x y"), Row(doc_id=1, text=" ")]
+    )
+    spans = {r["doc_id"]: r for r in
+             T.pack_token_spans(df, "doc_id", "text", shard_tokens=8).collect()}
+    assert spans[1]["tok_end"] - spans[1]["tok_start"] == 1
+
+
+def test_token_budget_mix_reaches_budget_per_stratum(spark):
+    rows = [
+        Row(doc_id=i, text=" ".join(["w"] * 10), source=f"s{i % 2}")
+        for i in range(20)
+    ]
+    kept = T.token_budget_mix(
+        spark.createDataFrame(rows), "doc_id", "text", "source", budget_tokens=35
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += r["n_tokens"]
+    # 10-token docs, budget 35 → 4 docs / 40 tokens kept per stratum
+    # (the crossing doc is included)
+    assert by_src == {"s0": 40, "s1": 40}
+
+
+def test_token_budget_mix_is_deterministic(spark):
+    rows = [
+        Row(doc_id=i, text=" ".join(["w"] * (1 + i % 7)), source="s")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    a = sorted(r["doc_id"] for r in T.token_budget_mix(df, budget_tokens=40).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in T.token_budget_mix(df.repartition(7), budget_tokens=40).collect()
+    )
+    assert a == b  # partitioning-independent (md5 total order)
