@@ -248,11 +248,22 @@ def stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-def _md5_minhash_sql(n: int = 3, num_hashes: int = 8, rows_per_band: int = 2) -> str:
+def _md5_minhash_sql(
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    order_lhs: str = "b1.doc_id",
+    order_rhs: str = "b2.doc_id",
+    select: str | None = None,
+) -> str:
     """Oracle restatement of functions.dedup.minhash_md5_bands: the md5
     hash family is computable in DuckDB with bit-identical results (same
     conv/substr/md5 pattern proven by the sampling oracles), so the band
-    values — and therefore the collision/suppression sets — match exactly."""
+    values — and therefore the collision/suppression sets — match exactly.
+
+    ``order_lhs < order_rhs`` defines arrival order (default: doc_id —
+    the streaming replay order); ``dedup_incremental`` reuses the same
+    collision CTEs with a (batch, id) ordering and its own SELECT."""
     hash_i = (
         "list_min(list_transform(s, x -> CAST(concat('0x', "
         "substr(md5(concat('{i}|', x)), 1, 8)) AS BIGINT)))"
@@ -270,6 +281,11 @@ def _md5_minhash_sql(n: int = 3, num_hashes: int = 8, rows_per_band: int = 2) ->
             ),
         )
         for b in range(n_bands)
+    )
+    final_select = select or (
+        "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS suppressed\n"
+        "    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id\n"
+        "    ORDER BY d.doc_id"
     )
     return f"""
     WITH toks AS (
@@ -292,10 +308,8 @@ def _md5_minhash_sql(n: int = 3, num_hashes: int = 8, rows_per_band: int = 2) ->
     hits AS (
       SELECT DISTINCT b2.doc_id
       FROM bands b1 JOIN bands b2
-        ON b1.band = b2.band AND b1.bh = b2.bh AND b1.doc_id < b2.doc_id)
-    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS suppressed
-    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-    ORDER BY d.doc_id
+        ON b1.band = b2.band AND b1.bh = b2.bh AND {order_lhs} < {order_rhs})
+    {final_select}
     """
 
 

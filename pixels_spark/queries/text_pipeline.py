@@ -787,3 +787,52 @@ def txt_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _incremental_dedup_sql() -> str:
+    """Oracle: same md5-band collision CTEs as the streaming suppressor,
+    with arrival order (batch, doc_id) — batch 1 = even ids registers
+    first, batch 2 = odd ids checks against it; first-seen band wins."""
+    from .streamq_stateful import _md5_minhash_sql
+
+    return _md5_minhash_sql(
+        order_lhs="(b1.doc_id % 2, b1.doc_id)",
+        order_rhs="(b2.doc_id % 2, b2.doc_id)",
+        select=(
+            "SELECT d.doc_id, CAST(1 + d.doc_id % 2 AS BIGINT) AS batch\n"
+            "    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id\n"
+            "    WHERE h.doc_id IS NULL\n"
+            "    ORDER BY d.doc_id"
+        ),
+    )
+
+
+@declare(
+    "dedup_incremental",
+    sql=_incremental_dedup_sql(),
+    tags=("text", "dedup", "minhash", "incremental", "registry"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental near-dedup against a persisted band REGISTRY: batch 1
+    (even ids) registers its MinHash-LSH bands, batch 2 (odd ids) is
+    checked against the registry + itself — no re-read of batch 1's text;
+    kept (doc_id, batch) rows, exactly oracled (md5 band family, arrival
+    order = (batch, id))."""
+    import os
+    import tempfile
+
+    from .streamq_stateful import _finalize
+
+    work = tempfile.mkdtemp(prefix="pxs_incr_dedup_")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reg = D.DedupRegistry(spark, os.path.join(work, "reg"))
+    k1 = reg.add_batch_near(d.filter(F.col("doc_id") % 2 == 0))
+    k2 = reg.add_batch_near(d.filter(F.col("doc_id") % 2 == 1))
+    out = (
+        k1.select("doc_id").withColumn("batch", F.lit(1).cast("bigint"))
+        .unionByName(
+            k2.select("doc_id").withColumn("batch", F.lit(2).cast("bigint"))
+        )
+        .orderBy("doc_id")
+    )
+    return _finalize(out, work)

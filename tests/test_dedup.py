@@ -202,3 +202,57 @@ def test_cut_lineage_reliable_mode_value_identical(spark, docs, tmp_path):
     # (left set for the rest of the session — only reliable=True consults it)
     sc.setCheckpointDir(str(tmp_path / "ck"))
     assert pairs_set(D.minhash_dedup_pairs(docs, reliable=True)) == base
+
+
+def test_dedup_registry_exact_across_batches(spark, tmp_path):
+    from pixels_spark.functions.dedup import DedupRegistry
+
+    reg = DedupRegistry(spark, str(tmp_path / "reg_exact"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        ["doc_id", "text"],
+    )
+    k1 = reg.add_batch_exact(b1)
+    # intra-batch: doc 3 is an exact dup of doc 1 (first id wins)
+    assert sorted(r["doc_id"] for r in k1.collect()) == [1, 2]
+    b2 = spark.createDataFrame(
+        [(4, "gamma delta"), (5, "epsilon zeta")], ["doc_id", "text"]
+    )
+    k2 = reg.add_batch_exact(b2)
+    # cross-batch: doc 4 duplicates registered doc 2 — batch 1's text
+    # is never re-read, only its fingerprints
+    assert [r["doc_id"] for r in k2.collect()] == [5]
+
+
+def test_dedup_registry_near_matches_streaming_convention(spark, tmp_path):
+    """Batch-incremental suppression == the one-batch band_first_seen set
+    when arrival order matches (all docs in a single batch, id order)."""
+    from pixels_spark.functions.dedup import DedupRegistry, minhash_md5_bands
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again tonight"),
+        (3, "completely different text with no overlap whatsoever here now"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # ground truth: first-seen-wins over id order
+    bands = df.select(
+        "doc_id", F.explode(minhash_md5_bands(F.col("text"))).alias("b")
+    ).select("doc_id", "b.band", "b.bh")
+    first = bands.groupBy("band", "bh").agg(F.min("doc_id").alias("f"))
+    expected_suppressed = {
+        r["doc_id"]
+        for r in bands.join(first, ["band", "bh"])
+        .filter(F.col("doc_id") > F.col("f"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    reg = DedupRegistry(spark, str(tmp_path / "reg_near"))
+    kept = reg.add_batch_near(df)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3} - expected_suppressed
+
+    # a later batch repeating doc 1's text verbatim is suppressed by the
+    # registry even though batch 1 is gone
+    b2 = spark.createDataFrame([(9, docs[0][1])], ["doc_id", "text"])
+    assert reg.add_batch_near(b2).count() == 0
