@@ -454,11 +454,10 @@ def vec_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_DOT = _SQL_DOT  # ordered fold — bit-identical to F.aggregate
 
-
-@declare(
-    "vec_kmeans_round",
-    sql=f"""
-    WITH init AS (
+# shared CTEs: deterministic init (k lowest-id vectors) + bit-identical
+# cosine argmax assignment — the exactly-oracle-able clustering kernel
+# (used by vec_kmeans_round and vec_semdedup)
+_ASSIGN_CTES = f"""init AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
       FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
@@ -474,7 +473,13 @@ _KMEANS_DOT = _SQL_DOT  # ordered fold — bit-identical to F.aggregate
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY sim DESC, cell_id ASC) AS rn
             FROM sims)
-      WHERE rn = 1),
+      WHERE rn = 1)"""
+
+
+@declare(
+    "vec_kmeans_round",
+    sql=f"""
+    WITH {_ASSIGN_CTES},
     exploded AS (
       SELECT cell_id, CAST(u['dim'] AS INTEGER) AS dim, CAST(u['v'] AS FLOAT) AS v
       FROM (SELECT cell_id,
@@ -522,4 +527,43 @@ def vec_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_v",
         )
         .orderBy("cell_id", "dim")
+    )
+
+@declare(
+    "vec_semdedup",
+    sql=f"""
+    WITH {_ASSIGN_CTES},
+    sup AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       AND {_sql_cos("a.embedding", "b.embedding")} >= 0.4)
+    SELECT a.vec_id, CAST(a.cell_id AS BIGINT) AS cell_id
+    FROM assigned a LEFT JOIN sup s ON a.vec_id = s.vec_id
+    WHERE s.vec_id IS NULL
+    ORDER BY a.vec_id
+    """,
+    tags=("vector", "dedup", "clustering", "semdedup"),
+)
+def vec_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic dedup, Abbas et al. 2023 shape): cluster the
+    embedding corpus (deterministic k-means assignment — init = 8
+    lowest-id vectors), then WITHIN each cluster drop every vector that
+    has a lower-id neighbor at cosine >= 0.4; kept (vec_id, cell_id),
+    exactly oracled (bit-identical cosine folds + deterministic
+    centroids). The pair search is cluster-blocked — never all-pairs —
+    which is what makes semantic dedup tractable at corpus scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    init = V.make_centroids(e, "embedding", "vec_id", n_cells=8, iterations=0)
+    assigned = V.ivf_assign(
+        e.select("vec_id", "embedding"), "embedding", init, id_col="vec_id"
+    )
+    pairs = D.embedding_near_dup_pairs(
+        assigned, "vec_id", "embedding", partition_col="ivf_cell", threshold=0.4
+    )
+    suppressed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        assigned.join(suppressed, "vec_id", "left_anti")
+        .select("vec_id", F.col("ivf_cell").cast("bigint").alias("cell_id"))
+        .orderBy("vec_id")
     )
