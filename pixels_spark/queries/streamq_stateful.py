@@ -520,3 +520,51 @@ def mvcc_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value"),
     ).orderBy("event_type")
     return _finalize(out, work)
+
+
+@declare(
+    "mvcc_secondary_lookup",
+    sql="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN event_id % 10 = 0 THEN user_id + 1000
+                ELSE user_id END AS user_id,
+           event_type,
+           CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value,
+           props
+    FROM events
+    WHERE user_id = 7
+    ORDER BY event_id
+    """,
+    tags=("mvcc", "index", "secondary"),
+)
+def mvcc_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """secondary (non-unique) point index: events keyed by event_id with a
+    user_id secondary index; after an update MOVES the %10==0 rows to
+    user_id+1000 (and doubles value), lookups by old and new user must
+    reflect the LATEST versions only — the stale-secondary trap the
+    two-step (candidate keys → primary resolution) design exists for."""
+    from ..mvcc.secondary import SecondaryIndex
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_sidx_")
+    e = load_table(spark, sf_dir, "events")
+    table = MvccTable(
+        spark, os.path.join(work, "tbl"), key_col="event_id", indexed=True
+    )
+    ts1 = table.insert(e)
+    idx = SecondaryIndex(table, "user_id")
+    idx.index_commit(ts1)
+    moved = (
+        e.filter(F.col("event_id") % 10 == 0)
+        .withColumn("user_id", F.col("user_id") + 1000)
+        .withColumn("value", F.col("value") * 2)
+    )
+    ts2 = table.update(moved)
+    idx.index_commit(ts2)
+    out = (
+        idx.lookup(7)
+        .unionByName(idx.lookup(1007))
+        .drop("_commit_ts")
+        .orderBy("event_id")
+    )
+    return _finalize(out, work)

@@ -361,3 +361,80 @@ def test_merge_rejects_bad_clauses(spark, tmp_path):
         t.merge(src, when_matched="upsert")
     with pytest.raises(ValueError):
         t.merge(src, when_not_matched="replace")
+
+
+# -- secondary (non-unique) point index --------------------------------------
+
+
+def _sidx_table(spark, tmp_path, name, indexed=True):
+    from pixels_spark.mvcc.secondary import SecondaryIndex
+    from pixels_spark.mvcc.table import MvccTable
+
+    t = MvccTable(
+        spark, str(tmp_path / name), key_col="k", indexed=indexed, index_files=2
+    )
+    rows = [(i, i // 10, f"u{i % 5}") for i in range(40)]
+    ts = t.insert(spark.createDataFrame(rows, ["k", "grp", "tag"]))
+    idx = SecondaryIndex(t, "grp")
+    idx.index_commit(ts)
+    return t, idx
+
+
+def test_secondary_lookup_returns_all_matches(spark, tmp_path):
+    t, idx = _sidx_table(spark, tmp_path, "s1")
+    got = sorted(r["k"] for r in idx.lookup(2).collect())
+    assert got == list(range(20, 30))  # non-unique: every k with grp=2
+
+
+def test_secondary_lookup_skips_stale_versions(spark, tmp_path):
+    from pixels_spark.mvcc.secondary import SecondaryIndex
+
+    t, idx = _sidx_table(spark, tmp_path, "s2")
+    # move k=25 from grp 2 to grp 99 (update = delete+insert, one ts)
+    ts2 = t.update(spark.createDataFrame([(25, 99, "u0")], ["k", "grp", "tag"]))
+    idx.index_commit(ts2)
+    got = sorted(r["k"] for r in idx.lookup(2).collect())
+    assert 25 not in got and got == [k for k in range(20, 30) if k != 25]
+    # and the new value finds it
+    assert [r["k"] for r in idx.lookup(99).collect()] == [25]
+    # snapshot BEFORE the update still sees the old assignment
+    pre = sorted(r["k"] for r in idx.lookup(2, snapshot_ts=ts2 - 1).collect())
+    assert pre == list(range(20, 30))
+
+
+def test_secondary_lookup_respects_deletes(spark, tmp_path):
+    t, idx = _sidx_table(spark, tmp_path, "s3")
+    ts2 = t.delete([21, 22])
+    got = sorted(r["k"] for r in idx.lookup(2).collect())
+    assert got == [20] + list(range(23, 30))
+
+
+def test_secondary_lookup_prunes_files(spark, tmp_path):
+    # primary clustering (k) correlates with grp=k//10 → covering files
+    # are a strict subset
+    t, idx = _sidx_table(spark, tmp_path, "s4")
+    all_files = {e["path"] for e in idx.manifest.load()}
+    cand = set(idx.candidate_files(0))
+    assert cand and cand < all_files
+
+
+def test_secondary_lookup_falls_back_on_unindexed_commit(spark, tmp_path):
+    t, idx = _sidx_table(spark, tmp_path, "s5")
+    t.insert(spark.createDataFrame([(100, 2, "u9")], ["k", "grp", "tag"]))
+    # new commit not in the secondary manifest → correct fallback
+    got = sorted(r["k"] for r in idx.lookup(2).collect())
+    assert got == list(range(20, 30)) + [100]
+    idx.build()  # backfill restores coverage
+    got2 = sorted(r["k"] for r in idx.lookup(2).collect())
+    assert got2 == got
+
+
+def test_secondary_index_rejects_key_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from pixels_spark.mvcc.secondary import SecondaryIndex
+    from pixels_spark.mvcc.table import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "s6"), key_col="k")
+    with _pytest.raises(ValueError):
+        SecondaryIndex(t, "k")
