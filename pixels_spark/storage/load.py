@@ -78,9 +78,16 @@ def load_and_register(
     **load_kwargs,
 ) -> DataFrame:
     """LOAD + metadata registration (≈ LOAD's metadata insert + addFiles,
-    MetadataService.java:1342)."""
+    MetadataService.java:1342). When ``pixels_types`` is passed (length
+    truncation), the cataloged column types keep the declared Pixels type
+    strings — char/varchar lengths survive into the metadata store the way
+    ``TypeDescription`` records maxLength in the file footer."""
     df = load_table(spark, source, dest, schema, **load_kwargs)
-    cols = [{"name": f.name, "type": f.dataType.simpleString()} for f in schema.fields]
+    pixels_types = load_kwargs.get("pixels_types") or {}
+    cols = [
+        {"name": f.name, "type": pixels_types.get(f.name, f.dataType.simpleString())}
+        for f in schema.fields
+    ]
     if schema_name not in store.get_schemas():
         store.create_schema(schema_name)
     if table not in store.get_tables(schema_name):

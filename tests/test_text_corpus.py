@@ -213,3 +213,28 @@ def test_token_budget_mix_is_deterministic(spark):
         for r in T.token_budget_mix(df.repartition(7), budget_tokens=40).collect()
     )
     assert a == b  # partitioning-independent (md5 total order)
+
+
+def test_load_and_register_keeps_pixels_type_strings(spark, tmp_path):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from pixels_spark.storage.load import load_and_register
+    from pixels_spark.storage.metadata import MetadataStore
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    (src / "part.csv").write_text("1|abcdefghij\n")
+    store = MetadataStore(str(tmp_path / "meta"))
+    load_and_register(
+        spark,
+        store,
+        "s",
+        "t",
+        str(src),
+        str(tmp_path / "dest2"),
+        StructType([StructField("id", StringType()), StructField("s", StringType())]),
+        pixels_types={"s": "varchar(5)"},
+    )
+    cols = {c["name"]: c["type"] for c in store.get_columns("s", "t")}
+    assert cols["s"] == "varchar(5)"  # declared length survives cataloging
+    assert cols["id"] == "string"
