@@ -108,3 +108,19 @@ def test_old_rollup_dir_is_swapped_out(spark, tmp_path):
     mv.refresh()
     dirs = [d for d in os.listdir(mv.path) if d.startswith("rollup_ts=")]
     assert len(dirs) == 1  # previous generation cleaned up after the swing
+
+
+def test_touched_keys_scan_is_partition_pruned(spark, tmp_path):
+    """The delta discovery reads ONLY the new _commit= directories —
+    visible as a PartitionFilters entry on _commit, same contract as the
+    MVCC snapshot read pruning."""
+    from pixels_spark.plans.pushdown import explain_str
+
+    t, mv = _mk(spark, tmp_path, "t7")
+    ts1 = t.insert(_df(spark, [(1, "a", 1.0)]))
+    mv.full_refresh()
+    ts2 = t.insert(_df(spark, [(2, "b", 2.0)]))
+    plan = explain_str(mv._touched_keys(ts1, ts2))
+    assert "PartitionFilters" in plan and "_commit" in plan.split(
+        "PartitionFilters", 1
+    )[1][:300], plan
