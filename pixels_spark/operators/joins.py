@@ -157,3 +157,40 @@ def salted_join(
     salted_small = small.withColumn("_salt", salts)
     out = salted_large.join(salted_small, [key, "_salt"], how.value)
     return out.drop("_salt")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Approximate string (entity-resolution) join: pairs with
+    ``levenshtein(left_col, right_col) <= max_dist``, blocked SOUNDLY by
+    length — edit distance k implies ``|len(a) - len(b)| <= k``, so the
+    left side explodes into its 2k+1 candidate length buckets and the
+    join is an EQUI join on the bucket (never a cross join; the edit
+    distance runs only on same-bucket candidates).
+
+    Scale: the shuffle is keyed on length → same-length skew is the
+    hazard for name-like data. At 100 TB compose blocking keys (length ×
+    first-q-gram, or q-gram count filtering: ed<=k pairs share >=
+    len-q+1-q*k q-grams) to cut candidates further; length alone keeps
+    this oracle-exact (Spark and DuckDB agree on levenshtein values).
+    Appends ``_dist`` with the distance.
+    """
+    lb = F.explode(
+        F.sequence(
+            F.greatest(F.length(left_col) - max_dist, F.lit(0)),
+            F.length(left_col) + max_dist,
+        )
+    )
+    l = left.withColumn("_lb", lb)
+    r = right.withColumn("_rb", F.length(right_col))
+    return (
+        l.join(r, l["_lb"] == r["_rb"])
+        .withColumn("_dist", F.levenshtein(F.col(left_col), F.col(right_col)))
+        .filter(F.col("_dist") <= max_dist)
+        .drop("_lb", "_rb")
+    )

@@ -123,3 +123,54 @@ def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r1.crossJoin(r2).filter(F.col("rk1") < F.col("rk2")).orderBy("rk1", "rk2")
     )
+
+
+@declare(
+    "join_fuzzy_match",
+    sql="""
+    WITH probe AS (
+      SELECT p_partkey AS probe_key,
+             concat(substr(p_name, 1,
+                           CAST(p_partkey % length(p_name) AS INTEGER)),
+                    substr(p_name,
+                           CAST(p_partkey % length(p_name) AS INTEGER) + 2))
+                 AS pname
+      FROM part),
+    matches AS (
+      SELECT probe_key, p.p_partkey AS match_key,
+             CAST(levenshtein(pname, p.p_name) AS INTEGER) AS dist
+      FROM probe JOIN part p
+        ON abs(length(pname) - length(p.p_name)) <= 2
+      WHERE levenshtein(pname, p.p_name) <= 2)
+    SELECT probe_key, match_key, dist
+    FROM matches
+    ORDER BY probe_key, match_key
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy (entity-resolution) join: part names with one deterministic
+    char dropped matched back against the catalog at levenshtein <= 2 —
+    length-blocked equi join (sound: ed k implies len diff <= k), never a
+    cross join; both engines agree on edit-distance values exactly."""
+    from ..operators.joins import fuzzy_join
+
+    p = load_table(spark, sf_dir, "part")
+    probe = p.select(
+        F.col("p_partkey").alias("probe_key"),
+        F.concat(
+            F.expr("substr(p_name, 1, cast(p_partkey % length(p_name) as int))"),
+            F.expr("substr(p_name, cast(p_partkey % length(p_name) as int) + 2)"),
+        ).alias("pname"),
+    )
+    out = fuzzy_join(
+        probe, p.select("p_partkey", "p_name"), "pname", "p_name", max_dist=2
+    )
+    return (
+        out.select(
+            "probe_key",
+            F.col("p_partkey").alias("match_key"),
+            F.col("_dist").cast("int").alias("dist"),
+        )
+        .orderBy("probe_key", "match_key")
+    )
