@@ -726,8 +726,20 @@ class DedupRegistry:
         self.exact_dir = os.path.join(path, "exact")
         self.bands_dir = os.path.join(path, "bands")
         self.kept_dir = os.path.join(path, "kept")
-        self.n_batches = 0
         os.makedirs(path, exist_ok=True)
+        # recover the batch counter from what is already on disk, so
+        # re-opening an existing registry (the nightly-batch shape)
+        # APPENDS instead of silently overwriting batch=1
+        self.n_batches = max(
+            (
+                int(d.split("=", 1)[1])
+                for root in (self.exact_dir, self.bands_dir, self.kept_dir)
+                if os.path.isdir(root)
+                for d in os.listdir(root)
+                if d.startswith("batch=")
+            ),
+            default=0,
+        )
 
     def _existing(self, root: str, schema: str) -> DataFrame:
         import os
@@ -736,67 +748,62 @@ class DedupRegistry:
             return self.spark.read.option("basePath", root).parquet(root).drop("batch")
         return self.spark.createDataFrame([], schema)
 
+    def _add_batch(
+        self,
+        df: DataFrame,
+        id_col: str,
+        entries: DataFrame,
+        entry_keys: list[str],
+        store_dir: str,
+        schema: str,
+    ) -> DataFrame:
+        """Shared check-register skeleton: suppress ids whose entries hit
+        the persisted store OR a smaller id in this batch; persist kept
+        rows; append the novel entry values (including suppressed docs'
+        unclaimed ones — the streaming first-seen state convention)."""
+        import os
+
+        self.n_batches += 1
+        reg = self._existing(store_dir, schema)
+        hit_reg = entries.join(reg, entry_keys, "left_semi").select(id_col)
+        first = entries.groupBy(*entry_keys).agg(F.min(id_col).alias("_first"))
+        intra = (
+            entries.join(first, entry_keys)
+            .filter(F.col(id_col) > F.col("_first"))
+            .select(id_col)
+        )
+        suppressed = hit_reg.unionByName(intra).distinct()
+        kept = df.join(suppressed, id_col, "left_anti")
+        kept_path = os.path.join(self.kept_dir, f"batch={self.n_batches}")
+        kept.write.mode("overwrite").parquet(kept_path)
+        entries.select(*entry_keys).distinct().join(
+            reg, entry_keys, "left_anti"
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={self.n_batches}")
+        )
+        return self.spark.read.parquet(kept_path)
+
     def add_batch_exact(
         self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> DataFrame:
         """Check+register a batch by whole-document md5: returns the kept
         rows (not an exact dup of any registered doc nor of a smaller-id
         doc in this batch); appends the novel fingerprints."""
-        import os
-
-        self.n_batches += 1
-        fps = df.select(
-            F.col(id_col), F.md5(F.col(text_col)).alias("fp")
-        )
-        reg = self._existing(self.exact_dir, "fp string")
-        hit_reg = fps.join(reg, "fp", "left_semi").select(id_col)
-        first = fps.groupBy("fp").agg(F.min(id_col).alias("_first"))
-        intra = (
-            fps.join(first, "fp")
-            .filter(F.col(id_col) > F.col("_first"))
-            .select(id_col)
-        )
-        suppressed = hit_reg.unionByName(intra).distinct()
-        kept = df.join(suppressed, id_col, "left_anti")
-        kept_path = os.path.join(self.kept_dir, f"batch={self.n_batches}")
-        kept.write.mode("overwrite").parquet(kept_path)
-        fps.select("fp").distinct().join(reg, "fp", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.exact_dir, f"batch={self.n_batches}"))
-        return self.spark.read.parquet(kept_path)
+        fps = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        return self._add_batch(df, id_col, fps, ["fp"], self.exact_dir, "fp string")
 
     def add_batch_near(
         self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> DataFrame:
         """Check+register a batch by MinHash-LSH bands: returns the kept
         rows (no band collides with a registered band value or with a
-        smaller-id doc in this batch); appends the novel band values.
-        Registered values include suppressed docs' unclaimed bands —
-        exactly the streaming first-seen state convention."""
-        import os
-
-        self.n_batches += 1
+        smaller-id doc in this batch); appends the novel band values."""
         bands = df.select(
             F.col(id_col),
             F.explode(minhash_md5_bands(F.col(text_col))).alias("_b"),
         ).select(
             id_col, F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
         )
-        reg = self._existing(self.bands_dir, "band int, bh string")
-        hit_reg = bands.join(reg, ["band", "bh"], "left_semi").select(id_col)
-        first = bands.groupBy("band", "bh").agg(F.min(id_col).alias("_first"))
-        intra = (
-            bands.join(first, ["band", "bh"])
-            .filter(F.col(id_col) > F.col("_first"))
-            .select(id_col)
+        return self._add_batch(
+            df, id_col, bands, ["band", "bh"], self.bands_dir, "band int, bh string"
         )
-        suppressed = hit_reg.unionByName(intra).distinct()
-        kept = df.join(suppressed, id_col, "left_anti")
-        kept_path = os.path.join(self.kept_dir, f"batch={self.n_batches}")
-        kept.write.mode("overwrite").parquet(kept_path)
-        bands.select("band", "bh").distinct().join(
-            reg, ["band", "bh"], "left_anti"
-        ).write.mode("overwrite").parquet(
-            os.path.join(self.bands_dir, f"batch={self.n_batches}")
-        )
-        return self.spark.read.parquet(kept_path)

@@ -417,7 +417,10 @@ def pack_token_spans(
         Window.unboundedPreceding, Window.currentRow
     )
     toks = token_count(F.col(text_col))
-    base = df.select(
+    # NULL text must be dropped BEFORE the cumsum: size(split(NULL)) is -1
+    # under non-ANSI Spark, which would shift every later doc's offset
+    # (DuckDB's window sum skips NULLs — filtering first matches it)
+    base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         toks.alias("n_tokens"),
         (F.sum(toks).over(w) - toks).alias("_off"),
@@ -469,7 +472,10 @@ def token_budget_mix(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.select(
+        # NULL text → size(split) = -1 would shrink the running total;
+        # drop those docs before the window (DuckDB skips them implicitly)
+        df.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col),
             F.col(stratum_col),
             toks.alias("n_tokens"),

@@ -11,15 +11,20 @@ the main index. This mirrors that two-step shape at file granularity:
    PRIMARY KEYS (≈ getRowIds);
 2. the candidates resolve through the table's PRIMARY manifest to the
    files holding every version of those keys, where MVCC visibility +
-   latest-version rules apply, and the secondary predicate is re-checked
-   against the LATEST version (a key whose newest version no longer
-   matches the value must not surface — the classic stale-secondary trap).
+   latest-version rules apply (shared with ``MvccTable`` — one home for
+   the conventions), and the secondary predicate is re-checked against
+   the LATEST version (a key whose newest version no longer matches the
+   value must not surface — the classic stale-secondary trap).
 
 Selectivity caveat (honest, documented): the reference's KV index is
 row-granular and clustering-independent; a file-range index only prunes
 when the layout clusters the indexed column (primary-key clustering when
 values correlate, else Z-order — ``storage/layout_opt.py``). Lookups are
 correct regardless; ``candidate_files()`` exposes the pruning achieved.
+
+Candidate keys above ``max_candidates`` (a low-cardinality column — not
+point-lookup-shaped) switch to a distributed semi-join instead of the
+driver-side key list, so lookups stay correct and bounded either way.
 """
 
 from __future__ import annotations
@@ -29,15 +34,27 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .table import COMMIT_TS, DELETED_TS, _MANIFEST_BACKENDS, MvccTable
+from .table import (
+    COMMIT_TS,
+    _MANIFEST_BACKENDS,
+    MvccTable,
+    footer_range_entries,
+)
 
 
 class SecondaryIndex:
-    def __init__(self, table: MvccTable, col: str, backend: str = "json"):
+    def __init__(
+        self,
+        table: MvccTable,
+        col: str,
+        backend: str = "json",
+        max_candidates: int = 10_000,
+    ):
         if col == table.key_col:
             raise ValueError("use the primary index for the key column")
         self.table = table
         self.col = col
+        self.max_candidates = max_candidates
         root = os.path.join(table.root, f"sidx_{col}")
         os.makedirs(root, exist_ok=True)
         self.manifest = _MANIFEST_BACKENDS[backend](root)
@@ -45,30 +62,10 @@ class SecondaryIndex:
     # -- maintenance -------------------------------------------------------
     def index_commit(self, ts: int) -> None:
         """Record (file, min, max) of the indexed column for one commit
-        (call after each insert — ≈ putSecondaryEntries at file grain)."""
-        import pyarrow.parquet as pq
-
+        (call after each insert — ≈ putSecondaryEntries at file grain).
+        A delete-only ts (no data directory) is a no-op."""
         commit_dir = os.path.join(self.table.data_dir, f"_commit={ts}")
-        entries = []
-        for fname in sorted(os.listdir(commit_dir)):
-            if not fname.endswith(".parquet"):
-                continue
-            fpath = os.path.join(commit_dir, fname)
-            md = pq.read_metadata(fpath)
-            mn = mx = None
-            for i in range(md.num_row_groups):
-                rg = md.row_group(i)
-                for j in range(rg.num_columns):
-                    c = rg.column(j)
-                    if c.path_in_schema == self.col and c.statistics:
-                        s = c.statistics
-                        mn = s.min if mn is None else min(mn, s.min)
-                        mx = s.max if mx is None else max(mx, s.max)
-            if mn is not None:
-                entries.append(
-                    {"path": fpath, "commit_ts": ts, "min": mn, "max": mx}
-                )
-        self.manifest.append(entries)
+        self.manifest.append(footer_range_entries(commit_dir, self.col, ts))
 
     def build(self) -> None:
         """Index every commit currently on disk (backfill)."""
@@ -119,78 +116,48 @@ class SecondaryIndex:
         )
         if not cands:
             return empty
-        # step 1: candidate primary keys (bounded — this is a point lookup;
-        # the driver-side list mirrors the reference's List<rowId> return)
-        keys = [
-            r[0]
-            for r in self.table.spark.read.parquet(*cands)
+        # step 1: candidate primary keys (≈ getRowIds). Point-shaped
+        # lookups get a driver-side list (mirrors the reference's
+        # List<Long> return) that feeds the primary-manifest file pruning;
+        # a low-cardinality value whose candidates exceed max_candidates
+        # switches to a distributed semi-join — no unbounded collect.
+        cand_keys_df = (
+            self.table.spark.read.parquet(*cands)
             .filter(
                 (F.col(COMMIT_TS) <= snapshot_ts) & (F.col(self.col) == value)
             )
             .select(t.key_col)
             .distinct()
-            .collect()
-        ]
+        )
+        keys = [r[0] for r in cand_keys_df.limit(self.max_candidates + 1).collect()]
         if not keys:
             return empty
+        if len(keys) > self.max_candidates or not (
+            t.indexed and t.manifest.exists()
+        ):
+            visible = t.read(snapshot_ts).join(cand_keys_df, t.key_col, "left_semi")
+            return t.latest_only(visible).filter(F.col(self.col) == value)
         # step 2: resolve ALL versions of those keys through the primary
-        # manifest (covering files only, when the table is indexed)
-        if t.indexed and t.manifest.exists():
-            files = sorted(
-                {
-                    e["path"]
-                    for e in t.manifest.load()
-                    if e["commit_ts"] <= snapshot_ts
-                    and any(e["min"] <= k <= e["max"] for k in keys)
-                }
-            )
-            if not files:
-                return empty
-            visible = (
-                t.spark.read.parquet(*files)
-                .filter(F.col(COMMIT_TS) <= snapshot_ts)
-                .filter(F.col(t.key_col).isin(keys))
-            )
-        else:
-            visible = t.read(snapshot_ts).filter(F.col(t.key_col).isin(keys))
-            # read() already applied delete visibility; skip re-applying
-            return (
-                self._latest(visible)
-                .filter(F.col(self.col) == value)
-            )
-        dels = t._deletes()
-        if dels is not None:
-            d = (
-                dels.filter(F.col("_commit") <= snapshot_ts)
-                .drop("_commit")
-                .filter(
-                    (F.col(DELETED_TS) <= snapshot_ts)
-                    & (F.col(t.key_col).isin(keys))
-                )
-                .groupBy(t.key_col)
-                .agg(F.max(DELETED_TS).alias("_del_ts"))
-                .withColumnRenamed(t.key_col, "_del_key")
-            )
-            visible = visible.join(
-                d,
-                (visible[t.key_col] == F.col("_del_key"))
-                & (visible[COMMIT_TS] < F.col("_del_ts")),
-                "left_anti",
-            )
-        # step 3: latest version per key, THEN re-check the secondary
-        # predicate — a newer version that changed the value wins
-        return self._latest(visible).filter(F.col(self.col) == value)
-
-    def _latest(self, visible: DataFrame) -> DataFrame:
-        t = self.table
-        w_cols = [c for c in visible.columns if c != COMMIT_TS]
-        latest = visible.groupBy(t.key_col).agg(F.max(COMMIT_TS).alias("_max_ts"))
-        return (
-            visible.join(
-                latest.withColumnRenamed(t.key_col, "_lk"),
-                (visible[t.key_col] == F.col("_lk"))
-                & (visible[COMMIT_TS] == F.col("_max_ts")),
-                "left_semi",
-            )
-            .select(*w_cols, COMMIT_TS)
+        # manifest (covering files only)
+        files = sorted(
+            {
+                e["path"]
+                for e in t.manifest.load()
+                if e["commit_ts"] <= snapshot_ts
+                and any(e["min"] <= k <= e["max"] for k in keys)
+            }
         )
+        if not files:
+            return empty
+        visible = (
+            t.spark.read.parquet(*files)
+            .filter(F.col(COMMIT_TS) <= snapshot_ts)
+            .filter(F.col(t.key_col).isin(keys))
+        )
+        # step 3: shared visibility + latest-version rules, THEN re-check
+        # the secondary predicate — a newer version that changed the value
+        # wins (never serve a stale secondary hit)
+        visible = t.apply_delete_visibility(
+            visible, snapshot_ts, key_pred=F.col(t.key_col).isin(keys)
+        )
+        return t.latest_only(visible).filter(F.col(self.col) == value)

@@ -160,6 +160,35 @@ class _SqliteManifest:
 _MANIFEST_BACKENDS = {"json": _JsonManifest, "sqlite": _SqliteManifest}
 
 
+def footer_range_entries(commit_dir: str, col: str, ts: int) -> list[dict]:
+    """Per-file [min, max] of ``col`` from the parquet footers of one
+    commit directory — the shared kernel behind the primary manifest and
+    any SecondaryIndex column manifest. A missing directory (e.g. a
+    delete-only commit ts, which writes no data files) yields no entries."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(commit_dir):
+        return []
+    entries = []
+    for fname in sorted(os.listdir(commit_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        fpath = os.path.join(commit_dir, fname)
+        md = pq.read_metadata(fpath)
+        mn = mx = None
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == col and c.statistics:
+                    s = c.statistics
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+        if mn is not None:
+            entries.append({"path": fpath, "commit_ts": ts, "min": mn, "max": mx})
+    return entries
+
+
 class MvccTable:
     def __init__(
         self,
@@ -233,31 +262,10 @@ class MvccTable:
         manifest (the putPrimaryEntries analog — file-granular instead of
         row-granular because parquet min/max + in-file sort already resolve
         the row)."""
-        import pyarrow.parquet as pq
-
-        entries = []
-        for fname in sorted(os.listdir(commit_dir)):
-            if not fname.endswith(".parquet"):
-                continue
-            fpath = os.path.join(commit_dir, fname)
-            md = pq.read_metadata(fpath)
-            mn = mx = None
-            for i in range(md.num_row_groups):
-                rg = md.row_group(i)
-                for j in range(rg.num_columns):
-                    c = rg.column(j)
-                    if c.path_in_schema == self.key_col and c.statistics:
-                        s = c.statistics
-                        mn = s.min if mn is None else min(mn, s.min)
-                        mx = s.max if mx is None else max(mx, s.max)
-            if mn is not None:
-                entries.append(
-                    {"path": fpath, "commit_ts": ts, "min": mn, "max": mx}
-                )
         # manifest mutations are atomic in the backend (flock'd RMW for
         # json, a transaction for sqlite), so an insert landing mid-vacuum
         # can't have its entries dropped by the vacuum's rewrite
-        self.manifest.append(entries)
+        self.manifest.append(footer_range_entries(commit_dir, self.key_col, ts))
 
     def delete(self, keys: Sequence | DataFrame, ts: int | None = None) -> int:
         """Row-level delete by key at a commit timestamp
@@ -388,32 +396,44 @@ class MvccTable:
             .drop("_commit")
             .filter(F.col(COMMIT_TS) <= snapshot_ts)
         )
-        dels = self._deletes()
-        if dels is not None:
-            d = (
-                dels.filter(F.col("_commit") <= snapshot_ts)
-                .drop("_commit")
-                .filter(F.col(DELETED_TS) <= snapshot_ts)
-                .groupBy(self.key_col)
-                .agg(F.max(DELETED_TS).alias("_del_ts"))
-                .withColumnRenamed(self.key_col, "_del_key")
-            )
-            # strict <: a delete at ts T hides versions committed BEFORE T,
-            # so a delete+insert in one transaction (UPDATE, same ts) leaves
-            # the new version visible — matching the reference's CDC mirror
-            # convention (delete old version, insert new, one commit).
-            visible = visible.join(
-                d,
-                (visible[self.key_col] == F.col("_del_key"))
-                & (visible[COMMIT_TS] < F.col("_del_ts")),
-                "left_anti",
-            )
-        return visible
+        return self.apply_delete_visibility(visible, snapshot_ts)
 
-    def read_latest_version(self, snapshot_ts: int | None = None) -> DataFrame:
-        """Snapshot read keeping only the newest visible version per key
-        (UPDATE semantics on read)."""
-        visible = self.read(snapshot_ts)
+    def apply_delete_visibility(
+        self, visible: DataFrame, snapshot_ts: int, key_pred=None
+    ) -> DataFrame:
+        """Anti-join the delete tombstones visible at ``snapshot_ts`` onto
+        ``visible`` — the single home of the visibility convention.
+
+        Strict <: a delete at ts T hides versions committed BEFORE T, so a
+        delete+insert in one transaction (UPDATE, same ts) leaves the new
+        version visible — matching the reference's CDC mirror convention
+        (delete old version, insert new, one commit). ``key_pred`` narrows
+        the tombstone scan for point lookups."""
+        dels = self._deletes()
+        if dels is None:
+            return visible
+        d = (
+            dels.filter(F.col("_commit") <= snapshot_ts)
+            .drop("_commit")
+            .filter(F.col(DELETED_TS) <= snapshot_ts)
+        )
+        if key_pred is not None:
+            d = d.filter(key_pred)
+        d = (
+            d.groupBy(self.key_col)
+            .agg(F.max(DELETED_TS).alias("_del_ts"))
+            .withColumnRenamed(self.key_col, "_del_key")
+        )
+        return visible.join(
+            d,
+            (visible[self.key_col] == F.col("_del_key"))
+            & (visible[COMMIT_TS] < F.col("_del_ts")),
+            "left_anti",
+        )
+
+    def latest_only(self, visible: DataFrame) -> DataFrame:
+        """Keep only the newest version per key (UPDATE semantics on read)
+        — the single home of the latest-version rule."""
         w_cols = [c for c in visible.columns if c != COMMIT_TS]
         latest = visible.groupBy(self.key_col).agg(
             F.max(COMMIT_TS).alias("_max_ts")
@@ -427,6 +447,10 @@ class MvccTable:
             )
             .select(*w_cols, COMMIT_TS)
         )
+
+    def read_latest_version(self, snapshot_ts: int | None = None) -> DataFrame:
+        """Snapshot read keeping only the newest visible version per key."""
+        return self.latest_only(self.read(snapshot_ts))
 
     def vacuum(self, retain_ts: int) -> list[int]:
         """Garbage-collect commit directories no snapshot ≥ ``retain_ts``
@@ -516,35 +540,7 @@ class MvccTable:
             .filter(F.col(COMMIT_TS) <= snapshot_ts)
             .filter(F.col(self.key_col) == key)
         )
-        dels = self._deletes()
-        if dels is not None:
-            d = (
-                dels.filter(F.col("_commit") <= snapshot_ts)
-                .drop("_commit")
-                .filter(
-                    (F.col(DELETED_TS) <= snapshot_ts)
-                    & (F.col(self.key_col) == key)
-                )
-                .groupBy(self.key_col)
-                .agg(F.max(DELETED_TS).alias("_del_ts"))
-                .withColumnRenamed(self.key_col, "_del_key")
-            )
-            visible = visible.join(
-                d,
-                (visible[self.key_col] == F.col("_del_key"))
-                & (visible[COMMIT_TS] < F.col("_del_ts")),
-                "left_anti",
-            )
-        w_cols = [c for c in visible.columns if c != COMMIT_TS]
-        latest = visible.groupBy(self.key_col).agg(
-            F.max(COMMIT_TS).alias("_max_ts")
+        visible = self.apply_delete_visibility(
+            visible, snapshot_ts, key_pred=F.col(self.key_col) == key
         )
-        return (
-            visible.join(
-                latest.withColumnRenamed(self.key_col, "_lk"),
-                (visible[self.key_col] == F.col("_lk"))
-                & (visible[COMMIT_TS] == F.col("_max_ts")),
-                "left_semi",
-            )
-            .select(*w_cols, COMMIT_TS)
-        )
+        return self.latest_only(visible)

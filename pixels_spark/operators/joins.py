@@ -186,11 +186,18 @@ def fuzzy_join(
             F.length(left_col) + max_dist,
         )
     )
-    l = left.withColumn("_lb", lb)
-    r = right.withColumn("_rb", F.length(right_col))
+    # copy the match strings into uniquely-named internal columns before
+    # joining: plain F.col(left_col) is ambiguous when both sides carry
+    # the same column name (the usual ER shape), and dataframe-qualified
+    # refs trip Spark's ambiguous-self-join detection when left derives
+    # from right (probe-against-catalog)
+    l = left.withColumn("_lstr", F.col(left_col)).withColumn("_lb", lb)
+    r = right.withColumn("_rstr", F.col(right_col)).withColumn(
+        "_rb", F.length(right_col)
+    )
     return (
-        l.join(r, l["_lb"] == r["_rb"])
-        .withColumn("_dist", F.levenshtein(F.col(left_col), F.col(right_col)))
+        l.join(r, F.col("_lb") == F.col("_rb"))
+        .withColumn("_dist", F.levenshtein(F.col("_lstr"), F.col("_rstr")))
         .filter(F.col("_dist") <= max_dist)
-        .drop("_lb", "_rb")
+        .drop("_lb", "_rb", "_lstr", "_rstr")
     )

@@ -526,7 +526,7 @@ def mvcc_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mvcc_secondary_lookup",
     sql="""
     SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
-           CASE WHEN event_id % 10 = 0 THEN user_id + 1000
+           CASE WHEN event_id % 10 = 0 THEN user_id + 1000000
                 ELSE user_id END AS user_id,
            event_type,
            CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value,
@@ -540,7 +540,9 @@ def mvcc_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mvcc_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """secondary (non-unique) point index: events keyed by event_id with a
     user_id secondary index; after an update MOVES the %10==0 rows to
-    user_id+1000 (and doubles value), lookups by old and new user must
+    user_id+1000000 (outside any fixture's user domain at every SF — the
+    oracle's WHERE binds the base column) and doubles value, lookups by
+    old and new user must
     reflect the LATEST versions only — the stale-secondary trap the
     two-step (candidate keys → primary resolution) design exists for."""
     from ..mvcc.secondary import SecondaryIndex
@@ -556,14 +558,14 @@ def mvcc_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.index_commit(ts1)
     moved = (
         e.filter(F.col("event_id") % 10 == 0)
-        .withColumn("user_id", F.col("user_id") + 1000)
+        .withColumn("user_id", F.col("user_id") + 1000000)
         .withColumn("value", F.col("value") * 2)
     )
     ts2 = table.update(moved)
     idx.index_commit(ts2)
     out = (
         idx.lookup(7)
-        .unionByName(idx.lookup(1007))
+        .unionByName(idx.lookup(1000007))
         .drop("_commit_ts")
         .orderBy("event_id")
     )

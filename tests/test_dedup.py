@@ -256,3 +256,29 @@ def test_dedup_registry_near_matches_streaming_convention(spark, tmp_path):
     # registry even though batch 1 is gone
     b2 = spark.createDataFrame([(9, docs[0][1])], ["doc_id", "text"])
     assert reg.add_batch_near(b2).count() == 0
+
+
+def test_dedup_registry_survives_reopen(spark, tmp_path):
+    """Re-opening an existing registry path must APPEND (nightly-batch
+    shape), not overwrite batch=1 — the counter recovers from disk."""
+    from pixels_spark.functions.dedup import DedupRegistry
+
+    path = str(tmp_path / "reg_reopen")
+    r1 = DedupRegistry(spark, path)
+    r1.add_batch_exact(
+        spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    )
+    r2 = DedupRegistry(spark, path)  # fresh session over the same store
+    assert r2.n_batches == 1
+    k2 = r2.add_batch_exact(
+        spark.createDataFrame(
+            [(2, "alpha beta"), (3, "new text")], ["doc_id", "text"]
+        )
+    )
+    assert [r["doc_id"] for r in k2.collect()] == [3]
+    # batch 1's fingerprints are still on disk and still suppress later dups
+    r3 = DedupRegistry(spark, path)
+    assert r3.n_batches == 2
+    assert r3.add_batch_exact(
+        spark.createDataFrame([(9, "alpha beta")], ["doc_id", "text"])
+    ).count() == 0

@@ -438,3 +438,24 @@ def test_secondary_index_rejects_key_column(spark, tmp_path):
     t = MvccTable(spark, str(tmp_path / "s6"), key_col="k")
     with _pytest.raises(ValueError):
         SecondaryIndex(t, "k")
+
+
+def test_secondary_index_commit_on_delete_only_ts_is_noop(spark, tmp_path):
+    t, idx = _sidx_table(spark, tmp_path, "s7")
+    ts = t.delete([20])
+    idx.index_commit(ts)  # no data dir for a delete-only commit → no-op
+    got = sorted(r["k"] for r in idx.lookup(2).collect())
+    assert got == list(range(21, 30))
+
+
+def test_secondary_lookup_semi_join_fallback_matches(spark, tmp_path):
+    from pixels_spark.mvcc.secondary import SecondaryIndex
+
+    t, idx = _sidx_table(spark, tmp_path, "s8")
+    small = SecondaryIndex(t, "tag", max_candidates=2)  # force the fallback
+    small.build()
+    big = SecondaryIndex(t, "tag")
+    big.build()
+    a = sorted(r["k"] for r in small.lookup("u1").collect())
+    b = sorted(r["k"] for r in big.lookup("u1").collect())
+    assert a == b == [k for k in range(40) if k % 5 == 1]

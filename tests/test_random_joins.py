@@ -63,3 +63,16 @@ def test_random_joins_match_duckdb(spark, duck, sf_dir, how, bal, price):
             ON c.c_custkey = o.o_custkey"""
     ).fetchone()[0]
     assert n_spark == n_duck, f"{how} bal>{bal} price>{price}"
+
+
+def test_fuzzy_join_same_column_name(spark):
+    """The usual ER shape — both sides call the column 'name' — must not
+    hit an ambiguous-reference error."""
+    from pixels_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(1, "jon smith")], ["id", "name"])
+    right = spark.createDataFrame(
+        [(10, "john smith"), (11, "totally different")], ["rid", "name"]
+    )
+    out = fuzzy_join(left, right, "name", "name", max_dist=2).collect()
+    assert len(out) == 1 and out[0]["rid"] == 10 and out[0]["_dist"] == 1

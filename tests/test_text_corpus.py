@@ -238,3 +238,27 @@ def test_load_and_register_keeps_pixels_type_strings(spark, tmp_path):
     cols = {c["name"]: c["type"] for c in store.get_columns("s", "t")}
     assert cols["s"] == "varchar(5)"  # declared length survives cataloging
     assert cols["id"] == "string"
+
+
+def test_pack_and_budget_ignore_null_text(spark):
+    # size(split(NULL)) is -1 under non-ANSI Spark — a NULL-text doc must
+    # not shift later documents' offsets (DuckDB skips NULLs in the sum)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a a a"),
+            Row(doc_id=1, text=None),
+            Row(doc_id=2, text="b b b b b"),
+        ]
+    )
+    spans = T.pack_token_spans(df, "doc_id", "text", shard_tokens=4).collect()
+    per_shard = {}
+    for r in spans:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + (
+            r["tok_end"] - r["tok_start"]
+        )
+    assert per_shard == {0: 4, 1: 4}  # 8 tokens total, doc 1 absent
+    assert {r["doc_id"] for r in spans} == {0, 2}
+    kept = T.token_budget_mix(
+        df.withColumn("source", F.lit("s")), budget_tokens=100
+    ).collect()
+    assert {r["doc_id"] for r in kept} == {0, 2}
