@@ -570,3 +570,54 @@ def mvcc_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
     )
     return _finalize(out, work)
+
+
+@declare(
+    "stream_ivm_rollup",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "ivm", "materialized-view", "rollup"),
+)
+def stream_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming ingest with per-micro-batch INCREMENTAL rollup refresh:
+    events replayed as a 2-batch stream into an MVCC table; each batch
+    commits one transaction and folds only its own commits into the
+    materialized per-type rollup (merge-free serving, lag = trigger) —
+    the final rollup must equal the from-scratch aggregation."""
+    from ..mvcc.ivm import MaterializedRollup
+    from ..mvcc.table import MvccTable
+    from ..streaming.ingest import ingest_stream_with_ivm
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_ivm_")
+    src = os.path.join(work, "src")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(((F.min("event_id") + F.max("event_id")) / 2).alias("m")).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
+    mv = MaterializedRollup(
+        spark, os.path.join(work, "mv"), table, ["event_type"], ["value"]
+    )
+    q = ingest_stream_with_ivm(stream, table, mv, os.path.join(work, "ck"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("ivm ingest did not finish in 600s")
+    out = mv.read().select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
+    return _finalize(out, work)

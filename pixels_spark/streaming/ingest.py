@@ -115,3 +115,40 @@ def dedup_stream(
     return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def ingest_stream_with_ivm(
+    stream_df: DataFrame,
+    table: MvccTable,
+    rollup,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    query_name: str = "pixels_ingest_ivm",
+) -> StreamingQuery:
+    """Ingest + keep a materialized rollup fresh in the SAME micro-batch
+    loop: each batch commits to the MvccTable (one transaction) and then
+    incrementally folds ONLY that batch's commits into the stored rollup
+    (``mvcc.ivm.MaterializedRollup.refresh`` — delta-sized work).
+
+    This is the continuous-aggregate serving shape with no serving-time
+    merge at all: readers of ``rollup.read()`` get a fully-materialized
+    aggregate whose lag is the trigger interval. Contrast
+    ``streaming/rollup.continuous_rollup`` (append finalized buckets,
+    merge a raw tail at read time): IVM pays a bounded refresh per batch
+    to make reads merge-free, and it also absorbs updates/deletes, which
+    append-mode rollups cannot.
+    """
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.insert(batch_df)
+        rollup.refresh()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

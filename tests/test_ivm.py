@@ -124,3 +124,33 @@ def test_touched_keys_scan_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan and "_commit" in plan.split(
         "PartitionFilters", 1
     )[1][:300], plan
+
+
+def test_streaming_ingest_with_per_batch_ivm_refresh(spark, tmp_path):
+    """Each micro-batch commits AND folds itself into the rollup — after
+    the run the materialized state equals a from-scratch rebuild and the
+    refresh pointer sits at the table's high watermark (no pending delta)."""
+    import os
+
+    from pixels_spark.mvcc.table import MvccTable
+    from pixels_spark.streaming.ingest import ingest_stream_with_ivm
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), float(i)) for i in range(60)], ["k", "g", "v"]
+    )
+    df.filter(F.col("k") < 30).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("k") >= 30).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k long, g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t = MvccTable(spark, str(tmp_path / "tbl"), key_col="k")
+    mv = MaterializedRollup(spark, str(tmp_path / "mv"), t, ["g"], ["v"])
+    q = ingest_stream_with_ivm(stream, t, mv, str(tmp_path / "ck"))
+    assert q.awaitTermination(300)
+    assert _rows(mv.read()) == _rows(_full(spark, tmp_path, t, "sref"))
+    assert mv._state()["last_ts"] == t.trans.high_watermark
+    got = {r["g"]: r["n_rows"] for r in mv.read().collect()}
+    assert got == {"g0": 20, "g1": 20, "g2": 20}
