@@ -89,3 +89,34 @@ class Aggregator:
                 else out.repartition(*self.group_keys)
             )
         return out
+
+
+def winsorize_bounds(df, col: str, lo_q: float = 0.01, hi_q: float = 0.99):
+    """EXACT winsorization thresholds: the ceil(q·n)-th smallest values of
+    ``col`` — order statistics, so the result is deterministic and
+    engine-independent even with ties (unlike interpolated percentiles,
+    whose semantics differ between engines). Returns a 1-row DataFrame
+    (lo, hi) for cross-broadcast; clipping outliers to [lo, hi] is the
+    standard cleaning pass for reward/feature columns before training.
+
+    Cost: one global sort of the single column (row_number window). At
+    100 TB sample first or use approx_percentile — this exact form exists
+    for oracle-equality and for bounded-size columns.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(col)
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        df.select(F.col(col).alias("_v"))
+        .select("_v", F.row_number().over(w.orderBy("_v")).alias("_rn"))
+        .crossJoin(F.broadcast(total))
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(
+            F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")).cast("bigint"),
+            F.col("_v"),
+        )
+    )
+    return ranked.agg(pick(lo_q).alias("lo"), pick(hi_q).alias("hi"))

@@ -234,3 +234,51 @@ def scalar_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("min_time", time_to_string(F.col("min_ms")))
         .orderBy("hour")
     )
+
+
+@declare(
+    "scalar_winsorize",
+    sql="""
+    WITH tot AS (SELECT count(*) AS n FROM events),
+    ranked AS (SELECT value AS v,
+                      row_number() OVER (ORDER BY value) AS rn
+               FROM events),
+    th AS (SELECT min(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
+                           THEN v END) AS lo,
+                  min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                           THEN v END) AS hi
+           FROM ranked, tot)
+    SELECT event_type,
+           CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(sum(CAST(greatest(least(value, hi), lo) AS DECIMAL(18,6)))
+               AS DOUBLE) AS sum_winsorized
+    FROM events, th
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("scalar", "quality", "winsorize", "window"),
+)
+def scalar_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT winsorization (outlier clipping for reward/feature columns):
+    thresholds are the ceil(q*n)-th order statistics — deterministic
+    under ties, unlike interpolated percentiles — cross-broadcast to clip
+    events.value to [p01, p99]; per-type clip counts + decimal-exact sum
+    of the winsorized column."""
+    from ..operators.aggregates import winsorize_bounds
+
+    e = load_table(spark, sf_dir, "events")
+    th = winsorize_bounds(e, "value", 0.01, 0.99)
+    clipped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+    return (
+        e.crossJoin(F.broadcast(th))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clipped_high"),
+            F.sum(clipped.cast("decimal(18,6)")).cast("double").alias("sum_winsorized"),
+        )
+        .orderBy("event_type")
+    )
