@@ -91,11 +91,23 @@ class SecondaryIndex:
     def candidate_files(self, value, snapshot_ts: int | None = None) -> list[str]:
         if snapshot_ts is None:
             snapshot_ts = self.table.trans.high_watermark
+        # a vacuumed commit leaves stale manifest entries behind (vacuum
+        # only rewrites the PRIMARY manifest); its rows were fully deleted
+        # — invisible at any surviving snapshot — so skipping missing
+        # files preserves correctness. prune_vacuumed() tidies them up.
         return [
             e["path"]
             for e in self.manifest.load()
-            if e["commit_ts"] <= snapshot_ts and e["min"] <= value <= e["max"]
+            if e["commit_ts"] <= snapshot_ts
+            and e["min"] <= value <= e["max"]
+            and os.path.exists(e["path"])
         ]
+
+    def prune_vacuumed(self, removed_ts: list[int]) -> None:
+        """Drop manifest entries for vacuumed commits (call with
+        ``MvccTable.vacuum``'s return value — the same contract the
+        primary manifest gets inside vacuum itself)."""
+        self.manifest.remove_commits(set(removed_ts))
 
     def lookup(self, value, snapshot_ts: int | None = None) -> DataFrame:
         """Latest visible rows whose LATEST version has ``col == value``

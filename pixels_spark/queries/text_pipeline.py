@@ -836,3 +836,51 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return _finalize(out, work)
+
+
+@declare(
+    "txt_best_per_source",
+    sql=r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / length(text) AS alpha_ratio,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, alpha_ratio, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY alpha_ratio DESC, doc_id ASC) AS rnk
+      FROM scored)
+    SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, alpha_ratio, n_tokens
+    FROM ranked
+    WHERE rnk <= 5
+    ORDER BY source, rnk
+    """,
+    tags=("text", "quality", "selection", "window"),
+)
+def txt_best_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-stratum best-document selection (the 'keep the top N cleanest
+    docs per domain' curation pass): rank by quality (alpha ratio, ties →
+    lowest id) within each source, keep the top 5 — one window shuffle
+    partitioned by stratum."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = T.quality_features(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        q["alpha_ratio"].alias("alpha_ratio"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("alpha_ratio").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "rnk", "doc_id", "alpha_ratio", "n_tokens")
+        .orderBy("source", "rnk")
+    )

@@ -459,3 +459,25 @@ def test_secondary_lookup_semi_join_fallback_matches(spark, tmp_path):
     a = sorted(r["k"] for r in small.lookup("u1").collect())
     b = sorted(r["k"] for r in big.lookup("u1").collect())
     assert a == b == [k for k in range(40) if k % 5 == 1]
+
+
+def test_secondary_lookup_survives_vacuum(spark, tmp_path):
+    """Vacuum rewrites only the primary manifest; the secondary manifest's
+    stale entries must not break lookups (missing files are skipped —
+    their rows were fully deleted), and prune_vacuumed tidies them."""
+    from pixels_spark.mvcc.secondary import SecondaryIndex
+    from pixels_spark.mvcc.table import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "sv"), key_col="k", indexed=True)
+    ts1 = t.insert(spark.createDataFrame([(1, 10), (2, 20)], ["k", "grp"]))
+    ts2 = t.insert(spark.createDataFrame([(3, 10)], ["k", "grp"]))
+    idx = SecondaryIndex(t, "grp")
+    idx.build()
+    # fully delete commit 1's rows, then vacuum it away
+    del_ts = t.delete([1, 2])
+    removed = t.vacuum(retain_ts=del_ts + 1)
+    assert removed == [ts1]
+    got = [r["k"] for r in idx.lookup(10).collect()]
+    assert got == [3]  # stale entry skipped, surviving commit still found
+    idx.prune_vacuumed(removed)
+    assert {e["commit_ts"] for e in idx.manifest.load()} == {ts2}
