@@ -50,6 +50,8 @@ DIALECT_SHARED = [
     "dec_money_rollup", "dec_net_revenue", "dec_qty_bands",
     "dec_fine_precision", "stream_dedup", "stream_dedup_bounded",
     "stream_cdc", "mvcc_merge",
+    "mvcc_ivm_rollup", "stream_ivm_rollup", "mvcc_secondary_lookup",
+    "scalar_winsorize", "join_fuzzy_match",
 ]
 
 
