@@ -76,3 +76,44 @@ def test_fuzzy_join_same_column_name(spark):
     )
     out = fuzzy_join(left, right, "name", "name", max_dist=2).collect()
     assert len(out) == 1 and out[0]["rid"] == 10 and out[0]["_dist"] == 1
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    max_dist=st.integers(1, 3),
+)
+def test_fuzzy_join_matches_brute_force(spark, seed, max_dist):
+    """Length blocking must be LOSSLESS: fuzzy_join == the unblocked
+    cross-join filtered by levenshtein, on random short strings."""
+    import random
+
+    from pixels_spark.operators.joins import fuzzy_join
+
+    rng = random.Random(seed)
+    alphabet = "abc"
+    mk = lambda: "".join(  # noqa: E731
+        rng.choice(alphabet) for _ in range(rng.randint(0, 6))
+    )
+    left = spark.createDataFrame(
+        [(i, mk()) for i in range(12)], ["lid", "s"]
+    )
+    right = spark.createDataFrame(
+        [(100 + i, mk()) for i in range(12)], ["rid", "t"]
+    )
+    got = {
+        (r["lid"], r["rid"], r["_dist"])
+        for r in fuzzy_join(left, right, "s", "t", max_dist=max_dist).collect()
+    }
+    brute = {
+        (r["lid"], r["rid"], r["d"])
+        for r in left.crossJoin(right)
+        .withColumn("d", F.levenshtein(F.col("s"), F.col("t")))
+        .filter(F.col("d") <= max_dist)
+        .collect()
+    }
+    assert got == brute
