@@ -212,3 +212,37 @@ class PixelsSparkEngine:
             key_col=key_col,
             trans=self.trans,
         )
+
+    def secondary_index(self, table: MvccTable, col: str, **kwargs):
+        """A non-unique secondary point index over an MVCC table column
+        (≈ the reference's secondary SinglePointIndex; two-step lookup
+        through the primary manifest — see mvcc/secondary.py)."""
+        from .mvcc.secondary import SecondaryIndex
+
+        return SecondaryIndex(table, col, **kwargs)
+
+    def materialized_rollup(
+        self, name: str, table: MvccTable, group_cols: list[str], sum_cols: list[str]
+    ):
+        """An incrementally-maintained count+sum rollup over an MVCC table
+        (delta-only refresh — see mvcc/ivm.py); stored under the
+        warehouse next to the table."""
+        from .mvcc.ivm import MaterializedRollup
+
+        return MaterializedRollup(
+            self.spark,
+            os.path.join(self.warehouse, "_mvcc_rollups", name),
+            table,
+            group_cols,
+            sum_cols,
+        )
+
+    def dedup_registry(self, name: str):
+        """A persisted incremental dedup registry (exact fingerprints +
+        MinHash bands — see functions/dedup.DedupRegistry), stored under
+        the warehouse."""
+        from .functions.dedup import DedupRegistry
+
+        return DedupRegistry(
+            self.spark, os.path.join(self.warehouse, "_dedup_registry", name)
+        )

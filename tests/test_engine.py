@@ -97,3 +97,22 @@ def test_view_on_view_registers_regardless_of_catalog_order(spark, sf_dir, tmp_p
     assert "broken2" in str(ei.value) and "'broken'" in str(ei.value)
     eng.meta.drop_view("tpch", "broken")
     eng.meta.drop_view("tpch", "broken2")
+
+
+def test_engine_exposes_round5_subsystems(spark, tmp_path):
+    from pixels_spark.engine import PixelsSparkEngine
+
+    eng = PixelsSparkEngine(spark, str(tmp_path / "wh"))
+    t = eng.mvcc_table("facts", key_col="k")
+    t.insert(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ["k", "g", "v"]))
+    mv = eng.materialized_rollup("facts_by_g", t, ["g"], ["v"])
+    mv.full_refresh()
+    assert mv.read().count() == 2
+    idx = eng.secondary_index(t, "g")
+    idx.build()
+    assert [r["k"] for r in idx.lookup("b").collect()] == [2]
+    reg = eng.dedup_registry("corpus")
+    kept = reg.add_batch_exact(
+        spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "text"])
+    )
+    assert kept.count() == 1
