@@ -884,3 +884,81 @@ def txt_best_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "rnk", "doc_id", "alpha_ratio", "n_tokens")
         .orderBy("source", "rnk")
     )
+
+
+@declare(
+    "txt_training_pipeline",
+    sql=r"""
+    WITH quality AS (
+      SELECT doc_id, text FROM documents
+      WHERE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text) >= 0.82),
+    docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM quality),
+    dfr AS (
+      SELECT tok, count(*) AS dfreq
+      FROM (SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(trim(lower(text)),
+                                                           '\s+'))) AS tok
+            FROM quality)
+      GROUP BY tok),
+    tot AS (SELECT count(*) AS n_docs FROM quality),
+    boiler AS (
+      SELECT coalesce(list_sort(list(tok)), []) AS bl
+      FROM dfr, tot WHERE dfreq > 0.78 * n_docs),
+    cleaned AS (
+      SELECT doc_id,
+             coalesce(array_to_string(
+                 list_filter(toks, t -> NOT list_contains(bl, lower(t))), ' '),
+                 '') AS clean
+      FROM docs, boiler),
+    dedup AS (
+      SELECT min(doc_id) AS doc_id, clean
+      FROM cleaned GROUP BY clean),
+    toks2 AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(clean), '\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM dedup),
+    offs AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS off
+      FROM toks2)
+    SELECT CAST(floor(off / 256) AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM offs GROUP BY shard ORDER BY shard
+    """,
+    tags=("text", "pipeline", "quality", "boilerplate", "dedup", "sharding"),
+)
+def txt_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the WHOLE corpus-prep pipeline as one declared query: quality
+    filter (alpha ratio >= 0.82) -> boilerplate removal (78% doc-freq
+    strip, frequencies computed on the filtered corpus) -> exact dedup of
+    the CLEANED text (min id wins) -> 256-token training shards; per-shard
+    doc/token totals and id ranges, every stage exactly oracled."""
+    d = load_table(spark, sf_dir, "documents")
+    q = T.quality_features(F.col("text"))
+    quality = d.filter(q["alpha_ratio"] >= 0.82).select("doc_id", "text")
+    cleaned = T.remove_frequent_tokens(quality, "doc_id", "text", df_ratio=0.78)
+    dedup = cleaned.groupBy("clean_text").agg(F.min("doc_id").alias("doc_id"))
+    sharded = T.with_token_shards(
+        dedup.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id",
+        "text",
+        shard_tokens=256,
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
