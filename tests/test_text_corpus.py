@@ -262,3 +262,27 @@ def test_pack_and_budget_ignore_null_text(spark):
         df.withColumn("source", F.lit("s")), budget_tokens=100
     ).collect()
     assert {r["doc_id"] for r in kept} == {0, 2}
+
+
+def test_lm_score_plan_broadcasts_vocab(spark, sf_dir):
+    """The vocab join must broadcast (vocab is tiny relative to the token
+    stream) — a sort-merge join here would shuffle the whole exploded
+    corpus on the token string."""
+    from pixels_spark.catalog import load_table
+    from pixels_spark.plans.pushdown import explain_str
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = explain_str(T.unigram_lm_scores(d))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_boilerplate_plan_broadcasts_frequent_set(spark, sf_dir):
+    """The single-row frequent-set must reach documents via a broadcast
+    nested-loop (1-row cross), never a shuffled cartesian."""
+    from pixels_spark.catalog import load_table
+    from pixels_spark.plans.pushdown import explain_str
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = explain_str(T.remove_frequent_tokens(d))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
