@@ -154,3 +154,42 @@ def test_streaming_ingest_with_per_batch_ivm_refresh(spark, tmp_path):
     assert mv._state()["last_ts"] == t.trans.high_watermark
     got = {r["g"]: r["n_rows"] for r in mv.read().collect()}
     assert got == {"g0": 20, "g1": 20, "g2": 20}
+
+
+def test_ivm_random_operation_sequences(spark, tmp_path):
+    """Randomized insert/merge/delete sequences with a refresh after each
+    step: the incremental rollup must equal a from-scratch rebuild at
+    EVERY point (decimal-exact delta folding has no drift)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t, mv = _mk(spark, tmp_path, f"rand{seed}")
+        t.insert(_df(spark, [(i, f"g{i % 4}", rng.uniform(-50, 50)) for i in range(25)]))
+        mv.full_refresh()
+        next_key = 25
+        for step in range(4):
+            op = rng.choice(["insert", "merge", "delete"])
+            if op == "insert":
+                rows = [
+                    (next_key + j, f"g{rng.randrange(4)}", rng.uniform(-50, 50))
+                    for j in range(rng.randint(1, 6))
+                ]
+                next_key += len(rows)
+                t.insert(_df(spark, rows))
+            elif op == "merge":
+                rows = [
+                    (rng.randrange(next_key), f"g{rng.randrange(4)}",
+                     rng.uniform(-50, 50))
+                    for _ in range(rng.randint(1, 6))
+                ]
+                # merge sources need unique keys
+                rows = list({r[0]: r for r in rows}.values())
+                t.merge(_df(spark, rows))
+            else:
+                ks = [rng.randrange(next_key) for _ in range(rng.randint(1, 5))]
+                t.delete(sorted(set(ks)))
+            mv.refresh()
+            assert _rows(mv.read()) == _rows(
+                _full(spark, tmp_path, t, f"rand{seed}_ref{step}")
+            ), f"seed={seed} step={step} op={op}"
