@@ -452,6 +452,65 @@ class MvccTable:
         """Snapshot read keeping only the newest visible version per key."""
         return self.latest_only(self.read(snapshot_ts))
 
+    def compact_history(
+        self, retain_ts: int | None = None, target_files: int | None = None
+    ) -> list[int]:
+        """OPTIMIZE/checkpoint for the mutable table: rewrite the visible
+        latest-version snapshot at ``retain_ts`` into ONE compacted commit
+        directory and drop the older commit dirs + their applied
+        tombstones. Many small per-commit files (one dir per micro-batch
+        under streaming ingest) become a single clustered layout, and
+        reads stop paying the merge-on-read anti-join for history that
+        can no longer change — the Retina-side counterpart of ETL COMPACT
+        (``pixels-cli`` COMPACT works on immutable layouts; Retina itself
+        only GCs, ``StorageGarbageCollector.java``).
+
+        Semantics: per-row ``_commit_ts`` values are PRESERVED (restamping
+        would reorder them against commits in (retain_ts, now]), and the
+        consolidated dir is named ``_commit=<retain_ts>`` so path pruning
+        stays exact for snapshots ≥ retain_ts. Time travel to snapshots
+        < retain_ts is forfeited — the same contract as ``vacuum``.
+        Tombstones with commit ≤ retain_ts are dropped: they only hide
+        versions committed before them, all of which were either applied
+        into the snapshot or discarded with it. Single-writer op, like
+        vacuum. Returns the removed commit timestamps.
+        """
+        import shutil
+
+        if retain_ts is None:
+            retain_ts = self.trans.high_watermark
+        old_ts = [
+            int(e.split("=", 1)[1])
+            for e in (os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else [])
+            if e.startswith("_commit=") and int(e.split("=", 1)[1]) <= retain_ts
+        ]
+        if not old_ts:
+            return []
+        snap = self.read_latest_version(retain_ts)
+        if self.indexed:
+            parts = [target_files or self.index_files] if (target_files or self.index_files) else []
+            snap = snap.repartitionByRange(*parts, self.key_col).sortWithinPartitions(
+                self.key_col
+            )
+        elif target_files:
+            snap = snap.coalesce(target_files)
+        # materialize BEFORE removing the dirs the plan reads from
+        tmp_dir = os.path.join(self.root, f"_compact_tmp={retain_ts}")
+        snap.write.mode("overwrite").parquet(tmp_dir)
+        for ts in old_ts:
+            shutil.rmtree(os.path.join(self.data_dir, f"_commit={ts}"))
+        if os.path.isdir(self.delete_dir):
+            for e in list(os.listdir(self.delete_dir)):
+                if e.startswith("_commit=") and int(e.split("=", 1)[1]) <= retain_ts:
+                    shutil.rmtree(os.path.join(self.delete_dir, e))
+        new_dir = os.path.join(self.data_dir, f"_commit={retain_ts}")
+        os.replace(tmp_dir, new_dir)
+        if self.manifest.exists():
+            self.manifest.remove_commits(set(old_ts))
+        if self.indexed:
+            self._index_commit(new_dir, retain_ts)
+        return sorted(set(old_ts) - {retain_ts})
+
     def vacuum(self, retain_ts: int) -> list[int]:
         """Garbage-collect commit directories no snapshot ≥ ``retain_ts``
         can see (≈ Retina's retired-file GC,

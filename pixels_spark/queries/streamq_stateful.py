@@ -621,3 +621,44 @@ def stream_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value"),
     ).orderBy("event_type")
     return _finalize(out, work)
+
+
+@declare(
+    "mvcc_compact_history",
+    sql="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           CASE WHEN event_id % 8 = 0 THEN value * 3 ELSE value END AS value,
+           props
+    FROM events
+    WHERE event_id % 12 <> 5
+    ORDER BY event_id
+    """,
+    tags=("mvcc", "compact", "optimize"),
+)
+def mvcc_compact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE/checkpoint on the mutable table: events ingested in two
+    commits, then updated (%8==0 value x3) and partially deleted
+    (%12==5), then the WHOLE history compacted into one commit directory
+    (tombstones applied and dropped, per-row commit ts preserved) — the
+    post-compact latest-version snapshot must equal the oracle's
+    restatement of the uncompacted history."""
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_compact_hist_")
+    e = load_table(spark, sf_dir, "events")
+    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
+    half = e.agg(((F.min("event_id") + F.max("event_id")) / 2).alias("m")).first()["m"]
+    table.insert(e.filter(F.col("event_id") <= half))
+    table.insert(e.filter(F.col("event_id") > half))
+    table.update(
+        e.filter(F.col("event_id") % 8 == 0).withColumn("value", F.col("value") * 3)
+    )
+    table.delete(e.filter(F.col("event_id") % 12 == 5).select("event_id"))
+    table.compact_history()
+    n_dirs = len(
+        [d for d in os.listdir(table.data_dir) if d.startswith("_commit=")]
+    )
+    assert n_dirs == 1, f"history not consolidated: {n_dirs} dirs"
+    return _finalize(
+        table.read_latest_version().drop("_commit_ts").orderBy("event_id"), work
+    )

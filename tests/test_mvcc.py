@@ -481,3 +481,68 @@ def test_secondary_lookup_survives_vacuum(spark, tmp_path):
     assert got == [3]  # stale entry skipped, surviving commit still found
     idx.prune_vacuumed(removed)
     assert {e["commit_ts"] for e in idx.manifest.load()} == {ts2}
+
+
+# -- history compaction (OPTIMIZE/checkpoint) --------------------------------
+
+
+def test_compact_history_preserves_snapshot_and_shrinks_layout(spark, tmp_path):
+    from pixels_spark.mvcc.table import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "ch"), key_col="k")
+    for lo in (0, 10, 20):  # three small commits
+        t.insert(
+            spark.createDataFrame(
+                [(k, f"g{k % 2}", float(k)) for k in range(lo, lo + 10)],
+                ["k", "g", "v"],
+            )
+        )
+    t.update(spark.createDataFrame([(5, "g9", 500.0)], ["k", "g", "v"]))
+    t.delete([7, 21])
+    before = sorted(tuple(r) for r in t.read_latest_version().collect())
+    hw = t.trans.high_watermark
+    removed = t.compact_history()
+    assert removed  # old commit dirs gone
+    import os
+
+    dirs = [d for d in os.listdir(t.data_dir) if d.startswith("_commit=")]
+    assert dirs == [f"_commit={hw}"]
+    assert not os.path.isdir(t.delete_dir) or not os.listdir(t.delete_dir)
+    after = sorted(tuple(r) for r in t.read_latest_version().collect())
+    assert after == before  # rows + their original _commit_ts preserved
+    # the table stays fully mutable afterwards
+    t.update(spark.createDataFrame([(5, "gX", 1.0)], ["k", "g", "v"]))
+    assert t.read_latest_version().filter("k = 5").first()["g"] == "gX"
+
+
+def test_compact_history_keeps_commits_after_retain_ts(spark, tmp_path):
+    from pixels_spark.mvcc.table import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "ch2"), key_col="k")
+    t.insert(spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"]))
+    mid = t.trans.high_watermark
+    # later history must survive untouched: an update past retain_ts
+    t.update(spark.createDataFrame([(1, 111.0)], ["k", "v"]))
+    before = sorted(tuple(r) for r in t.read_latest_version().collect())
+    t.compact_history(retain_ts=mid)
+    after = sorted(tuple(r) for r in t.read_latest_version().collect())
+    assert after == before
+    got = {r["k"]: r["v"] for r in t.read_latest_version().collect()}
+    assert got == {1: 111.0, 2: 2.0}
+
+
+def test_compact_history_rebuilds_point_index(spark, tmp_path):
+    from pixels_spark.mvcc.table import MvccTable
+
+    t = MvccTable(
+        spark, str(tmp_path / "ch3"), key_col="k", indexed=True, index_files=4
+    )
+    t.insert(spark.createDataFrame([(k, float(k)) for k in range(20)], ["k", "v"]))
+    t.insert(spark.createDataFrame([(k, float(k)) for k in range(20, 40)], ["k", "v"]))
+    hw = t.trans.high_watermark
+    t.compact_history()
+    idx = t.manifest.load()
+    assert idx and all(e["commit_ts"] == hw for e in idx)
+    assert len(idx) == 4  # re-clustered into index_files files
+    rows = t.point_lookup(25).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 25.0
