@@ -68,25 +68,44 @@ class SecondaryIndex:
         self.manifest.append(footer_range_entries(commit_dir, self.col, ts))
 
     def build(self) -> None:
-        """Index every commit currently on disk (backfill)."""
-        indexed = {e["commit_ts"] for e in self.manifest.load()}
+        """Index every commit currently on disk (backfill). A commit whose
+        manifest entries all point at removed files (its directory was
+        rewritten by ``compact_history`` under the same ts) is re-indexed
+        from the current files."""
+        by_ts: dict[int, list[dict]] = {}
+        for e in self.manifest.load():
+            by_ts.setdefault(e["commit_ts"], []).append(e)
         dd = self.table.data_dir
         for entry in sorted(os.listdir(dd)) if os.path.isdir(dd) else []:
             if entry.startswith("_commit="):
                 ts = int(entry.split("=", 1)[1])
-                if ts not in indexed:
-                    self.index_commit(ts)
+                es = by_ts.get(ts)
+                if es is not None and any(os.path.exists(e["path"]) for e in es):
+                    continue
+                if es is not None:
+                    self.manifest.remove_commits({ts})
+                self.index_commit(ts)
 
     # -- lookup ------------------------------------------------------------
     def _covered(self, snapshot_ts: int) -> bool:
-        indexed = {e["commit_ts"] for e in self.manifest.load()}
+        """Every visible on-disk data commit must have at least one LIVE
+        manifest entry. A ts whose entries all point at removed files is
+        NOT covered — ``compact_history`` can rewrite a directory under
+        the same ts, and trusting the stale entries would silently drop
+        the consolidated file from lookups."""
+        live: dict[int, bool] = {}
+        for e in self.manifest.load():
+            live[e["commit_ts"]] = live.get(e["commit_ts"], False) or os.path.exists(
+                e["path"]
+            )
         dd = self.table.data_dir
-        on_disk = {
-            int(e.split("=", 1)[1])
-            for e in os.listdir(dd)
-            if e.startswith("_commit=")
-        } if os.path.isdir(dd) else set()
-        return {t for t in on_disk if t <= snapshot_ts} <= indexed
+        for entry in os.listdir(dd) if os.path.isdir(dd) else []:
+            if not entry.startswith("_commit="):
+                continue
+            ts = int(entry.split("=", 1)[1])
+            if ts <= snapshot_ts and not live.get(ts, False):
+                return False
+        return True
 
     def candidate_files(self, value, snapshot_ts: int | None = None) -> list[str]:
         if snapshot_ts is None:

@@ -546,3 +546,26 @@ def test_compact_history_rebuilds_point_index(spark, tmp_path):
     assert len(idx) == 4  # re-clustered into index_files files
     rows = t.point_lookup(25).collect()
     assert len(rows) == 1 and rows[0]["v"] == 25.0
+
+
+def test_secondary_lookup_survives_compact_history(spark, tmp_path):
+    """compact_history rewrites a directory UNDER THE SAME ts the
+    secondary manifest already indexed — stale entries must force the
+    fallback (not silently drop the consolidated file), and build() must
+    re-index the rewritten commit."""
+    from pixels_spark.mvcc.secondary import SecondaryIndex
+    from pixels_spark.mvcc.table import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "sc"), key_col="k", indexed=True)
+    t.insert(spark.createDataFrame([(1, 10), (2, 20)], ["k", "grp"]))
+    t.insert(spark.createDataFrame([(3, 10)], ["k", "grp"]))
+    idx = SecondaryIndex(t, "grp")
+    idx.build()
+    t.compact_history()
+    got = sorted(r["k"] for r in idx.lookup(10).collect())
+    assert got == [1, 3]  # correct via fallback despite stale manifest
+    idx.build()  # re-indexes the rewritten commit
+    assert idx._covered(t.trans.high_watermark)
+    got2 = sorted(r["k"] for r in idx.lookup(10).collect())
+    assert got2 == [1, 3]
+    assert idx.candidate_files(10)  # pruned path live again
