@@ -450,14 +450,19 @@ def token_budget_mix(
     id_col: str = "doc_id",
     text_col: str = "text",
     stratum_col: str = "source",
-    budget_tokens: int = 800,
+    budget_tokens: int | dict = 800,
 ) -> DataFrame:
     """Mixture construction to a TOKEN budget: within each stratum, take
     documents in deterministic md5 order until the stratum's running
-    token total reaches ``budget_tokens`` (the crossing document is
-    included, so every stratum with enough data reaches the budget) —
-    how training mixes are actually cut ("N tokens of code, M of web"),
-    as the exact counterpart of the rate-based ``mixture_sample``.
+    token total reaches its budget (the crossing document is included,
+    so every stratum with enough data reaches the budget) — how training
+    mixes are actually cut ("N tokens of code, M of web"), as the exact
+    counterpart of the rate-based ``mixture_sample``.
+
+    ``budget_tokens`` is either one flat per-stratum budget or a dict
+    ``{stratum: budget}`` for proportional mixes (strata absent from the
+    dict get 0 — excluded entirely, composing with partition pruning
+    like ``mixture_sample``'s rate-0 strata).
 
     Returns the kept (id, stratum, n_tokens) rows. Deterministic and
     RNG-free (md5 order is engine-independent), one window shuffle
@@ -481,6 +486,15 @@ def token_budget_mix(
             toks.alias("n_tokens"),
             (F.sum(toks).over(w) - toks).alias("_cum_before"),
         )
-        .filter(F.col("_cum_before") < budget_tokens)
+        .filter(F.col("_cum_before") < _stratum_budget(stratum_col, budget_tokens))
         .drop("_cum_before")
     )
+
+
+def _stratum_budget(stratum_col: str, budget_tokens: int | dict) -> Column:
+    if not isinstance(budget_tokens, dict):
+        return F.lit(budget_tokens)
+    expr = F.lit(0)
+    for stratum, budget in sorted(budget_tokens.items()):
+        expr = F.when(F.col(stratum_col) == stratum, F.lit(budget)).otherwise(expr)
+    return expr

@@ -286,3 +286,18 @@ def test_boilerplate_plan_broadcasts_frequent_set(spark, sf_dir):
     plan = explain_str(T.remove_frequent_tokens(d))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_token_budget_mix_per_stratum_dict(spark):
+    rows = [
+        Row(doc_id=i, text=" ".join(["w"] * 10), source=f"s{i % 3}")
+        for i in range(30)
+    ]
+    kept = T.token_budget_mix(
+        spark.createDataFrame(rows),
+        budget_tokens={"s0": 35, "s1": 5},  # s2 absent → excluded
+    ).collect()
+    tok = {}
+    for r in kept:
+        tok[r["source"]] = tok.get(r["source"], 0) + r["n_tokens"]
+    assert tok == {"s0": 40, "s1": 10}  # crossing doc included per stratum
