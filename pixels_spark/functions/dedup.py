@@ -807,3 +807,28 @@ class DedupRegistry:
         return self._add_batch(
             df, id_col, bands, ["band", "bh"], self.bands_dir, "band int, bh string"
         )
+
+    def compact(self) -> None:
+        """Consolidate the per-batch fingerprint/band stores into one
+        directory each (the registry's own OPTIMIZE — thousands of
+        nightly batch dirs otherwise accumulate and every check pays
+        their listing). Entry sets are unchanged; kept/ batches are
+        left as-is (they are results, not lookup state)."""
+        import os
+        import shutil
+
+        for root, schema in (
+            (self.exact_dir, "fp string"),
+            (self.bands_dir, "band int, bh string"),
+        ):
+            if not (os.path.isdir(root) and os.listdir(root)):
+                continue
+            batches = [d for d in os.listdir(root) if d.startswith("batch=")]
+            if len(batches) <= 1:
+                continue
+            entries = self._existing(root, schema).distinct()
+            tmp = root + "._compact_tmp"
+            entries.write.mode("overwrite").parquet(tmp)
+            for d in batches:
+                shutil.rmtree(os.path.join(root, d))
+            os.replace(tmp, os.path.join(root, f"batch={self.n_batches}"))

@@ -498,3 +498,31 @@ def _stratum_budget(stratum_col: str, budget_tokens: int | dict) -> Column:
     for stratum, budget in sorted(budget_tokens.items()):
         expr = F.when(F.col(stratum_col) == stratum, F.lit(budget)).otherwise(expr)
     return expr
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_tokens: int = 1024,
+) -> None:
+    """Materialize the corpus as on-disk training shards: assign docs via
+    ``with_token_shards`` and write parquet partitioned by shard, with
+    each shard's rows hash-routed to one task so every ``shard=<n>``
+    directory holds exactly ONE file — the artifact a training loader
+    actually consumes (open shard k, stream its docs in id order).
+
+    One window cumsum + one shuffle on the shard id. The 100 TB note
+    from with_token_shards applies: run the total order within a
+    partition key so the cumsum never concentrates.
+    """
+    sharded = with_token_shards(df, id_col, text_col, shard_tokens)
+    (
+        df.join(sharded.select(id_col, "shard"), id_col)
+        .repartition(F.col("shard"))
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -282,3 +282,26 @@ def test_dedup_registry_survives_reopen(spark, tmp_path):
     assert r3.add_batch_exact(
         spark.createDataFrame([(9, "alpha beta")], ["doc_id", "text"])
     ).count() == 0
+
+
+def test_dedup_registry_compact_preserves_suppression(spark, tmp_path):
+    from pixels_spark.functions.dedup import DedupRegistry
+
+    path = str(tmp_path / "reg_c")
+    reg = DedupRegistry(spark, path)
+    reg.add_batch_exact(spark.createDataFrame([(1, "aa")], ["doc_id", "text"]))
+    reg.add_batch_exact(spark.createDataFrame([(2, "bb")], ["doc_id", "text"]))
+    reg.add_batch_near(spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]))
+    reg.compact()
+    import os
+
+    assert len([d for d in os.listdir(reg.exact_dir) if d.startswith("batch=")]) == 1
+    # suppression behavior identical after consolidation (fresh open too)
+    reg2 = DedupRegistry(spark, path)
+    assert reg2.add_batch_exact(
+        spark.createDataFrame([(9, "aa"), (10, "bb"), (11, "cc")], ["doc_id", "text"])
+    ).count() == 1
+    assert reg2.add_batch_near(spark.createDataFrame(
+        [(12, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"])
+    ).count() == 0

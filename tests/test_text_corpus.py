@@ -301,3 +301,23 @@ def test_token_budget_mix_per_stratum_dict(spark):
     for r in kept:
         tok[r["source"]] = tok.get(r["source"], 0) + r["n_tokens"]
     assert tok == {"s0": 40, "s1": 10}  # crossing doc included per stratum
+
+
+def test_export_training_shards_one_file_per_shard(spark, tmp_path):
+    import os
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * 10)) for i in range(20)]
+    )
+    out = str(tmp_path / "shards")
+    T.export_training_shards(df, out, shard_tokens=50)
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert shard_dirs == [f"shard={i}" for i in range(4)]  # 200 tokens / 50
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    per = {r["shard"]: r["n"] for r in
+           back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {0: 5, 1: 5, 2: 5, 3: 5}
