@@ -107,3 +107,42 @@ def mixture_sample(
             .otherwise(thr)
         )
     return df.filter(b < thr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    frac: float,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT stratified sample: ceil(frac * n_s) rows from every stratum s,
+    chosen as the first rows in md5(salt||key) order — deterministic,
+    engine-independent, and exactly proportional per stratum (hash-threshold
+    sampling only hits the fraction in expectation; a 1000-stratum mixture
+    spec usually wants the guarantee).
+
+    Plan: one window over (strata, hash-order) computing row_number and the
+    stratum count in the same pass — a single shuffle on the strata columns.
+
+    Scale note (100 TB): each stratum sorts within its own window
+    partition; with FEW, HUGE strata that is one sorter per stratum. At
+    that shape, pre-trim with the approximate map-side filter
+    ``hash_bucket(key) < (frac * margin) * N_BUCKETS`` (no shuffle, keeps
+    ~frac*margin of the data) and run this exact trim on the survivors —
+    the margin (e.g. 1.2x) makes under-selection vanishingly unlikely while
+    the sorted window sees only ~frac of the stratum.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    wc = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(frac)))
+        .drop("_rn", "_n")
+    )

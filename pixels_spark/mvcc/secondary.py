@@ -153,7 +153,7 @@ class SecondaryIndex:
         # a low-cardinality value whose candidates exceed max_candidates
         # switches to a distributed semi-join — no unbounded collect.
         cand_keys_df = (
-            self.table.spark.read.parquet(*cands)
+            self.table._read_parquet(*cands)
             .filter(
                 (F.col(COMMIT_TS) <= snapshot_ts) & (F.col(self.col) == value)
             )
@@ -181,7 +181,7 @@ class SecondaryIndex:
         if not files:
             return empty
         visible = (
-            t.spark.read.parquet(*files)
+            t._read_parquet(*files)
             .filter(F.col(COMMIT_TS) <= snapshot_ts)
             .filter(F.col(t.key_col).isin(keys))
         )

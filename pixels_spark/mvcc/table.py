@@ -247,12 +247,8 @@ class MvccTable:
         out.write.mode("overwrite").parquet(commit_dir)
         if self.indexed:
             self._index_commit(commit_dir, ts)
-        # persist the table schema (≈ footer types) so reads survive a
-        # vacuum that removes every commit directory
-        schema_path = os.path.join(self.root, "_schema.json")
-        if not os.path.exists(schema_path):
-            with open(schema_path, "w") as f:
-                f.write(out.schema.json())
+        # persist (and union-evolve) the table schema — see _evolve_schema
+        self._evolve_schema(out.schema)
         if ctx is not None:
             self.trans.commit_trans(ctx)
         return ts
@@ -359,6 +355,69 @@ class MvccTable:
             self.delete_dir
         )
 
+    # -- schema evolution --------------------------------------------------
+    def persisted_schema(self):
+        """The table's authoritative footer schema (union of every commit's
+        columns, in first-seen order), or None before the first insert."""
+        import json as _json
+
+        from pyspark.sql.types import StructType as _ST
+
+        path = os.path.join(self.root, "_schema.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return _ST.fromJson(_json.load(f))
+
+    def _evolve_schema(self, new_schema) -> None:
+        """Union-evolve the persisted schema: ADD COLUMN without rewriting
+        history (≈ the reference's versioned table schema — metadata
+        ``SCHEMA_VERSIONS``/``addSchema``; old files stay readable, their
+        missing columns read back as typed nulls via the tolerant
+        explicit-schema scan in ``read``).
+
+        New columns append in arrival order and must not collide with an
+        existing column at a DIFFERENT type — type changes are rejected
+        (no implicit casts; that is a rewrite, not an evolution)."""
+        from pyspark.sql.types import StructField, StructType
+
+        cur = self.persisted_schema()
+        path = os.path.join(self.root, "_schema.json")
+        if cur is None:
+            evolved = new_schema
+        else:
+            have = {f.name: f for f in cur.fields}
+            added = []
+            for f in new_schema.fields:
+                old = have.get(f.name)
+                if old is None:
+                    added.append(StructField(f.name, f.dataType, True))
+                elif old.dataType != f.dataType:
+                    raise ValueError(
+                        f"schema evolution cannot change column {f.name!r} "
+                        f"from {old.dataType.simpleString()} to "
+                        f"{f.dataType.simpleString()}; rewrite the table"
+                    )
+            if not added:
+                return
+            evolved = StructType(cur.fields + added)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(evolved.json())
+        os.replace(tmp, path)
+
+    def _read_parquet(self, *paths: str, base_path: str | None = None) -> DataFrame:
+        """Read commit data under the persisted (evolved) schema: columns a
+        file predates come back as typed nulls — one footer never speaks
+        for the whole table, and no mergeSchema footer sweep is needed."""
+        r = self.spark.read
+        if base_path is not None:
+            r = r.option("basePath", base_path)
+        ps = self.persisted_schema()
+        if ps is not None:
+            r = r.schema(ps)
+        return r.parquet(*paths)
+
     def read(self, snapshot_ts: int | None = None) -> DataFrame:
         """Snapshot read: rows committed at or before ``snapshot_ts`` whose
         key has no delete at or before ``snapshot_ts``; a deleted key
@@ -372,18 +431,12 @@ class MvccTable:
         if not commits:
             # empty table (never written, or fully vacuumed): serve the
             # persisted schema with zero rows
-            import json as _json
-
             from pyspark.sql.types import StructType as _ST
 
-            schema_path = os.path.join(self.root, "_schema.json")
-            if os.path.exists(schema_path):
-                with open(schema_path) as f:
-                    schema = _ST.fromJson(_json.load(f))
-            else:
-                schema = _ST()
-            return self.spark.createDataFrame([], schema)
-        data = self.spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
+            return self.spark.createDataFrame(
+                [], self.persisted_schema() or _ST()
+            )
+        data = self._read_parquet(self.data_dir, base_path=self.data_dir)
         # the _commit=<ts> dirs surface as a discovered partition column:
         # filtering on it prunes whole commit directories BY PATH (no file
         # footer even opened for future commits); the row-level _commit_ts
@@ -542,7 +595,7 @@ class MvccTable:
             ts = int(entry.split("=", 1)[1])
             if ts >= retain_ts:
                 continue
-            part = self.spark.read.parquet(os.path.join(self.data_dir, entry))
+            part = self._read_parquet(os.path.join(self.data_dir, entry))
             survivors = part.join(
                 d,
                 (part[self.key_col] == F.col("_del_key"))
@@ -595,7 +648,7 @@ class MvccTable:
                 F.col(self.key_col) == key
             ).limit(0)
         visible = (
-            self.spark.read.parquet(*cands)
+            self._read_parquet(*cands)
             .filter(F.col(COMMIT_TS) <= snapshot_ts)
             .filter(F.col(self.key_col) == key)
         )

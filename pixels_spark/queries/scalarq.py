@@ -282,3 +282,52 @@ def scalar_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declare(
+    "scalar_array_hof",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> length(w) > 4)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        w -> length(w))) AS BIGINT)
+               AS total_chars,
+           list_sort(string_split(text, ' '))[1]  AS first_sorted,
+           list_sort(string_split(text, ' '))[-1] AS last_sorted,
+           list_contains(string_split(text, ' '), 'data') AS has_data
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    tags=("scalar", "array", "hof"),
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY type + higher-order functions: split -> size / filter /
+    aggregate / sort_array / array_contains, each verified against DuckDB's
+    list_* family. HOFs run interpreted (outside codegen) — fine for a
+    projection surface; hot paths use explode+agg instead (ROUND_NOTES
+    round-1 perf facts).
+
+    ≈ the reference ARRAY child type (TypeDescription.java:170-183 vector
+    children) queried through the SQL frontend."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.col("text"), " ")
+    sorted_words = F.sort_array(words)
+    return (
+        d.select(
+            "doc_id",
+            F.size(words).cast("bigint").alias("n_words"),
+            F.size(F.filter(words, lambda w: F.length(w) > 4))
+            .cast("bigint")
+            .alias("n_long"),
+            F.aggregate(
+                words,
+                F.lit(0).cast("bigint"),
+                lambda acc, w: acc + F.length(w),
+            ).alias("total_chars"),
+            F.element_at(sorted_words, 1).alias("first_sorted"),
+            F.element_at(sorted_words, -1).alias("last_sorted"),
+            F.array_contains(words, "data").alias("has_data"),
+        )
+        .orderBy("doc_id")
+    )

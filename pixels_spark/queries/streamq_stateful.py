@@ -83,10 +83,12 @@ def _finalize(df: DataFrame, workdir: str) -> DataFrame:
 
     schema = df.schema
     try:
-        pdf = df.toPandas()
+        # Arrow round-trip, not pandas: pandas folds a DOUBLE NULL into NaN,
+        # which would resurface as NaN (not NULL) in the re-created frame.
+        tbl = df.toArrow()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
-    return df.sparkSession.createDataFrame(pdf, schema)
+    return df.sparkSession.createDataFrame(tbl, schema)
 
 
 def _run_to_parquet(out_stream: DataFrame, workdir: str, tag: str) -> str:
@@ -659,6 +661,50 @@ def mvcc_compact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         [d for d in os.listdir(table.data_dir) if d.startswith("_commit=")]
     )
     assert n_dirs == 1, f"history not consolidated: {n_dirs} dirs"
+    return _finalize(
+        table.read_latest_version().drop("_commit_ts").orderBy("event_id"), work
+    )
+
+
+@declare(
+    "mvcc_schema_evolution",
+    sql="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+           CASE WHEN event_id % 6 = 0 THEN CAST(value * 3 AS DOUBLE)
+                WHEN event_id % 3 = 1 THEN CAST(value * 2 AS DOUBLE)
+           END AS score
+    FROM events
+    WHERE event_id % 3 IN (0, 1)
+    ORDER BY event_id
+    """,
+    tags=("mvcc", "schema-evolution"),
+)
+def mvcc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN without history rewrite: commit 1 writes the base schema,
+    commit 2 inserts rows carrying a new `score` column (the table schema
+    union-evolves), and a MERGE then rewrites a subset under the evolved
+    schema. The final read serves every commit under the union schema —
+    pre-evolution rows surface score=NULL via the explicit-schema scan (no
+    mergeSchema footer sweep). ≈ the reference's versioned table schemas
+    (metadata SCHEMA_VERSIONS; old files stay readable after ADD COLUMN)."""
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_evo_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
+    table.insert(e.filter(F.col("event_id") % 3 == 0))
+    table.insert(
+        e.filter(F.col("event_id") % 3 == 1).withColumn(
+            "score", (F.col("value") * 2).cast("double")
+        )
+    )
+    table.merge(
+        e.filter(F.col("event_id") % 6 == 0).withColumn(
+            "score", (F.col("value") * 3).cast("double")
+        )
+    )
     return _finalize(
         table.read_latest_version().drop("_commit_ts").orderBy("event_id"), work
     )

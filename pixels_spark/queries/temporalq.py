@@ -143,3 +143,81 @@ def range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+@declare(
+    "ts_gap_fill",
+    sql="""
+    WITH days AS (
+      SELECT CAST(d AS DATE) AS day
+      FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                           INTERVAL 1 DAY) AS t(d)
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT u.user_id, d.day,
+           COALESCE(da.n_events, 0) AS n_events,
+           last_value(da.day_value IGNORE NULLS) OVER (
+             PARTITION BY u.user_id ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM users u CROSS JOIN days d
+    LEFT JOIN daily da ON da.user_id = u.user_id AND da.day = d.day
+    ORDER BY u.user_id, d.day
+    """,
+    tags=("temporal", "gap-fill", "timeseries", "window"),
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: a dense per-user daily spine (sequence +
+    explode — generated, not scanned) left-joined to the daily rollup, with
+    missing days carried forward LOCF via last(ignorenulls) over a running
+    frame. The spine is tiny (users x 30) so the join broadcasts; the only
+    fact-table shuffle is the daily rollup's.
+
+    ≈ TimescaleDB time_bucket_gapfill + locf; the reference serves this
+    workload through ordinary window SQL (SURVEY §2.7)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("day_value"),
+        )
+    )
+    spine = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit("2024-01-01").cast("date"),
+                        F.lit("2024-01-30").cast("date"),
+                    )
+                ).alias("day")
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+        .orderBy("user_id", "day")
+    )

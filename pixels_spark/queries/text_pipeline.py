@@ -962,3 +962,36 @@ def txt_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@declare(
+    "txt_stratified_sample",
+    sql="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    WHERE rn <= CEIL(n * 0.2)
+    ORDER BY doc_id
+    """,
+    tags=("text", "sampling", "stratified"),
+)
+def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified 20% sample per language: ceil(0.2*n) docs from every
+    lang stratum in md5 order (deterministic, engine-independent), so each
+    stratum's fraction is guaranteed, not just expected — the contract a
+    mixture spec needs. Single shuffle on the stratum column."""
+    from ..functions.sampling import stratified_sample_exact
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_sample_exact(
+        d, ["lang"], 0.2, key_col="doc_id", salt="strat1"
+    ).orderBy("doc_id")

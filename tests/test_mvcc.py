@@ -569,3 +569,59 @@ def test_secondary_lookup_survives_compact_history(spark, tmp_path):
     got2 = sorted(r["k"] for r in idx.lookup(10).collect())
     assert got2 == [1, 3]
     assert idx.candidate_files(10)  # pruned path live again
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """ADD COLUMN without history rewrite: commits written before the column
+    existed read back with typed nulls; the persisted schema is the union."""
+    t = MvccTable(spark, str(tmp_path / "evo"), key_col="id")
+    base = spark.range(0, 4).select(F.col("id"), (F.col("id") * 10.0).alias("v"))
+    t.insert(base)
+    widened = spark.range(4, 6).select(
+        F.col("id"), (F.col("id") * 10.0).alias("v"), F.lit("new").alias("tag")
+    )
+    ts2 = t.insert(widened)
+    got = {r["id"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert got == {0: (0.0, None), 1: (10.0, None), 2: (20.0, None),
+                   3: (30.0, None), 4: (40.0, "new"), 5: (50.0, "new")}
+    assert [f.name for f in t.persisted_schema().fields][:4] == [
+        "id", "v", "tag", "_commit_ts"
+    ] or "tag" in {f.name for f in t.persisted_schema().fields}
+    # time travel before the evolution still serves the evolved (latest)
+    # schema — the old rows' new column is null
+    old = t.read(snapshot_ts=ts2 - 1)
+    assert "tag" in old.columns and old.count() == 4
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    t = MvccTable(spark, str(tmp_path / "evo2"), key_col="id")
+    t.insert(spark.range(2).select(F.col("id"), F.lit(1.0).alias("v")))
+    with pytest.raises(ValueError, match="schema evolution cannot change"):
+        t.insert(spark.range(2, 3).select(F.col("id"), F.lit("s").alias("v")))
+
+
+def test_schema_evolution_indexed_point_lookup(spark, tmp_path):
+    """Point lookup through the manifest must read pre-evolution files under
+    the evolved schema (missing column -> null), not the file footer's."""
+    t = MvccTable(spark, str(tmp_path / "evo3"), key_col="id", indexed=True,
+                  index_files=2)
+    t.insert(spark.range(0, 10).select(F.col("id"), (F.col("id") + 0.5).alias("v")))
+    t.insert(spark.range(10, 12).select(
+        F.col("id"), (F.col("id") + 0.5).alias("v"), F.lit(7).alias("extra")
+    ))
+    row = t.point_lookup(3).collect()
+    assert len(row) == 1 and row[0]["extra"] is None
+    row2 = t.point_lookup(11).collect()
+    assert len(row2) == 1 and row2[0]["extra"] == 7
+
+
+def test_schema_evolution_merge_with_wider_source(spark, tmp_path):
+    t = MvccTable(spark, str(tmp_path / "evo4"), key_col="id")
+    t.insert(spark.range(0, 4).select(F.col("id"), (F.col("id") * 1.0).alias("v")))
+    src = spark.range(2, 6).select(
+        F.col("id"), (F.col("id") * 100.0).alias("v"), F.lit("m").alias("src")
+    )
+    t.merge(src)
+    got = {r["id"]: (r["v"], r["src"]) for r in t.read_latest_version().collect()}
+    assert got == {0: (0.0, None), 1: (1.0, None), 2: (200.0, "m"),
+                   3: (300.0, "m"), 4: (400.0, "m"), 5: (500.0, "m")}
