@@ -526,3 +526,79 @@ def export_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold_frac: float,
+    mg_capacity: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters — every value of ``col`` whose frequency is
+    >= ``threshold_frac`` of the row count — via the standard two-pass
+    bounded-memory algorithm:
+
+    pass 1 (candidates): per-partition Misra-Gries summaries with capacity
+    k (``mg_capacity``, default ceil(2/threshold_frac)) built in a single
+    streaming sweep over each partition's Arrow batches — O(k) memory per
+    task regardless of cardinality. MG guarantees any item with partition
+    frequency > n_p/k survives its partition; by weighted pigeonhole an
+    item with GLOBAL frequency >= N/k survives in at least one partition,
+    so the union of partition summaries is a candidate SUPERSET of the true
+    answer (k = 2/f leaves 2x slack over the >= boundary).
+
+    pass 2 (exact recount): the candidate set (at most k * n_partitions
+    values, tiny) broadcast-semi-joins the data; exact counts filter at the
+    threshold. Result is EXACT — the sketch only bounds pass-1 memory.
+
+    100 TB shape: pass 1 is a full scan with no shuffle (mapInPandas,
+    state = one dict of size k per task); pass 2 scans again but
+    aggregates only candidate rows after a broadcast semi-join. Total: two
+    scans, one tiny shuffle — vs the naive global groupBy whose shuffle
+    carries the ENTIRE key cardinality (for open-domain tokens, billions
+    of groups).
+    """
+    if not 0.0 < threshold_frac <= 1.0:
+        raise ValueError(f"threshold_frac must be in (0, 1], got {threshold_frac}")
+    import math
+
+    k = mg_capacity or max(2, math.ceil(2.0 / threshold_frac))
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame({col: list(counters.keys())})
+
+    field = df.schema[col]
+    cands = (
+        df.select(col)
+        .mapInPandas(mg_partition, schema=f"{field.name} {field.dataType.simpleString()}")
+        .distinct()
+    )
+    n = df.count()
+    thresh = int(math.ceil(threshold_frac * n))
+    return (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thresh)
+    )

@@ -995,3 +995,32 @@ def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(
         d, ["lang"], 0.2, key_col="doc_id", salt="strat1"
     ).orderBy("doc_id")
+
+
+@declare(
+    "txt_heavy_hitters",
+    sql="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM words)
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM words, tot
+    GROUP BY word, n
+    HAVING count(*) >= CEIL(0.03 * n)
+    ORDER BY word
+    """,
+    tags=("text", "heavy-hitters", "sketch"),
+)
+def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens at >= 3% of all token
+    occurrences) via the two-pass bounded-memory algorithm: per-partition
+    Misra-Gries candidate sketches (no shuffle, O(k) state), then an exact
+    broadcast-semi-join recount — sketch bounds memory, result is exact.
+    The naive global groupBy would shuffle the full open-domain vocabulary;
+    this shuffles only the candidate set."""
+    from ..functions.text import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    return heavy_hitters(words, "word", 0.03).orderBy("word")

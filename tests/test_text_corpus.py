@@ -321,3 +321,29 @@ def test_export_training_shards_one_file_per_shard(spark, tmp_path):
     per = {r["shard"]: r["n"] for r in
            back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert per == {0: 5, 1: 5, 2: 5, 3: 5}
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """High-cardinality stream with a tiny MG capacity: the sketch must
+    prune candidates yet the final answer equals the exact groupBy."""
+    import pandas as pd
+
+    # 3 hot keys (8% each) in a sea of 5000 distinct cold keys
+    rows = (["hot_a"] * 800 + ["hot_b"] * 900 + ["hot_c"] * 1000
+            + [f"cold{i}" for i in range(5000)] + ["warm"] * 300)
+    df = spark.createDataFrame(pd.DataFrame({"w": rows})).repartition(8)
+    got = {r["w"]: r["cnt"] for r in
+           T.heavy_hitters(df, "w", 0.05, mg_capacity=50).collect()}
+    n = len(rows)
+    truth = {k: v for k, v in
+             pd.Series(rows).value_counts().items() if v >= 0.05 * n}
+    assert got == truth
+    assert set(got) == {"hot_a", "hot_b", "hot_c"}  # warm at 3.75% excluded
+
+
+def test_heavy_hitters_threshold_validation(spark):
+    import pytest
+
+    df = spark.range(1).select(F.col("id").cast("string").alias("w"))
+    with pytest.raises(ValueError, match="threshold_frac"):
+        T.heavy_hitters(df, "w", 0.0)
