@@ -62,6 +62,7 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
         scalarq,
         setopq,
         sqlq,
+        statsq,
         streamq,
         streamq_stateful,
         structq,

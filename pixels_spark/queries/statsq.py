@@ -1,0 +1,153 @@
+"""Statistical aggregate surface: correlation/regression, histograms,
+bitwise aggregates, ordered string aggregation (SURVEY.md §2.4/§2.8).
+
+Native ``corr``/``regr_slope`` are single-pass floating co-moment
+aggregations whose result depends on partition visit order — unusable
+under the driver's 9-significant-digit cross-engine hash. Here the
+co-moments are accumulated as DECIMAL sums (order-independent, exact) and
+the closed-form statistic is evaluated in double FROM those exact sums,
+identically in both engines — the same determinism discipline as `_dsum`.
+
+Scale: every query is one two-phase hash aggregate (map-side partials);
+decimal sums shuffle one row per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import declare
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(18,6)")
+
+
+@declare(
+    "stat_corr_regression",
+    sql="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,6))
+                         * CAST(l_discount AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,6))
+                         * CAST(l_quantity AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,6))
+                         * CAST(l_discount AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qd,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("stats", "correlation", "regression", "aggregation"),
+)
+def stat_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope/intercept of (quantity, discount)
+    per returnflag, from DECIMAL-exact co-moment sums (order-independent)
+    with the closed form evaluated in double on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = _dec(F.col("l_quantity")), _dec(F.col("l_discount"))
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    slope = cov_n / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        (cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+        .alias("corr_qd"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+@declare(
+    "stat_histogram",
+    sql="""
+    SELECT CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 200 THEN 21
+                     ELSE floor(value / 10) + 1 END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(bit_or(user_id) AS BIGINT) AS users_or,
+           CAST(bit_and(user_id) AS BIGINT) AS users_and,
+           CAST(bit_xor(event_id) AS BIGINT) AS ids_xor
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("stats", "histogram", "bitwise", "aggregation"),
+)
+def stat_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of event value (width_bucket
+    semantics spelled as floor arithmetic — DuckDB has no width_bucket, so
+    both engines run the identical formula), with the bitwise aggregate
+    family (bit_or/bit_and/bit_xor — all order-independent, exactly
+    oracled) riding along per bucket."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, 0)
+        .when(F.col("value") >= 200, 21)
+        .otherwise(F.floor(F.col("value") / 10) + 1)
+        .cast("bigint")
+    )
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.bit_or("user_id").cast("bigint").alias("users_or"),
+            F.bit_and("user_id").cast("bigint").alias("users_and"),
+            F.bit_xor("event_id").cast("bigint").alias("ids_xor"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@declare(
+    "stat_listagg",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           string_agg(DISTINCT CAST(l_linenumber AS VARCHAR), ','
+                      ORDER BY CAST(l_linenumber AS VARCHAR)) AS linenos
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("stats", "listagg", "aggregation"),
+)
+def stat_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): distinct line
+    numbers per (returnflag, linestatus) joined in lexicographic order —
+    deterministic by construction (collect_set -> array_sort ->
+    array_join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("l_linenumber").cast("string"))),
+                ",",
+            ).alias("linenos")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
