@@ -1024,3 +1024,155 @@ def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
     return heavy_hitters(words, "word", 0.03).orderBy("word")
+
+
+@declare(
+    "txt_tfidf",
+    sql="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM tf GROUP BY doc_id, word
+    ),
+    dfc AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY word
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT t.doc_id, t.word, t.tf,
+             CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / d.df)
+                 AS tfidf
+      FROM tfc t JOIN dfc d ON t.word = d.word CROSS JOIN nd n
+    )
+    SELECT doc_id, word, tf, tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word
+      ) AS rn FROM scored
+    )
+    WHERE rn <= 3 AND doc_id < 100
+    ORDER BY doc_id, word
+    """,
+    tags=("text", "tfidf", "search"),
+)
+def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf term scoring: term frequency x ln(N/df), top-3 terms per doc
+    (deterministic tie-break on the term). Three aggregates + one join on
+    the term — all two-phase, shuffle keyed on (doc,word)/word; N is a
+    1-row broadcast."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    tfc = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfc = toks.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    nd = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tfc.join(dfc, "word")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "word", "tf",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .drop("rn")
+        .orderBy("doc_id", "word")
+    )
+
+
+@declare(
+    "txt_collocations",
+    sql="""
+    WITH w AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+    ),
+    bi AS (
+      SELECT u[1] AS w1, u[2] AS w2
+      FROM (
+        SELECT unnest(list_zip(ws[1:len(ws) - 1], ws[2:len(ws)])) AS u FROM w
+      )
+    ),
+    bic AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM bi GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    unic AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY word),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS t,
+             (SELECT CAST(count(*) AS BIGINT) FROM bi) AS b
+    )
+    SELECT w1, w2, c_xy,
+           ln((CAST(c_xy AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+              / (CAST(b AS DOUBLE) * CAST(cx.c AS DOUBLE)
+                 * CAST(cy.c AS DOUBLE))) AS pmi
+    FROM bic JOIN unic cx ON bic.w1 = cx.word
+             JOIN unic cy ON bic.w2 = cy.word
+             CROSS JOIN tot
+    WHERE c_xy >= 5
+    ORDER BY w1, w2
+    """,
+    tags=("text", "pmi", "collocations"),
+)
+def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: adjacent-bigram counts vs unigram marginals,
+    pmi = ln(p(xy) / (p(x)p(y))) evaluated with the identical double
+    expression in both engines (exact integer counts in, one ln out).
+    Bigrams come from a map-side transform over the token array — no
+    self-join; the only shuffles are the count aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select(F.split(F.col("text"), " ").alias("ws"))
+    bi = ws.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(ws, i + 2) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = ws.select(F.explode("ws").alias("word"))
+    unic = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("t")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("b"))
+    )
+    pmi = F.log(
+        (
+            F.col("c_xy").cast("double")
+            * F.col("t").cast("double")
+            * F.col("t").cast("double")
+        )
+        / (
+            F.col("b").cast("double")
+            * F.col("cx.c").cast("double")
+            * F.col("cy.c").cast("double")
+        )
+    )
+    cx, cy = unic.alias("cx"), unic.alias("cy")
+    return (
+        bic.join(cx, F.col("w1") == F.col("cx.word"))
+        .join(cy, F.col("w2") == F.col("cy.word"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_xy") >= 5)
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy("w1", "w2")
+    )
