@@ -66,6 +66,11 @@ HEADLINE = (
     # round-5 corpus-statistics filters
     "txt_lm_score",
     "txt_boilerplate",
+    # round-5 wave 4: reshape / gap-fill / heavy hitters / funnel
+    "reshape_grouping_sets",
+    "ts_gap_fill",
+    "txt_heavy_hitters",
+    "funnel_signup_click_purchase",
 )
 
 
