@@ -47,8 +47,9 @@ from .registry import declare
            CAST(su.signup_ts AS TIMESTAMP) AS signup_ts,
            CAST(cl.click_ts AS TIMESTAMP) AS click_ts,
            CAST(pu.purchase_ts AS TIMESTAMP) AS purchase_ts,
-           CAST(1 + (cl.click_ts IS NOT NULL)::INT
-                  + (pu.purchase_ts IS NOT NULL)::INT AS BIGINT) AS stage
+           CAST(1 + CAST(cl.click_ts IS NOT NULL AS INT)
+                  + CAST(pu.purchase_ts IS NOT NULL AS INT) AS BIGINT)
+               AS stage
     FROM su
     LEFT JOIN cl ON su.user_id = cl.user_id
     LEFT JOIN pu ON su.user_id = pu.user_id

@@ -972,7 +972,7 @@ def txt_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, source, n_chars,
              row_number() OVER (
                PARTITION BY lang
-               ORDER BY md5('strat1' || CAST(doc_id AS VARCHAR)), doc_id
+               ORDER BY md5('strat1' || CAST(doc_id AS STRING)), doc_id
              ) AS rn,
              count(*) OVER (PARTITION BY lang) AS n
       FROM documents

@@ -52,6 +52,10 @@ DIALECT_SHARED = [
     "stream_cdc", "mvcc_merge",
     "mvcc_ivm_rollup", "stream_ivm_rollup", "mvcc_secondary_lookup",
     "scalar_winsorize", "join_fuzzy_match",
+    "reshape_pivot", "reshape_unpivot", "reshape_grouping_sets",
+    "stat_corr_regression", "stat_histogram",
+    "funnel_signup_click_purchase", "txt_stratified_sample",
+    "mvcc_schema_evolution",
 ]
 
 
