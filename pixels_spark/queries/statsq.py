@@ -151,3 +151,48 @@ def stat_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@declare(
+    "stat_zscore_outliers",
+    sql="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,6))
+                         * CAST(value AS DECIMAL(18,6))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.sx / s.n)
+             / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.sx / s.n)
+              / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n))) > 2.2
+    ORDER BY e.event_id
+    """,
+    tags=("stats", "zscore", "outliers"),
+)
+def stat_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier flagging per event_type (|z| > 2.2):
+    moments from DECIMAL-exact sums, z evaluated with the identical double
+    expression both engines; the tiny per-type stats broadcast back onto
+    the fact scan — one aggregate + one broadcast join, no second
+    shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    x = _dec(F.col("value"))
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.2)
+        .orderBy("event_id")
+    )

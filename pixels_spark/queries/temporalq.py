@@ -221,3 +221,118 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@declare(
+    "ts_time_weighted_avg",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dus
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        ORDER BY ts, event_id
+      )
+    )
+    SELECT user_id, day,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CAST(value * dus AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(sum(dus) AS DOUBLE) AS twa
+    FROM seq
+    WHERE dus IS NOT NULL
+    GROUP BY user_id, day
+    ORDER BY user_id, day
+    """,
+    tags=("temporal", "timeseries", "time-weighted", "window"),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB time_weight-style): each reading
+    weighted by its holding duration until the next event in the (user,
+    day) series. Products are DECIMAL(28,6)-quantized before summing so
+    the weighted sum is order-independent and exactly oracled; weights are
+    exact integer microseconds. One window pass + one aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "day", "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dus"),
+    ).filter(F.col("dus").isNotNull())
+    return (
+        seq.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            (
+                F.sum((F.col("value") * F.col("dus")).cast("decimal(28,6)"))
+                .cast("double")
+                / F.sum("dus").cast("double")
+            ).alias("twa"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@declare(
+    "ts_ohlc",
+    sql="""
+    WITH ranked AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             row_number() OVER w AS rn_a,
+             row_number() OVER (
+               PARTITION BY CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn_d
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (
+        PARTITION BY CAST(date_trunc('day', ts) AS DATE)
+        ORDER BY ts, event_id
+      )
+    )
+    SELECT day,
+           CAST(sum(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           CAST(sum(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM ranked
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("temporal", "timeseries", "ohlc", "window"),
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup over the purchase stream: open/close picked
+    by deterministic (ts, event_id) first/last ranks, high/low/volume as
+    plain aggregates — one window pass + one aggregate, both keyed on the
+    same day so the window shuffle is reused by the groupBy."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("day", F.date_trunc("day", "ts").cast("date"))
+    )
+    wa = Window.partitionBy("day").orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = Window.partitionBy("day").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = e.select(
+        "day", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("rn_a") == 1, F.col("value"))).cast("double").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.sum(F.when(F.col("rn_d") == 1, F.col("value"))).cast("double").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("day")
+    )

@@ -55,7 +55,7 @@ DIALECT_SHARED = [
     "reshape_pivot", "reshape_unpivot", "reshape_grouping_sets",
     "stat_corr_regression", "stat_histogram",
     "funnel_signup_click_purchase", "txt_stratified_sample",
-    "mvcc_schema_evolution",
+    "mvcc_schema_evolution", "ts_ohlc", "stat_zscore_outliers",
 ]
 
 
