@@ -174,3 +174,113 @@ def struct_reassembled_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# MAP as a stored, queried type — the ev_props_map table.
+# The reference's MAP category carries (key, value) child types
+# (TypeDescription MAP with two children; SURVEY §1.2 → Spark MapType).
+# events.props is re-keyed into a stored MAP<STRING,STRING> column with
+# three entries (k from the JSON, etype, a derived value band), written as
+# a real parquet map group — reads get MapType from the footer. The oracle
+# restates the derivation from raw events (DuckDB never parses the map
+# parquet), the structq convention.
+# ---------------------------------------------------------------------------
+
+_PM_ORACLE_CTE = """
+WITH pm AS (
+  SELECT event_id,
+         json_extract_string(props, '$.k') AS k_str,
+         event_type AS etype,
+         CAST(CAST(floor(value / 50) AS BIGINT) AS STRING) AS band
+  FROM events)
+"""
+
+
+def _build_ev_props_map(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    e = load_table(spark, sf_dir, "events")
+    mapped = e.select(
+        "event_id",
+        F.create_map(
+            F.lit("k"), F.get_json_object(F.col("props"), "$.k"),
+            F.lit("etype"), F.col("event_type"),
+            F.lit("band"),
+            F.floor(F.col("value") / 50).cast("bigint").cast("string"),
+        ).alias("pm"),
+    )
+    mapped.repartition(8, "event_id").write.mode("overwrite").parquet(
+        os.path.join(dest, "ev_props_map.parquet")
+    )
+
+
+def load_ev_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the STORED map table — MapType comes from the parquet footer's
+    map logical type, not from a parse at read time."""
+    dest = ensure_derived(
+        spark,
+        sf_dir,
+        name="ev_props_map",
+        source_paths=[table_path(sf_dir, "events")],
+        build=lambda sp, tmp: _build_ev_props_map(sp, sf_dir, tmp),
+        params="v1",
+    )
+    return spark.read.parquet(os.path.join(dest, "ev_props_map.parquet"))
+
+
+@declare(
+    "map_stored_lookup",
+    sql=_PM_ORACLE_CTE
+    + """
+    SELECT event_id,
+           CAST(k_str AS BIGINT) AS k,
+           band,
+           CAST(3 AS BIGINT) AS n_entries
+    FROM pm
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+    tags=("map", "scalar"),
+)
+def map_stored_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP element access on the stored map column: element_at by key +
+    map cardinality, straight off the parquet map group."""
+    m = load_ev_props_map(spark, sf_dir)
+    return (
+        m.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.element_at("pm", F.lit("k")).cast("bigint").alias("k"),
+            F.element_at("pm", F.lit("band")).alias("band"),
+            F.size("pm").cast("bigint").alias("n_entries"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@declare(
+    "map_explode_rollup",
+    sql=_PM_ORACLE_CTE
+    + """
+    SELECT key, val, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT 'etype' AS key, etype AS val FROM pm
+      UNION ALL
+      SELECT 'band' AS key, band AS val FROM pm
+    )
+    GROUP BY key, val
+    ORDER BY key, val
+    """,
+    tags=("map", "aggregation"),
+)
+def map_explode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP entry explosion: explode(map) -> (key, value) rows, aggregated
+    per entry (the JSON-ish 'count values per property' shape) — one
+    map-side explode feeding a two-phase aggregate."""
+    m = load_ev_props_map(spark, sf_dir)
+    return (
+        m.select(F.explode("pm").alias("key", "val"))
+        .filter(F.col("key") != "k")
+        .groupBy("key", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("key", "val")
+    )

@@ -84,3 +84,29 @@ def test_struct_table_matches_json_source(spark, sf_dir):
         )
     )
     assert s.exceptAll(e).count() == 0 and e.exceptAll(s).count() == 0
+
+
+def test_ev_props_map_is_physically_a_map(spark, sf_dir):
+    """The stored map table's FOOTER carries a parquet map logical type —
+    Spark reads MapType from storage, no parse at read time — and element
+    access agrees with the raw-events derivation."""
+    from pyspark.sql.types import MapType, StringType
+
+    from pixels_spark.queries.structq import load_ev_props_map
+
+    m = load_ev_props_map(spark, sf_dir)
+    ftype = m.schema["pm"].dataType
+    assert isinstance(ftype, MapType)
+    assert isinstance(ftype.keyType, StringType)
+    assert isinstance(ftype.valueType, StringType)
+    got = dict(
+        m.select("event_id", F.element_at("pm", F.lit("etype")).alias("e"))
+        .filter(F.col("event_id") < 5).collect()
+    )
+    from pixels_spark.catalog import load_table
+    want = dict(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5)
+        .select("event_id", "event_type").collect()
+    )
+    assert got == want
