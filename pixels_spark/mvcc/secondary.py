@@ -108,6 +108,11 @@ class SecondaryIndex:
         return True
 
     def candidate_files(self, value, snapshot_ts: int | None = None) -> list[str]:
+        return self._candidate_files(
+            lambda e: e["min"] <= value <= e["max"], snapshot_ts
+        )
+
+    def _candidate_files(self, match, snapshot_ts: int | None = None) -> list[str]:
         if snapshot_ts is None:
             snapshot_ts = self.table.trans.high_watermark
         # a vacuumed commit leaves stale manifest entries behind (vacuum
@@ -118,7 +123,7 @@ class SecondaryIndex:
             e["path"]
             for e in self.manifest.load()
             if e["commit_ts"] <= snapshot_ts
-            and e["min"] <= value <= e["max"]
+            and match(e)
             and os.path.exists(e["path"])
         ]
 
@@ -131,20 +136,35 @@ class SecondaryIndex:
     def lookup(self, value, snapshot_ts: int | None = None) -> DataFrame:
         """Latest visible rows whose LATEST version has ``col == value``
         (≈ secondary getRowIds → main-index resolution → visibility)."""
+        return self._lookup(
+            lambda e: e["min"] <= value <= e["max"],
+            F.col(self.col) == value,
+            snapshot_ts,
+        )
+
+    def lookup_range(self, lo, hi, snapshot_ts: int | None = None) -> DataFrame:
+        """Latest visible rows whose LATEST version has ``lo <= col <= hi``
+        — the same two-step resolution as ``lookup``, with file pruning by
+        [min, max] INTERVAL OVERLAP against [lo, hi] (beyond the
+        reference's point-only getRowIds: a file-range manifest gives
+        range scans for free)."""
+        if lo > hi:
+            raise ValueError(f"empty range: lo={lo!r} > hi={hi!r}")
+        return self._lookup(
+            lambda e: not (e["max"] < lo or e["min"] > hi),
+            F.col(self.col).between(lo, hi),
+            snapshot_ts,
+        )
+
+    def _lookup(self, match, pred, snapshot_ts: int | None = None) -> DataFrame:
         t = self.table
         if snapshot_ts is None:
             snapshot_ts = t.trans.high_watermark
         if not self._covered(snapshot_ts):
             # unindexed commits present → correct-but-unpruned fallback
-            return t.read_latest_version(snapshot_ts).filter(
-                F.col(self.col) == value
-            )
-        cands = self.candidate_files(value, snapshot_ts)
-        empty = (
-            t.read_latest_version(snapshot_ts)
-            .filter(F.col(self.col) == value)
-            .limit(0)
-        )
+            return t.read_latest_version(snapshot_ts).filter(pred)
+        cands = self._candidate_files(match, snapshot_ts)
+        empty = t.read_latest_version(snapshot_ts).filter(pred).limit(0)
         if not cands:
             return empty
         # step 1: candidate primary keys (≈ getRowIds). Point-shaped
@@ -154,9 +174,7 @@ class SecondaryIndex:
         # switches to a distributed semi-join — no unbounded collect.
         cand_keys_df = (
             self.table._read_parquet(*cands)
-            .filter(
-                (F.col(COMMIT_TS) <= snapshot_ts) & (F.col(self.col) == value)
-            )
+            .filter((F.col(COMMIT_TS) <= snapshot_ts) & pred)
             .select(t.key_col)
             .distinct()
         )
@@ -167,7 +185,7 @@ class SecondaryIndex:
             t.indexed and t.manifest.exists()
         ):
             visible = t.read(snapshot_ts).join(cand_keys_df, t.key_col, "left_semi")
-            return t.latest_only(visible).filter(F.col(self.col) == value)
+            return t.latest_only(visible).filter(pred)
         # step 2: resolve ALL versions of those keys through the primary
         # manifest (covering files only)
         files = sorted(
@@ -191,4 +209,4 @@ class SecondaryIndex:
         visible = t.apply_delete_visibility(
             visible, snapshot_ts, key_pred=F.col(t.key_col).isin(keys)
         )
-        return t.latest_only(visible).filter(F.col(self.col) == value)
+        return t.latest_only(visible).filter(pred)

@@ -708,3 +708,48 @@ def mvcc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(
         table.read_latest_version().drop("_commit_ts").orderBy("event_id"), work
     )
+
+
+@declare(
+    "mvcc_secondary_range",
+    sql="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN event_id % 10 = 0 THEN user_id + 1000000
+                ELSE user_id END AS user_id,
+           event_type,
+           CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value,
+           props
+    FROM events
+    WHERE CASE WHEN event_id % 10 = 0 THEN user_id + 1000000
+               ELSE user_id END BETWEEN 40 AND 60
+    ORDER BY event_id
+    """,
+    tags=("mvcc", "index", "secondary", "range"),
+)
+def mvcc_secondary_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """secondary-index RANGE lookup (user_id BETWEEN 40 AND 60): file
+    pruning by [min,max] interval overlap, the same two-step candidate →
+    primary-resolution → latest-version re-check as the point lookup, so
+    rows an update moved out of the range never surface stale (the %10==0
+    rows moved to user_id+1000000 with doubled value must appear only if
+    their NEW user lands in range — it never does)."""
+    from ..mvcc.secondary import SecondaryIndex
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_sidxr_")
+    e = load_table(spark, sf_dir, "events")
+    table = MvccTable(
+        spark, os.path.join(work, "tbl"), key_col="event_id", indexed=True
+    )
+    ts1 = table.insert(e)
+    idx = SecondaryIndex(table, "user_id")
+    idx.index_commit(ts1)
+    moved = (
+        e.filter(F.col("event_id") % 10 == 0)
+        .withColumn("user_id", F.col("user_id") + 1000000)
+        .withColumn("value", F.col("value") * 2)
+    )
+    ts2 = table.update(moved)
+    idx.index_commit(ts2)
+    out = idx.lookup_range(40, 60).drop("_commit_ts").orderBy("event_id")
+    return _finalize(out, work)

@@ -625,3 +625,26 @@ def test_schema_evolution_merge_with_wider_source(spark, tmp_path):
     got = {r["id"]: (r["v"], r["src"]) for r in t.read_latest_version().collect()}
     assert got == {0: (0.0, None), 1: (1.0, None), 2: (200.0, "m"),
                    3: (300.0, "m"), 4: (400.0, "m"), 5: (500.0, "m")}
+
+
+def test_secondary_range_lookup_matches_and_prunes(spark, tmp_path):
+    t, idx = _sidx_table(spark, tmp_path, "sr1")
+    got = sorted(r["k"] for r in idx.lookup_range(2, 4).collect())
+    assert got == list(range(20, 40))  # grp in {2, 3} (fixture max grp = 3)
+    # stale-version trap: move k=25 out of grp 2, add k=70 at grp 3
+    ts2 = t.update(
+        spark.createDataFrame([(25, 99, "u"), (70, 3, "u")], ["k", "grp", "tag"])
+    )
+    idx.index_commit(ts2)
+    got2 = sorted(r["k"] for r in idx.lookup_range(2, 4).collect())
+    assert got2 == sorted([k for k in range(20, 40) if k != 25] + [70])
+    # pre-update snapshot unchanged
+    pre = sorted(r["k"] for r in idx.lookup_range(2, 4, snapshot_ts=ts2 - 1).collect())
+    assert pre == list(range(20, 40))
+    # interval-overlap pruning: candidates for a narrow range are a
+    # strict subset of the whole-table file set
+    all_files = idx._candidate_files(lambda e: True)
+    narrow = idx._candidate_files(lambda e: not (e["max"] < 2 or e["min"] > 2))
+    assert set(narrow) <= set(all_files)
+    with pytest.raises(ValueError, match="empty range"):
+        idx.lookup_range(5, 2)
