@@ -196,3 +196,82 @@ def stat_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 2.2)
         .orderBy("event_id")
     )
+
+
+@declare(
+    "stat_bool_aggs",
+    sql="""
+    SELECT event_type,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 195) AS any_extreme,
+           CAST(max(CASE WHEN value > 195 THEN event_id END) AS BIGINT)
+               AS max_extreme_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("stats", "boolean", "aggregation"),
+)
+def stat_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family: count_if, bool_and (EVERY),
+    bool_or (ANY), and a conditional max — all order-independent, one
+    two-phase aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 100).cast("bigint").alias("n_big"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 195).alias("any_extreme"),
+            F.max(F.when(F.col("value") > 195, F.col("event_id")))
+            .cast("bigint")
+            .alias("max_extreme_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declare(
+    "stat_argmax_latest",
+    sql="""
+    WITH mx AS (
+      SELECT user_id, max(ts) AS max_ts FROM events GROUP BY user_id
+    ),
+    at_ts AS (
+      SELECT e.user_id, e.ts, max(e.event_id) AS event_id
+      FROM events e JOIN mx ON e.user_id = mx.user_id AND e.ts = mx.max_ts
+      GROUP BY e.user_id, e.ts
+    )
+    SELECT e.user_id, e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           e.event_type, e.value
+    FROM events e
+    JOIN at_ts a ON e.user_id = a.user_id AND e.event_id = a.event_id
+    ORDER BY e.user_id
+    """,
+    tags=("stats", "argmax", "aggregation"),
+)
+def stat_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG_MAX with a deterministic tie policy: each user's latest event —
+    max ts, ties broken by max event_id (plain max_by would be
+    tie-nondeterministic across engines). Two small aggregates + joins
+    back to the fact row; every join key is a per-user aggregate so AQE
+    broadcasts them."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.groupBy("user_id").agg(F.max("ts").alias("max_ts")).alias("mx")
+    at_ts = (
+        e.alias("l")
+        .join(
+            mx,
+            (F.col("l.user_id") == F.col("mx.user_id"))
+            & (F.col("l.ts") == F.col("mx.max_ts")),
+        )
+        .groupBy(F.col("l.user_id"), F.col("l.ts"))
+        .agg(F.max(F.col("l.event_id")).alias("event_id"))
+        .select("event_id")
+    )
+    return (
+        e.join(at_ts, "event_id")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )

@@ -328,3 +328,45 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@declare(
+    "win_ratio_to_report",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS type_value,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(sum(CAST(value AS DECIMAL(18,6))))
+                    OVER (PARTITION BY CAST(date_trunc('day', ts) AS DATE))
+                    AS DOUBLE) AS share
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+    tags=("window", "ratio-to-report", "aggregation"),
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT: each event type's share of its day's total — a
+    window over an aggregate (sum(sum(..)) OVER day). The window reuses
+    the groupBy's (day, type) output, so the fact table shuffles once;
+    decimal-exact sums make the double division engine-identical."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    g = e.groupBy("day", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv")
+    )
+    w = Window.partitionBy("day")
+    return (
+        g.select(
+            "day", "event_type",
+            F.col("_tv").cast("double").alias("type_value"),
+            (
+                F.col("_tv").cast("double")
+                / F.sum("_tv").over(w).cast("double")
+            ).alias("share"),
+        )
+        .orderBy("day", "event_type")
+    )
