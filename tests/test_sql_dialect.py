@@ -56,6 +56,8 @@ DIALECT_SHARED = [
     "stat_corr_regression", "stat_histogram",
     "funnel_signup_click_purchase", "txt_stratified_sample",
     "mvcc_schema_evolution", "ts_ohlc", "stat_zscore_outliers",
+    "stat_bool_aggs", "stat_argmax_latest", "win_ratio_to_report",
+    "mvcc_secondary_range",
 ]
 
 
