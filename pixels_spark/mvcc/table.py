@@ -244,11 +244,13 @@ class MvccTable:
                 self.key_col
             )
         commit_dir = os.path.join(self.data_dir, f"_commit={ts}")
+        # evolve the persisted schema BEFORE the data lands: a crash between
+        # the two then leaves a wider schema with no data (harmless nulls),
+        # never a committed column the explicit-schema read would hide
+        self._evolve_schema(out.schema)
         out.write.mode("overwrite").parquet(commit_dir)
         if self.indexed:
             self._index_commit(commit_dir, ts)
-        # persist (and union-evolve) the table schema — see _evolve_schema
-        self._evolve_schema(out.schema)
         if ctx is not None:
             self.trans.commit_trans(ctx)
         return ts
@@ -378,33 +380,47 @@ class MvccTable:
 
         New columns append in arrival order and must not collide with an
         existing column at a DIFFERENT type — type changes are rejected
-        (no implicit casts; that is a rewrite, not an evolution)."""
+        (no implicit casts; that is a rewrite, not an evolution).
+
+        The read-modify-write runs under an exclusive flock (same
+        discipline as the manifest's _rmw): two concurrent inserts adding
+        DIFFERENT columns must each see the other's addition, not clobber
+        it with their own union-over-stale-base."""
+        import fcntl
+
         from pyspark.sql.types import StructField, StructType
 
-        cur = self.persisted_schema()
         path = os.path.join(self.root, "_schema.json")
-        if cur is None:
-            evolved = new_schema
-        else:
-            have = {f.name: f for f in cur.fields}
-            added = []
-            for f in new_schema.fields:
-                old = have.get(f.name)
-                if old is None:
-                    added.append(StructField(f.name, f.dataType, True))
-                elif old.dataType != f.dataType:
-                    raise ValueError(
-                        f"schema evolution cannot change column {f.name!r} "
-                        f"from {old.dataType.simpleString()} to "
-                        f"{f.dataType.simpleString()}; rewrite the table"
-                    )
-            if not added:
-                return
-            evolved = StructType(cur.fields + added)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(evolved.json())
-        os.replace(tmp, path)
+        with open(path + ".lock", "a+") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                cur = self.persisted_schema()
+                if cur is None:
+                    evolved = new_schema
+                else:
+                    have = {f.name: f for f in cur.fields}
+                    added = []
+                    for f in new_schema.fields:
+                        old = have.get(f.name)
+                        if old is None:
+                            added.append(StructField(f.name, f.dataType, True))
+                        elif old.dataType != f.dataType:
+                            raise ValueError(
+                                f"schema evolution cannot change column "
+                                f"{f.name!r} from "
+                                f"{old.dataType.simpleString()} to "
+                                f"{f.dataType.simpleString()}; rewrite the "
+                                f"table"
+                            )
+                    if not added:
+                        return
+                    evolved = StructType(cur.fields + added)
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(evolved.json())
+                os.replace(tmp, path)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def _read_parquet(self, *paths: str, base_path: str | None = None) -> DataFrame:
         """Read commit data under the persisted (evolved) schema: columns a
