@@ -137,12 +137,19 @@ def stratified_sample_exact(
 
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
+    from decimal import Decimal
+
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
     wc = Window.partitionBy(*strata_cols)
+    # the quota must be the EXACT ceil(frac·n): n·frac in IEEE double can
+    # land one ulp high (100·0.07 = 7.000000000000001 → ceil 8), so the
+    # product is computed in DECIMAL (frac quantized at 12 places, the
+    # same literal a SQL engine parses 0.07 into)
+    dfrac = F.lit(Decimal(str(frac))).cast("decimal(18,12)")
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(frac)))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * dfrac))
         .drop("_rn", "_n")
     )

@@ -552,26 +552,38 @@ def heavy_hitters(
     threshold. Result is EXACT — the sketch only bounds pass-1 memory.
 
     100 TB shape: pass 1 is a full scan with no shuffle (mapInPandas,
-    state = one dict of size k per task); pass 2 scans again but
-    aggregates only candidate rows after a broadcast semi-join. Total: two
-    scans, one tiny shuffle — vs the naive global groupBy whose shuffle
-    carries the ENTIRE key cardinality (for open-domain tokens, billions
-    of groups).
+    state = one dict of size k per task) that also carries each
+    partition's row count, so the total N needs NO extra scan; pass 2
+    scans again but aggregates only candidate rows after a broadcast
+    semi-join. Total: two scans, one tiny shuffle — vs the naive global
+    groupBy whose shuffle carries the ENTIRE key cardinality (for
+    open-domain tokens, billions of groups).
     """
     if not 0.0 < threshold_frac <= 1.0:
         raise ValueError(f"threshold_frac must be in (0, 1], got {threshold_frac}")
     import math
+    from decimal import Decimal
 
-    k = mg_capacity or max(2, math.ceil(2.0 / threshold_frac))
+    min_k = math.ceil(1.0 / threshold_frac) + 1
+    if mg_capacity is not None and mg_capacity < min_k:
+        # below ceil(1/f)+1 the pigeonhole survival guarantee breaks and
+        # true heavy hitters can be silently dropped — refuse, don't lie
+        raise ValueError(
+            f"mg_capacity={mg_capacity} < {min_k} breaks the Misra-Gries "
+            f"candidate-superset guarantee for threshold {threshold_frac}"
+        )
+    k = mg_capacity or max(min_k, math.ceil(2.0 / threshold_frac))
 
     def mg_partition(batches):
         import pandas as pd
 
         counters: dict = {}
+        rows = 0
         for pdf in batches:
             for v in pdf[col]:
                 if v is None:
                     continue
+                rows += 1
                 if v in counters:
                     counters[v] += 1
                 elif len(counters) < k:
@@ -585,17 +597,25 @@ def heavy_hitters(
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        if counters:
-            yield pd.DataFrame({col: list(counters.keys())})
+        # one sentinel row (NULL value) carries the partition row count —
+        # the total N comes out of the same scan as the candidates
+        yield pd.DataFrame(
+            {col: list(counters.keys()) + [None], "_rows": [0] * len(counters) + [rows]}
+        )
 
     field = df.schema[col]
-    cands = (
-        df.select(col)
-        .mapInPandas(mg_partition, schema=f"{field.name} {field.dataType.simpleString()}")
-        .distinct()
+    summary = df.select(col).mapInPandas(
+        mg_partition,
+        schema=f"{field.name} {field.dataType.simpleString()}, _rows bigint",
     )
-    n = df.count()
-    thresh = int(math.ceil(threshold_frac * n))
+    # the summary is tiny (≤ k+1 rows per partition) — persist it so the
+    # candidate read reuses the counted scan instead of rerunning it
+    summary = summary.persist()
+    n = summary.agg(F.sum("_rows")).first()[0] or 0
+    cands = summary.filter(F.col(col).isNotNull()).select(col).distinct()
+    # exact threshold: ceil over DECIMAL, not IEEE double (0.07*100 in
+    # double is 7.000000000000001 → ceil 8, one row too many)
+    thresh = int(math.ceil(Decimal(str(threshold_frac)) * n))
     return (
         df.join(F.broadcast(cands), col, "left_semi")
         .groupBy(col)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -228,6 +229,19 @@ class MvccTable:
         os.makedirs(self.data_dir, exist_ok=True)
 
     # -- write path --------------------------------------------------------
+    def _abort_cleanup(self, ts: int) -> None:
+        """Physically remove everything written at an aborted ts. Visibility
+        alone does NOT protect aborted writes: the filter is `ts <=
+        watermark`, and a LATER commit raises the watermark past the
+        aborted ts — so its files must not survive the abort."""
+        for d in (
+            os.path.join(self.data_dir, f"_commit={ts}"),
+            os.path.join(self.delete_dir, f"_commit={ts}"),
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+        if self.manifest.exists():
+            self.manifest.remove_commits({ts})
+
     def insert(self, df: DataFrame, ts: int | None = None) -> int:
         """Append rows stamped with a fresh commit timestamp
         (≈ insertRecord: MemTable append + hidden ts). Returns the ts."""
@@ -235,22 +249,33 @@ class MvccTable:
         if ts is None:
             ctx = self.trans.begin_trans()
             ts = ctx.timestamp
-        out = df.withColumn(COMMIT_TS, F.lit(ts).cast("long"))
-        if self.indexed:
-            # cluster by key so each file covers a narrow, disjoint key
-            # range — what makes the per-file manifest selective
-            parts = [self.index_files] if self.index_files else []
-            out = out.repartitionByRange(*parts, self.key_col).sortWithinPartitions(
-                self.key_col
-            )
-        commit_dir = os.path.join(self.data_dir, f"_commit={ts}")
-        # evolve the persisted schema BEFORE the data lands: a crash between
-        # the two then leaves a wider schema with no data (harmless nulls),
-        # never a committed column the explicit-schema read would hide
-        self._evolve_schema(out.schema)
-        out.write.mode("overwrite").parquet(commit_dir)
-        if self.indexed:
-            self._index_commit(commit_dir, ts)
+        try:
+            out = df.withColumn(COMMIT_TS, F.lit(ts).cast("long"))
+            if self.indexed:
+                # cluster by key so each file covers a narrow, disjoint key
+                # range — what makes the per-file manifest selective
+                parts = [self.index_files] if self.index_files else []
+                out = out.repartitionByRange(
+                    *parts, self.key_col
+                ).sortWithinPartitions(self.key_col)
+            commit_dir = os.path.join(self.data_dir, f"_commit={ts}")
+            # evolve the persisted schema BEFORE the data lands: a crash
+            # between the two then leaves a wider schema with no data
+            # (harmless nulls), never a committed column the
+            # explicit-schema read would hide
+            self._evolve_schema(out.schema)
+            out.write.mode("overwrite").parquet(commit_dir)
+            if self.indexed:
+                self._index_commit(commit_dir, ts)
+        except BaseException:
+            # a failed insert (schema rejection, write error) must ABORT
+            # its transaction — a forever-pending ts would wedge the high
+            # watermark and hide every later committed insert — and remove
+            # any partial files at the aborted ts
+            if ctx is not None:
+                self._abort_cleanup(ts)
+                self.trans.abort_trans(ctx)
+            raise
         if ctx is not None:
             self.trans.commit_trans(ctx)
         return ts
@@ -290,8 +315,16 @@ class MvccTable:
         """UPDATE = delete old versions of the keys + insert new rows in one
         transaction (one commit ts), per the reference's CDC convention."""
         ctx = self.trans.begin_trans()
-        self.delete(df.select(self.key_col), ts=ctx.timestamp)
-        self.insert(df, ts=ctx.timestamp)
+        try:
+            self.delete(df.select(self.key_col), ts=ctx.timestamp)
+            self.insert(df, ts=ctx.timestamp)
+        except BaseException:
+            # remove the tombstones/data written at the aborted ts (a later
+            # commit would otherwise raise the watermark past it and expose
+            # them), then release the ts so the watermark is not wedged
+            self._abort_cleanup(ctx.timestamp)
+            self.trans.abort_trans(ctx)
+            raise
         self.trans.commit_trans(ctx)
         return ctx.timestamp
 
@@ -342,10 +375,15 @@ class MvccTable:
             inserts = unmatched if inserts is None else inserts.unionByName(unmatched)
 
         ctx = self.trans.begin_trans()
-        if del_keys is not None:
-            self.delete(del_keys, ts=ctx.timestamp)
-        if inserts is not None:
-            self.insert(inserts, ts=ctx.timestamp)
+        try:
+            if del_keys is not None:
+                self.delete(del_keys, ts=ctx.timestamp)
+            if inserts is not None:
+                self.insert(inserts, ts=ctx.timestamp)
+        except BaseException:
+            self._abort_cleanup(ctx.timestamp)
+            self.trans.abort_trans(ctx)
+            raise
         self.trans.commit_trans(ctx)
         return ctx.timestamp
 

@@ -72,7 +72,9 @@ def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", EVENT_TYPES)
         .agg(
             _dsum(F.col("value")).alias("value"),
-            F.count("value").alias("n"),
+            # count rows in the cell, not non-null values — must match the
+            # oracle's count(CASE WHEN type THEN 1 END) under NULL values
+            F.count(F.lit(1)).alias("n"),
         )
     )
     # Spark names pivot output `<value>_<aggalias>`; pin the same names in

@@ -584,9 +584,10 @@ def test_schema_evolution_add_column(spark, tmp_path):
     got = {r["id"]: (r["v"], r["tag"]) for r in t.read().collect()}
     assert got == {0: (0.0, None), 1: (10.0, None), 2: (20.0, None),
                    3: (30.0, None), 4: (40.0, "new"), 5: (50.0, "new")}
-    assert [f.name for f in t.persisted_schema().fields][:4] == [
-        "id", "v", "tag", "_commit_ts"
-    ] or "tag" in {f.name for f in t.persisted_schema().fields}
+    # evolved schema keeps first-seen order: base fields, then additions
+    assert [f.name for f in t.persisted_schema().fields] == [
+        "id", "v", "_commit_ts", "tag"
+    ]
     # time travel before the evolution still serves the evolved (latest)
     # schema — the old rows' new column is null
     old = t.read(snapshot_ts=ts2 - 1)
@@ -648,3 +649,21 @@ def test_secondary_range_lookup_matches_and_prunes(spark, tmp_path):
     assert set(narrow) <= set(all_files)
     with pytest.raises(ValueError, match="empty range"):
         idx.lookup_range(5, 2)
+
+
+def test_failed_insert_aborts_transaction(spark, tmp_path):
+    """A rejected schema evolution must ABORT its transaction — a
+    forever-pending ts would wedge the watermark and hide every later
+    committed insert."""
+    t = MvccTable(spark, str(tmp_path / "abort"), key_col="id")
+    t.insert(spark.range(2).select(F.col("id"), F.lit(1.0).alias("v")))
+    with pytest.raises(ValueError, match="schema evolution"):
+        t.insert(spark.range(2, 3).select(F.col("id"), F.lit("s").alias("v")))
+    t.insert(spark.range(2, 4).select(F.col("id"), F.lit(2.0).alias("v")))
+    assert t.read().count() == 4  # the later commit is visible
+
+    # update() with a bad schema change aborts its own ctx too
+    with pytest.raises(ValueError, match="schema evolution"):
+        t.update(spark.range(1).select(F.col("id"), F.lit("s").alias("v")))
+    t.insert(spark.range(4, 5).select(F.col("id"), F.lit(3.0).alias("v")))
+    assert t.read().count() == 5

@@ -174,3 +174,15 @@ def test_token_shards_are_contiguous_and_sized(spark, sf_dir):
         if sh != max(per):  # last shard may be short
             assert tot >= 500 - max_doc
         assert tot <= 500 + max_doc
+
+
+def test_stratified_sample_exact_ceil_quota(spark):
+    """Quota must be the exact ceil(frac*n): 100-row stratum at frac=0.07
+    yields exactly 7 rows (IEEE double would give 8)."""
+    from pixels_spark.functions.sampling import stratified_sample_exact
+
+    df = spark.range(100).select(
+        F.col("id"), F.lit("s").alias("grp")
+    )
+    out = stratified_sample_exact(df, ["grp"], 0.07, key_col="id")
+    assert out.count() == 7

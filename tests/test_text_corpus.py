@@ -347,3 +347,23 @@ def test_heavy_hitters_threshold_validation(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("w"))
     with pytest.raises(ValueError, match="threshold_frac"):
         T.heavy_hitters(df, "w", 0.0)
+
+
+def test_heavy_hitters_rejects_guarantee_breaking_capacity(spark):
+    import pandas as pd
+    import pytest
+
+    df = spark.createDataFrame(pd.DataFrame({"w": ["a"] * 10}))
+    with pytest.raises(ValueError, match="candidate-superset guarantee"):
+        T.heavy_hitters(df, "w", 0.05, mg_capacity=3)
+
+
+def test_heavy_hitters_exact_ceil_threshold(spark):
+    """100 rows at threshold 0.07: the quota is exactly 7, not the
+    IEEE-double ceil(7.000000000000001) = 8."""
+    import pandas as pd
+
+    rows = ["hot"] * 7 + [f"c{i}" for i in range(93)]
+    df = spark.createDataFrame(pd.DataFrame({"w": rows}))
+    got = {r["w"]: r["cnt"] for r in T.heavy_hitters(df, "w", 0.07).collect()}
+    assert got == {"hot": 7}
