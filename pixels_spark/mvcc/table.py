@@ -304,9 +304,19 @@ class MvccTable:
                 [(k,) for k in keys], [self.key_col]
             )
         out = kdf.withColumn(DELETED_TS, F.lit(ts).cast("long"))
-        out.write.mode("overwrite").parquet(
-            os.path.join(self.delete_dir, f"_commit={ts}")
-        )
+        try:
+            out.write.mode("overwrite").parquet(
+                os.path.join(self.delete_dir, f"_commit={ts}")
+            )
+        except BaseException:
+            # same contract as insert(): a failed tombstone write must abort
+            # its transaction (else the pending ts wedges the watermark) and
+            # remove partial tombstones at the aborted ts (else they become
+            # visible once a later commit raises the watermark past it)
+            if ctx is not None:
+                self._abort_cleanup(ts)
+                self.trans.abort_trans(ctx)
+            raise
         if ctx is not None:
             self.trans.commit_trans(ctx)
         return ts

