@@ -71,6 +71,10 @@ HEADLINE = (
     "ts_gap_fill",
     "txt_heavy_hitters",
     "funnel_signup_click_purchase",
+    # round 6: substring-span dedup + SCD2 history + approx quantile
+    "dedup_substring",
+    "mvcc_scd2",
+    "cb_approx_quantile",
 )
 
 

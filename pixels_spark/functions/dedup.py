@@ -832,3 +832,77 @@ class DedupRegistry:
             for d in batches:
                 shutil.rmtree(os.path.join(root, d))
             os.replace(tmp, os.path.join(root, f"batch={self.n_batches}"))
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup (cross-document duplicated spans)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated SUBSTRING spans: maximal word ranges
+    covered by ``width``-word windows whose text appears in at least
+    ``min_docs`` distinct documents.
+
+    This is substring-level dedup in the sense of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): document
+    dedup (exact/MinHash) misses boilerplate paragraphs repeated across
+    otherwise-distinct pages; span-level detection finds the repeated
+    regions themselves so a pipeline can cut them instead of dropping
+    whole documents. Returns (id, span_start, span_end, n_windows) with
+    word-index spans ``[span_start, span_end)``; overlapping/adjacent
+    duplicate windows are merged per document (gaps-and-islands).
+
+    Scale shape (the suffix-array of the paper replaced by the Spark-
+    native equivalent): positional window explode (rows = total words, the
+    same volume as any shingle pipeline) → md5(window) so the shuffle
+    carries 16-byte keys instead of raw text → one groupBy on the window
+    hash for the duplicate set → semi-join back (shuffle, the dup set can
+    exceed broadcast size at corpus scale) → per-doc window merge (one
+    narrow shuffle on the id). No pair expansion anywhere — cost is linear
+    in corpus words, and each stage is a single Exchange.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    d = df.select(F.col(id_col), toks.alias("_w")).filter(F.size("_w") >= width)
+    idx = F.sequence(F.lit(0), F.size("_w") - width)
+    wins = d.select(
+        id_col,
+        F.posexplode(
+            F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice("_w", i + 1, width))))
+        ).alias("pos", "_h"),
+    )
+    # lineage cut: `wins` feeds BOTH the duplicate-set aggregation and the
+    # hits side of the semi-join — without the cut the tokenize + window +
+    # md5 explode (the expensive part) runs twice (same rationale as
+    # ngram_jaccard_pairs)
+    wins = cut_lineage(spread(wins, id_col))
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    hits = wins.join(dup, "_h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= width, 0).otherwise(1),
+    ).withColumn(
+        "_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + width).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_grp")
+    )

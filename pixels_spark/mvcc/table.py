@@ -569,6 +569,72 @@ class MvccTable:
         """Snapshot read keeping only the newest visible version per key."""
         return self.latest_only(self.read(snapshot_ts))
 
+    def read_history(self, snapshot_ts: int | None = None) -> DataFrame:
+        """SCD Type 2 view of the FULL version history at ``snapshot_ts``:
+        every version ever committed (including ones superseded or hidden
+        by a delete — ``read()`` deliberately drops those) with
+
+        - ``valid_from_ts``  — the version's own commit ts;
+        - ``valid_to_ts``    — the earliest of the key's next version's
+          commit ts and the first tombstone STRICTLY after this version
+          (strict <, matching ``apply_delete_visibility``: an UPDATE's
+          delete+insert at one ts closes the old version at exactly the
+          new version's ts); NULL while the version is still open;
+        - ``is_current``     — valid_to_ts IS NULL.
+
+        This is the warehouse SCD2 materialization derived from the same
+        commit/tombstone log the CDC reader replays (the reference mirrors
+        transactions as delete+insert pairs, README.md:34-36) — no extra
+        bookkeeping at write time. Plan shape: one window over versions
+        per key + one aggregated tombstone join, both shuffling on the
+        key — the same cost as a latest-version read, scale-invariant.
+        """
+        from pyspark.sql.window import Window
+
+        if snapshot_ts is None:
+            snapshot_ts = self.trans.high_watermark
+        data = (
+            self._read_parquet(self.data_dir, base_path=self.data_dir)
+            .filter(F.col("_commit") <= snapshot_ts)
+            .drop("_commit")
+            .filter(F.col(COMMIT_TS) <= snapshot_ts)
+        )
+        nxt = F.lead(COMMIT_TS).over(
+            Window.partitionBy(self.key_col).orderBy(COMMIT_TS)
+        )
+        h = data.withColumn("_next_ts", nxt)
+        dels = self._deletes()
+        if dels is not None:
+            d = (
+                dels.filter(F.col("_commit") <= snapshot_ts)
+                .drop("_commit")
+                .filter(F.col(DELETED_TS) <= snapshot_ts)
+                .withColumnRenamed(self.key_col, "_del_key")
+            )
+            # earliest tombstone strictly after each (key, version) pair;
+            # computed on the slim (key, ts) projection so the wide value
+            # columns never enter the join/groupBy
+            slim = h.select(self.key_col, COMMIT_TS)
+            del_after = (
+                slim.join(
+                    d,
+                    (slim[self.key_col] == F.col("_del_key"))
+                    & (F.col(DELETED_TS) > slim[COMMIT_TS]),
+                    "left",
+                )
+                .groupBy(self.key_col, COMMIT_TS)
+                .agg(F.min(DELETED_TS).alias("_del_after"))
+            )
+            h = h.join(del_after, [self.key_col, COMMIT_TS], "left")
+        else:
+            h = h.withColumn("_del_after", F.lit(None).cast("long"))
+        return (
+            h.withColumn("valid_from_ts", F.col(COMMIT_TS))
+            .withColumn("valid_to_ts", F.least("_next_ts", "_del_after"))
+            .withColumn("is_current", F.col("valid_to_ts").isNull())
+            .drop("_next_ts", "_del_after")
+        )
+
     def compact_history(
         self, retain_ts: int | None = None, target_files: int | None = None
     ) -> list[int]:

@@ -601,3 +601,44 @@ def cb_pair_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "eid_bucket", "user_id")
         .limit(10)
     )
+
+
+@declare(
+    "cb_approx_quantile",
+    sql="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50_exact,
+           TRUE AS approx_within_bounds
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("aggregation", "approx", "quantile"),
+)
+def cb_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-percentile sketch, driver-checkable like
+    cb_approx_distinct: the KLL/GK-style sketch behind percentile_approx
+    differs across engines, so the query emits the EXACT interpolated
+    median (= DuckDB quantile_cont, bit-exact both engines) plus a
+    Spark-computed boolean asserting the approx median lands between the
+    exact 0.4 and 0.6 quantiles — with accuracy=1000 the sketch's rank
+    error is n/1000, far inside the +-0.1-rank band, at any scale factor.
+    At 100 TB the sketch is the survivor: exact percentiles need a full
+    sort per group; percentile_approx is one mergeable sketch per
+    partition."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5D)").alias("p50_exact"),
+            F.expr("percentile(value, 0.4D)").alias("_lo"),
+            F.expr("percentile(value, 0.6D)").alias("_hi"),
+            F.percentile_approx("value", 0.5, 1000).alias("_ap"),
+        )
+        .select(
+            "event_type",
+            "p50_exact",
+            (
+                (F.col("_ap") >= F.col("_lo")) & (F.col("_ap") <= F.col("_hi"))
+            ).alias("approx_within_bounds"),
+        )
+        .orderBy("event_type")
+    )

@@ -22,8 +22,10 @@ Cross-engine exactness (pinned empirically, tests/test_decimal.py):
   DECIMAL(38,15)), so averages are surfaced as DOUBLE on both sides.
 
 Output-boundary contract (FIXTURES.md §Decimal-hashing): every FINAL
-decimal column is surfaced as a STRING on both engines
-(``CAST(x AS STRING)`` / ``CAST(x AS VARCHAR)``) because the driver's
+decimal column is surfaced as a STRING on both engines — the SQL text
+says ``CAST(x AS STRING)``, which DuckDB aliases to VARCHAR and Spark SQL
+accepts natively (bare ``VARCHAR`` is Spark-invalid, which matters since
+these oracle texts are dialect-shared) — because the driver's
 value hasher canonicalizes decimals asymmetrically — a value with
 trailing fractional zeros (e.g. DECIMAL(38,4) ``1003322369.8990``)
 hashes differently per engine even when bit-identical (diagnosed
@@ -123,9 +125,9 @@ def load_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT m_flag,
            CAST(count(*) AS BIGINT) AS cnt,
-           CAST(CAST(sum(m_price) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
-           CAST(min(m_price) AS VARCHAR) AS min_price,
-           CAST(max(m_price) AS VARCHAR) AS max_price,
+           CAST(CAST(sum(m_price) AS DECIMAL(38,2)) AS STRING) AS sum_price,
+           CAST(min(m_price) AS STRING) AS min_price,
+           CAST(max(m_price) AS STRING) AS max_price,
            CAST(CAST(sum(m_price) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price
     FROM money GROUP BY m_flag ORDER BY m_flag
     """,
@@ -156,7 +158,7 @@ def dec_money_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT m_flag,
            CAST(CAST(sum(m_price * (CAST(1 AS DECIMAL(3,2)) - m_discount))
-                     AS DECIMAL(38,4)) AS VARCHAR) AS net_revenue
+                     AS DECIMAL(38,4)) AS STRING) AS net_revenue
     FROM money GROUP BY m_flag ORDER BY m_flag
     """,
     tags=("decimal", "aggregation", "scalar"),
@@ -192,7 +194,7 @@ def dec_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM money)
     SELECT b.band,
            CAST(count(*) AS BIGINT) AS cnt,
-           CAST(CAST(sum(m.m_price) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+           CAST(CAST(sum(m.m_price) AS DECIMAL(38,2)) AS STRING) AS sum_price
     FROM money m JOIN bands b ON m.m_qty = b.m_qty
     GROUP BY b.band ORDER BY b.band
     """,
@@ -229,9 +231,9 @@ def dec_qty_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_MONEY_ORACLE_CTE
     + """
     SELECT m_flag,
-           CAST(CAST(sum(m_fine) AS DECIMAL(38,10)) AS VARCHAR) AS sum_fine,
-           CAST(min(m_fine) AS VARCHAR) AS min_fine,
-           CAST(max(m_fine) AS VARCHAR) AS max_fine
+           CAST(CAST(sum(m_fine) AS DECIMAL(38,10)) AS STRING) AS sum_fine,
+           CAST(min(m_fine) AS STRING) AS min_fine,
+           CAST(max(m_fine) AS STRING) AS max_fine
     FROM money GROUP BY m_flag ORDER BY m_flag
     """,
     tags=("decimal", "aggregation", "long_decimal"),

@@ -753,3 +753,195 @@ def mvcc_secondary_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.index_commit(ts2)
     out = idx.lookup_range(40, 60).drop("_commit_ts").orderBy("event_id")
     return _finalize(out, work)
+
+
+def _ssj_sides(spark: SparkSession, sf_dir: str, work: str):
+    """views + purchases as two time-sliced file-stream sources.
+
+    Both sides slice at the SAME event-time midpoint with mtimes in time
+    order, so each micro-batch consumes one slice per side and the replay
+    is loss-free: after batch 1 the global watermark is
+    min(side maxima over slice 1) - delay; slice-2 events all sit above
+    the midpoint, so nothing arrives late, and any left row evicted from
+    the join state after batch 1 (view_ts + upper < wm = mid - delay)
+    provably cannot match a slice-2 right row (purchase_ts > mid).
+    """
+    e = load_table(spark, sf_dir, "events")
+    row = e.agg(F.min("ts").alias("a"), F.max("ts").alias("b")).first()
+    mid = row["a"] + (row["b"] - row["a"]) / 2
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    srcs = []
+    for sub, df, ts in (("v", v, "view_ts"), ("p", p, "purchase_ts")):
+        src = os.path.join(work, sub)
+        _write_slices(
+            [df.filter(F.col(ts) <= F.lit(mid)), df.filter(F.col(ts) > F.lit(mid))],
+            src,
+        )
+        srcs.append(
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+    return srcs
+
+
+_SSJ_CTES = """
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+      FROM events WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(ts AS TIMESTAMP) AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT v.user_id, v.view_id, v.view_ts,
+             p.purchase_id, p.purchase_ts, p.value
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.purchase_ts >= v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+"""
+
+
+@declare(
+    "stream_stream_join",
+    sql=_SSJ_CTES
+    + """
+    SELECT user_id, view_id, view_ts, purchase_id, purchase_ts, value
+    FROM m ORDER BY view_id, purchase_id
+    """,
+    tags=("streaming", "stream-stream-join", "interval-join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner interval join: purchases within 1 hour after a
+    view by the same user, joined while BOTH sides are live streams
+    (streaming/joins.py). Watermarks bound the two-sided join state, not
+    the results — inner matches emit as soon as both rows have arrived —
+    so the bounded replay equals the batch interval join exactly and the
+    oracle is plain SQL. Beyond-parity: the reference's streaming layer
+    (Retina) has no event-time join operator (SURVEY §2.9)."""
+    from ..streaming.joins import stream_interval_join
+
+    work = tempfile.mkdtemp(prefix="pxs_ssj_")
+    vs, ps = _ssj_sides(spark, sf_dir, work)
+    j = stream_interval_join(
+        vs, ps, "user_id", "view_ts", "purchase_ts", upper="1 hour", delay="2 hours"
+    )
+    out = _run_to_parquet(j, work, "ssj")
+    return _finalize(
+        spark.read.parquet(out).orderBy("view_id", "purchase_id"), work
+    )
+
+
+@declare(
+    "stream_stream_join_outer",
+    sql=_SSJ_CTES
+    + """
+    , wm AS (
+      SELECT least((SELECT date_trunc('milliseconds', max(view_ts)) FROM v),
+                   (SELECT date_trunc('milliseconds', max(purchase_ts)) FROM p))
+             - INTERVAL 2 HOUR AS w)
+    SELECT user_id, view_id, view_ts, purchase_id, purchase_ts, value FROM m
+    UNION ALL
+    SELECT v.user_id, v.view_id, v.view_ts,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts,
+           CAST(NULL AS DOUBLE) AS value
+    FROM v, wm
+    WHERE v.view_id NOT IN (SELECT view_id FROM m)
+      AND v.view_ts + INTERVAL 1 HOUR < wm.w
+    ORDER BY view_id, purchase_id
+    """,
+    tags=("streaming", "stream-stream-join", "interval-join", "outer"),
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: views with no purchase in
+    the hour emit null-extended ONCE the watermark proves no match can
+    still arrive (view_ts + upper < global watermark). The global
+    watermark is the MIN across both input streams
+    (multipleWatermarkPolicy=min) of floor-to-ms(max event time) - delay;
+    Spark finalizes the eviction in the trailing no-data micro-batch of
+    an availableNow run, so the emitted set is a pure function of
+    (data, interval, delay) — stated verbatim by the oracle's wm CTE,
+    same technique as stream_sessionize."""
+    from ..streaming.joins import stream_interval_join
+
+    work = tempfile.mkdtemp(prefix="pxs_ssjo_")
+    vs, ps = _ssj_sides(spark, sf_dir, work)
+    j = stream_interval_join(
+        vs,
+        ps,
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        upper="1 hour",
+        delay="2 hours",
+        how="leftOuter",
+    )
+    out = _run_to_parquet(j, work, "ssjo")
+    return _finalize(
+        spark.read.parquet(out).orderBy("view_id", "purchase_id"), work
+    )
+
+
+@declare(
+    "mvcc_scd2",
+    sql="""
+    WITH base AS (SELECT event_id, value FROM events WHERE event_id % 3 = 0),
+    v1 AS (
+      SELECT event_id, value, CAST(1 AS BIGINT) AS version_no,
+             (event_id % 6 <> 0 AND event_id % 9 <> 0) AS is_current
+      FROM base),
+    v2 AS (
+      SELECT event_id, value * 10 AS value, CAST(2 AS BIGINT) AS version_no,
+             (event_id % 9 <> 0) AS is_current
+      FROM base WHERE event_id % 6 = 0)
+    SELECT event_id, value, version_no, is_current FROM v1
+    UNION ALL
+    SELECT event_id, value, version_no, is_current FROM v2
+    ORDER BY event_id, version_no
+    """,
+    tags=("mvcc", "scd2", "history"),
+)
+def mvcc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history materialization from the MVCC commit/tombstone
+    log (MvccTable.read_history): insert events %3==0, MERGE-update the
+    %6==0 half (value x10), delete %9==0 — the history view must show
+    every version with a correct open/closed state: superseded v1 rows
+    closed at the update's ts, deleted keys' last versions closed at the
+    delete's ts, everything else current. Version ordinals replace raw
+    commit timestamps in the output (timestamps are runtime-assigned)."""
+    from pyspark.sql.window import Window
+
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_scd2_")
+    e = load_table(spark, sf_dir, "events")
+    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
+    table.insert(e.filter(F.col("event_id") % 3 == 0).select("event_id", "value"))
+    table.merge(
+        e.filter(F.col("event_id") % 6 == 0)
+        .select("event_id", (F.col("value") * 10).alias("value"))
+    )
+    table.delete(e.filter(F.col("event_id") % 9 == 0).select("event_id"))
+    hist = table.read_history()
+    out = hist.select(
+        "event_id",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_id").orderBy("valid_from_ts"))
+        .cast("bigint")
+        .alias("version_no"),
+        "is_current",
+    ).orderBy("event_id", "version_no")
+    return _finalize(out, work)

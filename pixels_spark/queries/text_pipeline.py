@@ -1176,3 +1176,40 @@ def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "c_xy", pmi.alias("pmi"))
         .orderBy("w1", "w2")
     )
+
+
+@declare(
+    "dedup_substring",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents),
+    d AS (SELECT doc_id, w FROM t WHERE len(w) >= 8),
+    wins AS (SELECT doc_id, unnest(generate_series(0, len(w) - 8)) AS pos, w FROM d),
+    winh AS (SELECT doc_id, pos, md5(array_to_string(w[pos+1:pos+8], ' ')) AS h
+             FROM wins),
+    dup AS (SELECT h FROM winh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM winh WHERE h IN (SELECT h FROM dup)),
+    isl AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                 THEN 0 ELSE 1 END AS newg FROM hits),
+    grp AS (SELECT doc_id, pos,
+            sum(newg) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+            FROM isl)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 8 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
+    """,
+    tags=("dedup", "substring", "spans"),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level dedup (Lee et al. 2022): maximal word spans covered
+    by 8-word windows that recur in >= 2 distinct documents — the repeated
+    boilerplate regions document-level dedup can't see. Fully oracled: the
+    SQL restates the positional-window pipeline (md5 window keys, distinct-
+    doc threshold, gaps-and-islands merge) verbatim."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicated_spans(d, "doc_id", "text", width=8, min_docs=2).orderBy(
+        "doc_id", "span_start"
+    )

@@ -734,3 +734,28 @@ def test_secondary_range_lookup_across_schema_evolution(spark, tmp_path):
         r["k"] for r in idx.lookup_range(2, 4, snapshot_ts=ts2 - 1).collect()
     )
     assert pre == list(range(20, 40))
+
+
+def test_read_history_scd2_view(spark, tmp_path):
+    """read_history: every version with [valid_from, valid_to) closure —
+    superseded versions close at the successor's ts, deleted keys close at
+    the tombstone's ts, open versions have NULL valid_to + is_current."""
+    t = MvccTable(spark, str(tmp_path / "scd2"), key_col="id")
+    ts1 = t.insert(spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["id", "v"]))
+    ts2 = t.update(spark.createDataFrame([(1, 11.0)], ["id", "v"]))
+    ts3 = t.delete([2])
+
+    h = {(r["id"], r["v"]): r for r in t.read_history().collect()}
+    assert len(h) == 4  # 3 v1 rows + 1 v2 row
+    # superseded: closed exactly at the update's commit ts
+    assert h[(1, 10.0)]["valid_to_ts"] == ts2 and not h[(1, 10.0)]["is_current"]
+    assert h[(1, 11.0)]["valid_to_ts"] is None and h[(1, 11.0)]["is_current"]
+    # deleted: closed at the tombstone's ts
+    assert h[(2, 20.0)]["valid_to_ts"] == ts3 and not h[(2, 20.0)]["is_current"]
+    # untouched: open since its insert
+    assert h[(3, 30.0)]["valid_from_ts"] == ts1 and h[(3, 30.0)]["is_current"]
+
+    # snapshot BEFORE the delete: key 2 still current
+    h2 = {r["id"]: r for r in t.read_history(snapshot_ts=ts3 - 1).collect()
+          if r["id"] == 2}
+    assert h2[2]["is_current"] and h2[2]["valid_to_ts"] is None
