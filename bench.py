@@ -150,6 +150,7 @@ def main() -> None:
     # one-off write jobs like LOAD; the timed dec_*/struct_* queries then
     # measure the query path against the materialized layout, not the build
     from pixels_spark.queries.decimalq import money_path
+    from pixels_spark.queries.streamq_stateful import mvcc_scd2
     from pixels_spark.queries.structq import ev_struct_path
     from pixels_spark.queries.vector_search import ensure_pq_index
 
@@ -158,6 +159,7 @@ def main() -> None:
     money_path(spark, staged_dir)
     ev_struct_path(spark, staged_dir)
     ensure_pq_index(spark, staged_dir)
+    mvcc_scd2(spark, staged_dir).count()  # stages the mutated MVCC table
     derived_build_sec = round(time.perf_counter() - t0, 4)
 
     # warm the JVM/catalyst once on a cheap query so per-query times measure

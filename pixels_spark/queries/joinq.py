@@ -174,3 +174,51 @@ def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key", "match_key")
     )
+
+
+@declare(
+    "join_skew_salted",
+    sql="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM (SELECT o_totalprice,
+                 CASE WHEN o_orderkey % 4 <> 0 THEN 0
+                      ELSE o_orderkey % 25 END AS skew_key
+          FROM orders) o
+    JOIN nation ON skew_key = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("join", "skew", "salted"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEWED fact-to-dim join through the explicit salting path: 3/4 of
+    all orders land on skew_key=0 (a single hot key that a plain shuffle
+    join would send to ONE reducer), joined to nation via salted_join —
+    the large side's key is salted across 16 buckets, the 25-row dim is
+    replicated per salt, and the result provably equals the unsalted
+    join (the oracle states the plain join). This is the pre-planned
+    remedy for skew AQE can't split (e.g. under a window); AQE skew-join
+    handles the rest at runtime (session.py)."""
+    from ..operators.joins import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 4 != 0, F.lit(0))
+        .otherwise(F.col("o_orderkey") % 25)
+        .alias("skew_key"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("skew_key"), "n_name"
+    )
+    joined = salted_join(o, n, "skew_key", salt_buckets=16)
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("n_name")
+    )

@@ -115,3 +115,62 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
     )
     return c.subtract(o).orderBy("custkey")
+
+
+@declare(
+    "setop_intersect_all",
+    sql="""
+    SELECT custkey, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+      INTERSECT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '1%'
+    ) t GROUP BY custkey ORDER BY custkey
+    """,
+    tags=("set_op", "bag_semantics"),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — each custkey kept min(m, n) times,
+    unlike INTERSECT's distinct): completes the set-op family. Output is
+    folded through a count so the multiplicity itself is what the oracle
+    checks."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority").like("1%")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        a.intersectAll(b)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("custkey")
+    )
+
+
+@declare(
+    "setop_except_all",
+    sql="""
+    SELECT custkey, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    ) t GROUP BY custkey ORDER BY custkey
+    """,
+    tags=("set_op", "bag_semantics"),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — each custkey kept max(m - n, 0) times):
+    the multiplicity-preserving difference, checked through per-key
+    counts."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        a.exceptAll(b)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("custkey")
+    )

