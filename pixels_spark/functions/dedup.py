@@ -861,11 +861,15 @@ def duplicated_spans(
     Scale shape (the suffix-array of the paper replaced by the Spark-
     native equivalent): positional window explode (rows = total words, the
     same volume as any shingle pipeline) → md5(window) so the shuffle
-    carries 16-byte keys instead of raw text → one groupBy on the window
-    hash for the duplicate set → semi-join back (shuffle, the dup set can
-    exceed broadcast size at corpus scale) → per-doc window merge (one
-    narrow shuffle on the id). No pair expansion anywhere — cost is linear
-    in corpus words, and each stage is a single Exchange.
+    carries 16-byte keys instead of raw text → distinct-doc counts via two
+    stacked window functions over ONE hash-keyed Exchange (a first-
+    occurrence flag per (hash, doc) summed per hash) — no self-join, no
+    lineage cut, no duplicate-set broadcast, and per-row state only (both
+    windows are sort-based streaming aggregates, so a boilerplate window
+    shared by a billion docs costs nothing extra, where a collect_set
+    would blow up) → per-doc span merge (one narrow shuffle on the id).
+    No pair expansion anywhere — cost is linear in corpus words: exactly
+    two Exchanges and one tokenize pass (plan-asserted in tests).
     """
     from pyspark.sql.window import Window
 
@@ -878,18 +882,19 @@ def duplicated_spans(
             F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice("_w", i + 1, width))))
         ).alias("pos", "_h"),
     )
-    # lineage cut: `wins` feeds BOTH the duplicate-set aggregation and the
-    # hits side of the semi-join — without the cut the tokenize + window +
-    # md5 explode (the expensive part) runs twice (same rationale as
-    # ngram_jaccard_pairs)
-    wins = cut_lineage(spread(wins, id_col))
-    dup = (
-        wins.groupBy("_h")
-        .agg(F.countDistinct(id_col).alias("_nd"))
+    # distinct docs per hash without countDistinct-join: flag the first
+    # row of each (hash, doc) group, then sum flags per hash. Both windows
+    # cluster on _h, so Catalyst plans ONE Exchange + two sorts.
+    w_doc = Window.partitionBy("_h", id_col).orderBy("pos")
+    w_h = Window.partitionBy("_h")
+    hits = (
+        wins.withColumn(
+            "_first", (F.row_number().over(w_doc) == 1).cast("int")
+        )
+        .withColumn("_nd", F.sum("_first").over(w_h))
         .filter(F.col("_nd") >= min_docs)
-        .select("_h")
+        .drop("_first", "_nd")
     )
-    hits = wins.join(dup, "_h", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = hits.withColumn(
         "_new",

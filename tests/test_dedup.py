@@ -352,3 +352,19 @@ def test_duplicated_spans_matches_bruteforce(spark):
 
     assert got == brute()
     assert 3 not in got
+
+
+def test_duplicated_spans_plan_shape(spark, sf_dir):
+    """Scale contract from the docstring: one tokenize pass (single
+    FileScan), no self-join (window-based distinct-doc counting), and the
+    two windows share one hash-keyed Exchange."""
+    import re
+
+    from pixels_spark.catalog import load_table
+    from pixels_spark.functions.dedup import duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = duplicated_spans(d, width=8)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan", plan)) == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange", plan)) <= 3
