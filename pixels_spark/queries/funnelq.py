@@ -59,42 +59,62 @@ from .registry import declare
 )
 def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel (signup -> first later click -> first later
-    purchase) per user, with the stage reached. Three type-pruned scans;
-    every post-aggregate join is broadcast-sized."""
+    purchase) per user, with the stage reached.
+
+    ONE scan, one user-keyed Exchange: two stacked running-min windows
+    over a strictly-earlier RANGE frame (µs-long event time, so same-ts
+    ties are excluded deterministically — matching the oracle's strict
+    ``ts >`` joins) mark each click that has an earlier signup and each
+    purchase that has an earlier qualifying click; a final conditional
+    aggregate takes the three firsts. Equivalent to the 3-subquery oracle:
+    a click qualifies iff an earlier signup exists iff
+    click_ts > min(signup_ts), and likewise for purchases over qualifying
+    clicks. The previous shape (3 type-pruned scans + 2 join-aggregate
+    chains + 2 left joins) read events three times and shuffled five; this
+    reads once and shuffles once — the shape that matters when events is
+    the 100 TB table."""
+    from pyspark.sql.window import Window
+
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    su = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+    tpe = F.col("event_type")
+    e = e.withColumn("_tsu", F.unix_micros(F.col("ts")))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("_tsu")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    cl = (
-        e.filter(F.col("event_type") == "click")
-        .join(su, "user_id")
-        .filter(F.col("ts") > F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
+    e = e.withColumn(
+        "_run_su", F.min(F.when(tpe == "signup", F.col("_tsu"))).over(w_prev)
     )
-    pu = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(cl, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    e = e.withColumn(
+        "_run_cl",
+        F.min(
+            F.when((tpe == "click") & F.col("_run_su").isNotNull(), F.col("_tsu"))
+        ).over(w_prev),
+    )
+    agg = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.when(tpe == "signup", F.col("ts"))).alias("signup_ts"),
+            F.min(
+                F.when((tpe == "click") & F.col("_run_su").isNotNull(), F.col("ts"))
+            ).alias("click_ts"),
+            F.min(
+                F.when(
+                    (tpe == "purchase") & F.col("_run_cl").isNotNull(), F.col("ts")
+                )
+            ).alias("purchase_ts"),
+        )
+        .filter(F.col("signup_ts").isNotNull())
     )
     stage = (
         F.lit(1)
         + F.col("click_ts").isNotNull().cast("int")
         + F.col("purchase_ts").isNotNull().cast("int")
     ).cast("bigint")
-    return (
-        su.join(cl, "user_id", "left")
-        .join(pu, "user_id", "left")
-        .select(
-            "user_id", "signup_ts", "click_ts", "purchase_ts",
-            stage.alias("stage"),
-        )
-        .orderBy("user_id")
-    )
+    return agg.select(
+        "user_id", "signup_ts", "click_ts", "purchase_ts", stage.alias("stage")
+    ).orderBy("user_id")
 
 
 @declare(
