@@ -71,10 +71,12 @@ HEADLINE = (
     "ts_gap_fill",
     "txt_heavy_hitters",
     "funnel_signup_click_purchase",
-    # round 6: substring-span dedup + SCD2 history + approx quantile
+    # round 6: substring-span dedup + SCD2 history + approx quantile +
+    # windowFunnel (single-scan stacked-window chain detection)
     "dedup_substring",
     "mvcc_scd2",
     "cb_approx_quantile",
+    "cb_window_funnel",
 )
 
 

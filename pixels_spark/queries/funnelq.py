@@ -6,13 +6,13 @@ operator for — both are expressible as ordinary joins + aggregates, so
 each stays one declarative Catalyst plan.
 
 Scale notes (100 TB of events):
-- The funnel makes three event_type-filtered scans; each pushes its
-  type predicate into the parquet scan (row-group stat skipping on a
-  type-clustered layout), and every join after the first aggregate is
-  per-user-aggregate sized — AQE broadcasts them. The alternative
-  single-scan form (collect ts arrays per user) shuffles ALL events by
-  user; three pruned scans beat one full shuffle when the funnel's event
-  types are a fraction of the stream.
+- Both funnels are ONE scan + one user-keyed Exchange: stacked
+  running-min/max windows over a strictly-earlier range frame carry
+  exactly the per-user chain state a sequential scan would (per-row
+  state, no arrays collected), then a conditional aggregate finishes.
+  The windows are sort-based streaming aggregates, so a user with a
+  billion events costs memory O(1), and the single shuffle replaces the
+  three type-pruned scans + five shuffles of the join-chain formulation.
 - Retention shuffles (user, day) pairs twice (cohort min + distinct
   activity), both already reduced to per-user-day granularity map-side.
 """
@@ -154,4 +154,97 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
+    )
+
+
+@declare(
+    "cb_window_funnel",
+    sql="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    su AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'),
+    l2 AS (SELECT DISTINCT c.user_id
+           FROM e c JOIN e s ON s.user_id = c.user_id
+           WHERE s.event_type = 'signup' AND c.event_type = 'click'
+             AND s.ts < c.ts AND c.ts <= s.ts + INTERVAL 24 HOURS),
+    l3 AS (SELECT DISTINCT p.user_id
+           FROM e p JOIN e c ON c.user_id = p.user_id
+                    JOIN e s ON s.user_id = p.user_id
+           WHERE s.event_type = 'signup' AND c.event_type = 'click'
+             AND p.event_type = 'purchase'
+             AND s.ts < c.ts AND c.ts < p.ts
+             AND p.ts <= s.ts + INTERVAL 24 HOURS),
+    lv AS (SELECT u.user_id,
+                  1 + (CASE WHEN u.user_id IN (SELECT user_id FROM l2)
+                            THEN 1 ELSE 0 END)
+                    + (CASE WHEN u.user_id IN (SELECT user_id FROM l3)
+                            THEN 1 ELSE 0 END) AS funnel_level
+           FROM su u)
+    SELECT CAST(funnel_level AS BIGINT) AS funnel_level,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY funnel_level ORDER BY funnel_level
+    """,
+    tags=("funnel", "behavioral", "window_funnel", "events"),
+)
+def cb_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel (ClickHouse-style): per user, the deepest
+    signup→click→purchase chain whose TOTAL span fits a 24 h window —
+    unlike the global funnel, every step must happen within the window of
+    the chain's first step.
+
+    One scan, one user-keyed Exchange, like the global funnel: the key
+    identity is that a purchase completes a chain iff
+    max over earlier clicks of (latest signup before that click)
+    >= purchase_ts - W — so two stacked running-max windows carry exactly
+    the chain state a per-user sequential scan would, with per-row state
+    only. The oracle states the EXISTS-chain semantics via self-joins
+    (fine at oracle scale; the windowed form is the one that scales).
+    Level monotonicity (a level-3 chain's click is itself a level-2
+    witness) makes 1 + l2 + l3 the max level reached."""
+    from pyspark.sql.window import Window
+
+    W_US = 24 * 3600 * 1_000_000
+    tpe = F.col("event_type")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .withColumn("_tsu", F.unix_micros(F.col("ts")))
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("_tsu")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    e = e.withColumn(
+        "_lsu", F.max(F.when(tpe == "signup", F.col("_tsu"))).over(w_prev)
+    )
+    e = e.withColumn(
+        "_best", F.max(F.when(tpe == "click", F.col("_lsu"))).over(w_prev)
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.when(tpe == "signup", 1).otherwise(0)).alias("_has_su"),
+            F.max(
+                F.when(
+                    (tpe == "click") & (F.col("_lsu") >= F.col("_tsu") - W_US), 1
+                ).otherwise(0)
+            ).alias("_l2"),
+            F.max(
+                F.when(
+                    (tpe == "purchase") & (F.col("_best") >= F.col("_tsu") - W_US), 1
+                ).otherwise(0)
+            ).alias("_l3"),
+        )
+        .filter(F.col("_has_su") == 1)
+    )
+    return (
+        per_user.select(
+            (F.lit(1) + F.col("_l2") + F.col("_l3"))
+            .cast("bigint")
+            .alias("funnel_level")
+        )
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_level")
     )

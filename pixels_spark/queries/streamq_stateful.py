@@ -967,3 +967,82 @@ def mvcc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("version_no"),
         "is_current",
     ).orderBy("event_id", "version_no")
+
+
+@declare(
+    "stream_static_enrich",
+    sql="""
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment, e.event_type
+    ORDER BY segment, e.event_type
+    """,
+    tags=("streaming", "stream-static-join", "enrichment"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join — the third Structured Streaming join
+    class after stream-stream and the batch surface: the live events feed
+    joins the static customer dimension (re-planned per micro-batch, so a
+    dim refresh between batches is picked up automatically; Spark
+    broadcasts the small side), then rolls up per (segment, type). No
+    watermark needed — the static side is not stateful. The replayed
+    bounded stream must equal the plain batch join the oracle states.
+
+    100 TB shape: the dim broadcast is per-micro-batch, so keep dims
+    broadcast-sized or pre-bucket both sides; the aggregate runs in update
+    mode with per-key state = output cardinality (segments × types)."""
+    work = tempfile.mkdtemp(prefix="pxs_sse_")
+    src = os.path.join(work, "src")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(((F.min("event_id") + F.max("event_id")) / 2).alias("m")).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = (
+        stream.join(cust, "user_id")  # stream-static: planned per batch
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+        )
+    )
+    # unique sink name: the memory sink registers a session-global temp
+    # view, and a concurrent run (pytest alongside driver verify) would
+    # otherwise collide on it
+    sink = f"pxs_sse_{os.path.basename(work).rsplit('_', 1)[-1]}"
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(work, "ck_sse"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_static_enrich did not finish in 600s")
+    res = (
+        spark.table(sink)
+        .select(
+            "segment",
+            "event_type",
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+        .orderBy("segment", "event_type")
+    )
+    final = _finalize(res, work)
+    spark.catalog.dropTempView(sink)
+    return final

@@ -61,6 +61,7 @@ DIALECT_SHARED = [
     # round 6
     "setop_intersect_all", "setop_except_all", "mvcc_scd2",
     "stream_stream_join", "join_skew_salted", "cb_approx_distinct",
+    "stream_static_enrich", "cb_window_funnel",
 ]
 
 

@@ -431,3 +431,52 @@ def test_bounded_dedup_exact_with_state_eviction(spark, sf_dir):
     # assert a hard bound well under "remember everything"
     assert max(state_rows) < n_events, (max(state_rows), n_events)
     assert state_rows[-1] < 0.8 * n_events, (state_rows[-1], n_events)
+
+
+def test_stream_interval_join_boundaries(spark, tmp_path):
+    """Crafted boundary cases for the stream-stream interval join: a right
+    event exactly at left_ts + upper is INCLUDED (<=), one microsecond
+    later is excluded, one at left_ts exactly is included (>=), and keys
+    never cross."""
+    import datetime as dt
+    import os
+
+    from pixels_spark.streaming.joins import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    views = [(1, 10, t0), (2, 11, t0)]
+    purchases = [
+        (1, 100, t0),            # == view_ts          -> included
+        (1, 101, t0 + h),        # == view_ts + upper  -> included
+        (1, 102, t0 + h + us),   # 1 µs past the bound -> excluded
+        (2, 103, t0 - us),       # before the view     -> excluded
+        (3, 104, t0),            # no matching key     -> excluded
+    ]
+    vdf = spark.createDataFrame(views, "user_id long, view_id long, view_ts timestamp")
+    pdf = spark.createDataFrame(
+        purchases, "user_id long, purchase_id long, purchase_ts timestamp"
+    )
+    vsrc, psrc = str(tmp_path / "v"), str(tmp_path / "p")
+    vdf.coalesce(1).write.parquet(vsrc)
+    pdf.coalesce(1).write.parquet(psrc)
+    vs = spark.readStream.schema(vdf.schema).parquet(vsrc)
+    ps = spark.readStream.schema(pdf.schema).parquet(psrc)
+    j = stream_interval_join(
+        vs, ps, "user_id", "view_ts", "purchase_ts", upper="1 hour", delay="1 hour"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        (r["view_id"], r["purchase_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(10, 100), (10, 101)]
