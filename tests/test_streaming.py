@@ -480,3 +480,85 @@ def test_stream_interval_join_boundaries(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [(10, 100), (10, 101)]
+
+
+def test_streaming_restart_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Recovery parity (≈ RecoveryCheckpoint.java, SURVEY §2.9): a
+    streaming ingest stopped after half the feed and RESTARTED with the
+    same checkpoint must emit every event exactly once — the checkpoint's
+    source offsets prevent both replay (duplicates) and loss."""
+    import os
+
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(((F.min("event_id") + F.max("event_id")) / 2).alias("m")).first()["m"]
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    # phase 1: first half only
+    e.filter(F.col("event_id") <= half).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == e.filter(F.col("event_id") <= half).count()
+
+    # phase 2: second half lands, a NEW query restarts from the checkpoint
+    e.filter(F.col("event_id") > half).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out)
+    assert got.count() == e.count()  # no loss...
+    assert got.select("event_id").distinct().count() == e.count()  # ...no replay
+
+
+def test_stateful_dedup_state_survives_restart(spark, sf_dir, tmp_path):
+    """The dedup STATE STORE must survive a restart: duplicates of
+    phase-1 events arriving after the restart are suppressed by state
+    recovered from the checkpoint, not by luck."""
+    import os
+
+    from pixels_spark.streaming.ingest import dedup_stream
+
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(((F.min("event_id") + F.max("event_id")) / 2).alias("m")).first()["m"]
+    first = e.filter(F.col("event_id") <= half)
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = dedup_stream(stream, ["event_id"], watermark_delay="365 days")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    first.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # restart: the SAME phase-1 events arrive again, plus the second half
+    first.coalesce(1).write.mode("append").parquet(src)
+    e.filter(F.col("event_id") > half).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out)
+    assert got.count() == e.count()
+    assert got.select("event_id").distinct().count() == e.count()
