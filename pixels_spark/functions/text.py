@@ -630,3 +630,41 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= thresh)
     )
+
+
+def chunk_tokens(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 64,
+    stride: int = 48,
+):
+    """Overlapping token-window chunking — the RAG / long-context training
+    chunker: each document becomes ceil(max(n - width, 0) / stride) + 1
+    chunks of ``width`` whitespace tokens starting every ``stride`` tokens
+    (overlap = width - stride; the final chunk may be shorter).
+
+    Returns (id, chunk_idx, n_tokens, chunk_text). Pure ``F.*`` map-side
+    transform + explode — no shuffle at all; chunk volume is
+    corpus_tokens/stride rows, the same order as any shingle pipeline.
+    """
+    if not 0 < stride <= width:
+        raise ValueError(f"need 0 < stride <= width, got {stride} > {width}")
+    toks = tokens(F.col(text_col))
+    d = df.select(
+        F.col(id_col), toks.alias("_w"), F.size(toks).alias("_n")
+    )
+    kmax = F.greatest(F.ceil((F.col("_n") - width) / F.lit(float(stride))), F.lit(0))
+    chunks = d.select(
+        id_col,
+        "_n",
+        "_w",
+        F.posexplode(F.sequence(F.lit(0), kmax.cast("int"))).alias("chunk_idx", "_i"),
+    )
+    start = F.col("_i") * stride
+    return chunks.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(width), F.col("_n") - start).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("_w", start + 1, width)).alias("chunk_text"),
+    )

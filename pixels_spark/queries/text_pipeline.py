@@ -1213,3 +1213,36 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_spans(d, "doc_id", "text", width=8, min_docs=2).orderBy(
         "doc_id", "span_start"
     )
+
+
+@declare(
+    "txt_chunk_overlap",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents),
+    d AS (SELECT doc_id, w, len(w) AS n FROM t),
+    k AS (SELECT doc_id, w, n,
+             CAST(greatest(ceil((n - 64) / 48.0), 0) AS INT) AS kmax FROM d),
+    c AS (SELECT doc_id, n, w, unnest(generate_series(0, kmax)) AS i FROM k)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(least(64, n - i*48) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "chunking"),
+)
+def txt_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (width 64, stride 48 — 16-token
+    overlap), the standard preprocessing for RAG indexing and long-context
+    training. Chunk text is surfaced as md5 so the oracle compares every
+    chunk's exact content without hauling full text through the hash
+    boundary. Map-side only — no shuffle (the ORDER BY is the driver
+    determinism contract, not part of the operator)."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = T.chunk_tokens(d, "doc_id", "text", width=64, stride=48)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

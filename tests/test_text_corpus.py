@@ -378,3 +378,33 @@ def test_heavy_hitters_numeric_nulls_skipped(spark):
     # N must be 45 (non-null rows): 1 appears 40/45 = 89% -> kept;
     # if NaN were counted N=100 and 1 at 40% would be wrongly dropped
     assert got == {1.0: 40}
+
+
+def test_chunk_tokens_shapes(spark):
+    """Chunking edges: short doc -> one whole-doc chunk; exact-width doc ->
+    one chunk; width+1 tokens -> two chunks with the overlap contract;
+    stride == width -> disjoint tiling; invalid stride rejected."""
+    import pytest
+
+    docs = [
+        (1, "a b c"),                       # shorter than width
+        (2, " ".join(f"t{i}" for i in range(8))),    # exact width
+        (3, " ".join(f"t{i}" for i in range(9))),    # width + 1
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["doc_id"], r["chunk_idx"]): r
+           for r in T.chunk_tokens(df, width=8, stride=6).collect()}
+    assert got[(1, 0)]["n_tokens"] == 3 and got[(1, 0)]["chunk_text"] == "a b c"
+    assert got[(2, 0)]["n_tokens"] == 8 and (2, 1) not in got
+    # 9 tokens, stride 6: chunks at 0 (8 tokens) and 6 (3 tokens)
+    assert got[(3, 0)]["chunk_text"].split() == [f"t{i}" for i in range(8)]
+    assert got[(3, 1)]["chunk_text"].split() == ["t6", "t7", "t8"]
+    assert got[(3, 1)]["n_tokens"] == 3
+
+    # stride == width -> disjoint cover
+    tiles = T.chunk_tokens(df.filter("doc_id = 3"), width=3, stride=3).collect()
+    texts = [r["chunk_text"] for r in sorted(tiles, key=lambda r: r["chunk_idx"])]
+    assert " ".join(texts).split() == [f"t{i}" for i in range(9)]
+
+    with pytest.raises(ValueError, match="stride"):
+        T.chunk_tokens(df, width=4, stride=5)
