@@ -69,6 +69,7 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
         temporalq,
         text_pipeline,
         tpch,
+        tpch_ps,
         vector_search,
         windowq,
     )
