@@ -37,20 +37,36 @@ def load_table(
     encoding_level: int = 2,
     row_group_bytes: int | None = None,
     pixels_types: dict[str, str] | None = None,
+    source_format: str = "csv",
 ) -> DataFrame:
-    """Parse delimited text at ``source`` and write a columnar table at
-    ``dest``. Returns the written DataFrame (re-read from dest).
+    """Parse ``source`` and write a columnar table at ``dest``. Returns
+    the written DataFrame (re-read from dest).
+
+    ``source_format``: ``csv`` (the reference's LOAD surface —
+    pixels-cli Main.java:137-191 takes delimited text only), or
+    beyond-parity ``json`` (NDJSON, one object per line — the usual
+    LLM-corpus interchange format) / ``parquet`` (re-layout an existing
+    columnar dataset through the same row-group sizing + truncation
+    path). All formats parse executor-parallel with the explicit schema
+    (no inference pass over 100 TB).
 
     ``pixels_types`` (column → Pixels type string) enables writer-side
     CHAR/VARCHAR/BINARY length truncation per the reference writer's
     convention (see ``truncate_to_lengths``); use ``truncation_counts``
     for the numTruncated audit."""
-    reader = (
-        spark.read.option("delimiter", delimiter)
-        .option("header", str(header).lower())
-        .schema(schema)
-    )
-    df = reader.csv(source)
+    if source_format == "csv":
+        df = (
+            spark.read.option("delimiter", delimiter)
+            .option("header", str(header).lower())
+            .schema(schema)
+            .csv(source)
+        )
+    elif source_format == "json":
+        df = spark.read.schema(schema).json(source)
+    elif source_format == "parquet":
+        df = spark.read.schema(schema).parquet(source)
+    else:
+        raise ValueError(f"unsupported source_format {source_format!r}")
     if pixels_types:
         df = truncate_to_lengths(df, pixels_types)
     writer = df if files_per_load is None else df.repartition(files_per_load)

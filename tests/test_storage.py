@@ -274,3 +274,35 @@ def test_footer_min_max_count_matches_scan(spark, sf_dir):
     assert got["l_orderkey"]["min"] == row[2]
     assert got["l_orderkey"]["max"] == row[3]
     assert got["l_quantity"]["count"] == row[4]
+
+
+def test_load_json_and_parquet_sources(spark, sf_dir, tmp_path):
+    """Beyond-parity LOAD formats: NDJSON (the LLM-corpus interchange
+    format) and parquet re-layout run through the same schema'd parse +
+    row-group-sized write path as CSV."""
+    src_df = load_table(spark, sf_dir, "supplier")
+    want = {tuple(r) for r in src_df.collect()}
+
+    json_dir = str(tmp_path / "src_json")
+    src_df.write.mode("overwrite").json(json_dir)
+    out_j = load.load_table(
+        spark, json_dir, str(tmp_path / "t_json"), SCHEMAS["supplier"],
+        source_format="json", files_per_load=2,
+    )
+    assert {tuple(r) for r in out_j.collect()} == want
+
+    pq_dir = str(tmp_path / "src_pq")
+    src_df.write.mode("overwrite").parquet(pq_dir)
+    out_p = load.load_table(
+        spark, pq_dir, str(tmp_path / "t_pq"), SCHEMAS["supplier"],
+        source_format="parquet",
+    )
+    assert {tuple(r) for r in out_p.collect()} == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="source_format"):
+        load.load_table(
+            spark, pq_dir, str(tmp_path / "t_x"), SCHEMAS["supplier"],
+            source_format="avro",
+        )
