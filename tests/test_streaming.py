@@ -562,3 +562,89 @@ def test_stateful_dedup_state_survives_restart(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == e.count()
     assert got.select("event_id").distinct().count() == e.count()
+
+
+def test_stream_interval_join_state_bounded_by_watermark(spark, sf_dir, tmp_path):
+    """The interval join's two-sided state must be EVICTED by the
+    watermark, not grow with the stream: replaying events in 4 time-ordered
+    slices per side with a short delay, the join state row count stays
+    well below the total buffered-forever size, while the inner result
+    still equals the batch interval join exactly."""
+    import os
+
+    from pixels_spark.streaming.joins import stream_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    row = e.agg(F.min("ts").alias("a"), F.max("ts").alias("b")).first()
+    span = row["b"] - row["a"]
+    delay_s = max(1, int(span.total_seconds()) // 8)
+    n_slices = 4
+    bounds = [row["a"] + (span * i) / n_slices for i in range(1, n_slices)]
+
+    def side(tpe, idc, tsc, extra):
+        df = e.filter(F.col("event_type") == tpe).select(
+            "user_id", F.col("event_id").alias(idc), F.col("ts").alias(tsc), *extra
+        )
+        src = str(tmp_path / tpe)
+        lo = None
+        slices = []
+        for hi in [*bounds, None]:
+            cond = F.lit(True) if lo is None else (F.col(tsc) > F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(tsc) <= F.lit(hi))
+            slices.append(df.filter(cond))
+            lo = hi
+        from pixels_spark.queries.streamq_stateful import _write_slices
+
+        _write_slices(slices, src)
+        return df, (
+            spark.readStream.schema(slices[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    vdf, vs = side("view", "view_id", "view_ts", [])
+    pdf, ps = side("purchase", "purchase_id", "purchase_ts", ["value"])
+    j = stream_interval_join(
+        vs, ps, "user_id", "view_ts", "purchase_ts",
+        upper="1 hour", delay=f"{delay_s} seconds",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    progress = [p for p in q.recentProgress if p is not None]
+
+    # correctness: inner results == batch interval join
+    batch = (
+        vdf.alias("v")
+        .join(
+            pdf.alias("p"),
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("view_id", "purchase_id")
+    )
+    got = sorted((r["view_id"], r["purchase_id"])
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r["view_id"], r["purchase_id"]) for r in batch.collect())
+    assert got == want
+
+    # state bound: final state rows well under both sides buffered forever
+    state_rows = [
+        op["numRowsTotal"]
+        for p in progress
+        for op in p.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows, "no state metrics captured"
+    total_both_sides = vdf.count() + pdf.count()
+    assert state_rows[-1] < 0.8 * total_both_sides, (
+        state_rows[-1], total_both_sides,
+    )
