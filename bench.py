@@ -77,6 +77,8 @@ HEADLINE = (
     "mvcc_scd2",
     "cb_approx_quantile",
     "cb_window_funnel",
+    # round 6 wave 7: real-partsupp Q11 (full reference shape)
+    "tpch_q11_ps",
 )
 
 
