@@ -668,3 +668,102 @@ def chunk_tokens(
         F.least(F.lit(width), F.col("_n") - start).cast("bigint").alias("n_tokens"),
         F.concat_ws(" ", F.slice("_w", start + 1, width)).alias("chunk_text"),
     )
+
+
+def kl_drift_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift per group: KL(p_group || p_corpus) over add-one
+    smoothed unigram distributions — the standard check that one slice of
+    a training corpus (a crawl snapshot, a source domain) has not drifted
+    from the corpus mixture.
+
+    Exact-over-vocabulary KL WITHOUT a vocab × group cross join: the
+    absent-word mass has the closed form
+
+        sum_absent p ln(p/q) = (1/(Ng+V)) * [-(V-Vg) ln(Ng+V) - (G - S2)]
+
+    where G = sum over the vocab of ln q(w) and S2 the same sum over the
+    group's present words — so one global aggregate plus per-group
+    present-word aggregates cover the full vocabulary. Per-term log values
+    are quantized to DECIMAL(18,9) before summing (order-independent,
+    exactly oracled, same convention as unigram_lm_scores); the final
+    assembly is a deterministic double expression stated identically in
+    the oracle SQL.
+
+    Scale: tokenize-explode (map-side) -> one groupBy(tok) for the vocab,
+    one groupBy(group, tok), one groupBy(group); the vocab stats join on
+    the token key and the two scalar rows broadcast. Nothing is
+    quadratic in vocabulary or group count.
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    corpus = vocab.agg(
+        F.sum("_c").alias("_N"),
+        F.count(F.lit(1)).alias("_V"),
+    )
+    # ln q(w) needs N+V; fold the corpus scalars into the vocab rows first
+    vocab_q = vocab.crossJoin(F.broadcast(corpus)).select(
+        "_tok",
+        "_c",
+        "_N",
+        "_V",
+        F.log((F.col("_c") + 1.0) / (F.col("_N") + F.col("_V"))).alias("_lnq"),
+    )
+    g_tot = vocab_q.agg(
+        F.sum(F.col("_lnq").cast("decimal(18,9)")).cast("double").alias("_G")
+    )
+    grp_tok = toks.groupBy("_g", "_tok").agg(F.count(F.lit(1)).alias("_cg"))
+    # rename the group key on the aggregate side: grp_n descends from
+    # grp_tok, and a USING self-join on the shared lineage is ambiguous
+    grp_n = (
+        grp_tok.groupBy("_g")
+        .agg(F.sum("_cg").alias("_Ng"))
+        .withColumnRenamed("_g", "_gn")
+    )
+    joined = (
+        grp_tok.join(vocab_q, "_tok")
+        .join(grp_n, F.col("_g") == F.col("_gn"))
+        .drop("_gn")
+    )
+    # p_g ln(p_g/q) with the ratio written as one fraction so both engines
+    # evaluate the identical double expression
+    term = (
+        (F.col("_cg") + 1.0) / (F.col("_Ng") + F.col("_V"))
+    ) * F.log(
+        ((F.col("_cg") + 1.0) * (F.col("_N") + F.col("_V")))
+        / ((F.col("_Ng") + F.col("_V")) * (F.col("_c") + 1.0))
+    )
+    per_group = joined.groupBy("_g", "_Ng").agg(
+        F.sum(term.cast("decimal(18,9)")).cast("double").alias("_S1"),
+        F.sum(F.col("_lnq").cast("decimal(18,9)")).cast("double").alias("_S2"),
+        F.count(F.lit(1)).alias("_Vg"),
+    )
+    # dataset-qualified references: every frame here descends from the
+    # same tokenized base, and Spark's self-join ambiguity detection
+    # rejects bare F.col names across such cross joins
+    vv = corpus.select(F.col("_V").alias("_Vtot"))
+    out = (
+        per_group.crossJoin(F.broadcast(g_tot))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            per_group["_g"].alias(group_col),
+            per_group["_Ng"].cast("bigint").alias("n_tokens"),
+            per_group["_Vg"].cast("bigint").alias("vocab_present"),
+            (
+                per_group["_S1"]
+                + (
+                    -(vv["_Vtot"] - per_group["_Vg"])
+                    * F.log(per_group["_Ng"] + vv["_Vtot"])
+                    - (g_tot["_G"] - per_group["_S2"])
+                )
+                / (per_group["_Ng"] + vv["_Vtot"])
+            ).alias("kl_drift"),
+        )
+    )
+    return out

@@ -1246,3 +1246,52 @@ def txt_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@declare(
+    "txt_kl_drift",
+    sql=r"""
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    corpus AS (SELECT sum(c) AS N, count(*) AS V FROM vocab),
+    vocab_q AS (
+      SELECT tok, c, N, V, ln((c + 1.0) / (N + V)) AS lnq
+      FROM vocab CROSS JOIN corpus),
+    g_tot AS (
+      SELECT CAST(sum(CAST(lnq AS DECIMAL(18,9))) AS DOUBLE) AS G
+      FROM vocab_q),
+    grp_tok AS (SELECT g, tok, count(*) AS cg FROM toks GROUP BY g, tok),
+    grp_n AS (SELECT g, sum(cg) AS Ng FROM grp_tok GROUP BY g),
+    per_group AS (
+      SELECT t.g, n.Ng,
+             CAST(sum(CAST(((t.cg + 1.0) / (n.Ng + v.V))
+                           * ln(((t.cg + 1.0) * (v.N + v.V))
+                                / ((n.Ng + v.V) * (v.c + 1.0)))
+                           AS DECIMAL(18,9))) AS DOUBLE) AS S1,
+             CAST(sum(CAST(v.lnq AS DECIMAL(18,9))) AS DOUBLE) AS S2,
+             count(*) AS Vg
+      FROM grp_tok t
+      JOIN vocab_q v USING (tok)
+      JOIN grp_n n USING (g)
+      GROUP BY t.g, n.Ng)
+    SELECT p.g AS source,
+           CAST(p.Ng AS BIGINT) AS n_tokens,
+           CAST(p.Vg AS BIGINT) AS vocab_present,
+           p.S1 + (-(c.V - p.Vg) * ln(p.Ng + c.V) - (gt.G - p.S2))
+                  / (p.Ng + c.V) AS kl_drift
+    FROM per_group p CROSS JOIN g_tot gt CROSS JOIN corpus c
+    ORDER BY source
+    """,
+    tags=("text", "quality", "drift", "kl"),
+)
+def txt_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(p_source || p_corpus) over
+    add-one smoothed unigram distributions, exact over the FULL joint
+    vocabulary via the closed-form absent-word correction (no
+    vocab x source expansion — functions/text.kl_drift_by_group). The
+    corpus-mixture monitor a training pipeline runs per ingest batch."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.kl_drift_by_group(d, "source", "text").orderBy("source")

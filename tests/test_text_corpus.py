@@ -408,3 +408,21 @@ def test_chunk_tokens_shapes(spark):
 
     with pytest.raises(ValueError, match="stride"):
         T.chunk_tokens(df, width=4, stride=5)
+
+
+def test_kl_drift_properties(spark):
+    """KL sanity: a group identical to the corpus mixture scores ~0; a
+    group with a disjoint vocabulary scores strictly higher; KL >= 0 up to
+    smoothing-induced epsilon."""
+    same = [("a", "x y z w x y"), ("b", "x y z w x y")]
+    df = spark.createDataFrame(same, ["source", "text"])
+    kl = {r["source"]: r["kl_drift"] for r in T.kl_drift_by_group(df).collect()}
+    # both groups ARE the corpus distribution -> drift ~ 0 up to the
+    # add-one smoothing epsilon (group N differs from corpus N, so the
+    # smoothed distributions differ slightly even for identical counts)
+    assert all(0 <= v < 0.01 for v in kl.values()), kl
+
+    skew = [("a", "x x x x x x"), ("b", "y y y y y y")]
+    df2 = spark.createDataFrame(skew, ["source", "text"])
+    kl2 = {r["source"]: r["kl_drift"] for r in T.kl_drift_by_group(df2).collect()}
+    assert all(v > 0.1 for v in kl2.values()), kl2
