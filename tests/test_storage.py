@@ -306,3 +306,27 @@ def test_load_json_and_parquet_sources(spark, sf_dir, tmp_path):
             spark, pq_dir, str(tmp_path / "t_x"), SCHEMAS["supplier"],
             source_format="avro",
         )
+
+
+def test_ctas_registers_table(spark, sf_dir, store, tmp_path):
+    """CREATE TABLE AS SELECT: query result written columnar + registered
+    (columns, row count, ordered layout) in one call; re-readable through
+    the catalog conventions."""
+    from pixels_spark.sql import ctas
+
+    dest = str(tmp_path / "tables" / "region_counts")
+    out = ctas(
+        spark, sf_dir, store, "analytics", "region_counts",
+        """SELECT n_regionkey AS regionkey, CAST(count(*) AS BIGINT) AS n
+           FROM nation GROUP BY n_regionkey""",
+        dest, files=2,
+    )
+    assert out.count() == 5
+    meta = store.get_table("analytics", "region_counts")
+    assert meta["row_count"] == 5
+    cols = {c["name"]: c["type"] for c in store.get_columns("analytics", "region_counts")}
+    assert cols == {"regionkey": "int", "n": "bigint"}
+    assert store.reader_path("analytics", "region_counts") == dest
+    back = spark.read.parquet(store.reader_path("analytics", "region_counts"))
+    assert {(r["regionkey"], r["n"]) for r in back.collect()} == \
+           {(r["regionkey"], r["n"]) for r in out.collect()}
