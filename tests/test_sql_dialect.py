@@ -63,6 +63,7 @@ DIALECT_SHARED = [
     "stream_stream_join", "join_skew_salted", "cb_approx_distinct",
     "stream_static_enrich", "cb_window_funnel",
     "tpch_q2_ps", "tpch_q11_ps", "tpch_q16_ps", "tpch_q20_ps",
+    "mvcc_compact_history", "stream_rollup",
 ]
 
 
