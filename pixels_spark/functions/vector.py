@@ -694,3 +694,30 @@ def pq_knn(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_append(
+    new_df: DataFrame,
+    vec_col: str,
+    centroids: DataFrame,
+    path: str,
+    id_col: str,
+    n_assign: int = 1,
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Incrementally absorb a NEW vector batch into an existing IVF index:
+    assign against the index's FROZEN centroids and append into the
+    cell-partitioned layout — no retrain, no rewrite of the existing
+    cells' files (``dedup_incremental``'s registry pattern applied to ANN
+    serving). Probes immediately see old ∪ new through the same partition
+    pruning.
+
+    The standard serving trade: assignment quality degrades as the corpus
+    drifts from the trained centroids — monitor (e.g. txt_kl_drift on the
+    embedding source) and rebuild when drift warrants; between rebuilds,
+    appends are O(new batch) writes while a full rebuild is O(corpus).
+    """
+    assigned = ivf_assign(
+        new_df, vec_col, centroids, id_col=id_col, n_assign=n_assign
+    )
+    assigned.write.mode("append").partitionBy(cell_col).parquet(path)

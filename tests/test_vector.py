@@ -406,3 +406,34 @@ def test_ivfpq_probe_prunes_and_matches_subset_scoring(
     )
     expect = [tuple(r) for r in V.pq_knn(members, "vec_id", books, qvec, k=10).collect()]
     assert probe_rows == expect
+
+
+def test_ivf_append_matches_full_assignment(spark, sf_dir, tmp_path):
+    """Appending a second batch against frozen centroids must serve
+    exactly what a single full assignment over the union would: probes on
+    the appended index equal probes on the all-at-once index, and the
+    appended files land only in the new rows' cells."""
+    from pixels_spark.catalog import load_table
+    from pixels_spark.functions import vector as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    half = e.agg(((F.min("vec_id") + F.max("vec_id")) / 2).alias("m")).first()["m"]
+    first, second = e.filter(F.col("vec_id") <= half), e.filter(F.col("vec_id") > half)
+
+    cents = V.make_centroids(first, "embedding", "vec_id", n_cells=4, iterations=2)
+
+    inc = str(tmp_path / "inc")
+    V.write_ivf_index(
+        V.ivf_assign(first, "embedding", cents, id_col="vec_id"), inc
+    )
+    V.ivf_append(second, "embedding", cents, inc, id_col="vec_id")
+
+    full = str(tmp_path / "full")
+    V.write_ivf_index(V.ivf_assign(e, "embedding", cents, id_col="vec_id"), full)
+
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    a = V.ivf_probe_index(spark, inc, "embedding", "vec_id", q, cents, k=10, n_probe=2)
+    b = V.ivf_probe_index(spark, full, "embedding", "vec_id", q, cents, k=10, n_probe=2)
+    ra = [(r["vec_id"], round(r["sim"], 9)) for r in a.collect()]
+    rb = [(r["vec_id"], round(r["sim"], 9)) for r in b.collect()]
+    assert ra == rb and len(ra) == 10
