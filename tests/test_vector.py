@@ -437,3 +437,53 @@ def test_ivf_append_matches_full_assignment(spark, sf_dir, tmp_path):
     ra = [(r["vec_id"], round(r["sim"], 9)) for r in a.collect()]
     rb = [(r["vec_id"], round(r["sim"], 9)) for r in b.collect()]
     assert ra == rb and len(ra) == 10
+
+
+def test_streaming_embedding_ingest_into_ivf(spark, sf_dir, tmp_path):
+    """Streaming ANN ingest: an embeddings STREAM absorbed into the IVF
+    index per micro-batch (foreachBatch -> ivf_append against frozen
+    centroids); after the bounded replay, probes equal the all-at-once
+    assignment — the index is maintainable from a live feed."""
+    import os
+
+    from pixels_spark.catalog import SCHEMAS, load_table
+    from pixels_spark.functions import vector as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    half = e.agg(((F.min("vec_id") + F.max("vec_id")) / 2).alias("m")).first()["m"]
+    first, second = e.filter(F.col("vec_id") <= half), e.filter(F.col("vec_id") > half)
+
+    cents = V.make_centroids(first, "embedding", "vec_id", n_cells=4, iterations=2)
+    idx = str(tmp_path / "idx")
+    V.write_ivf_index(V.ivf_assign(first, "embedding", cents, id_col="vec_id"), idx)
+
+    # the second half arrives as a 2-file stream
+    src = str(tmp_path / "src")
+    n2 = second.count()
+    mid2 = second.agg(((F.min("vec_id") + F.max("vec_id")) / 2).alias("m")).first()["m"]
+    second.filter(F.col("vec_id") <= mid2).coalesce(1).write.mode("append").parquet(src)
+    second.filter(F.col("vec_id") > mid2).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def absorb(batch_df, batch_id):
+        V.ivf_append(batch_df, "embedding", cents, idx, id_col="vec_id")
+
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    full = str(tmp_path / "full")
+    V.write_ivf_index(V.ivf_assign(e, "embedding", cents, id_col="vec_id"), full)
+    qv = V.query_vector(e, "vec_id", "embedding", qid=7)
+    a = V.ivf_probe_index(spark, idx, "embedding", "vec_id", qv, cents, k=10, n_probe=2)
+    b = V.ivf_probe_index(spark, full, "embedding", "vec_id", qv, cents, k=10, n_probe=2)
+    assert [(r["vec_id"], round(r["sim"], 9)) for r in a.collect()] == \
+           [(r["vec_id"], round(r["sim"], 9)) for r in b.collect()]
