@@ -1046,3 +1046,56 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = _finalize(res, work)
     spark.catalog.dropTempView(sink)
     return final
+
+
+@declare(
+    "stream_stream_join_full",
+    sql=_SSJ_CTES
+    + """
+    , wm AS (
+      SELECT least((SELECT date_trunc('milliseconds', max(view_ts)) FROM v),
+                   (SELECT date_trunc('milliseconds', max(purchase_ts)) FROM p))
+             - INTERVAL 2 HOUR AS w)
+    SELECT user_id, view_id, view_ts, purchase_id, purchase_ts, value FROM m
+    UNION ALL
+    SELECT v.user_id, v.view_id, v.view_ts,
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+    FROM v, wm
+    WHERE v.view_id NOT IN (SELECT view_id FROM m)
+      AND v.view_ts + INTERVAL 1 HOUR < wm.w
+    UNION ALL
+    SELECT p.user_id, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           p.purchase_id, p.purchase_ts, p.value
+    FROM p, wm
+    WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+      AND p.purchase_ts < wm.w
+    ORDER BY view_id, purchase_id
+    """,
+    tags=("streaming", "stream-stream-join", "interval-join", "full-outer"),
+)
+def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream interval join — the family completed. Each
+    side null-extends once the watermark proves no match can still arrive,
+    at a side-specific horizon: a view closes at view_ts + upper < wm (its
+    match window ends), a purchase closes at purchase_ts < wm (any
+    matching view would have view_ts <= purchase_ts, all below the
+    watermark). Both horizons verified empirically and stated verbatim in
+    the oracle, same technique as the left-outer query."""
+    from ..streaming.joins import stream_interval_join
+
+    work = tempfile.mkdtemp(prefix="pxs_ssjf_")
+    vs, ps = _ssj_sides(spark, sf_dir, work)
+    j = stream_interval_join(
+        vs,
+        ps,
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        upper="1 hour",
+        delay="2 hours",
+        how="fullOuter",
+    )
+    out = _run_to_parquet(j, work, "ssjf")
+    return _finalize(
+        spark.read.parquet(out).orderBy("view_id", "purchase_id"), work
+    )

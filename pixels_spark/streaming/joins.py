@@ -55,5 +55,12 @@ def stream_interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
     joined = lw.join(rw, cond, how)
-    # drop the duplicated key column from the right side
-    return joined.drop(F.col(f"r.{key}"))
+    # one key column out: coalesce the two sides (equal when matched;
+    # outer null-extensions carry whichever side exists — dropping the
+    # right copy instead would null the key on right-extended rows)
+    other = [
+        F.col(f"l.{c}") for c in left.columns if c != key
+    ] + [F.col(f"r.{c}") for c in right.columns if c != key]
+    return joined.select(
+        F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key), *other
+    )
