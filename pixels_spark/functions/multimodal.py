@@ -155,10 +155,17 @@ def decode_image(payload: bytes) -> object:
         return decode_ppm(payload)  # raises the documented NotImplementedError
     import io
 
-    with Image.open(io.BytesIO(payload)) as im:
-        rgb = im.convert("RGB")
-        w, h = rgb.size
-        body = rgb.tobytes()
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            rgb = im.convert("RGB")
+            w, h = rgb.size
+            body = rgb.tobytes()
+    except Exception as exc:
+        # normalize PIL's error zoo (UnidentifiedImageError/OSError/... on
+        # corrupt or truncated payloads) to the seam's documented ValueError
+        # so the mapInPandas error-capture/pass-through handlers keep
+        # working instead of crashing the task
+        raise ValueError(f"undecodable image payload: {exc}") from exc
     return {
         "width": w,
         "height": h,
@@ -418,12 +425,16 @@ def resize_image(payload: bytes, factor: int) -> bytes:
         return payload
     import io
 
-    with Image.open(io.BytesIO(payload)) as im:
-        fmt = im.format or "PNG"
-        w, h = im.size
-        ow, oh = max(1, (w + factor - 1) // factor), max(1, (h + factor - 1) // factor)
-        buf = io.BytesIO()
-        im.resize((ow, oh), Image.NEAREST).save(buf, format=fmt)
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            fmt = im.format or "PNG"
+            w, h = im.size
+            ow = max(1, (w + factor - 1) // factor)
+            oh = max(1, (h + factor - 1) // factor)
+            buf = io.BytesIO()
+            im.resize((ow, oh), Image.NEAREST).save(buf, format=fmt)
+    except Exception as exc:
+        raise ValueError(f"undecodable image payload: {exc}") from exc
     return buf.getvalue()
 
 

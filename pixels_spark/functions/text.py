@@ -581,10 +581,11 @@ def heavy_hitters(
         rows = 0
         for pdf in batches:
             for v in pdf[col]:
-                # pd.isna, not `is None`: numeric columns surface SQL NULL
-                # as NaN, which `is None` misses — NaN would then be
-                # counted into rows and tracked as a counter key (ADVICE r5)
-                if pd.isna(v):
+                # scalar null check: numeric columns surface SQL NULL as
+                # NaN (which `is None` misses — ADVICE r5), but a bare
+                # pd.isna would raise on array-typed cells where it
+                # returns elementwise; cover None + float NaN explicitly
+                if v is None or (isinstance(v, float) and v != v):
                     continue
                 rows += 1
                 if v in counters:
@@ -649,7 +650,9 @@ def chunk_tokens(
     corpus_tokens/stride rows, the same order as any shingle pipeline.
     """
     if not 0 < stride <= width:
-        raise ValueError(f"need 0 < stride <= width, got {stride} > {width}")
+        raise ValueError(
+            f"need 0 < stride <= width, got stride={stride}, width={width}"
+        )
     toks = tokens(F.col(text_col))
     d = df.select(
         F.col(id_col), toks.alias("_w"), F.size(toks).alias("_n")

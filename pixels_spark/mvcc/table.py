@@ -593,6 +593,22 @@ class MvccTable:
 
         if snapshot_ts is None:
             snapshot_ts = self.trans.high_watermark
+        commits = (
+            [e for e in os.listdir(self.data_dir) if e.startswith("_commit=")]
+            if os.path.isdir(self.data_dir)
+            else []
+        )
+        if not commits:
+            # never-written (or fully vacuumed) table: empty history with
+            # the persisted schema + the SCD2 columns — same guard as read()
+            from pyspark.sql.types import StructType as _ST
+
+            empty = self.spark.createDataFrame([], self.persisted_schema() or _ST())
+            return (
+                empty.withColumn("valid_from_ts", F.lit(None).cast("long"))
+                .withColumn("valid_to_ts", F.lit(None).cast("long"))
+                .withColumn("is_current", F.lit(None).cast("boolean"))
+            )
         data = (
             self._read_parquet(self.data_dir, base_path=self.data_dir)
             .filter(F.col("_commit") <= snapshot_ts)

@@ -949,12 +949,17 @@ def mvcc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..mvcc.table import MvccTable
     from ..storage.derived import ensure_derived
 
+    from ..mvcc import table as _mvcc_table_mod
+
     dest = ensure_derived(
         spark,
         sf_dir,
         name="scd2_events",
         source_paths=[table_path(sf_dir, "events")],
         build=lambda sp, tmp: _build_scd2_table(sp, sf_dir, tmp),
+        # the builder's behavior lives in the mvcc module, not this file —
+        # fold it into the cache key (code-review r6 finding)
+        dep_modules=(_mvcc_table_mod,),
     )
     table = MvccTable(spark, os.path.join(dest, "tbl"), key_col="event_id")
     hist = table.read_history()
@@ -992,8 +997,12 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded stream must equal the plain batch join the oracle states.
 
     100 TB shape: the dim broadcast is per-micro-batch, so keep dims
-    broadcast-sized or pre-bucket both sides; the aggregate runs in update
-    mode with per-key state = output cardinality (segments × types)."""
+    broadcast-sized or pre-bucket both sides. The aggregate's STATE is
+    per-key = output cardinality (segments × types) regardless of mode;
+    this bounded replay uses complete mode + a memory sink because the
+    result is tiny and the driver reads it once — a production pipeline
+    with a wide key space would run update mode into a keyed sink
+    instead, so only changed keys move per batch."""
     work = tempfile.mkdtemp(prefix="pxs_sse_")
     src = os.path.join(work, "src")
     e = load_table(spark, sf_dir, "events")

@@ -58,28 +58,42 @@ def _ensured(path: str) -> str:
     return path
 
 
-def build_fingerprint(build: Callable) -> str:
+def build_fingerprint(build: Callable, deps: tuple = ()) -> str:
     """Hash of the build callable's code: the whole defining module's
     source when resolvable (build fns are usually thin lambdas closing
     over a module-level ``_build_x`` — hashing only the lambda line would
     miss edits to the real builder), else the callable's own source, else
-    its bytecode. Any edit to the builder module yields a fresh cache key;
-    a spurious rebuild is a one-off distributed write, a stale serve is a
-    silent wrong answer."""
+    its bytecode. ``deps`` lists ADDITIONAL modules (or callables, whose
+    modules are resolved) the build's behavior depends on — e.g. a builder
+    that mutates an MvccTable must pass the mvcc module, or edits to that
+    module would serve a stale derivation the defining-module hash can't
+    see. Any edit to a covered module yields a fresh cache key; a spurious
+    rebuild is a one-off distributed write, a stale serve is a silent
+    wrong answer. (The key covers the listed modules only — transitive
+    dependencies still rely on listing.)"""
     parts = []
-    try:
-        mod = inspect.getmodule(build)
-        if mod is not None and getattr(mod, "__file__", None):
-            with open(mod.__file__, "rb") as f:
-                parts.append(f.read())
-    except (OSError, TypeError):
-        pass
-    if not parts:
+
+    def _module_bytes(obj) -> bytes | None:
+        try:
+            mod = obj if inspect.ismodule(obj) else inspect.getmodule(obj)
+            if mod is not None and getattr(mod, "__file__", None):
+                with open(mod.__file__, "rb") as f:
+                    return f.read()
+        except (OSError, TypeError):
+            pass
+        return None
+
+    main = _module_bytes(build)
+    if main is not None:
+        parts.append(main)
+    else:
         try:
             parts.append(inspect.getsource(build).encode())
         except (OSError, TypeError):
             code = getattr(build, "__code__", None)
             parts.append(code.co_code if code is not None else b"?")
+    for dep in deps:
+        parts.append(_module_bytes(dep) or b"?")
     return hashlib.md5(b"\0".join(parts)).hexdigest()[:12]
 
 
@@ -91,6 +105,7 @@ def ensure_derived(
     build: Callable[[SparkSession, str], None],
     params: str = "",
     cache_root: str | None = None,
+    dep_modules: tuple = (),
 ) -> str:
     """Materialize derived table ``name`` for fixture ``sf_dir`` exactly
     once; return the directory the build wrote into.
@@ -106,7 +121,8 @@ def ensure_derived(
     )
     fp = ":".join(data_fingerprint(p) for p in source_paths)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{fp}:{params}:{build_fingerprint(build)}".encode()
+        f"{os.path.abspath(sf_dir)}:{fp}:{params}:"
+        f"{build_fingerprint(build, dep_modules)}".encode()
     ).hexdigest()[:12]
     dest = os.path.join(root, f"{name}_{key}")
     if not os.path.exists(os.path.join(dest, "_BUILT")):

@@ -40,18 +40,23 @@ def stream_interval_join(
     left_ts: str,
     right_ts: str,
     upper: str = "1 hour",
+    lower: str = "0 seconds",
     delay: str = "2 hours",
     how: str = "inner",
 ) -> DataFrame:
     """Join two streams on ``key`` where ``right_ts`` falls within
-    ``[left_ts, left_ts + upper]``. Both sides carry the same watermark
-    ``delay``; column names must already be disjoint apart from ``key``
-    (rename before calling — the output keeps both timestamp columns)."""
+    ``[left_ts + lower, left_ts + upper]``. Both sides carry the same
+    watermark ``delay``; column names must already be disjoint apart from
+    ``key`` (rename before calling — the output keeps both timestamp
+    columns)."""
     lw = left.withWatermark(left_ts, delay).alias("l")
     rw = right.withWatermark(right_ts, delay).alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
-        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}")
+        )
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
     joined = lw.join(rw, cond, how)

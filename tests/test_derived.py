@@ -97,3 +97,28 @@ def test_build_fingerprint_tracks_module_source(tmp_path):
     modfile.write_text(_MOD_V2)
     m2 = _load(str(modfile), "fp_mod_b")
     assert build_fingerprint(m2.build) != fp1
+
+
+def test_dep_modules_fold_into_key(tmp_path, sf_dir):
+    """A builder whose behavior lives in another module must key on that
+    module too: changing a dep module's file changes the key."""
+    import os
+    import sys
+
+    dep_file = tmp_path / "dep_mod_for_key.py"
+    dep_file.write_text("X = 1\n")
+    m1 = _load(str(dep_file), "dep_mod_for_key_v1")
+
+    def build(spark, dest):
+        with open(os.path.join(dest, "out.txt"), "w") as f:
+            f.write("v")
+
+    from pixels_spark.storage.derived import build_fingerprint
+
+    fp1 = build_fingerprint(build, deps=(m1,))
+    dep_file.write_text("X = 2\n")
+    m2 = _load(str(dep_file), "dep_mod_for_key_v2")
+    fp2 = build_fingerprint(build, deps=(m2,))
+    assert fp1 != fp2
+    # no deps -> stable regardless of the dep file
+    assert build_fingerprint(build) == build_fingerprint(build)

@@ -788,3 +788,12 @@ def test_read_history_invariants(spark, tmp_path):
                    for r in rows if r["is_current"]}
     latest_read = {r["id"]: r["v"] for r in t.read_latest_version().collect()}
     assert latest_hist == latest_read
+
+
+def test_read_history_empty_table(spark, tmp_path):
+    """read_history on a never-written table returns an empty SCD2 frame
+    (same guard as read()), not a parquet path error."""
+    t = MvccTable(spark, str(tmp_path / "empty_hist"), key_col="id")
+    h = t.read_history()
+    assert h.count() == 0
+    assert {"valid_from_ts", "valid_to_ts", "is_current"} <= set(h.columns)

@@ -62,7 +62,7 @@ DIALECT_SHARED = [
     "setop_intersect_all", "setop_except_all", "mvcc_scd2",
     "stream_stream_join", "join_skew_salted", "cb_approx_distinct",
     "stream_static_enrich", "cb_window_funnel",
-    "tpch_q2_ps", "tpch_q11_ps", "tpch_q16_ps", "tpch_q20_ps",
+    # tpch_q*_ps are auto-collected by the TPCH prefix list above
     "mvcc_compact_history", "stream_rollup",
 ]
 
