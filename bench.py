@@ -77,8 +77,9 @@ HEADLINE = (
     "mvcc_scd2",
     "cb_approx_quantile",
     "cb_window_funnel",
-    # round 6 wave 7: real-partsupp Q11 (full reference shape)
+    # round 6 wave 7: real-partsupp Q11 + Q9 (full reference shapes)
     "tpch_q11_ps",
+    "tpch_q9_ps",
 )
 
 

@@ -1,4 +1,4 @@
-"""TPC-H partsupp family with REAL partsupp semantics (Q2/Q11/Q16/Q20).
+"""TPC-H partsupp family with REAL partsupp semantics (Q2/Q9/Q11/Q16/Q20).
 
 The fixture has no partsupp table, so rounds 1-5 shipped equivalent-shape
 adaptations of the four partsupp queries (queries/tpch.py, documented in
@@ -290,4 +290,61 @@ def tpch_q20_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name")
         .distinct()
         .orderBy("s_name")
+    )
+
+
+@declare(
+    "tpch_q9_ps",
+    sql=_PS_CTE
+    + f"""
+    SELECT nation, o_year,
+           {_SQL_DSUM.format(e="amount")} AS sum_profit
+    FROM (SELECT n.n_name AS nation,
+                 CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - ps.ps_supplycost * l.l_quantity AS amount
+          FROM lineitem l
+          JOIN partsupp ps ON ps.ps_suppkey = l.l_suppkey
+                          AND ps.ps_partkey = l.l_partkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE ps.p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year
+    """,
+    tags=("tpch", "partsupp", "join", "aggregation"),
+)
+def tpch_q9_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 with REAL profit semantics (TpchQuery.java:34): profit =
+    revenue - ps_supplycost * quantity, which needs the (partkey, suppkey)
+    partsupp row the plain q9 analog had to do without. The 6-relation
+    join: lineitem shuffles once on (partkey, suppkey) against the derived
+    partsupp (fact-to-fact at 100 TB — the one SMJ this family needs);
+    orders co-shuffles on orderkey; supplier/nation broadcast."""
+    ps = load_partsupp(spark, sf_dir).filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            ps,
+            (li.l_suppkey == ps.ps_suppkey) & (li.l_partkey == ps.ps_partkey),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dsum(F.col("amount")).alias("sum_profit"))
+        .orderBy("nation", "o_year")
     )
