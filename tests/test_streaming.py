@@ -648,3 +648,46 @@ def test_stream_interval_join_state_bounded_by_watermark(spark, sf_dir, tmp_path
     assert state_rows[-1] < 0.8 * total_both_sides, (
         state_rows[-1], total_both_sides,
     )
+
+
+def test_stream_interval_join_lower_bound(spark, tmp_path):
+    """The configurable lower bound: with [10 min, 1 h], a purchase at
+    exactly +10 min is included, one microsecond earlier excluded."""
+    import datetime as dt
+
+    from pixels_spark.streaming.joins import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m10 = dt.timedelta(minutes=10)
+    us = dt.timedelta(microseconds=1)
+    vdf = spark.createDataFrame(
+        [(1, 10, t0)], "user_id long, view_id long, view_ts timestamp"
+    )
+    pdf = spark.createDataFrame(
+        [
+            (1, 100, t0 + m10),        # == lower  -> included
+            (1, 101, t0 + m10 - us),   # 1 µs early -> excluded
+            (1, 102, t0 + dt.timedelta(hours=1)),  # == upper -> included
+        ],
+        "user_id long, purchase_id long, purchase_ts timestamp",
+    )
+    vsrc, psrc = str(tmp_path / "v"), str(tmp_path / "p")
+    vdf.coalesce(1).write.parquet(vsrc)
+    pdf.coalesce(1).write.parquet(psrc)
+    j = stream_interval_join(
+        spark.readStream.schema(vdf.schema).parquet(vsrc),
+        spark.readStream.schema(pdf.schema).parquet(psrc),
+        "user_id", "view_ts", "purchase_ts",
+        upper="1 hour", lower="10 minutes", delay="1 hour",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(r["purchase_id"] for r in spark.read.parquet(out).collect())
+    assert got == [100, 102]
