@@ -911,3 +911,70 @@ def duplicated_spans(
         )
         .drop("_grp")
     )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """REMOVE the cross-document duplicated spans ``duplicated_spans``
+    detects: every token position covered by a duplicated window range is
+    excised and the remaining tokens re-join in order — the "cut the
+    repeated region, keep the document" alternative to dropping whole
+    near-duplicate documents (Lee et al. 2022's actual training-data
+    treatment).
+
+    Returns (id, n_tokens, n_tokens_cut, clean_text). Documents with no
+    duplicated spans pass through with their (lower-cased, whitespace-
+    normalized) token stream intact — the same normalization the span
+    detector tokenizes with, so offsets line up.
+
+    Scale shape: spans per document are few (merged maximal ranges), so
+    the coverage join is a per-id join with a tiny range filter — linear,
+    not tokens × spans; the re-assembly is one groupBy(id) with an
+    in-group sort (array_sort over (pos, tok) structs, map-side).
+    """
+    spans = duplicated_spans(df, id_col, text_col, width=width, min_docs=min_docs)
+    toks_arr = tokens(F.lower(F.col(text_col)))
+    pos_toks = df.select(
+        F.col(id_col), F.posexplode(toks_arr).alias("pos", "_tok")
+    )
+    sp = spans.select(
+        F.col(id_col).alias("_sid"),
+        F.col("span_start").alias("_ss"),
+        F.col("span_end").alias("_se"),
+    )
+    covered = pos_toks.join(
+        sp,
+        (F.col(id_col) == F.col("_sid"))
+        & (F.col("pos") >= F.col("_ss"))
+        & (F.col("pos") < F.col("_se")),
+        "left_anti",
+    )
+    kept = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(toks_arr).cast("bigint").alias("n_tokens")
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_cut"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1295,3 +1295,58 @@ def txt_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-mixture monitor a training pipeline runs per ingest batch."""
     d = load_table(spark, sf_dir, "documents")
     return T.kl_drift_by_group(d, "source", "text").orderBy("source")
+
+
+@declare(
+    "dedup_substring_cut",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents),
+    d AS (SELECT doc_id, w FROM t WHERE len(w) >= 8),
+    wins AS (SELECT doc_id, unnest(generate_series(0, len(w) - 8)) AS pos, w FROM d),
+    winh AS (SELECT doc_id, pos, md5(array_to_string(w[pos+1:pos+8], ' ')) AS h
+             FROM wins),
+    dup AS (SELECT h FROM winh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM winh WHERE h IN (SELECT h FROM dup)),
+    isl AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                 THEN 0 ELSE 1 END AS newg FROM hits),
+    grp AS (SELECT doc_id, pos,
+            sum(newg) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+            FROM isl),
+    spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + 8 AS se
+              FROM grp GROUP BY doc_id, g),
+    ptoks AS (SELECT doc_id, unnest(generate_series(0, len(w) - 1)) AS pos, w
+              FROM t),
+    kept AS (SELECT p.doc_id, p.pos, p.w[p.pos + 1] AS tok
+             FROM ptoks p
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = p.doc_id
+                                 AND p.pos >= s.ss AND p.pos < s.se)),
+    cleaned AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY pos) AS clean
+                FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(len(t.w) - coalesce(c.n_kept, 0) AS BIGINT) AS n_tokens_cut,
+           md5(coalesce(c.clean, '')) AS clean_md5
+    FROM t LEFT JOIN cleaned c USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "substring", "spans", "cleaning"),
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL (the second half of substring-level dedup): every
+    token position covered by a cross-document duplicated window is
+    excised and the survivors re-join in order — cut the boilerplate,
+    keep the document. Cleaned text md5-compared per doc; documents with
+    no duplicated spans pass through intact (normalized token stream)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = D.cut_duplicated_spans(d, "doc_id", "text", width=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_cut",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")

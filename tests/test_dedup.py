@@ -368,3 +368,25 @@ def test_duplicated_spans_plan_shape(spark, sf_dir):
     assert len(re.findall(r"FileScan", plan)) == 1
     assert "Join" not in plan
     assert len(re.findall(r"Exchange", plan)) <= 3
+
+
+def test_cut_duplicated_spans_excises_boilerplate(spark):
+    """The crafted-corpus check: the shared boilerplate is removed from
+    both docs, unique text survives verbatim, fully-unique docs pass
+    through untouched."""
+    from pixels_spark.functions.dedup import cut_duplicated_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, f"alpha beta gamma {boiler} delta epsilon zeta eta theta"),
+        (2, f"{boiler} iota kappa lambda mu nu xi omicron pi rho sigma"),
+        (3, "totally unique text with no repeated windows at all here ok fine"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           cut_duplicated_spans(df, width=8, min_docs=2).collect()}
+    assert got[1]["n_tokens_cut"] == 12 and got[2]["n_tokens_cut"] == 12
+    assert got[1]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert got[2]["clean_text"].startswith("iota kappa")
+    assert got[3]["n_tokens_cut"] == 0
+    assert got[3]["clean_text"] == docs[2][1]  # already lowercase
