@@ -1,0 +1,83 @@
+"""Iterative graph queries (beyond-parity).
+
+The reference's graph-shaped surface is near-dup clustering only
+(connected components, ``dedup_canonical``); this family adds PageRank —
+the canonical fixed-point iteration over an edge relation — over a REAL
+graph from the fixture: the customer–supplier bipartite graph induced by
+orders ⋈ lineitem (an edge where a customer ordered from a supplier),
+symmetrized so the walk is undirected and no rank mass dangles.
+
+The oracle unrolls the same six update rounds as chained CTEs in the
+shared ANSI dialect (scalar subqueries + joins + GROUP BY only), so the
+text runs verbatim on BOTH DuckDB and ``spark.sql`` — iteration count is
+fixed, not convergence-tested, precisely so both engines compute the same
+deterministic value (compared at the driver's 9-significant-digit float
+canonicalization; see FIXTURES.md §Oracle-comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import graph as G
+from .registry import declare
+
+_ITERS = 6
+
+
+def _pagerank_oracle() -> str:
+    head = """
+    WITH eb AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS src,
+                      's' || CAST(l_suppkey AS STRING) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM eb
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM eb),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+            FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM deg)"""
+    steps = []
+    for i in range(1, _ITERS + 1):
+        steps.append(
+            f""",
+    r{i} AS (SELECT e.dst AS node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * SUM(r.pr / d.outdeg) AS pr
+           FROM edges e
+           JOIN r{i - 1} r ON r.node = e.src
+           JOIN deg d ON d.node = e.src
+           GROUP BY e.dst)"""
+        )
+    return head + "".join(steps) + f"""
+    SELECT node, pr FROM r{_ITERS} ORDER BY node
+    """
+
+
+@declare(
+    "graph_pagerank",
+    sql=_pagerank_oracle(),
+    tags=("graph", "iterative", "pagerank", "beyond-parity"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (6 rounds, d=0.85) over the symmetrized customer–supplier
+    graph: edge (c_X, s_Y) iff customer X ever ordered a line supplied by
+    Y. Each round is one shuffle (edge ⋈ rank on src, groupBy dst with
+    map-side partials); edges/degrees persist once; lineage truncated
+    every 3 rounds. Mass conservation (Σpr = 1) is property-tested."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return G.pagerank(edges, iterations=_ITERS, damping=0.85).orderBy("node")

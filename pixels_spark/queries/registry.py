@@ -57,6 +57,7 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
         clickbench_str,
         decimalq,
         funnelq,
+        graphq,
         joinq,
         reshapeq,
         scalarq,

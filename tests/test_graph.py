@@ -1,0 +1,86 @@
+"""PageRank: matrix-oracle equality on a crafted graph, mass conservation,
+and persist hygiene (no leaked cache blocks)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pixels_spark.functions.graph import pagerank
+from pixels_spark.queries import load_all_modules
+from pixels_spark.sql import sql as run_sql
+
+from .oracle import _canon_value
+
+
+def _reference_pagerank(edges, iterations=6, d=0.85):
+    """Dense power iteration with numpy — the textbook oracle."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    m = np.zeros((n, n))
+    out = {s: 0 for s in idx}
+    for s, t in set(edges):
+        out[s] = out.get(s, 0) + 1
+    for s, t in set(edges):
+        m[idx[t], idx[s]] = 1.0 / out[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        r = (1 - d) / n + d * (m @ r)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _sym(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+def test_pagerank_matches_matrix_oracle(spark):
+    pairs = _sym([("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a")])
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=6).collect()}
+    want = _reference_pagerank(pairs)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-9), n
+
+
+def test_pagerank_conserves_mass_and_ranks_hub_highest(spark):
+    # star graph: hub h connected to 5 spokes — h must dominate
+    pairs = _sym([("h", f"x{i}") for i in range(5)])
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    rows = pagerank(df, iterations=8).collect()
+    total = sum(r["pr"] for r in rows)
+    assert total == pytest.approx(1.0, rel=1e-9)
+    best = max(rows, key=lambda r: r["pr"])
+    assert best["node"] == "h"
+    spokes = {r["pr"] for r in rows if r["node"] != "h"}
+    assert len(spokes) == 1  # symmetry: all spokes equal
+
+
+def test_pagerank_repeated_calls_identical_and_release_explicit_persists(spark):
+    """Two back-to-back runs return identical values (bench loops re-run
+    queries), and the explicit .persist() handles are released — only the
+    returned frame and cut_lineage's localCheckpoint blocks (the documented
+    tradeoff in cut_lineage's docstring, reclaimed by the ContextCleaner)
+    may remain, so repeated calls must not GROW the explicit-cache count."""
+    pairs = _sym([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    runs = []
+    for _ in range(2):
+        out = pagerank(df, iterations=6)
+        runs.append({r["node"]: r["pr"] for r in out.collect()})
+        out.unpersist()
+    assert runs[0] == runs[1]
+
+
+def test_pagerank_oracle_text_runs_on_spark_sql(spark, sf_dir):
+    """The unrolled-CTE oracle is shared-dialect ANSI: it executes
+    verbatim on spark.sql and agrees with the DataFrame implementation at
+    the driver's 9-significant-digit float canonicalization (bit equality
+    is impossible — six rounds of differently-ordered float sums)."""
+    q = load_all_modules()["graph_pagerank"]
+    via_sql = {r["node"]: _canon_value(r["pr"])
+               for r in run_sql(spark, sf_dir, q.sql).collect()}
+    via_df = {r["node"]: _canon_value(r["pr"])
+              for r in q.fn(spark, sf_dir).collect()}
+    assert via_sql == via_df

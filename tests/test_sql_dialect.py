@@ -64,6 +64,11 @@ DIALECT_SHARED = [
     "stream_static_enrich", "cb_window_funnel",
     # tpch_q*_ps are auto-collected by the TPCH prefix list above
     "mvcc_compact_history", "stream_rollup",
+    # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
+    # excluded here: this test compares raw value strings, and six rounds
+    # of differently-ordered float sums agree only to ~12 significant
+    # digits, not bit-for-bit. Its spark.sql parity is asserted at the
+    # driver's 9-sig-digit canonicalization in tests/test_graph.py.
 ]
 
 
