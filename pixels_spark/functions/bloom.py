@@ -1,0 +1,119 @@
+"""Broadcast Bloom-filter decontamination (beyond-parity).
+
+``dedup.decontaminate`` is the exact path: explode both sides' shingles
+and semi-join — one shuffle keyed on the shingle. At 100 TB the corpus
+side of that shuffle dominates; the production alternative is a
+**constant-size broadcast bitset**: build a Bloom filter over the (small)
+benchmark's shingles once, broadcast the bits to every executor, and
+check corpus shingles **map-side** — zero shuffle over the corpus, the
+scan pipeline never exchanges. This module implements that path with the
+repo's md5 hash family (``CAST(concat('0x', substr(md5('j|'||s),1,8)) AS
+BIGINT)``), deliberately chosen because DuckDB computes it bit-identically
+— so the oracle replays the *same* filter, false positives included, and
+the driver's value-hash matches exactly.
+
+False-positive accounting is part of the operator's contract (a Bloom
+filter flags a superset): with m=2^20 bits, k=3 hashes and ~10^4 benchmark
+shingles the per-shingle false-positive rate is ((k·B)/m)^k ≈ 3e-5 —
+tested empirically in tests/test_bloom.py.
+
+Driver boundary (documented, bounded): building the bitset collects the
+benchmark's k·B distinct bit positions to the driver — O(benchmark), not
+O(corpus), the same bound as broadcasting any dimension table. The corpus
+side never leaves the executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .dedup import word_shingles
+
+__all__ = ["BLOOM_M", "BLOOM_K", "bloom_positions", "build_bloom_bitset", "bloom_decontaminate"]
+
+BLOOM_M = 1 << 20  # bits (128 KiB bitset)
+BLOOM_K = 3  # hash functions
+
+
+def bloom_positions(shingle: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
+    """The k Bloom bit positions of a shingle → array<bigint>, via the
+    repo's DuckDB-replicable md5 family: position_j = (first 8 hex chars
+    of md5('j|' || shingle) as int) % m."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), shingle)), 1, 8), 16, 10
+            ).cast("bigint")
+            % m
+            for j in range(k)
+        ]
+    )
+
+
+def build_bloom_bitset(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> bytes:
+    """Build the m-bit Bloom bitset over the benchmark's distinct word
+    n-gram shingles. Collects k·|shingles| positions to the driver —
+    bounded by the benchmark, which is broadcast-sized by definition."""
+    pos = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("_s"))
+        .distinct()
+        .select(F.explode(bloom_positions(F.col("_s"), k, m)).alias("p"))
+        .distinct()
+    )
+    bits = np.zeros(m, dtype=bool)
+    idx = [r["p"] for r in pos.collect()]
+    if idx:
+        bits[np.asarray(idx, dtype=np.int64)] = True
+    return np.packbits(bits).tobytes()  # MSB-first within each byte
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bitset: bytes,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Flag training documents whose shingles hit the benchmark Bloom
+    filter: per doc → (id, n_shingles, n_flagged, contaminated). Every
+    train doc appears (n_flagged = 0 when clean).
+
+    Plan shape: explode shingles (map-side), k md5s + the bitset probe in
+    one Arrow-batched pandas UDF (vectorized bit math, no per-row Python),
+    then a single groupBy(id) — the ONLY exchange in the query. The bitset
+    rides a Spark broadcast to every executor once."""
+    bc = train.sparkSession.sparkContext.broadcast(bitset)
+
+    @pandas_udf("boolean")
+    def _all_set(pos: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        a = np.stack(pos.to_numpy()).astype(np.int64)  # (batch, k)
+        probed = bits[a >> 3] & (0x80 >> (a & 7)).astype(np.uint8)
+        return pd.Series((probed != 0).all(axis=1))
+
+    sh = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_s")
+    )
+    return (
+        sh.withColumn("_hit", _all_set(bloom_positions(F.col("_s"), k, m)))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.col("_hit").cast("bigint")).cast("bigint").alias("n_flagged"),
+            F.max("_hit").alias("contaminated"),
+        )
+    )

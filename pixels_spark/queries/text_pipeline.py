@@ -1350,3 +1350,62 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_cut",
         F.md5("clean_text").alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+@declare(
+    "txt_bloom_decontaminate",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\s+') AS l
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(l) >= 4
+                    THEN list_distinct(list_transform(range(1, len(l) - 2),
+                                       i -> array_to_string(l[i:i+3], ' ')))
+                    ELSE [array_to_string(l, ' ')] END) AS shingle
+      FROM toks
+    ), ks AS (SELECT * FROM (VALUES (0), (1), (2)) AS k(j)),
+    bpos AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(concat(CAST(ks.j AS VARCHAR), '|',
+                                                 shingle)), 1, 8))
+                  AS BIGINT) % 1048576 AS p
+      FROM (SELECT DISTINCT shingle FROM sh WHERE source = 'src19') b
+      CROSS JOIN ks
+    ), tp AS (
+      SELECT doc_id, shingle,
+             CAST(concat('0x', substr(md5(concat(CAST(ks.j AS VARCHAR), '|',
+                                                 shingle)), 1, 8))
+                  AS BIGINT) % 1048576 AS p
+      FROM (SELECT doc_id, shingle FROM sh WHERE source <> 'src19') t
+      CROSS JOIN ks
+    ), hits AS (
+      SELECT tp.doc_id, tp.shingle, count(bp.p) AS n_in
+      FROM tp LEFT JOIN bpos bp ON bp.p = tp.p
+      GROUP BY tp.doc_id, tp.shingle
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN n_in = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           (sum(CASE WHEN n_in = 3 THEN 1 ELSE 0 END) > 0) AS contaminated
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "decontamination", "bloom", "beyond-parity"),
+)
+def txt_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the ZERO-SHUFFLE-over-the-corpus
+    variant of txt_decontaminate: the benchmark slice's 4-gram shingles
+    build a 2^20-bit / 3-hash bitset (md5 family, DuckDB-replicable),
+    broadcast once; corpus shingles probe it map-side in one Arrow batch
+    UDF; the only exchange is the final per-doc groupBy. The oracle
+    replays the identical filter, false positives included."""
+    from ..functions import bloom as B
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src19")
+    train = d.filter(F.col("source") != "src19")
+    bits = B.build_bloom_bitset(bench, "text", n=4)
+    return B.bloom_decontaminate(train, bits, "doc_id", "text", n=4).orderBy("doc_id")
