@@ -8,7 +8,7 @@ tests in tests/test_dedup.py (candidates ⊇ truly-similar pairs, etc.).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1409,3 +1409,61 @@ def txt_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("source") != "src19")
     bits = B.build_bloom_bitset(bench, "text", n=4)
     return B.bloom_decontaminate(train, bits, "doc_id", "text", n=4).orderBy("doc_id")
+
+
+@declare(
+    "txt_char_entropy",
+    sql=r"""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(lower(text)) + 1),
+                                   i -> substr(lower(text), i, 1))) AS c
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, sum(n) AS n_chars FROM counts GROUP BY doc_id
+    )
+    SELECT counts.doc_id,
+           CAST(max(tot.n_chars) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           -sum((CAST(n AS DOUBLE) / tot.n_chars)
+                * ln(CAST(n AS DOUBLE) / tot.n_chars)) AS entropy
+    FROM counts JOIN tot USING (doc_id)
+    GROUP BY counts.doc_id
+    ORDER BY counts.doc_id
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    low-quality detector (keyboard mashing, repeated filler, and
+    base64/hex blobs sit far from natural-language entropy; thresholds
+    on this column are a standard corpus filter alongside txt_quality's
+    ratio features).
+
+    Plan: per-char explode (map-side), one (doc,char) hash aggregate with
+    map-side partials, then the per-doc entropy rollup — character
+    alphabets are tiny, so the second aggregate's input is
+    O(docs × alphabet), not O(corpus chars); the heavy shuffle carries
+    (doc_id, char, count) partials only."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.length(low)), lambda i: low.substr(i, F.lit(1)))
+        ).alias("c"),
+    )
+    counts = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n").cast("double") / F.col("n_chars")
+    return (
+        counts.withColumn("n_chars", F.sum("n").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chars").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            (-F.sum(p * F.log(p))).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -426,3 +426,25 @@ def test_kl_drift_properties(spark):
     df2 = spark.createDataFrame(skew, ["source", "text"])
     kl2 = {r["source"]: r["kl_drift"] for r in T.kl_drift_by_group(df2).collect()}
     assert all(v > 0.1 for v in kl2.values()), kl2
+
+
+def test_char_entropy_extremes(spark, tmp_path):
+    """Entropy boundaries: one repeated char -> 0; k equiprobable chars
+    -> ln(k); and lowercase-invariance (the query lowers first)."""
+    import math
+
+    from pixels_spark.queries.text_pipeline import txt_char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaa", "en", "s", 6), (2, "abcd", "en", "s", 4),
+         (3, "AbCd", "en", "s", 4)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf, exist_ok=True)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {r["doc_id"]: r for r in txt_char_entropy(spark, sf).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_distinct_chars"] == 1
+    assert abs(got[2]["entropy"] - math.log(4)) < 1e-12
+    assert got[3]["entropy"] == got[2]["entropy"]  # case-folded first
