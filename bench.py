@@ -80,6 +80,15 @@ HEADLINE = (
     # round 6 wave 7: real-partsupp Q11 + Q9 (full reference shapes)
     "tpch_q11_ps",
     "tpch_q9_ps",
+    # round 6, session 2: span excision, Bloom decontamination (map-side,
+    # zero corpus shuffle), char-entropy quality signal. graph_pagerank is
+    # deliberately NOT here: at sf0.1 its 6 fixed rounds cost ~0.8 s each
+    # in pure job-scheduling overhead (1.1M cached edges are μs of
+    # compute), which would read as a plan flaw; its plan shape and
+    # oracle parity are pinned in tests/test_graph.py instead.
+    "dedup_substring_cut",
+    "txt_bloom_decontaminate",
+    "txt_char_entropy",
 )
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .dedup import word_shingles
+from .dedup import spread, word_shingles
 
 __all__ = ["BLOOM_M", "BLOOM_K", "bloom_positions", "build_bloom_bitset", "bloom_decontaminate"]
 
@@ -105,7 +105,7 @@ def bloom_decontaminate(
         probed = bits[a >> 3] & (0x80 >> (a & 7)).astype(np.uint8)
         return pd.Series((probed != 0).all(axis=1))
 
-    sh = train.select(
+    sh = spread(train.select(id_col, text_col), id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_s")
     )
     return (

@@ -1447,7 +1447,9 @@ def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabets are tiny, so the second aggregate's input is
     O(docs × alphabet), not O(corpus chars); the heavy shuffle carries
     (doc_id, char, count) partials only."""
-    d = load_table(spark, sf_dir, "documents")
+    d = D.spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     low = F.lower(F.col("text"))
     ch = d.select(
         "doc_id",
