@@ -1469,3 +1469,35 @@ def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@declare(
+    "txt_source_overlap",
+    sql="""
+    WITH t AS (SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents),
+    d AS (SELECT source, w FROM t WHERE len(w) >= 8),
+    wins AS (SELECT source, unnest(generate_series(0, len(w) - 8)) AS pos, w
+             FROM d),
+    sw AS (SELECT DISTINCT source,
+                  md5(array_to_string(w[pos+1:pos+8], ' ')) AS h
+           FROM wins)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_windows
+    FROM sw a JOIN sw b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+    tags=("text", "dedup", "curation", "overlap", "beyond-parity"),
+)
+def txt_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: distinct shared 8-word windows per
+    source pair — the curation report that tells a mixture designer which
+    sources syndicate each other's boilerplate (and how contaminated a
+    new source is against the already-ingested corpus). Per-source
+    DISTINCT window hashes, hash self-join bounded by C(sources,2) per
+    hash — never doc-pair expansion."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.source_overlap(d, "text", "source", width=8).orderBy(
+        "source_a", "source_b"
+    )

@@ -390,3 +390,20 @@ def test_cut_duplicated_spans_excises_boilerplate(spark):
     assert got[2]["clean_text"].startswith("iota kappa")
     assert got[3]["n_tokens_cut"] == 0
     assert got[3]["clean_text"] == docs[2][1]  # already lowercase
+
+
+def test_source_overlap_counts_distinct_shared_windows(spark):
+    from pixels_spark.functions.dedup import source_overlap
+
+    boiler = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, f"intro words {boiler} outro", "A"),
+        (2, f"{boiler} and some other trailing content here", "B"),
+        (3, f"{boiler} again in a second b document body text", "B"),
+        (4, "entirely different text with no shared windows anywhere at all", "C"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {(r["source_a"], r["source_b"]): r["n_shared_windows"]
+           for r in source_overlap(df, "text", "source", width=8).collect()}
+    # the 12-word boilerplate yields 12-8+1 = 5 shared windows; C shares none
+    assert got == {("A", "B"): 5}
