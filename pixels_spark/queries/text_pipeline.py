@@ -1501,3 +1501,54 @@ def txt_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.source_overlap(d, "text", "source", width=8).orderBy(
         "source_a", "source_b"
     )
+
+
+@declare(
+    "txt_quality_cut",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    corpus AS (SELECT sum(c) AS N, count(*) AS V FROM vocab),
+    lm AS (
+      SELECT doc_id,
+             CAST(sum(CAST(ln((c + 1.0) / (N + V)) AS DECIMAL(18,9))) AS DOUBLE)
+                 / count(*) AS avg_logprob
+      FROM toks JOIN vocab USING (tok) CROSS JOIN corpus
+      GROUP BY doc_id),
+    ranked AS (
+      SELECT d.lang, lm.doc_id, lm.avg_logprob,
+             percent_rank() OVER (PARTITION BY d.lang
+                                  ORDER BY lm.avg_logprob DESC, lm.doc_id)
+               AS pct
+      FROM lm JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, avg_logprob, pct
+    FROM ranked WHERE pct <= 0.25
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "percentile", "curation"),
+)
+def txt_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dynamic quality threshold: keep each language's top
+    quartile by unigram-LM score (percent_rank ≤ 0.25, ties broken on
+    doc_id — fully deterministic; the score itself is decimal-quantized,
+    so cross-engine ordering is exact). This is the selection rule behind
+    'keep the best X% per language' mixture recipes — a rank-based cut
+    adapts to each language's score distribution where a global absolute
+    threshold over- or under-prunes low-resource languages.
+
+    Scale: the LM score is two token-keyed aggregates; the cut is ONE
+    lang-partitioned window (sort-based, streaming) — no per-group
+    percentile materialization, no driver round-trip for thresholds."""
+    d = load_table(spark, sf_dir, "documents")
+    lm = T.unigram_lm_scores(d, "doc_id", "text").select("doc_id", "avg_logprob")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    return (
+        lm.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("pct", F.percent_rank().over(w))
+        .filter(F.col("pct") <= 0.25)
+        .select("doc_id", "lang", "avg_logprob", "pct")
+        .orderBy("doc_id")
+    )
