@@ -985,6 +985,7 @@ def source_overlap(
     text_col: str = "text",
     group_col: str = "source",
     width: int = 8,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Cross-GROUP duplication overlap matrix: for every pair of groups
     (sources, crawls, snapshots), how many distinct ``width``-word windows
@@ -1009,7 +1010,6 @@ def source_overlap(
     toks = tokens(F.lower(F.col(text_col)))
     # spread on the doc id (high cardinality), not the group key — a
     # 20-group corpus hashed on group would leave most partitions empty
-    id_col = df.columns[0]
     d = spread(df.select(id_col, group_col, text_col), id_col).filter(
         F.size(toks) >= width
     )

@@ -65,9 +65,14 @@ def pagerank(
     still moves only the rank table. (Measured slower here: the cached
     SMJ re-sorts the big side every round at toy scale.)
     """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     sc = edges.sparkSession.sparkContext
     e = edges.select(F.col("src"), F.col("dst")).distinct().persist()
     n_edges = e.count()  # O(1) to the driver; also materializes the cache
+    if n_edges == 0:
+        e.unpersist()
+        return edges.select(F.col("src").alias("node"), F.lit(0.0).alias("pr")).limit(0)
     # deg and contrib_e get plain persist(), NOT cut_lineage: their lineage
     # is one hop off the cached edges, and localCheckpoint's plan-to-RDD
     # conversion eagerly builds any broadcast join in the plan on the

@@ -1451,11 +1451,16 @@ def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     low = F.lower(F.col("text"))
+    # empty-text guard: F.sequence(1, 0) steps DOWNWARD ([1, 0]) instead of
+    # producing an empty range, which would fabricate two empty-string
+    # "chars" the oracle's range(1, 1) never emits — empty docs drop out
+    # of the result on both engines instead.
+    idx = F.when(
+        F.length(low) > 0, F.sequence(F.lit(1), F.length(low))
+    ).otherwise(F.array().cast("array<int>"))
     ch = d.select(
         "doc_id",
-        F.explode(
-            F.transform(F.sequence(F.lit(1), F.length(low)), lambda i: low.substr(i, F.lit(1)))
-        ).alias("c"),
+        F.explode(F.transform(idx, lambda i: low.substr(i, F.lit(1)))).alias("c"),
     )
     counts = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
     p = F.col("n").cast("double") / F.col("n_chars")

@@ -84,3 +84,12 @@ def test_pagerank_oracle_text_runs_on_spark_sql(spark, sf_dir):
     via_df = {r["node"]: _canon_value(r["pr"])
               for r in q.fn(spark, sf_dir).collect()}
     assert via_sql == via_df
+
+
+def test_pagerank_empty_graph_and_bad_iterations(spark):
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iterations=3).count() == 0
+    with _pt.raises(ValueError):
+        pagerank(empty, iterations=0)

@@ -448,3 +448,20 @@ def test_char_entropy_extremes(spark, tmp_path):
     assert got[1]["entropy"] == 0.0 and got[1]["n_distinct_chars"] == 1
     assert abs(got[2]["entropy"] - math.log(4)) < 1e-12
     assert got[3]["entropy"] == got[2]["entropy"]  # case-folded first
+
+
+def test_char_entropy_skips_empty_text(spark, tmp_path):
+    """Empty documents drop out (F.sequence(1,0) would otherwise step
+    DOWNWARD and fabricate phantom chars the oracle never emits)."""
+    import os
+
+    from pixels_spark.queries.text_pipeline import txt_char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "ab", "en", "s", 2)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf"); os.makedirs(sf, exist_ok=True)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = txt_char_entropy(spark, sf).collect()
+    assert [r["doc_id"] for r in rows] == [2]
