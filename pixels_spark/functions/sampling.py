@@ -153,3 +153,78 @@ def stratified_sample_exact(
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * dfrac))
         .drop("_rn", "_n")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    target_frac: float = 0.4,
+    salt: str = "",
+    with_threshold: bool = False,
+) -> DataFrame:
+    """Temperature-balanced mixture sampling (α = 0.5): per-stratum keep
+    rates ∝ sqrt(n_s)/n_s, normalized so the expected kept total is
+    ``target_frac`` of the corpus — the standard multilingual upsampling
+    rule (low-resource strata keep a larger share than their raw
+    frequency; α=1 reproduces the corpus, α=0 flattens it).
+
+    α is fixed at 0.5 deliberately: IEEE 754 requires sqrt to be
+    correctly rounded, so sqrt(n_s) is bit-identical in every engine,
+    where pow(n, 0.7) is libm-dependent. Engine-reproducibility of the
+    kept SET (not just its size):
+
+    - sqrt(n_s) quantizes to DECIMAL(18,6) and the normalizer S is an
+      exact decimal sum — order-independent, so S never varies with
+      aggregation order;
+    - the remaining arithmetic is double ops written in the SAME
+      parenthesization on both engines (IEEE-deterministic given
+      identical inputs);
+    - the verdict is integer vs integer: md5 bucket < floor(rate ·
+      N_BUCKETS). A flip would need the double rate to sit within 1 ulp
+      of an integer/N_BUCKETS boundary — the same accepted residual as
+      the 9-significant-digit float convention (FIXTURES.md).
+
+    Scale shape: one tiny stratum-count aggregate broadcast back; the
+    keep test is map-side per row — the corpus never shuffles.
+    """
+    thr = temperature_thresholds(df, stratum_col, target_frac)
+    b = hash_bucket(F.col(key_col), salt)
+    out = (
+        df.join(F.broadcast(thr.select(stratum_col, "_thr")), stratum_col)
+        .filter(b < F.col("_thr"))
+    )
+    return out if with_threshold else out.drop("_thr")
+
+
+def temperature_thresholds(
+    df: DataFrame, stratum_col: str, target_frac: float = 0.4
+) -> DataFrame:
+    """Per-stratum integer keep thresholds for ``temperature_mix`` →
+    (stratum, _n_s, _thr): bucket < _thr keeps the row. Exposed so
+    reports can show the threshold even for strata where nothing
+    survives. See temperature_mix for the determinism contract."""
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n_s"))
+        .withColumn(
+            "_sq_s", F.sqrt(F.col("_n_s").cast("double")).cast("decimal(18,6)")
+        )
+    )
+    tot = counts.agg(
+        F.sum("_sq_s").cast("double").alias("_S"),
+        F.sum("_n_s").cast("bigint").alias("_n_tot"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (
+            (F.col("_n_tot").cast("double") * F.lit(target_frac))
+            * (F.col("_sq_s").cast("double") / F.col("_S"))
+        )
+        / F.col("_n_s"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_thr", F.floor(rate * F.lit(N_BUCKETS)).cast("bigint"))
+        .select(stratum_col, "_n_s", "_thr")
+    )

@@ -1557,3 +1557,64 @@ def txt_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "avg_logprob", "pct")
         .orderBy("doc_id")
     )
+
+
+@declare(
+    "txt_temperature_mix",
+    sql="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY lang
+    ), cq AS (
+      SELECT lang, n_s,
+             CAST(sqrt(CAST(n_s AS DOUBLE)) AS DECIMAL(18,6)) AS sq_s
+      FROM c
+    ), t AS (
+      SELECT CAST(sum(sq_s) AS DOUBLE) AS S, CAST(sum(n_s) AS BIGINT) AS n_tot
+      FROM cq
+    ), thr AS (
+      SELECT lang, n_s,
+             CAST(floor(least(1.0,
+                  ((CAST(n_tot AS DOUBLE) * 0.4)
+                   * (CAST(sq_s AS DOUBLE) / S)) / n_s) * 10000) AS BIGINT)
+               AS threshold
+      FROM cq CROSS JOIN t
+    ), kept AS (
+      SELECT d.lang, count(*) AS n
+      FROM documents d JOIN thr ON d.lang = thr.lang
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS STRING)), 1, 8))
+                 AS BIGINT) % 10000 < thr.threshold
+      GROUP BY d.lang
+    )
+    SELECT thr.lang, thr.n_s AS n_docs,
+           CAST(coalesce(kept.n, 0) AS BIGINT) AS n_kept, thr.threshold
+    FROM thr LEFT JOIN kept ON thr.lang = kept.lang
+    ORDER BY thr.lang
+    """,
+    tags=("text", "sampling", "mixture", "temperature", "beyond-parity"),
+)
+def txt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced multilingual sampling (α = 0.5): keep rates
+    ∝ sqrt(n_lang)/n_lang normalized to an expected 40% of the corpus —
+    low-resource languages keep a larger share than their raw frequency
+    (the standard multilingual pretraining mixture rule). The per-stratum
+    integer thresholds derive from an exact-decimal normalizer + fixed
+    parenthesization, so the kept SET is engine-reproducible; the oracle
+    replays the identical arithmetic."""
+    from ..functions import sampling as S
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = S.temperature_mix(d, "doc_id", "lang", target_frac=0.4)
+    per_lang = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    thr = S.temperature_thresholds(d, "lang", target_frac=0.4)
+    return (
+        thr.join(per_lang, "lang", "left")
+        .select(
+            "lang",
+            F.col("_n_s").alias("n_docs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.col("_thr").alias("threshold"),
+        )
+        .orderBy("lang")
+    )

@@ -186,3 +186,25 @@ def test_stratified_sample_exact_ceil_quota(spark):
     )
     out = stratified_sample_exact(df, ["grp"], 0.07, key_col="id")
     assert out.count() == 7
+
+
+def test_temperature_mix_upsamples_low_resource_strata(spark):
+    """α=0.5 property: kept-share of a rare stratum exceeds its corpus
+    share; a dominant stratum's kept-share shrinks; rates cap at 1."""
+    from pixels_spark.functions.sampling import temperature_mix, temperature_thresholds
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    thr = {r["lang"]: r["_thr"] for r in
+           temperature_thresholds(df, "lang", target_frac=0.4).collect()}
+    # rate_small/rate_big = sqrt(900/100) = 3 (before the cap)
+    assert thr["small"] > thr["big"]
+    kept = temperature_mix(df, "doc_id", "lang", target_frac=0.4)
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert counts["small"] / 100 > counts["big"] / 900
+    # determinism: second run keeps the identical set
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  temperature_mix(df, "doc_id", "lang", target_frac=0.4).collect())
+    assert ids1 == ids2
