@@ -1108,3 +1108,38 @@ def stream_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(
         spark.read.parquet(out).orderBy("view_id", "purchase_id"), work
     )
+
+
+@declare(
+    "sql_dml_lifecycle",
+    sql="""
+    SELECT event_id, event_type,
+           CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+    FROM events
+    WHERE event_id % 4 = 0 AND event_id % 8 <> 4
+    ORDER BY event_id
+    """,
+    tags=("sql", "dml", "mvcc", "frontend"),
+)
+def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-frontend mutation path end-to-end: INSERT INTO … SELECT
+    seeds an MVCC table from the fixture, UPDATE … SET doubles click
+    values, DELETE FROM prunes half the keys — three verbatim SQL texts
+    routed through sql.dml onto the transactional table ops (one commit
+    ts each). The final snapshot must equal the oracle's relational
+    restatement of the same three statements."""
+    from ..mvcc.table import MvccTable
+    from ..sql import dml
+
+    work = tempfile.mkdtemp(prefix="pxs_sql_dml_")
+    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
+    tables = {"t": table}
+    dml(spark, sf_dir, tables,
+        "INSERT INTO t SELECT event_id, event_type, value FROM events "
+        "WHERE event_id % 4 = 0")
+    dml(spark, sf_dir, tables,
+        "UPDATE t SET value = value * 2 WHERE event_type = 'click'")
+    dml(spark, sf_dir, tables, "DELETE FROM t WHERE event_id % 8 = 4")
+    return _finalize(
+        table.read_latest_version().drop("_commit_ts").orderBy("event_id"), work
+    )

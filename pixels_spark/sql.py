@@ -56,3 +56,119 @@ def ctas(
     store.update_row_count(schema_name, table_name, written.count())
     store.add_layout(schema_name, table_name, ordered_paths=[dest])
     return written
+
+
+# ---------------------------------------------------------------------------
+# DML routing (restricted grammar) onto MVCC tables
+
+import re as _re
+
+_INSERT_RE = _re.compile(r"^\s*INSERT\s+INTO\s+(\w+)\s+(.+)$", _re.I | _re.S)
+_DELETE_RE = _re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?\s*$", _re.I | _re.S
+)
+_UPDATE_RE = _re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$", _re.I | _re.S
+)
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parens and string literals (so
+    ``SET a = greatest(x, y), b = 'v,w'`` parses as two assignments)."""
+    parts, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def dml(spark: SparkSession, sf_dir: str, tables: dict, text: str) -> int:
+    """Route a DML statement onto an MVCC table — the mutation half of the
+    SQL frontend (the reference runs these through its Trino connector into
+    Retina; here the restricted grammar below maps 1:1 onto
+    ``MvccTable.insert/delete/update``, which carry the transactional
+    contract — one commit ts, abort cleanup, index maintenance).
+
+    Grammar (documented subset, errors are loud, nothing is guessed):
+
+    - ``INSERT INTO <t> <select>`` — the SELECT runs on the engine's own
+      SQL surface (fixture views + every MVCC table's current snapshot
+      are in scope) and appends in one transaction.
+    - ``DELETE FROM <t> [WHERE <pred>]`` — the predicate evaluates
+      against the current snapshot; matching keys get tombstones.
+    - ``UPDATE <t> SET c = expr[, ...] [WHERE <pred>]`` — matching rows
+      are rewritten (delete+insert at one ts, the CDC convention);
+      unassigned columns pass through.
+
+    MERGE INTO text is intentionally NOT parsed here — use
+    ``MvccTable.merge`` (richer matched/unmatched actions than the SQL
+    form); the router raises with that pointer. Statements over names not
+    in ``tables`` raise KeyError (fixture views are read-only).
+
+    Returns the commit timestamp of the applied transaction.
+    """
+    register_views(spark, sf_dir, TABLES)
+    for name, tbl in tables.items():
+        # a never-written table has no schema yet — INSERT INTO seeds it;
+        # registering its (columnless) empty snapshot would break analysis
+        if tbl.persisted_schema() is None:
+            continue
+        tbl.read_latest_version().drop("_commit_ts").createOrReplaceTempView(name)
+
+    if _re.match(r"^\s*MERGE\b", text, _re.I):
+        raise ValueError(
+            "MERGE INTO text is not routed; call MvccTable.merge "
+            "(when_matched/when_not_matched/delete_unmatched_target)"
+        )
+    m = _INSERT_RE.match(text)
+    if m:
+        name, select = m.group(1), m.group(2)
+        return tables[name].insert(spark.sql(select))
+    m = _UPDATE_RE.match(text)
+    if m:
+        name, sets, pred = m.group(1), m.group(2), m.group(3)
+        tbl = tables[name]
+        if tbl.persisted_schema() is None:
+            raise ValueError(f"table {name!r} has never been written; INSERT first")
+        snap = tbl.read_latest_version().drop("_commit_ts")
+        cols = snap.columns
+        dtypes = dict(snap.dtypes)
+        assigned = {}
+        for part in _split_top_level(sets):
+            col, eq, expr = part.partition("=")
+            col = col.strip()
+            if not eq or not _re.fullmatch(r"\w+", col):
+                raise ValueError(f"unparseable SET assignment: {part!r}")
+            if col not in cols:
+                raise ValueError(f"SET references unknown column {col!r}")
+            assigned[col] = expr.strip()
+        # SQL UPDATE assignment semantics: the expression coerces to the
+        # column's declared type (so SET value = 0 keeps a DOUBLE column
+        # DOUBLE instead of tripping schema evolution's type-change guard)
+        proj = ", ".join(
+            f"CAST(({assigned[c]}) AS {dtypes[c]}) AS {c}" if c in assigned else c
+            for c in cols
+        )
+        where = f" WHERE {pred}" if pred else ""
+        return tbl.update(spark.sql(f"SELECT {proj} FROM {name}{where}"))
+    m = _DELETE_RE.match(text)
+    if m:
+        name, pred = m.group(1), m.group(2)
+        tbl = tables[name]
+        if tbl.persisted_schema() is None:
+            raise ValueError(f"table {name!r} has never been written; INSERT first")
+        where = f" WHERE {pred}" if pred else ""
+        keys = spark.sql(f"SELECT {tbl.key_col} FROM {name}{where}")
+        return tbl.delete(keys)
+    raise ValueError(f"unsupported DML statement: {text[:80]!r}")
