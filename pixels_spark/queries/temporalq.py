@@ -16,7 +16,7 @@ accumulated sum convention (FIXTURES.md).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -336,3 +336,56 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_EWMA_WEIGHTS = tuple(0.75**k for k in range(8))  # 3^k/4^k — binary- AND
+# decimal-exact, so the SQL literals below equal these floats bit-for-bit
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {k}) OVER w * CAST({w!r} AS DOUBLE), "
+        f"CAST(0 AS DOUBLE))"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL "
+        f"THEN CAST({w!r} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return f"""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           ({num}) / ({den}) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """
+
+
+@declare(
+    "ts_ewma",
+    sql=_ewma_sql(),
+    tags=("temporal", "timeseries", "ewma", "smoothing"),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (α = 0.25, window
+    truncated at 8 observations): the finite-window EWMA a monitoring /
+    feature pipeline computes over event streams. Expressed as stacked
+    ``lag`` terms over ONE user-keyed sort window — the recursive EWMA
+    definition unrolled so it runs as a streaming (sort-based) window with
+    O(1) per-row state instead of a sequential scan per key. Weights
+    0.75^k are binary- and decimal-exact, terms accumulate in a fixed
+    order, and the ramp-up renormalizes over the lags that exist — so the
+    value is bit-identical across engines (the oracle text also runs
+    verbatim on spark.sql)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k, wt in enumerate(_EWMA_WEIGHTS):
+        lagged = F.lag("value", k).over(w)
+        num = num + F.coalesce(lagged * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return e.select(
+        "event_id", "user_id", "ts", "value", (num / den).alias("ewma")
+    ).orderBy("event_id")

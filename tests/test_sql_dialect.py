@@ -64,6 +64,12 @@ DIALECT_SHARED = [
     "stream_static_enrich", "cb_window_funnel",
     # tpch_q*_ps are auto-collected by the TPCH prefix list above
     "mvcc_compact_history", "stream_rollup",
+    # round 6, session 2 (ts_ewma is per-row fixed-order float arithmetic
+    # with exact literals — bit-identical across engines, so it passes
+    # even this test's strict string compare; txt_temperature_mix is NOT
+    # shareable — its md5-bucket oracle needs DuckDB's '0x…'::BIGINT hex
+    # cast, which Spark's CAST rejects, same as every md5-bucket oracle)
+    "ts_ewma",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant
