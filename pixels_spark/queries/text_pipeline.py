@@ -1618,3 +1618,49 @@ def txt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@declare(
+    "txt_corpus_report",
+    sql=r"""
+    WITH fp AS (
+      SELECT doc_id, source, lang, text,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+      FROM documents
+    ), dup AS (
+      SELECT f FROM fp GROUP BY f HAVING count(*) > 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(CASE WHEN f IN (SELECT f FROM dup) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short_docs
+    FROM fp GROUP BY source ORDER BY source
+    """,
+    tags=("text", "curation", "report"),
+)
+def txt_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset report card a curation pipeline publishes
+    with every corpus release: volume (docs, tokens), language spread,
+    exact-duplicate exposure (docs whose normalized fingerprint repeats
+    ANYWHERE in the corpus — cross-source dups count in every source they
+    touch), and the short-doc tail. Single pass + one fingerprint-keyed
+    window for dup attribution — no self-join, no driver aggregation."""
+    d = D.spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = Window.partitionBy(T.fingerprint(F.col("text")))
+    return (
+        d.withColumn("_fp_n", F.count(F.lit(1)).over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(T.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum((F.col("_fp_n") > 1).cast("bigint")).cast("bigint").alias("n_dup_docs"),
+            F.sum((F.length("text") < 100).cast("bigint")).cast("bigint").alias("n_short_docs"),
+        )
+        .orderBy("source")
+    )
