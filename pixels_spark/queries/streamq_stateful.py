@@ -1143,3 +1143,56 @@ def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(
         table.read_latest_version().drop("_commit_ts").orderBy("event_id"), work
     )
+
+
+@declare(
+    "mvcc_snapshot_diff",
+    sql="""
+    WITH cls AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 1 THEN 'added'
+                  WHEN event_id % 9 = 6 THEN 'removed'
+                  WHEN event_id % 6 = 0 AND value * 10 <> value THEN 'changed'
+             END AS change,
+             value
+      FROM events WHERE event_id % 3 <> 2)
+    SELECT event_id, change,
+           CASE WHEN change <> 'added' THEN value END AS old_value,
+           CASE WHEN change = 'added' THEN value
+                WHEN change = 'changed' THEN value * 10 END AS new_value
+    FROM cls WHERE change IS NOT NULL ORDER BY event_id
+    """,
+    tags=("mvcc", "time-travel", "diff", "audit"),
+)
+def mvcc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel audit: what three commits (merge-update, merge-insert,
+    delete) did to a table, computed as snapshot_diff(ts_first, ts_last)
+    — two snapshot reads + one full-outer key join, independent of the
+    commit count in between. added = %3==1 inserts, removed = %9==6
+    deletes, changed = the %6==0 value×10 updates; the oracle restates
+    the three classes relationally."""
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_snap_diff_")
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
+    ts1 = table.insert(e.filter(F.col("event_id") % 3 == 0))
+    source = (
+        e.filter(F.col("event_id") % 6 == 0)
+        .withColumn("value", F.col("value") * 10)
+        .unionByName(e.filter(F.col("event_id") % 3 == 1))
+    )
+    table.merge(source)
+    ts3 = table.delete(
+        e.filter(F.col("event_id") % 9 == 6).select("event_id")
+    )
+    diff = table.snapshot_diff(ts1, ts3)
+    return _finalize(
+        diff.select(
+            "event_id",
+            "change",
+            F.col("old.value").alias("old_value"),
+            F.col("new.value").alias("new_value"),
+        ).orderBy("event_id"),
+        work,
+    )

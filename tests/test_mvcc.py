@@ -797,3 +797,33 @@ def test_read_history_empty_table(spark, tmp_path):
     h = t.read_history()
     assert h.count() == 0
     assert {"valid_from_ts", "valid_to_ts", "is_current"} <= set(h.columns)
+
+
+def test_snapshot_diff_classes_and_identity(spark, tmp_path):
+    from pixels_spark.mvcc.table import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "d"), key_col="k")
+    ts1 = t.insert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]))
+    t.update(spark.createDataFrame([(2, "B")], ["k", "v"]))
+    t.delete([3])
+    ts3 = t.insert(spark.createDataFrame([(4, "d")], ["k", "v"]))
+    got = {r["k"]: (r["change"], r["old"]["v"] if r["old"] else None,
+                    r["new"]["v"] if r["new"] else None)
+           for r in t.snapshot_diff(ts1, ts3).collect()}
+    assert got == {2: ("changed", "b", "B"), 3: ("removed", "c", None),
+                   4: ("added", None, "d")}
+    # identity: same-ts diff is empty (unchanged keys never emit)
+    assert t.snapshot_diff(ts1, ts1).count() == 0
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """A column added between the snapshots: pre-evolution rows read as
+    NULL in that column at BOTH timestamps, so untouched keys stay silent
+    and only genuinely rewritten rows emit 'changed'."""
+    from pixels_spark.mvcc.table import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "e"), key_col="k")
+    ts1 = t.insert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    ts2 = t.insert(spark.createDataFrame([(9, "z", 7)], ["k", "v", "extra"]))
+    got = {r["k"]: r["change"] for r in t.snapshot_diff(ts1, ts2).collect()}
+    assert got == {9: "added"}
