@@ -69,7 +69,7 @@ DIALECT_SHARED = [
     # even this test's strict string compare; txt_temperature_mix is NOT
     # shareable — its md5-bucket oracle needs DuckDB's '0x…'::BIGINT hex
     # cast, which Spark's CAST rejects, same as every md5-bucket oracle)
-    "ts_ewma", "sql_dml_lifecycle",
+    "ts_ewma", "sql_dml_lifecycle", "mvcc_snapshot_diff",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant
