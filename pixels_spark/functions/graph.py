@@ -55,9 +55,12 @@ def pagerank(
     so the result is deterministic and oracle-comparable across engines).
 
     Dangling caveat (documented, not silently wrong): nodes with in-edges
-    but no out-edges would leak rank mass under this update; such nodes
-    are excluded from the result because they never receive the base term.
-    Use the undirected (symmetrized) form when mass conservation matters.
+    but no out-edges (sinks) are outside the node set entirely — they
+    neither hold nor re-emit rank, so mass sent to them leaks. Nodes with
+    out-edges but NO in-edges are handled correctly (they keep the base
+    term and keep contributing — the round update left-joins from the
+    node set, not from the contribution table). Use the undirected
+    (symmetrized) form when mass conservation matters.
 
     At billion-node scale (ranks beyond broadcast): pre-hash-partition the
     contribution table by ``src`` once and repartition each rank
@@ -98,6 +101,7 @@ def pagerank(
 
     base = (1.0 - damping) / n
     ranks = deg.select("node", F.lit(1.0 / n).alias("pr"))
+    nodes = deg.select("node")
     generations = []
     for it in range(iterations):
         contribs = (
@@ -105,9 +109,19 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("inv_deg")).alias("in_sum"))
         )
-        ranks = contribs.select(
-            F.col("dst").alias("node"),
-            (F.lit(base) + F.lit(damping) * F.col("in_sum")).alias("pr"),
+        # LEFT join from the node set, not contribs alone: a node with
+        # out-edges but NO in-edges (possible in directed graphs) receives
+        # zero contributions yet must keep its base rank and keep
+        # contributing next round — dropping it would silently leak its
+        # outgoing mass from round 2 on
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left_outer"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("pr"),
         )
         # EVERY generation persists (it is O(nodes) — tiny): round i+1's
         # broadcast build executes round i's plan once into the cache, so

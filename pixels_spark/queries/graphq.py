@@ -43,15 +43,20 @@ def _pagerank_oracle() -> str:
     r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM deg)"""
     steps = []
     for i in range(1, _ITERS + 1):
+        # LEFT JOIN from deg (the node set): a node with out-edges but no
+        # in-edges keeps its base rank and keeps contributing — mirrors
+        # functions/graph.pagerank's round structure exactly
         steps.append(
             f""",
-    r{i} AS (SELECT e.dst AS node,
+    r{i} AS (SELECT d.node,
                   0.15 / (SELECT n FROM nn)
-                  + 0.85 * SUM(r.pr / d.outdeg) AS pr
-           FROM edges e
-           JOIN r{i - 1} r ON r.node = e.src
-           JOIN deg d ON d.node = e.src
-           GROUP BY e.dst)"""
+                  + 0.85 * coalesce(s.in_sum, CAST(0 AS DOUBLE)) AS pr
+           FROM deg d LEFT JOIN (
+               SELECT e.dst AS node, SUM(r.pr / dd.outdeg) AS in_sum
+               FROM edges e
+               JOIN r{i - 1} r ON r.node = e.src
+               JOIN deg dd ON dd.node = e.src
+               GROUP BY e.dst) s ON s.node = d.node)"""
         )
     return head + "".join(steps) + f"""
     SELECT node, pr FROM r{_ITERS} ORDER BY node

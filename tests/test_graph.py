@@ -93,3 +93,18 @@ def test_pagerank_empty_graph_and_bad_iterations(spark):
     assert pagerank(empty, iterations=3).count() == 0
     with _pt.raises(ValueError):
         pagerank(empty, iterations=0)
+
+
+def test_pagerank_directed_source_only_node_keeps_contributing(spark):
+    """Directed graph with a node that has out-edges but NO in-edges:
+    it must hold its base rank every round and keep feeding its target
+    (round 2+ would silently lose it if ranks were derived from the
+    contribution table alone)."""
+    pairs = [("d", "a"), ("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r["node"]: r["pr"] for r in pagerank(df, iterations=6).collect()}
+    want = _reference_pagerank(pairs)
+    assert set(got) == {"a", "b", "c", "d"}
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-9), n
+    assert got["d"] == pytest.approx((1 - 0.85) / 4, rel=1e-12)
