@@ -586,6 +586,11 @@ class MvccTable:
         a = self.read_latest_version(ts_a).drop(COMMIT_TS)
         b = self.read_latest_version(ts_b).drop(COMMIT_TS)
         val_cols = [c for c in b.columns if c != self.key_col]
+        if not val_cols:
+            raise ValueError(
+                "snapshot_diff needs at least one non-key column "
+                "(a key-only table can only add/remove, never change)"
+            )
         sa = a.select(
             F.col(self.key_col).alias("_ka"), F.struct(*val_cols).alias("old")
         )

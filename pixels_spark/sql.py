@@ -116,6 +116,11 @@ def dml(spark: SparkSession, sf_dir: str, tables: dict, text: str) -> int:
     form); the router raises with that pointer. Statements over names not
     in ``tables`` raise KeyError (fixture views are read-only).
 
+    Known grammar limit (documented, loud on misuse): the SET/WHERE split
+    is keyword-based, so a string literal containing the word ``WHERE``
+    inside a SET expression would mis-split; assignments themselves are
+    split quote- and paren-aware (``_split_top_level``).
+
     Returns the commit timestamp of the applied transaction.
     """
     register_views(spark, sf_dir, TABLES)
