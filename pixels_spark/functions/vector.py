@@ -721,3 +721,63 @@ def ivf_append(
         new_df, vec_col, centroids, id_col=id_col, n_assign=n_assign
     )
     assigned.write.mode("append").partitionBy(cell_col).parquet(path)
+
+
+def batch_knn(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k for a SET of query vectors at once — the evaluation /
+    retrieval shape (N probes against the corpus, top-k each) that the
+    single-query ``knn_brute_force`` cannot express without N passes.
+
+    Scale shape — the corpus is NEVER shuffled at its own volume:
+
+    1. broadcast the query set; score map-side (corpus × |Q| rows exist
+       only inside each task);
+    2. per-(query, input-partition) top-k via a hash aggregate keyed on
+       ``spark_partition_id()`` — every group is local to one partition,
+       so the aggregate completes map-side and the exchange carries only
+       k rows per (query, partition);
+    3. final per-query top-k merges those k-lists.
+
+    Ordering is total — (sim DESC, id ASC), encoded as an ascending
+    struct sort on (-sim, id) — and sims fold left→right exactly like
+    the single-query path, so results are engine-reproducible."""
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vnorm")
+    )
+    q = queries.select(
+        F.col(q_id_col), F.col(q_vec_col), l2_norm(F.col(q_vec_col)).alias("_qnorm")
+    )
+    sim = dot(F.col(vec_col), F.col(q_vec_col)) / (
+        F.col("_vnorm") * F.col("_qnorm")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            F.col(q_id_col),
+            F.struct((-sim).alias("neg"), F.col(id_col).alias("id")).alias("_s"),
+        )
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    top_expr = F.slice(F.sort_array(F.collect_list("_s")), 1, k)
+    pre = scored.groupBy(q_id_col, "_pid").agg(top_expr.alias("_top"))
+    merged = (
+        pre.select(q_id_col, F.explode("_top").alias("_s"))
+        .groupBy(q_id_col)
+        .agg(top_expr.alias("_top"))
+    )
+    return merged.select(
+        q_id_col, F.posexplode("_top").alias("_r", "_s")
+    ).select(
+        q_id_col,
+        (F.col("_r") + 1).cast("bigint").alias("rank"),
+        F.col("_s.id").alias(id_col),
+        (-F.col("_s.neg")).alias("sim"),
+    )

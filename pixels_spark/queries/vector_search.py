@@ -567,3 +567,34 @@ def vec_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("ivf_cell").cast("bigint").alias("cell_id"))
         .orderBy("vec_id")
     )
+
+
+@declare(
+    "vec_batch_knn",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 16),
+    scored AS (
+      SELECT q.q_id, e.vec_id, {_sql_cos("e.embedding", "qv")} AS sim
+      FROM embeddings e CROSS JOIN q),
+    ranked AS (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id, sim
+    FROM ranked WHERE rnk <= 10
+    ORDER BY q_id, rank
+    """,
+    tags=("vector", "topk", "knn", "batch"),
+)
+def vec_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: 16 query vectors against the corpus, exact top-10
+    each, in ONE pass — two-phase per-partition top-k, so the exchange
+    carries k rows per (query, partition) instead of corpus × |Q|. Sims
+    fold identically to the single-query path (bit-exact oracle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return V.batch_knn(e, "embedding", "vec_id", q, k=10).orderBy("q_id", "rank")

@@ -487,3 +487,30 @@ def test_streaming_embedding_ingest_into_ivf(spark, sf_dir, tmp_path):
     b = V.ivf_probe_index(spark, full, "embedding", "vec_id", qv, cents, k=10, n_probe=2)
     assert [(r["vec_id"], round(r["sim"], 9)) for r in a.collect()] == \
            [(r["vec_id"], round(r["sim"], 9)) for r in b.collect()]
+
+
+def test_batch_knn_matches_per_query_brute_force(spark, sf_dir):
+    """Each query's batch result equals the single-query kNN ranking."""
+    from pixels_spark.catalog import load_table
+    from pixels_spark.functions import vector as V
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    batch = V.batch_knn(e, "embedding", "vec_id", q, k=5)
+    got = {
+        qid: [(r["vec_id"], r["sim"]) for r in rows]
+        for qid, rows in (
+            (qid, sorted((r for r in batch.collect() if r["q_id"] == qid),
+                         key=lambda r: r["rank"]))
+            for qid in (0, 1, 2)
+        )
+    }
+    for qid in (0, 1, 2):
+        single = V.knn_brute_force(
+            e, "embedding", "vec_id", V.query_vector(e, "vec_id", "embedding", qid), k=5
+        ).collect()
+        want = [(r["vec_id"], r["sim"]) for r in single]
+        assert got[qid] == want, qid
