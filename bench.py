@@ -89,6 +89,17 @@ HEADLINE = (
     "dedup_substring_cut",
     "txt_bloom_decontaminate",
     "txt_char_entropy",
+    # round 6 session-3 wave 2: EWMA window, batch retrieval, curation
+    # analytics (overlap matrix / percentile cut / report card /
+    # temperature mixture). sql_dml_lifecycle + mvcc_snapshot_diff stay
+    # out: their cost is MVCC commit machinery already represented by
+    # mvcc_scd2.
+    "ts_ewma",
+    "vec_batch_knn",
+    "txt_source_overlap",
+    "txt_quality_cut",
+    "txt_corpus_report",
+    "txt_temperature_mix",
 )
 
 
