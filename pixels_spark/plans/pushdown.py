@@ -68,3 +68,27 @@ def codegen_stage_count(df: DataFrame, execute: bool = False) -> int:
     ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     ids |= set(re.findall(r"\*\((\d+)\)", plan))
     return len(ids)
+
+
+ANTI_PATTERNS = {
+    # CartesianProduct with no broadcast: O(n*m) row expansion
+    "CartesianProduct": "unbroadcast cartesian product",
+    # row-at-a-time Python UDF (BatchEvalPython); Arrow paths show as
+    # ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas instead
+    "BatchEvalPython": "row-wise Python UDF in the plan",
+}
+
+
+def plan_anti_patterns(df: DataFrame) -> list[str]:
+    """Scan a physical plan for scale anti-patterns → list of findings
+    (empty = clean). BroadcastNestedLoopJoin is reported only when the
+    broadcast side is not an explicit tiny frame the operator chose to
+    broadcast — we can't see intent in the plan string, so BNLJ is
+    returned as its own finding and callers allowlist the queries whose
+    BNLJ is a deliberate scalar/tiny broadcast (theta joins, scalar
+    thresholds)."""
+    plan = explain_str(df, "simple")
+    found = [msg for pat, msg in ANTI_PATTERNS.items() if pat in plan]
+    if "BroadcastNestedLoopJoin" in plan:
+        found.append("broadcast nested-loop join (verify the broadcast side is tiny)")
+    return found
