@@ -33,7 +33,7 @@ from pyspark.sql.functions import pandas_udf
 
 from .dedup import spread, word_shingles
 
-__all__ = ["BLOOM_M", "BLOOM_K", "bloom_positions", "build_bloom_bitset", "bloom_decontaminate"]
+__all__ = ["BLOOM_M", "BLOOM_K", "BloomRegistry", "bloom_positions", "build_bloom_bitset", "bloom_decontaminate"]
 
 BLOOM_M = 1 << 20  # bits (128 KiB bitset)
 BLOOM_K = 3  # hash functions
@@ -117,3 +117,92 @@ def bloom_decontaminate(
             F.max("_hit").alias("contaminated"),
         )
     )
+
+
+class BloomRegistry:
+    """CONSTANT-memory incremental dedup state: where ``DedupRegistry``
+    grows its fingerprint store with the corpus (O(corpus) entries,
+    ~1% of corpus bytes), the Bloom registry holds the entire dedup
+    history in a fixed m-bit bitset — the tradeoff every
+    dedupe-against-all-history pipeline eventually faces at 100 TB:
+
+    - DedupRegistry: exact, no false suppression, store grows forever;
+    - BloomRegistry: O(m) bytes forever, but a known false-positive rate
+      wrongly suppresses some novel documents (~((k·B)/m)^k per doc —
+      quantified and tested; size m to the corpus you expect).
+
+    Within a batch, dedup is EXACT (first id per fingerprint wins — the
+    same convention as DedupRegistry); the bloom bound applies only
+    across batches. The bitset persists via write-tmp + atomic
+    ``os.replace``; kept rows persist per batch and are returned re-read
+    (later calls never invalidate earlier results via lazy re-lists).
+    Driver boundary: one O(batch) position collect per batch — the same
+    bound as the registry's entry append, NOT O(history).
+    """
+
+    def __init__(self, spark, path: str, m: int = BLOOM_M, k: int = BLOOM_K):
+        import os
+
+        self.spark, self.m, self.k = spark, m, k
+        self.bits_path = os.path.join(path, "bloom.bits")
+        self.kept_dir = os.path.join(path, "kept")
+        os.makedirs(self.kept_dir, exist_ok=True)
+
+    def _load(self) -> np.ndarray:
+        import os
+
+        if os.path.exists(self.bits_path):
+            with open(self.bits_path, "rb") as f:
+                return np.frombuffer(f.read(), dtype=np.uint8).copy()
+        return np.zeros(self.m // 8, dtype=np.uint8)
+
+    def register_batch(
+        self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        import os
+
+        from .text import fingerprint
+
+        bits = self._load()
+        bc = self.spark.sparkContext.broadcast(bits.tobytes())
+
+        @pandas_udf("boolean")
+        def _seen(pos: pd.Series) -> pd.Series:
+            b = np.frombuffer(bc.value, dtype=np.uint8)
+            if len(pos) == 0:
+                return pd.Series([], dtype=bool)
+            a = np.stack(pos.to_numpy()).astype(np.int64)
+            probed = b[a >> 3] & (0x80 >> (a & 7)).astype(np.uint8)
+            return pd.Series((probed != 0).all(axis=1))
+
+        fps = spread(df.select(id_col, text_col), id_col).select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+        )
+        first = fps.groupBy("_fp").agg(F.min(id_col).alias("_first"))
+        batch_first = fps.join(first, "_fp").filter(
+            F.col(id_col) == F.col("_first")
+        )
+        kept_ids = batch_first.withColumn(
+            "_seen", _seen(bloom_positions(F.col("_fp"), self.k, self.m))
+        ).filter(~F.col("_seen"))
+        kept = df.join(kept_ids.select(id_col), id_col, "left_semi")
+
+        n = len([d for d in os.listdir(self.kept_dir) if d.startswith("batch=")]) + 1
+        kept_path = os.path.join(self.kept_dir, f"batch={n}")
+        kept.write.mode("overwrite").parquet(kept_path)
+
+        new_pos = (
+            kept_ids.select(
+                F.explode(bloom_positions(F.col("_fp"), self.k, self.m)).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        if new_pos:
+            idx = np.asarray([r["p"] for r in new_pos], dtype=np.int64)
+            bits[idx >> 3] |= (0x80 >> (idx & 7)).astype(np.uint8)
+        tmp = self.bits_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bits.tobytes())
+        os.replace(tmp, self.bits_path)
+        return self.spark.read.parquet(kept_path)

@@ -1664,3 +1664,69 @@ def txt_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declare(
+    "dedup_incremental_bloom",
+    sql=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    ), ks AS (SELECT * FROM (VALUES (0), (1), (2)) AS k(j)),
+    b1 AS (SELECT f, min(doc_id) AS doc_id FROM fp WHERE doc_id % 2 = 0
+           GROUP BY f),
+    p1 AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(concat(CAST(ks.j AS VARCHAR), '|',
+                                                 f)), 1, 8))
+                  AS BIGINT) % 1048576 AS p
+      FROM b1 CROSS JOIN ks
+    ),
+    b2 AS (SELECT f, min(doc_id) AS doc_id FROM fp WHERE doc_id % 2 = 1
+           GROUP BY f),
+    b2p AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat(CAST(ks.j AS VARCHAR), '|',
+                                                 f)), 1, 8))
+                  AS BIGINT) % 1048576 AS p
+      FROM b2 CROSS JOIN ks
+    ),
+    b2seen AS (
+      SELECT b2p.doc_id, count(p1.p) AS n_in
+      FROM b2p LEFT JOIN p1 ON p1.p = b2p.p
+      GROUP BY b2p.doc_id
+    )
+    SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM b1
+    UNION ALL
+    SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM b2seen WHERE n_in < 3
+    ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "bloom", "incremental", "registry"),
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup against the CONSTANT-memory Bloom registry:
+    batch 1 (even ids) sets its fingerprint bits, batch 2 (odd ids) is
+    suppressed when all 3 of its fingerprint's bits are already set — the
+    fixed-128-KiB alternative to the growing fingerprint store, false
+    positives included in the oracle replay (the md5 position family is
+    DuckDB-computable bit-for-bit)."""
+    import os
+    import tempfile
+
+    from ..functions.bloom import BloomRegistry
+    from .streamq_stateful import _finalize
+
+    work = tempfile.mkdtemp(prefix="pxs_bloom_reg_")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reg = BloomRegistry(spark, os.path.join(work, "reg"))
+    k1 = reg.register_batch(d.filter(F.col("doc_id") % 2 == 0))
+    k2 = reg.register_batch(d.filter(F.col("doc_id") % 2 == 1))
+    out = (
+        k1.select("doc_id").withColumn("batch", F.lit(1).cast("bigint"))
+        .unionByName(
+            k2.select("doc_id").withColumn("batch", F.lit(2).cast("bigint"))
+        )
+        .orderBy("doc_id")
+    )
+    return _finalize(out, work)

@@ -76,3 +76,36 @@ def test_bloom_plan_has_single_exchange(spark, sf_dir):
     )
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # partial+final agg pair
+
+
+def test_bloom_registry_suppresses_across_and_within_batches(spark, tmp_path):
+    from pixels_spark.functions.bloom import BloomRegistry
+
+    reg = BloomRegistry(spark, str(tmp_path / "reg"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unique one")],
+        ["doc_id", "text"],
+    )
+    k1 = sorted(r["doc_id"] for r in reg.register_batch(b1).collect())
+    assert k1 == [1, 3]  # within-batch exact: first id wins
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA   beta gamma"), (11, "brand new content here")],
+        ["doc_id", "text"],
+    )
+    k2 = sorted(r["doc_id"] for r in reg.register_batch(b2).collect())
+    assert k2 == [11]  # 10 is a normalized dup of batch-1's fingerprint
+
+
+def test_bloom_registry_state_survives_reinstantiation(spark, tmp_path):
+    from pixels_spark.functions.bloom import BloomRegistry
+
+    path = str(tmp_path / "reg2")
+    BloomRegistry(spark, path).register_batch(
+        spark.createDataFrame([(1, "persisted text")], ["doc_id", "text"])
+    )
+    reg2 = BloomRegistry(spark, path)
+    kept = reg2.register_batch(
+        spark.createDataFrame([(2, "persisted  TEXT"), (3, "other")],
+                              ["doc_id", "text"])
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
