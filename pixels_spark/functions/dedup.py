@@ -399,18 +399,29 @@ def minhash_md5_bands(
 # SimHash
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
     """64-bit SimHash per document.
 
     explode(tokens) → groupBy(doc) with packed set-bit counters →
     reassemble the sign bits. One shuffle total; see inline comment for the
     16-bit-lane packing (valid for documents ≤ 65535 tokens).
+
+    ``hash_fn`` (Column → Column, default xxhash64) swaps the token hash:
+    ``dedup_simhash_md5`` passes the md5-prefix family so the whole
+    signature is DuckDB-replicable and the oracle compares it exactly.
     """
     assert bits % 4 == 0
+    token_hash = hash_fn if hash_fn is not None else F.xxhash64
     toks = spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
+    ).withColumn("_h", token_hash(F.col("_tok")))
 
     # Packed counters: 4 bit-indicators per aggregate, one per 16-bit lane
     # of a long — 16 sums instead of 64 (~3× less aggregate work). A lane

@@ -1730,3 +1730,47 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return _finalize(out, work)
+
+
+def _simhash_md5_sql(bits: int = 32) -> str:
+    sums = ",\n             ".join(
+        f"sum(CAST((hv >> {b}) & 1 AS BIGINT)) AS s{b}" for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2 * s{b} > n THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+          FROM toks),
+    b AS (SELECT doc_id, count(*) AS n,
+             {sums}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id, {sig} AS simhash
+    FROM b ORDER BY doc_id
+    """
+
+
+@declare(
+    "dedup_simhash_md5",
+    sql=_simhash_md5_sql(),
+    tags=("dedup", "simhash", "oracled-signatures"),
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the DuckDB-replicable md5-prefix hash family: the
+    full 32-bit signature per document is compared EXACTLY against the
+    oracle's bit-by-bit replay (32 unrolled bit sums + majority test) —
+    the driver-checkable twin of the xxhash64 production variant
+    (`dedup_simhash`, whose pair semantics are invariance-tested). Same
+    packed-counter single-shuffle plan; ties → 0-bit on both engines."""
+    from ..functions.dedup import simhash
+
+    md5_hash = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=32, hash_fn=md5_hash).orderBy("doc_id")
