@@ -138,6 +138,12 @@ class BloomRegistry:
     (later calls never invalidate earlier results via lazy re-lists).
     Driver boundary: one O(batch) position collect per batch — the same
     bound as the registry's entry append, NOT O(history).
+
+    Single-writer assumption (same as DedupRegistry): batches register
+    sequentially — the read-modify-write of the bitset is atomic against
+    readers (os.replace) but not against a concurrent writer; a
+    concurrent-ingest deployment serializes registration (e.g. the
+    streaming foreachBatch loop, which is single-threaded per query).
     """
 
     def __init__(self, spark, path: str, m: int = BLOOM_M, k: int = BLOOM_K):

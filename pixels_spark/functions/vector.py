@@ -749,7 +749,11 @@ def batch_knn(
     Ordering is total — (sim DESC, id ASC), encoded as an ascending
     struct sort on (-sim, id) — and sims fold left→right exactly like
     the single-query path, so results are engine-reproducible."""
-    corpus = df.select(
+    from .dedup import spread
+
+    # single-row-group fixtures arrive as one partition; the per-partition
+    # top-k phase (and the scoring itself) should use every core
+    corpus = spread(df.select(id_col, vec_col), id_col).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vnorm")
     )
     q = queries.select(
