@@ -41,6 +41,7 @@ def pagerank(
     iterations: int = 6,
     damping: float = 0.85,
     reliable: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge relation ``(src, dst)``.
 
@@ -61,6 +62,14 @@ def pagerank(
     term and keep contributing — the round update left-joins from the
     node set, not from the contribution table). Use the undirected
     (symmetrized) form when mass conservation matters.
+
+    ``seeds`` (a 1-column ``node`` DataFrame) switches to PERSONALIZED
+    PageRank (random walk with restart): the teleport mass (1-d) lands
+    only on seed nodes — restricted to seeds that exist in the node set —
+    instead of uniformly, so ranks measure proximity TO the seed set
+    (the "find everything related to these" primitive: expanding a
+    labeled subset, contamination neighborhoods, account rings). With
+    ``seeds=None`` the update is the classic uniform-teleport one.
 
     At billion-node scale (ranks beyond broadcast): pre-hash-partition the
     contribution table by ``src`` once and repartition each rank
@@ -99,9 +108,33 @@ def pagerank(
         .persist()
     )
 
-    base = (1.0 - damping) / n
-    ranks = deg.select("node", F.lit(1.0 / n).alias("pr"))
-    nodes = deg.select("node")
+    if seeds is None:
+        base = (1.0 - damping) / n
+        nodes = deg.select("node").withColumn("_base", F.lit(base))
+        ranks = deg.select("node", F.lit(1.0 / n).alias("pr"))
+    else:
+        # personalized: teleport mass only on seeds ∩ node set
+        sd = seeds.select("node").distinct()
+        nodes = deg.select("node").join(
+            F.broadcast(sd.withColumn("_is_seed", F.lit(True))), "node", "left"
+        )
+        n_seeds = nodes.filter("_is_seed").count()
+        if n_seeds == 0:
+            raise ValueError("no seed appears in the graph's node set")
+        nodes = nodes.select(
+            "node",
+            F.when(F.col("_is_seed"), F.lit((1.0 - damping) / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("_base"),
+        )
+        ranks = nodes.select(
+            "node",
+            F.when(F.col("_base") > 0, F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+        )  # init = 1/|S| on seeds, 0 elsewhere (stated directly — a
+        #    derived base/(1-d) would differ from the oracle's 1/|S| by ulps
+    nodes = nodes.persist()
     generations = []
     for it in range(iterations):
         contribs = (
@@ -119,7 +152,7 @@ def pagerank(
         ).select(
             "node",
             (
-                F.lit(base)
+                F.col("_base")
                 + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
             ).alias("pr"),
         )
@@ -138,6 +171,6 @@ def pagerank(
     # (same fix heavy_hitters needed, ADVICE r5).
     out = generations.pop()
     out.count()
-    for h in (e, deg, contrib_e, *generations):
+    for h in (e, deg, contrib_e, nodes, *generations):
         h.unpersist()
     return out

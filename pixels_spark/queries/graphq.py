@@ -86,3 +86,80 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return G.pagerank(edges, iterations=_ITERS, damping=0.85).orderBy("node")
+
+
+def _ppr_oracle() -> str:
+    head = """
+    WITH eb AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS src,
+                      's' || CAST(l_suppkey AS STRING) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM eb
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM eb),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+            FROM edges GROUP BY src),
+    sd AS (SELECT DISTINCT 'c' || CAST(c_custkey AS STRING) AS node
+           FROM customer WHERE c_nationkey = 0),
+    seeds AS (SELECT deg.node FROM deg JOIN sd ON deg.node = sd.node),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+    nodes AS (SELECT deg.node,
+                     CASE WHEN seeds.node IS NOT NULL
+                          THEN 0.15 / (SELECT n FROM ns)
+                          ELSE CAST(0 AS DOUBLE) END AS base
+              FROM deg LEFT JOIN seeds ON deg.node = seeds.node),
+    r0 AS (SELECT node,
+                  CASE WHEN base > 0 THEN 1.0 / (SELECT n FROM ns)
+                       ELSE CAST(0 AS DOUBLE) END AS pr
+           FROM nodes)"""
+    steps = []
+    for i in range(1, _ITERS + 1):
+        steps.append(
+            f""",
+    r{i} AS (SELECT nd.node,
+                  nd.base + 0.85 * coalesce(s.in_sum, CAST(0 AS DOUBLE)) AS pr
+           FROM nodes nd LEFT JOIN (
+               SELECT e.dst AS node, SUM(r.pr / dd.outdeg) AS in_sum
+               FROM edges e
+               JOIN r{i - 1} r ON r.node = e.src
+               JOIN deg dd ON dd.node = e.src
+               GROUP BY e.dst) s ON s.node = nd.node)"""
+        )
+    return head + "".join(steps) + f"""
+    SELECT node, pr FROM r{_ITERS} WHERE pr > 0 ORDER BY node
+    """
+
+
+@declare(
+    "graph_ppr",
+    sql=_ppr_oracle(),
+    tags=("graph", "iterative", "pagerank", "personalized", "beyond-parity"),
+)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart, 6 rounds,
+    d=0.85): teleport mass lands only on nation-0 customers, so ranks
+    measure graph proximity TO that seed set — the 'expand a labeled
+    subset along the purchase graph' primitive. Zero-rank nodes (not yet
+    reached) are filtered on both engines; otherwise the same
+    single-shuffle round structure as graph_pagerank."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    eb = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = c.filter(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return (
+        G.pagerank(edges, iterations=_ITERS, damping=0.85, seeds=seeds)
+        .filter(F.col("pr") > 0)
+        .orderBy("node")
+    )

@@ -108,3 +108,22 @@ def test_pagerank_directed_source_only_node_keeps_contributing(spark):
     for n in want:
         assert got[n] == pytest.approx(want[n], rel=1e-9), n
     assert got["d"] == pytest.approx((1 - 0.85) / 4, rel=1e-12)
+
+
+def test_personalized_pagerank_localizes_mass_near_seeds(spark):
+    """Two loosely-connected cliques; seeding one of them must (a) conserve
+    total mass, (b) rank every seed-clique node above every far-clique
+    node, (c) raise ValueError when no seed is in the graph."""
+    left = [("a", "b"), ("b", "c"), ("a", "c")]
+    right = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    pairs = _sym(left + right + bridge)
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    rows = {r["node"]: r["pr"] for r in
+            pagerank(df, iterations=8, seeds=seeds).collect()}
+    assert sum(rows.values()) == pytest.approx(1.0, rel=1e-9)
+    assert min(rows[n] for n in "abc") > max(rows[n] for n in "xyz")
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(df, iterations=2,
+                 seeds=spark.createDataFrame([("nope",)], ["node"]))
