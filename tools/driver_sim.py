@@ -21,6 +21,9 @@ SF = os.environ.get("PIXELS_SPARK_TEST_SF_DIR", "/root/testdata/sf0.01")
 SPOT = [
     "tpch_q1", "cb_daily", "win_sessionize", "asof_attribution",
     "dedup_exact", "vec_knn", "txt_train_split", "stream_dedup",
+    # round-6 session-3 families
+    "graph_pagerank", "txt_bloom_decontaminate", "sql_dml_lifecycle",
+    "vec_batch_knn",
 ]
 
 
