@@ -127,3 +127,47 @@ def test_personalized_pagerank_localizes_mass_near_seeds(spark):
     with pytest.raises(ValueError, match="no seed"):
         pagerank(df, iterations=2,
                  seeds=spark.createDataFrame([("nope",)], ["node"]))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=_edges_strategy)
+def test_pagerank_matches_matrix_oracle_on_random_directed_graphs(spark, pairs):
+    """Random DIRECTED graphs (self-loops excluded, sinks allowed):
+    restrict the matrix oracle to the operator's documented node set —
+    source nodes only, sinks carry no rank — and values must agree."""
+    named = sorted({(f"n{a}", f"n{b}") for a, b in pairs})
+    sources = sorted({a for a, _ in named})
+    # the operator's documented semantics: rank lives on SOURCE nodes
+    # (N = |sources|), out-degrees count ALL edges (so mass sent into a
+    # pure sink genuinely leaks), sinks never re-emit. The dense
+    # reference mirrors exactly that.
+    outdeg = {}
+    for a, _ in named:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    n = len(sources)
+    r = {a: 1.0 / n for a in sources}
+    for _ in range(5):
+        nxt = {a: 0.15 / n for a in sources}
+        for a, b in named:
+            if b in nxt:
+                nxt[b] += 0.85 * r[a] / outdeg[a]
+        r = nxt
+    df = spark.createDataFrame(named, ["src", "dst"])
+    got = {row["node"]: row["pr"] for row in pagerank(df, iterations=5).collect()}
+    assert set(got) == set(sources)
+    for node in sources:
+        assert got[node] == pytest.approx(r[node], rel=1e-9), node

@@ -77,3 +77,76 @@ def test_random_histories_match_model(spark, tmp_path, seed):
             assert got == want, (
                 f"seed={seed} step={step} snapshot@{t}: engine={got} model={want}"
             )
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff vs a dict model over random mutation sequences
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.lists(st.integers(0, 5), min_size=1, max_size=3, unique=True),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops, a=st.integers(0, 5), b=st.integers(0, 5))
+def test_snapshot_diff_matches_dict_model(spark, tmp_path_factory, ops, a, b):
+    """Random insert/update/delete sequences; a dict snapshot is recorded
+    after every commit; snapshot_diff between two random commit indices
+    must equal the model's added/removed/changed classification."""
+    from pixels_spark.mvcc.table import MvccTable
+
+    ia, ib = min(a, len(ops) - 1), min(b, len(ops) - 1)
+    t = MvccTable(
+        spark, str(tmp_path_factory.mktemp("sdiff") / "tbl"), key_col="k"
+    )
+    model: dict[int, int] = {}
+    snapshots, ts_list = [], []
+    version = 0
+    for op, keys in ops:
+        version += 1
+        if op == "insert":
+            rows = [(k, version * 100 + k) for k in keys]
+            ts = t.insert(spark.createDataFrame(rows, ["k", "v"]))
+            model.update({k: v for k, v in rows})
+        elif op == "update":
+            rows = [(k, version * 100 + k) for k in keys]
+            ts = t.update(spark.createDataFrame(rows, ["k", "v"]))
+            model.update({k: v for k, v in rows})
+        else:
+            ts = t.delete(keys)
+            for k in keys:
+                model.pop(k, None)
+        snapshots.append(dict(model))
+        ts_list.append(ts)
+
+    sa, sb = snapshots[ia], snapshots[ib]
+    want = {}
+    for k in set(sa) | set(sb):
+        if k not in sa:
+            want[k] = ("added", None, sb[k])
+        elif k not in sb:
+            want[k] = ("removed", sa[k], None)
+        elif sa[k] != sb[k]:
+            want[k] = ("changed", sa[k], sb[k])
+    got = {
+        r["k"]: (
+            r["change"],
+            r["old"]["v"] if r["old"] is not None else None,
+            r["new"]["v"] if r["new"] is not None else None,
+        )
+        for r in t.snapshot_diff(ts_list[ia], ts_list[ib]).collect()
+    }
+    assert got == want
