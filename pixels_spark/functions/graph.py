@@ -42,6 +42,7 @@ def pagerank(
     damping: float = 0.85,
     reliable: bool = False,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge relation ``(src, dst)``.
 
@@ -63,6 +64,15 @@ def pagerank(
     node set, not from the contribution table). Use the undirected
     (symmetrized) form when mass conservation matters.
 
+    ``weight_col`` switches to the WEIGHTED walk: a contribution is
+    proportional to its edge's weight over the source's total outgoing
+    weight (duplicate (src, dst) pairs sum; weights must be strictly
+    positive — checked). Callers wanting cross-engine-exact results pass
+    weights that are themselves order-independent (e.g. a decimal sum
+    cast to double). ``weight_col=None`` is the classic uniform split
+    and computes bit-identically to the unweighted implementation
+    (unit weights sum to the exact out-degree).
+
     ``seeds`` (a 1-column ``node`` DataFrame) switches to PERSONALIZED
     PageRank (random walk with restart): the teleport mass (1-d) lands
     only on seed nodes — restricted to seeds that exist in the node set —
@@ -80,7 +90,21 @@ def pagerank(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     sc = edges.sparkSession.sparkContext
-    e = edges.select(F.col("src"), F.col("dst")).distinct().persist()
+    if weight_col is None:
+        e = edges.select(F.col("src"), F.col("dst")).distinct()
+        e = e.withColumn("_w", F.lit(1.0)).persist()
+    else:
+        # weighted walk: duplicate (src, dst) pairs sum their weights;
+        # contributions are proportional to weight / Σ_out weights. The
+        # weight keeps its NATIVE type through both aggregations — pass a
+        # DECIMAL for cross-engine-exact totals (a double weight would
+        # make Σ_out order-dependent and drift across engines over the
+        # rounds); the cast to double happens only at the one division.
+        e = (
+            edges.groupBy("src", "dst")
+            .agg(F.sum(F.col(weight_col)).alias("_w"))
+            .persist()
+        )
     n_edges = e.count()  # O(1) to the driver; also materializes the cache
     if n_edges == 0:
         e.unpersist()
@@ -92,18 +116,32 @@ def pagerank(
     # gotcha spread()'s docstring records for df.rdd.
     deg = (
         e.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+        .agg(F.sum("_w").alias("outdeg"))  # unweighted: _w = 1.0 → count
         .select(F.col("src").alias("node"), "outdeg")
         .persist()
     )
     n = deg.count()  # node count — O(1) scalar, folds the base term
 
+    if weight_col is not None:
+        bad = deg.filter(F.col("outdeg") <= 0).count()
+        if bad:
+            raise ValueError(
+                f"{bad} node(s) have non-positive total edge weight — "
+                "weighted PageRank needs strictly positive weights"
+            )
+
     n_parts = max(2, min(sc.defaultParallelism, -(-n_edges // _EDGES_PER_PARTITION)))
-    # contribution edges: (src, dst, 1/outdeg) — the division is hoisted out
-    # of the loop; each iteration then only multiplies and sums.
+    # contribution edges: (src, dst, weight/Σ_out) — the division is hoisted
+    # out of the loop; each iteration then only multiplies and sums.
     contrib_e = (
         e.join(deg, e["src"] == deg["node"])
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv_deg"))
+        .select(
+            "src",
+            "dst",
+            (F.col("_w").cast("double") / F.col("outdeg").cast("double")).alias(
+                "inv_deg"
+            ),
+        )
         .coalesce(n_parts)
         .persist()
     )
@@ -137,10 +175,23 @@ def pagerank(
     nodes = nodes.persist()
     generations = []
     for it in range(iterations):
+        # each product quantizes to DECIMAL(38,30) before the sum — the
+        # repo's order-independent-sum pattern: the per-dst aggregation
+        # becomes exact, so round-to-round values are reproducible across
+        # partitionings AND engines (a plain double sum drifted past the
+        # 9-sig-digit oracle tolerance on the weighted variant by round
+        # 6). A double can never sit exactly on a 1e-30 decimal tie, so
+        # both engines' cast rounding agrees everywhere.
         contribs = (
             contrib_e.join(F.broadcast(ranks), contrib_e["src"] == ranks["node"])
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("inv_deg")).alias("in_sum"))
+            .agg(
+                F.sum(
+                    (F.col("pr") * F.col("inv_deg")).cast("decimal(38,30)")
+                )
+                .cast("double")
+                .alias("in_sum")
+            )
         )
         # LEFT join from the node set, not contribs alone: a node with
         # out-edges but NO in-edges (possible in directed graphs) receives

@@ -163,3 +163,81 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") > 0)
         .orderBy("node")
     )
+
+
+def _wpr_oracle() -> str:
+    head = """
+    WITH ew AS (
+      SELECT 'c' || CAST(o_custkey AS STRING) AS src,
+             's' || CAST(l_suppkey AS STRING) AS dst,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_suppkey
+    ),
+    edges AS (SELECT src, dst, w FROM ew
+              UNION ALL
+              SELECT dst AS src, src AS dst, w FROM ew),
+    deg AS (SELECT src AS node, sum(w) AS outw FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM deg)"""
+    steps = []
+    for i in range(1, _ITERS + 1):
+        steps.append(
+            f""",
+    r{i} AS (SELECT d.node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * coalesce(s.in_sum, CAST(0 AS DOUBLE)) AS pr
+           FROM deg d LEFT JOIN (
+               SELECT e.dst AS node, CAST(SUM(CAST(r.pr * (CAST(e.w AS DOUBLE) / CAST(dd.outw AS DOUBLE)) AS DECIMAL(38,30))) AS DOUBLE) AS in_sum
+               FROM edges e
+               JOIN r{i - 1} r ON r.node = e.src
+               JOIN deg dd ON dd.node = e.src
+               GROUP BY e.dst) s ON s.node = d.node)"""
+        )
+    return head + "".join(steps) + f"""
+    SELECT node, pr FROM r{_ITERS} ORDER BY node
+    """
+
+
+@declare(
+    "graph_pagerank_weighted",
+    sql=_wpr_oracle(),
+    tags=("graph", "iterative", "pagerank", "weighted", "beyond-parity"),
+)
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE-weighted PageRank: each customer–supplier edge carries the
+    pair's total revenue in INTEGER (cents × discount-percent) units —
+    prices and discounts are cents-exact in the fixture, so the weight is
+    a BIGINT and the scale factor cancels in w/Σw. Integer weights are
+    not a convenience but a correctness requirement: casting the double
+    revenue to DECIMAL(18,2) per row diverges between engines on values
+    like 12613.994999999999 (DuckDB rounds the SHORTEST decimal
+    representation → 12614.00, Spark the exact binary value → 12613.99;
+    found by bisecting this query, recorded in FIXTURES.md). A walk step
+    follows an edge with probability
+    weight / Σ_out weights — rank now measures money-flow centrality, not
+    mere connectivity. Same one-shuffle round structure; the weighted
+    split costs nothing extra (the weight fraction is precomputed into
+    the cached contribution table exactly like 1/outdeg)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    ew = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("w")
+        )
+    )
+    edges = ew.union(
+        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return G.pagerank(edges, iterations=_ITERS, damping=0.85, weight_col="w").orderBy(
+        "node"
+    )

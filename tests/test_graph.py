@@ -171,3 +171,20 @@ def test_pagerank_matches_matrix_oracle_on_random_directed_graphs(spark, pairs):
     assert set(got) == set(sources)
     for node in sources:
         assert got[node] == pytest.approx(r[node], rel=1e-9), node
+
+
+def test_weighted_pagerank_heavy_edge_dominates(spark):
+    """Star where one spoke's edge weight is 100×: the heavy spoke must
+    outrank the light spokes (uniform PageRank would tie them), and
+    total mass is conserved. Also: non-positive weights are rejected."""
+    pairs = [("h", "a", 100), ("a", "h", 100), ("h", "b", 1), ("b", "h", 1),
+             ("h", "c", 1), ("c", "h", 1)]
+    df = spark.createDataFrame(pairs, ["src", "dst", "w"])
+    rows = {r["node"]: r["pr"] for r in
+            pagerank(df, iterations=8, weight_col="w").collect()}
+    assert sum(rows.values()) == pytest.approx(1.0, rel=1e-9)
+    assert rows["a"] > 3 * rows["b"]
+    assert rows["b"] == pytest.approx(rows["c"], rel=1e-12)
+    bad = spark.createDataFrame([("x", "y", 0)], ["src", "dst", "w"])
+    with pytest.raises(ValueError, match="non-positive"):
+        pagerank(bad, iterations=2, weight_col="w")
