@@ -188,3 +188,45 @@ def test_weighted_pagerank_heavy_edge_dominates(spark):
     bad = spark.createDataFrame([("x", "y", 0)], ["src", "dst", "w"])
     with pytest.raises(ValueError, match="non-positive"):
         pagerank(bad, iterations=2, weight_col="w")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(0, 4), st.integers(0, 4), st.integers(1, 50)
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_weighted_pagerank_matches_dense_reference(spark, pairs):
+    """Random weighted directed graphs vs a dict-based dense reference
+    (duplicate (src,dst) weights sum, contributions ∝ w/Σ_out w)."""
+    agg = {}
+    for a, b, w in pairs:
+        agg[(f"n{a}", f"n{b}")] = agg.get((f"n{a}", f"n{b}"), 0) + w
+    sources = sorted({a for a, _ in agg})
+    outw = {}
+    for (a, _), w in agg.items():
+        outw[a] = outw.get(a, 0) + w
+    n = len(sources)
+    r = {a: 1.0 / n for a in sources}
+    for _ in range(5):
+        nxt = {a: 0.15 / n for a in sources}
+        for (a, b), w in agg.items():
+            if b in nxt:
+                nxt[b] += 0.85 * r[a] * (float(w) / float(outw[a]))
+        r = nxt
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}", w) for (a, b, w) in pairs], ["src", "dst", "w"]
+    )
+    got = {row["node"]: row["pr"]
+           for row in pagerank(df, iterations=5, weight_col="w").collect()}
+    assert set(got) == set(sources)
+    for node in sources:
+        assert got[node] == pytest.approx(r[node], rel=1e-9), node
