@@ -551,6 +551,13 @@ class MvccTable:
     def latest_only(self, visible: DataFrame) -> DataFrame:
         """Keep only the newest version per key (UPDATE semantics on read)
         — the single home of the latest-version rule."""
+        if self.key_col not in visible.columns:
+            # never-written table: read() returns a columnless empty frame
+            # (no persisted schema to shape it); grouping on the key would
+            # throw an opaque UNRESOLVED_COLUMN — pass the empty through,
+            # matching read()'s own empty-table contract (found by the
+            # snapshot_diff model fuzz: a delete-before-any-insert history)
+            return visible
         w_cols = [c for c in visible.columns if c != COMMIT_TS]
         latest = visible.groupBy(self.key_col).agg(
             F.max(COMMIT_TS).alias("_max_ts")
@@ -583,6 +590,11 @@ class MvccTable:
         snapshot reads + one key-keyed shuffle, independent of how many
         commits lie between the two timestamps.
         """
+        if self.persisted_schema() is None:
+            raise ValueError(
+                "snapshot_diff on a never-written table: the row schema is "
+                "unknown until the first insert"
+            )
         a = self.read_latest_version(ts_a).drop(COMMIT_TS)
         b = self.read_latest_version(ts_b).drop(COMMIT_TS)
         val_cols = [c for c in b.columns if c != self.key_col]

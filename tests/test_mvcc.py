@@ -827,3 +827,17 @@ def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
     ts2 = t.insert(spark.createDataFrame([(9, "z", 7)], ["k", "v", "extra"]))
     got = {r["k"]: r["change"] for r in t.snapshot_diff(ts1, ts2).collect()}
     assert got == {9: "added"}
+
+
+def test_never_written_table_reads_and_diffs_safely(spark, tmp_path):
+    """delete-before-any-insert histories: reads pass empties through,
+    snapshot_diff errors loudly (schema unknowable before first insert)."""
+    import pytest as _pt
+
+    from pixels_spark.mvcc.table import MvccTable
+
+    t = MvccTable(spark, str(tmp_path / "nw"), key_col="k")
+    ts = t.delete([0])
+    assert t.read_latest_version().count() == 0
+    with _pt.raises(ValueError, match="never-written"):
+        t.snapshot_diff(ts, ts)

@@ -108,6 +108,9 @@ def test_snapshot_diff_matches_dict_model(spark, tmp_path_factory, ops, a, b):
     must equal the model's added/removed/changed classification."""
     from pixels_spark.mvcc.table import MvccTable
 
+    # seed insert: diffing a never-written table is a defined error (the
+    # row schema is unknown until the first insert — engine-guarded)
+    ops = [("insert", [0, 1])] + ops
     ia, ib = min(a, len(ops) - 1), min(b, len(ops) - 1)
     t = MvccTable(
         spark, str(tmp_path_factory.mktemp("sdiff") / "tbl"), key_col="k"
