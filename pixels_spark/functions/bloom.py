@@ -33,7 +33,16 @@ from pyspark.sql.functions import pandas_udf
 
 from .dedup import spread, word_shingles
 
-__all__ = ["BLOOM_M", "BLOOM_K", "BloomRegistry", "bloom_positions", "build_bloom_bitset", "bloom_decontaminate"]
+__all__ = [
+    "BLOOM_M",
+    "BLOOM_K",
+    "BloomRegistry",
+    "bloom_positions",
+    "build_bloom_bitset",
+    "build_key_bitset",
+    "bloom_filter_keys",
+    "bloom_decontaminate",
+]
 
 BLOOM_M = 1 << 20  # bits (128 KiB bitset)
 BLOOM_K = 3  # hash functions
@@ -116,6 +125,68 @@ def bloom_decontaminate(
             F.sum(F.col("_hit").cast("bigint")).cast("bigint").alias("n_flagged"),
             F.max("_hit").alias("contaminated"),
         )
+    )
+
+
+def build_key_bitset(
+    keys: DataFrame, key_col: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> bytes:
+    """Build the m-bit Bloom bitset over a JOIN-KEY column (the runtime-
+    filter shape: the build side of a join, hashed once into a fixed-size
+    bitset regardless of its row count). Keys are canonicalized through
+    CAST(key AS STRING) so the probe side can hash any equal-valued key
+    identically. Collects k·|distinct keys| positions to the driver —
+    O(build side), the same bound as planning any broadcast."""
+    pos = (
+        keys.select(F.col(key_col).cast("string").alias("_s"))
+        .where(F.col("_s").isNotNull())
+        .distinct()
+        .select(F.explode(bloom_positions(F.col("_s"), k, m)).alias("p"))
+        .distinct()
+    )
+    bits = np.zeros(m, dtype=bool)
+    idx = [r["p"] for r in pos.collect()]
+    if idx:
+        bits[np.asarray(idx, dtype=np.int64)] = True
+    return np.packbits(bits).tobytes()
+
+
+def bloom_filter_keys(
+    df: DataFrame,
+    key_col: str,
+    bitset: bytes,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Map-side Bloom pre-filter of ``df`` on ``key_col`` membership: keeps
+    every row whose key is in the set the bitset was built from, PLUS the
+    bitset's false positives (a guaranteed superset — callers relying on
+    exactness must follow with the real join, which removes the FPs).
+
+    This is the explicit runtime-filter operator: at 100 TB the probe side
+    of a shuffle join pays its exchange on every row, matching or not; a
+    128 KiB broadcast bitset drops non-matching rows at the SCAN, before
+    the shuffle, for any build side too large to broadcast-join outright
+    (the bitset stays fixed-size where a broadcast hash table grows with
+    the build side). Probe is one Arrow-batched pandas UDF (vectorized
+    bit math) — no per-row Python."""
+    bc = df.sparkSession.sparkContext.broadcast(bitset)
+
+    @pandas_udf("boolean")
+    def _member(pos: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        a = np.stack(pos.to_numpy()).astype(np.int64)  # (batch, k)
+        probed = bits[a >> 3] & (0x80 >> (a & 7)).astype(np.uint8)
+        return pd.Series((probed != 0).all(axis=1))
+
+    # NULL keys never equi-join (the null-key convention every join here
+    # pins), so they are dropped up front — also keeps the probe total:
+    # a NULL key would otherwise surface as a NULL position array
+    key_str = F.col(key_col).cast("string")
+    return df.where(F.col(key_col).isNotNull()).where(
+        _member(bloom_positions(key_str, k, m))
     )
 
 

@@ -25,7 +25,33 @@ from pyspark.sql import functions as F
 
 from .dedup import cut_lineage
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangles"]
+
+
+def triangles(edges: DataFrame, src: str = "s1", dst: str = "s2") -> DataFrame:
+    """Enumerate the triangles of an undirected graph given as ORIENTED
+    edges (one row per edge with ``src < dst``) → ``(a, b, c)`` with
+    ``a < b < c``, each triangle exactly once.
+
+    The classic two-join enumeration: wedges ``(a,b)⋈(b,c)`` on the
+    middle vertex, then a membership join against the edge set for the
+    closing edge ``(a,c)``. Ordering every edge low→high is the standard
+    orientation trick — each triangle is generated from exactly one of
+    its three wedges, so no post-dedup pass and no 3× overcount. (The
+    stronger degree-ordering orientation — orient toward the
+    higher-degree endpoint — bounds wedge fanout by O(m^1.5) on skewed
+    graphs; with id-ordering the bound is per-vertex out-degree, which is
+    what the caller controls via its edge-construction threshold.)
+
+    Scale shape: two shuffles (wedge join on ``b``, membership join on
+    ``(a,c)``), both plain equi-joins AQE can re-plan; nothing driver-side,
+    nothing quadratic in the graph — only in per-vertex out-degree.
+    """
+    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    wedges = e1.join(e2, "b")
+    closing = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    return wedges.join(closing, ["a", "c"]).select("a", "b", "c")
 
 # target edges per cached partition for the iteration loop: below this,
 # per-task scheduling overhead dominates the ~μs of compute per row

@@ -625,6 +625,46 @@ class MvccTable:
             .filter(F.col("change").isNotNull())
         )
 
+    def restore(self, ts: int) -> int:
+        """Roll the table back to its snapshot at ``ts`` — as a NEW
+        forward commit (lakehouse RESTORE semantics, e.g. Delta's
+        ``RESTORE TABLE … TIMESTAMP AS OF``): history between ``ts`` and
+        the restore stays time-travelable; only the CURRENT snapshot
+        changes. The undo-the-bad-ingest primitive time travel alone
+        can't provide (reading an old snapshot doesn't change what new
+        writers see).
+
+        Write volume is O(Δ), not O(table): keys that vanished since
+        ``ts`` are re-inserted, keys added since are deleted, changed
+        keys are updated back (delete+insert at one ts, the UPDATE
+        convention) — computed with one ``exceptAll`` + one anti-join
+        between the two snapshots, all shuffles keyed on the key. Rows
+        untouched since ``ts`` are not rewritten. One transaction; abort
+        removes any partial files (same cleanup contract as merge).
+        """
+        if self.persisted_schema() is None:
+            raise ValueError("restore on a never-written table")
+        target = self.read_latest_version(ts).drop(COMMIT_TS)
+        current = self.read_latest_version().drop(COMMIT_TS)
+        # keys present now but absent at ts → delete; target rows that are
+        # not byte-identical to a current row → (re-)insert, with their
+        # current version (if any) hidden at the same ts
+        gone = current.select(self.key_col).join(
+            target.select(self.key_col), self.key_col, "left_anti"
+        )
+        changed = target.exceptAll(current)
+        del_keys = gone.unionByName(changed.select(self.key_col))
+        ctx = self.trans.begin_trans()
+        try:
+            self.delete(del_keys, ts=ctx.timestamp)
+            self.insert(changed, ts=ctx.timestamp)
+        except BaseException:
+            self._abort_cleanup(ctx.timestamp)
+            self.trans.abort_trans(ctx)
+            raise
+        self.trans.commit_trans(ctx)
+        return ctx.timestamp
+
     def read_history(self, snapshot_ts: int | None = None) -> DataFrame:
         """SCD Type 2 view of the FULL version history at ``snapshot_ts``:
         every version ever committed (including ones superseded or hidden

@@ -241,3 +241,113 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank(edges, iterations=_ITERS, damping=0.85, weight_col="w").orderBy(
         "node"
     )
+
+
+_TRI_EDGES_SQL = """
+    WITH edges AS (
+      SELECT least(a.l_partkey, b.l_partkey) AS s1,
+             greatest(a.l_partkey, b.l_partkey) AS s2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY least(a.l_partkey, b.l_partkey),
+               greatest(a.l_partkey, b.l_partkey)
+      HAVING count(DISTINCT a.l_orderkey) >= 2
+    )"""
+
+
+@declare(
+    "graph_triangles",
+    sql=_TRI_EDGES_SQL
+    + """,
+    tri AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.s2 = e2.s1
+      JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+    tri_nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri),
+    tcnt AS (SELECT node, count(*) AS n_tri FROM tri_nodes GROUP BY node),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT s1 AS node FROM edges UNION ALL SELECT s2 FROM edges) d
+      GROUP BY node)
+    SELECT t.node AS partkey, d.degree,
+           CAST(t.n_tri AS BIGINT) AS n_triangles,
+           CAST(2 AS DOUBLE) * t.n_tri / (d.degree * (d.degree - 1))
+             AS clustering
+    FROM tcnt t JOIN deg d ON d.node = t.node
+    WHERE d.degree > 1
+    ORDER BY n_triangles DESC, partkey
+    LIMIT 10
+    """,
+    tags=("graph", "triangles", "join", "beyond-parity"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the part
+    co-purchase graph (parts co-occurring in >= 2 distinct orders — the
+    support threshold keeps the graph sparse where raw co-occurrence
+    would be near-complete at small SF). The canonical wedge-close
+    enumeration (functions/graph.triangles): id-oriented edges, two
+    equi-joins, each triangle found exactly once — the primitive behind
+    community density and link-spam features in corpus quality scoring.
+
+    Shared-dialect oracle: the same three-way self-join restated
+    relationally; clustering = 2*tri / (deg*(deg-1)) on integer-derived
+    doubles, exact on both engines.
+
+    100 TB: the self-join on l_orderkey shuffles lineitem once with
+    per-order fanout bounded by order size; wedge fanout is bounded by
+    per-vertex out-degree, controlled by the support threshold (raise it
+    as density grows). Both triangle joins are plain equi-joins AQE can
+    re-plan on skew.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("s1", "s2")
+    )
+    tri = G.triangles(edges)
+    tcnt = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionAll(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return (
+        tcnt.join(deg, "node")
+        .filter(F.col("degree") > 1)
+        .select(
+            F.col("node").alias("partkey"),
+            "degree",
+            "n_triangles",
+            (
+                2.0
+                * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1))
+            )
+            .cast("double")
+            .alias("clustering"),
+        )
+        .orderBy(F.col("n_triangles").desc(), "partkey")
+        .limit(10)
+    )

@@ -222,3 +222,62 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@declare(
+    "join_bloom_semi",
+    sql="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY year(o.o_orderdate) ORDER BY order_year
+    """,
+    tags=("join", "bloom", "runtime-filter", "beyond-parity"),
+)
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom RUNTIME-FILTERED shuffle join: urgent orders (~20% of the
+    dim) join lineitem, but before the fact side pays its exchange, a
+    128 KiB Bloom bitset built over the dim's join keys drops
+    non-matching fact rows AT THE SCAN (map-side, Arrow-batched). The
+    exact join then removes the bitset's false positives, so the result
+    provably equals the plain join — the oracle states the plain join.
+
+    This is the explicit form of the runtime row-filter big engines inject
+    for selective dim joins: at 100 TB the dim can be far past broadcast
+    thresholds while its bitset stays 128 KiB, and the fact shuffle
+    carries ~20% of the rows instead of 100%. The join itself is forced
+    to sort-merge (``hint("merge")``) — the scenario where the pre-filter
+    pays; a broadcast-able dim wouldn't need it. tests/test_bloom.py pins
+    superset-then-exact semantics and the pre-shuffle row reduction.
+    """
+    from ..functions.bloom import bloom_filter_keys, build_key_bitset
+
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    bitset = build_key_bitset(dim, "o_orderkey")
+    fact = bloom_filter_keys(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        "l_orderkey",
+        bitset,
+    )
+    return (
+        fact.join(
+            dim.hint("merge"), fact["l_orderkey"] == dim["o_orderkey"]
+        )
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("order_year")
+    )

@@ -275,3 +275,83 @@ def stat_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "event_type", "value")
         .orderBy("user_id")
     )
+
+
+@declare(
+    "profile_columns",
+    sql="""
+    SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS STRING) AS min_val,
+           CAST(max(doc_id) AS STRING) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS STRING), CAST(max(lang) AS STRING)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS STRING), CAST(max(n_chars) AS STRING)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS STRING), CAST(max(source) AS STRING)
+    FROM documents
+    ORDER BY col_name
+    """,
+    tags=("profiling", "aggregation", "data-quality", "beyond-parity"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational data profiler — per-column row/null/distinct counts and
+    min/max over ``documents``, the first step of every ingest-QA
+    pipeline (the batch analog of the reference's per-file column
+    statistics, ``pixels-core/.../stats/StatsRecorder.java``, lifted to
+    whole-table grain).
+
+    ONE scan: a single wide aggregate computes every column's stats
+    (count-distincts expand to Spark's Expand operator — still one pass
+    over the data), then the 1-row result unpivots executor-side into the
+    (col_name, stats) report. The oracle restates it as per-column UNION
+    ALL aggregates. min/max surface as strings so one report schema fits
+    every column type (numerics/strings here; timestamps would pin a
+    format first — FIXTURES.md §Oracle-comparison).
+
+    100 TB: identical shape — one scan, 4 tiny agg states per partition;
+    the unpivot touches one row. Exact distincts are the test harness;
+    at scale swap approx_count_distinct per column (cb_approx_distinct's
+    contract) without changing the report schema.
+    """
+    cols = ["doc_id", "lang", "n_chars", "source"]
+    d = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_c_{c}"),
+            F.countDistinct(c).alias(f"_d_{c}"),
+            F.min(c).cast("string").alias(f"_mn_{c}"),
+            F.max(c).cast("string").alias(f"_mx_{c}"),
+        ]
+    row = d.agg(*aggs)
+    packed = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+            (F.col("_n") - F.col(f"_c_{c}")).cast("bigint").alias("n_null"),
+            F.col(f"_d_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"_mn_{c}").alias("min_val"),
+            F.col(f"_mx_{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*packed)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )

@@ -1196,3 +1196,39 @@ def mvcc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("event_id"),
         work,
     )
+
+
+@declare(
+    "mvcc_restore",
+    sql="""
+    SELECT event_id, value FROM events WHERE event_id % 3 = 0
+    ORDER BY event_id
+    """,
+    tags=("mvcc", "time-travel", "restore"),
+)
+def mvcc_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE-to-snapshot: a bad ingest (merge that ×10s some values and
+    inserts noise, then a stray delete) is undone by ``restore(ts1)`` —
+    a forward commit whose visible state equals the pre-ingest snapshot
+    exactly; the oracle restates that snapshot relationally. History
+    between ts1 and the restore stays time-travelable (pinned in
+    tests/test_mvcc.py, with O(Δ) write volume). The undo primitive
+    time travel alone can't provide — reading an old snapshot never
+    changes what new writers see.
+    """
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_restore_")
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    table = MvccTable(spark, os.path.join(work, "tbl"), key_col="event_id")
+    ts1 = table.insert(e.filter(F.col("event_id") % 3 == 0))
+    table.merge(
+        e.filter(F.col("event_id") % 6 == 0)
+        .withColumn("value", F.col("value") * 10)
+        .unionByName(e.filter(F.col("event_id") % 3 == 1))
+    )
+    table.delete(e.filter(F.col("event_id") % 9 == 6).select("event_id"))
+    table.restore(ts1)
+    return _finalize(
+        table.read().select("event_id", "value").orderBy("event_id"), work
+    )

@@ -9,7 +9,7 @@ so similarity values are bit-identical and the oracle can compare exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_path
@@ -598,3 +598,122 @@ def vec_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return V.batch_knn(e, "embedding", "vec_id", q, k=10).orderBy("q_id", "rank")
+
+
+@declare(
+    "vec_hybrid_rrf",
+    sql=f"""
+    WITH qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id = 7),
+    dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents WHERE doc_id <> 7),
+    kw AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS kw_overlap
+           FROM dt d JOIN qt q ON d.w = q.w GROUP BY d.doc_id),
+    kwr AS (SELECT b.doc_id, coalesce(k.kw_overlap, 0) AS kw_overlap,
+                   row_number() OVER (
+                     ORDER BY coalesce(k.kw_overlap, 0) DESC, b.doc_id
+                   ) AS kw_rank
+            FROM (SELECT doc_id FROM documents WHERE doc_id <> 7) b
+            LEFT JOIN kw k ON k.doc_id = b.doc_id),
+    qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+    vr0 AS (SELECT vec_id AS doc_id, {_sql_cos("embedding", "qvec")} AS sim
+            FROM embeddings, qv WHERE vec_id <> 7),
+    vr AS (SELECT doc_id, sim,
+                  row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
+           FROM vr0)
+    SELECT k.doc_id AS doc_id, k.kw_overlap,
+           CAST(k.kw_rank AS BIGINT) AS kw_rank,
+           CAST(v.vec_rank AS BIGINT) AS vec_rank,
+           CAST(1.0 / (60 + k.kw_rank) + 1.0 / (60 + v.vec_rank) AS DOUBLE)
+             AS rrf
+    FROM kwr k JOIN vr v ON v.doc_id = k.doc_id
+    ORDER BY rrf DESC, k.doc_id
+    LIMIT 10
+    """,
+    tags=("vector", "text", "search", "rrf", "beyond-parity"),
+)
+def vec_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — keyword + vector ranks fused with Reciprocal
+    Rank Fusion (rrf = Σ 1/(60+rank), the standard k=60 constant): the
+    retrieval shape every RAG/search stack runs, keyword recall catching
+    what the embedding misses and vice versa. Query = document 7 against
+    the rest of the corpus (documents ⟷ embeddings share the id space).
+
+    Keyword rank: distinct-token overlap with the query document
+    (string_split ≡ F.split, the repo's pinned tokenization), zero-overlap
+    docs ranked too (LEFT JOIN from the corpus). Vector rank: exact cosine
+    (the pinned left-fold — bit-identical across engines). Ranks are
+    integers, the fusion is exact rational arithmetic in double — fully
+    oracle-able.
+
+    Scale note: the fixture ranks the whole corpus (row_number over a
+    global order — fine at test SF); at 100 TB each retriever contributes
+    its top-N candidate list (bounded TakeOrdered, as vec_knn /
+    vec_ivf_probe produce) and RRF fuses the ≤2N candidates — the fusion
+    itself never touches corpus scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    w_kw = Window.orderBy(F.col("kw_overlap").desc(), F.col("doc_id"))
+    w_v = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+
+    q_toks = (
+        d.filter(F.col("doc_id") == 7)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .distinct()
+    )
+    d_toks = (
+        d.filter(F.col("doc_id") != 7)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .distinct()
+    )
+    kw = (
+        d_toks.join(F.broadcast(q_toks), "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("kw_overlap"))
+    )
+    kwr = (
+        d.filter(F.col("doc_id") != 7)
+        .select("doc_id")
+        .join(kw, "doc_id", "left_outer")
+        .select(
+            "doc_id", F.coalesce("kw_overlap", F.lit(0).cast("bigint")).alias("kw_overlap")
+        )
+        .withColumn("kw_rank", F.row_number().over(w_kw).cast("bigint"))
+    )
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    q = q.select("_qvec", V.l2_norm(F.col("_qvec")).alias("_qnorm"))
+    corpus = e.filter(F.col("vec_id") != 7).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding"),
+        V.l2_norm(F.col("embedding")).alias("_vnorm"),
+    )
+    vr = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            (
+                V.dot(F.col("embedding"), F.col("_qvec"))
+                / (F.col("_vnorm") * F.col("_qnorm"))
+            ).alias("sim"),
+        )
+        .withColumn("vec_rank", F.row_number().over(w_v).cast("bigint"))
+        .select("doc_id", "vec_rank")
+    )
+    return (
+        kwr.join(vr, "doc_id")
+        .select(
+            "doc_id",
+            "kw_overlap",
+            "kw_rank",
+            "vec_rank",
+            (
+                F.lit(1.0) / (F.lit(60) + F.col("kw_rank"))
+                + F.lit(1.0) / (F.lit(60) + F.col("vec_rank"))
+            )
+            .cast("double")
+            .alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )

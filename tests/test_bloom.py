@@ -171,3 +171,45 @@ def test_bloom_registry_streaming_ingest_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "stream" / "kept" / "*")).collect()
     )
     assert got == want and len(got) == 6  # one survivor per distinct body
+
+
+def test_key_bitset_filter_is_superset_then_exact_join_equal(spark, sf_dir):
+    """Runtime-filter contract: the bloom pre-filter keeps a SUPERSET of
+    the matching fact rows (no false negatives), strictly fewer than the
+    full fact, and the follow-up join removes the FPs exactly."""
+    from pixels_spark.functions.bloom import bloom_filter_keys, build_key_bitset
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    dim = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bits = build_key_bitset(dim, "o_orderkey")
+
+    pre = bloom_filter_keys(li, "l_orderkey", bits)
+    n_all, n_pre = li.count(), pre.count()
+    n_true = li.join(dim, li["l_orderkey"] == dim["o_orderkey"], "left_semi").count()
+    assert n_true <= n_pre < n_all  # superset, and it actually filters
+
+    # FPs vanish at the real join: bloom-prefiltered join == plain join
+    plain = (
+        li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("l_orderkey").count()
+    )
+    bloomed = (
+        pre.join(dim, pre["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("l_orderkey").count()
+    )
+    assert plain.exceptAll(bloomed).count() == 0
+    assert bloomed.exceptAll(plain).count() == 0
+
+
+def test_key_bitset_null_keys_dropped_and_empty_dim(spark):
+    from pixels_spark.functions.bloom import bloom_filter_keys, build_key_bitset
+
+    dim = spark.createDataFrame([(1,), (None,)], "k bigint")
+    bits = build_key_bitset(dim, "k")
+    fact = spark.createDataFrame([(1,), (2,), (None,)], "k bigint")
+    kept = {r["k"] for r in bloom_filter_keys(fact, "k", bits).collect()}
+    assert 1 in kept and None not in kept  # null never matches (join convention)
+
+    empty_bits = build_key_bitset(dim.filter("k is null and k is not null"), "k")
+    assert bloom_filter_keys(fact, "k", empty_bits).count() == 0

@@ -230,3 +230,36 @@ def test_weighted_pagerank_matches_dense_reference(spark, pairs):
     assert set(got) == set(sources)
     for node in sources:
         assert got[node] == pytest.approx(r[node], rel=1e-9), node
+
+
+def test_triangles_enumerates_each_exactly_once(spark):
+    """K4 minus one edge: triangles {1,2,3} and {1,2,4} only, each once."""
+    from pixels_spark.functions.graph import triangles
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "s1 bigint, s2 bigint"
+    )
+    got = sorted(tuple(r) for r in triangles(edges).collect())
+    assert got == [(1, 2, 3), (1, 2, 4)]
+
+
+def test_triangles_matches_brute_force_on_random_graphs(spark):
+    """Fuzz vs itertools.combinations on random sparse graphs."""
+    import itertools
+    import random
+
+    from pixels_spark.functions.graph import triangles
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        n = rng.randint(5, 14)
+        pairs = list(itertools.combinations(range(n), 2))
+        es = sorted(rng.sample(pairs, k=rng.randint(4, len(pairs))))
+        edges = spark.createDataFrame(es, "s1 bigint, s2 bigint")
+        eset = set(es)
+        want = sorted(
+            t for t in itertools.combinations(range(n), 3)
+            if (t[0], t[1]) in eset and (t[0], t[2]) in eset and (t[1], t[2]) in eset
+        )
+        got = sorted(tuple(r) for r in triangles(edges).collect())
+        assert got == want, f"trial {trial}: {got} != {want}"

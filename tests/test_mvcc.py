@@ -841,3 +841,56 @@ def test_never_written_table_reads_and_diffs_safely(spark, tmp_path):
     assert t.read_latest_version().count() == 0
     with _pt.raises(ValueError, match="never-written"):
         t.snapshot_diff(ts, ts)
+
+
+def test_restore_reverts_snapshot_keeps_history_and_writes_only_delta(
+    spark, tmp_path
+):
+    """restore(ts1): current == snapshot@ts1; the corrupt interval stays
+    time-travelable; the restore commit's data files hold only the delta
+    (changed + vanished rows), not the whole table."""
+    import os
+
+    t = MvccTable(spark, str(tmp_path / "t"), key_col="k")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k bigint, v bigint"
+    )
+    ts1 = t.insert(base)
+    # bad ingest: 3 updates, 2 inserts, 1 delete
+    t.merge(
+        spark.createDataFrame(
+            [(0, 999), (1, 999), (2, 999), (100, 1), (101, 2)],
+            "k bigint, v bigint",
+        )
+    )
+    ts_bad = t.delete([5])
+    ts_r = t.restore(ts1)
+    assert ts_r > ts_bad
+
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(i, i * 10) for i in range(20)]
+    # history preserved: the corrupt snapshot is still readable at ts_bad
+    bad = dict(
+        (r["k"], r["v"]) for r in t.read(snapshot_ts=ts_bad).collect()
+    )
+    assert bad[0] == 999 and 100 in bad and 5 not in bad
+    # O(delta): the restore commit re-inserted exactly the 4 repaired rows
+    # (3 reverted updates + 1 undeleted), not all 20
+    restore_dir = os.path.join(str(tmp_path / "t"), "data", f"_commit={ts_r}")
+    n_rows = spark.read.parquet(restore_dir).count()
+    assert n_rows == 4
+
+
+def test_restore_never_written_table_raises(spark, tmp_path):
+    t = MvccTable(spark, str(tmp_path / "t"), key_col="k")
+    with pytest.raises(ValueError, match="never-written"):
+        t.restore(1)
+
+
+def test_restore_is_idempotent_at_target(spark, tmp_path):
+    """Restoring to the current state still commits, and changes nothing."""
+    t = MvccTable(spark, str(tmp_path / "t"), key_col="k")
+    ts1 = t.insert(spark.createDataFrame([(1, 2)], "k bigint, v bigint"))
+    ts_r = t.restore(ts1)
+    assert ts_r > ts1
+    assert [(r["k"], r["v"]) for r in t.read().collect()] == [(1, 2)]

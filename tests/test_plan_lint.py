@@ -57,6 +57,7 @@ ALLOWLIST = {
     "txt_collocations": "scalar corpus-total frame crossJoin (1 row)",
     "txt_training_pipeline": "scalar corpus/budget frames (composition)",
     "vec_lsh_pairs": "tiny hyperplane frame crossJoin (seeded planes)",
+    "vec_hybrid_rrf": "1-row query-vector crossJoin",
 }
 
 BATCH = sorted(
