@@ -38,9 +38,38 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .table import MvccTable
+from .table import COMMIT_TS, MvccTable
 
 _SUM_DEC = "decimal(18,6)"
+
+
+def touched_keys(
+    spark: SparkSession, table: MvccTable, last_ts: int, cur_ts: int
+) -> DataFrame:
+    """Distinct keys written or tombstoned in (last_ts, cur_ts] — reads
+    ONLY the delta commit directories via `_commit` partition pruning."""
+    k = table.key_col
+    parts: list[DataFrame] = []
+    dd = table.data_dir
+    if os.path.isdir(dd) and any(e.startswith("_commit=") for e in os.listdir(dd)):
+        d = spark.read.option("basePath", dd).parquet(dd)
+        parts.append(
+            d.filter((F.col("_commit") > last_ts) & (F.col("_commit") <= cur_ts))
+            .select(k)
+        )
+    dels = table._deletes()
+    if dels is not None:
+        parts.append(
+            dels.filter(
+                (F.col("_commit") > last_ts) & (F.col("_commit") <= cur_ts)
+            ).select(k)
+        )
+    if not parts:
+        return spark.createDataFrame([], f"{k} long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
 
 
 class MaterializedRollup:
@@ -97,30 +126,7 @@ class MaterializedRollup:
         return df.groupBy(*self.group_cols).agg(*aggs)
 
     def _touched_keys(self, last_ts: int, cur_ts: int) -> DataFrame:
-        """Distinct keys written or tombstoned in (last_ts, cur_ts] — reads
-        ONLY the delta commit directories via `_commit` partition pruning."""
-        k = self.table.key_col
-        parts: list[DataFrame] = []
-        dd = self.table.data_dir
-        if os.path.isdir(dd) and any(e.startswith("_commit=") for e in os.listdir(dd)):
-            d = self.spark.read.option("basePath", dd).parquet(dd)
-            parts.append(
-                d.filter((F.col("_commit") > last_ts) & (F.col("_commit") <= cur_ts))
-                .select(k)
-            )
-        dels = self.table._deletes()
-        if dels is not None:
-            parts.append(
-                dels.filter(
-                    (F.col("_commit") > last_ts) & (F.col("_commit") <= cur_ts)
-                ).select(k)
-            )
-        if not parts:
-            return self.spark.createDataFrame([], f"{k} long")
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.distinct()
+        return touched_keys(self.spark, self.table, last_ts, cur_ts)
 
     # -- refresh -----------------------------------------------------------
     def full_refresh(self) -> int:
@@ -169,6 +175,190 @@ class MaterializedRollup:
         )
         self._write(merged, cur)
         return cur
+
+    def read(self) -> DataFrame:
+        state = self._state()
+        if state is None:
+            raise ValueError("rollup never refreshed — call full_refresh()")
+        return self.spark.read.parquet(state["data"])
+
+
+class MaterializedJoinRollup:
+    """A stored group-by rollup (count + decimal sums) over ``fact ⋈ dim``
+    — BOTH sides MVCC tables — maintained incrementally from both commit
+    histories. The view-maintenance shape one table can't express: a dim
+    UPDATE (say a customer changes segment) must re-attribute every joined
+    fact row's mass to the new group without rescanning the fact table.
+
+    Differential algebra (signed multisets, Δ = new latest − old latest):
+
+        Δ(F ⋈ D) = ΔF ⋈ D_new  ∪  F_old ⋈ ΔD
+
+    which telescopes exactly: ΔF⋈D_new = F_new⋈D_new − F_old⋈D_new and
+    F_old⋈ΔD = F_old⋈D_new − F_old⋈D_old; their signed union is
+    F_new⋈D_new − F_old⋈D_old. Signs multiply through the join and the
+    aggregate; sums accumulate in DECIMAL, so ``refresh()`` equals a
+    from-scratch ``full_refresh()`` byte-for-byte after ANY interleaving
+    of inserts/updates/deletes on either side (fuzzed in
+    tests/test_ivm.py).
+
+    Scale (100 TB fact, large dim): term 1's left side is ΔF (commit-dir
+    pruned, delta-sized) joining the dim — a plain key join AQE plans;
+    term 2's fact side is F_old SEMI-JOINED down to ΔD's join keys before
+    it ever joins or aggregates — cost tracks |fact rows of the touched
+    dim keys|, not |fact|. Neither term rescans the full fact table; the
+    rollup merge shuffles rollup-cardinality rows only.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        fact: MvccTable,
+        dim: MvccTable,
+        join_key: str,
+        group_cols: list[str],
+        sum_cols: list[str],
+    ):
+        if dim.key_col != join_key:
+            raise ValueError(
+                f"dim key {dim.key_col!r} must be the join key {join_key!r} "
+                "(latest-version semantics make the dim side key-unique)"
+            )
+        self.spark = spark
+        self.path = path
+        self.fact = fact
+        self.dim = dim
+        self.join_key = join_key
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.state_path = os.path.join(path, "_ivm_state.json")
+        os.makedirs(path, exist_ok=True)
+
+    # -- state (same atomic-pointer discipline as MaterializedRollup) ------
+    def _state(self) -> dict | None:
+        if not os.path.exists(self.state_path):
+            return None
+        with open(self.state_path) as f:
+            return json.load(f)
+
+    def _write(self, rollup: DataFrame, ts_f: int, ts_d: int) -> None:
+        data_dir = os.path.join(self.path, f"rollup_ts={ts_f}_{ts_d}")
+        out = rollup.select(
+            *self.group_cols,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            *[
+                F.col(f"sum_{c}").cast(_SUM_DEC).alias(f"sum_{c}")
+                for c in self.sum_cols
+            ],
+        )
+        out.write.mode("overwrite").parquet(data_dir)
+        prev = self._state()
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_f": ts_f, "last_d": ts_d, "data": data_dir}, f)
+        os.replace(tmp, self.state_path)
+        if prev and prev["data"] != data_dir and os.path.isdir(prev["data"]):
+            shutil.rmtree(prev["data"], ignore_errors=True)
+
+    # -- kernels -----------------------------------------------------------
+    def _agg_signed(self, joined: DataFrame) -> DataFrame:
+        aggs = [F.sum("_sign").cast("long").alias("n_rows")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(F.col(c).cast(_SUM_DEC) * F.col("_sign")).alias(f"sum_{c}")
+            )
+        return joined.groupBy(*self.group_cols).agg(*aggs)
+
+    def _signed_delta(self, table: MvccTable, last: int, cur: int) -> DataFrame:
+        """Signed latest-version delta of ``table`` over (last, cur]:
+        +1 rows of the new latest, −1 rows of the old latest, restricted
+        to touched keys (commit-dir pruned discovery — delta-sized)."""
+        k = table.key_col
+        touched = touched_keys(self.spark, table, last, cur)
+        new = (
+            table.read_latest_version(cur)
+            .join(touched, k, "left_semi")
+            .withColumn("_sign", F.lit(1))
+        )
+        old = (
+            table.read_latest_version(last)
+            .join(touched, k, "left_semi")
+            .withColumn("_sign", F.lit(-1))
+        )
+        return new.unionByName(old)
+
+    def _join(self, f: DataFrame, d: DataFrame) -> DataFrame:
+        # sign of a joined row = product of side signs (absent column = +1)
+        fs = f if "_sign" in f.columns else f.withColumn("_sign", F.lit(1))
+        ds = d.withColumnRenamed("_sign", "_dsign") if "_sign" in d.columns else d.withColumn("_dsign", F.lit(1))
+        return (
+            fs.join(ds, self.join_key)
+            .withColumn("_sign", F.col("_sign") * F.col("_dsign"))
+            .drop("_dsign")
+        )
+
+    # -- refresh -----------------------------------------------------------
+    def full_refresh(self) -> tuple[int, int]:
+        ts_f = self.fact.trans.high_watermark
+        ts_d = self.dim.trans.high_watermark
+        j = self._join(
+            self.fact.read_latest_version(ts_f).drop(COMMIT_TS),
+            self.dim.read_latest_version(ts_d).drop(COMMIT_TS),
+        )
+        self._write(self._agg_signed(j), ts_f, ts_d)
+        return ts_f, ts_d
+
+    def refresh(self) -> tuple[int, int]:
+        """Fold both sides' commits since the last refresh into the stored
+        rollup. No-op when neither table advanced."""
+        state = self._state()
+        if state is None:
+            return self.full_refresh()
+        last_f, last_d = state["last_f"], state["last_d"]
+        cur_f = self.fact.trans.high_watermark
+        cur_d = self.dim.trans.high_watermark
+        if cur_f <= last_f and cur_d <= last_d:
+            return last_f, last_d
+
+        terms: list[DataFrame] = []
+        d_new = self.dim.read_latest_version(cur_d).drop(COMMIT_TS)
+        if cur_f > last_f:
+            df_delta = self._signed_delta(self.fact, last_f, cur_f).drop(COMMIT_TS)
+            terms.append(self._agg_signed(self._join(df_delta, d_new)))
+        if cur_d > last_d:
+            dd_delta = self._signed_delta(self.dim, last_d, cur_d).drop(COMMIT_TS)
+            f_old = (
+                self.fact.read_latest_version(last_f)
+                .drop(COMMIT_TS)
+                .join(
+                    dd_delta.select(self.join_key).distinct(),
+                    self.join_key,
+                    "left_semi",
+                )
+            )
+            terms.append(self._agg_signed(self._join(f_old, dd_delta)))
+
+        merged = self.read().select(
+            *self.group_cols,
+            F.col("n_rows"),
+            *[F.col(f"sum_{c}") for c in self.sum_cols],
+        )
+        for t in terms:
+            merged = merged.unionByName(t)
+        merged = (
+            merged.groupBy(*self.group_cols)
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                *[
+                    F.sum(f"sum_{c}").cast(_SUM_DEC).alias(f"sum_{c}")
+                    for c in self.sum_cols
+                ],
+            )
+            .filter(F.col("n_rows") != 0)
+        )
+        self._write(merged, cur_f, cur_d)
+        return cur_f, cur_d
 
     def read(self) -> DataFrame:
         state = self._state()

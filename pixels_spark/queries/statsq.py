@@ -355,3 +355,113 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+@declare(
+    "dq_checks",
+    sql="""
+    SELECT 'documents_lang_allowed' AS rule,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'documents_nchars_consistent', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'events_user_fk', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_discount_range', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_duplicate_keys', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_without_lineitems', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+      ON o.o_orderkey = l.l_orderkey
+    ORDER BY rule
+    """,
+    tags=("data-quality", "aggregation", "join", "beyond-parity"),
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule suite → one (rule, n_checked,
+    n_violations) row per rule — the ingest-gate report every training
+    pipeline runs before a corpus snapshot is blessed (and the
+    whole-table complement of the reference's per-file integrity stats).
+    Six honest rules over the fixture: set-membership (lang), derived-
+    column consistency (n_chars = length(text)), referential integrity
+    both directions (events→customer FK; orders with no lineitems — the
+    fixture really has ~1.7% childless orders), domain range (discount ∈
+    [0, 0.1]), and key uniqueness. Each rule uses its natural distributed
+    shape: map-side CASE sums for row-local rules, a broadcast/AQE left
+    join + null probe for the FK rules, count-distinct for uniqueness —
+    no rule collects, every rule is one agg row out.
+
+    100 TB: rules over the same table share one scan when composed (the
+    CASE sums are a single wide aggregate like profile_columns); the FK
+    probes are plain joins AQE plans. Violation EXAMPLES (not counts)
+    are a LIMIT k per rule away — same plans, early-terminated.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def rule(name: str, df: DataFrame, bad: Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+        )
+
+    lang_ok = ["en", "de", "es", "fr", "zh"]
+    parts = [
+        rule("documents_lang_allowed", d, ~F.col("lang").isin(lang_ok)),
+        rule(
+            "documents_nchars_consistent",
+            d,
+            F.col("n_chars") != F.length("text"),
+        ),
+        rule(
+            "events_user_fk",
+            e.join(c, e["user_id"] == c["c_custkey"], "left_outer"),
+            F.col("c_custkey").isNull(),
+        ),
+        rule(
+            "lineitem_discount_range",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        ),
+        o.agg(
+            F.lit("orders_duplicate_keys").alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+            .cast("bigint")
+            .alias("n_violations"),
+        ),
+        rule(
+            "orders_without_lineitems",
+            o.join(
+                li.select("l_orderkey").distinct(),
+                o["o_orderkey"] == F.col("l_orderkey"),
+                "left_outer",
+            ),
+            F.col("l_orderkey").isNull(),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule")

@@ -1232,3 +1232,78 @@ def mvcc_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(
         table.read().select("event_id", "value").orderBy("event_id"), work
     )
+
+
+@declare(
+    "mvcc_ivm_join",
+    sql="""
+    WITH f AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 10 = 0 THEN value * 10 ELSE value END
+               AS value
+      FROM events
+      WHERE (event_id % 2 = 0 OR event_id % 4 = 1) AND event_id % 8 <> 2
+    ),
+    d AS (
+      SELECT c_custkey AS user_id,
+             CASE WHEN c_custkey = 3 THEN 'MOVED' ELSE c_mktsegment END
+               AS segment
+      FROM customer WHERE c_custkey < 15
+    )
+    SELECT d.segment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM f JOIN d ON f.user_id = d.user_id
+    GROUP BY d.segment ORDER BY d.segment
+    """,
+    tags=("mvcc", "ivm", "join", "materialized-view"),
+)
+def mvcc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view IVM (MaterializedJoinRollup): a segment revenue rollup
+    over events ⋈ customers — both MVCC tables — maintained through a
+    fact merge (×10 updates + inserts), a DIM segment reassignment (the
+    case single-table IVM can't express: customer 3's joined mass moves
+    to 'MOVED' without a fact rescan), and a fact delete. One refresh()
+    folds all three deltas; the oracle restates the final join
+    relationally. Δ(F⋈D) = ΔF⋈D_new ∪ F_old⋈ΔD — exactness fuzzed in
+    tests/test_ivm.py, cost tracks delta size at 100 TB (mvcc/ivm.py).
+    """
+    from ..mvcc.ivm import MaterializedJoinRollup
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_ivm_join_")
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 15)
+    fact = MvccTable(spark, os.path.join(work, "fact"), key_col="event_id")
+    dim = MvccTable(spark, os.path.join(work, "dim"), key_col="user_id")
+    fact.insert(e.filter(F.col("event_id") % 2 == 0))
+    dim.insert(
+        c.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    mv = MaterializedJoinRollup(
+        spark, os.path.join(work, "mv"), fact, dim, "user_id",
+        ["segment"], ["value"],
+    )
+    mv.full_refresh()
+    fact.merge(
+        e.filter(F.col("event_id") % 10 == 0)
+        .withColumn("value", F.col("value") * 10)
+        .unionByName(e.filter(F.col("event_id") % 4 == 1))
+    )
+    dim.merge(
+        spark.createDataFrame([(3, "MOVED")], "user_id bigint, segment string")
+    )
+    fact.delete(e.filter(F.col("event_id") % 8 == 2).select("event_id"))
+    mv.refresh()
+    return _finalize(
+        mv.read()
+        .select(
+            "segment",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("segment"),
+        work,
+    )

@@ -193,3 +193,141 @@ def test_ivm_random_operation_sequences(spark, tmp_path):
             assert _rows(mv.read()) == _rows(
                 _full(spark, tmp_path, t, f"rand{seed}_ref{step}")
             ), f"seed={seed} step={step} op={op}"
+
+
+# -- join-view IVM (MaterializedJoinRollup) -------------------------------
+
+
+def _mk_join(spark, tmp_path, name):
+    from pixels_spark.mvcc.ivm import MaterializedJoinRollup
+
+    fact = MvccTable(spark, os.path.join(str(tmp_path), name + "_f"), key_col="k")
+    dim = MvccTable(spark, os.path.join(str(tmp_path), name + "_d"), key_col="jk")
+    mv = MaterializedJoinRollup(
+        spark, os.path.join(str(tmp_path), name + "_mv"),
+        fact, dim, "jk", ["g"], ["v"],
+    )
+    return fact, dim, mv
+
+
+def _fdf(spark, rows):
+    return spark.createDataFrame([Row(k=k, jk=jk, v=float(v)) for k, jk, v in rows])
+
+
+def _ddf(spark, rows):
+    return spark.createDataFrame([Row(jk=jk, g=g) for jk, g in rows])
+
+
+def _join_full(spark, tmp_path, fact, dim, name):
+    from pixels_spark.mvcc.ivm import MaterializedJoinRollup
+
+    ref = MaterializedJoinRollup(
+        spark, os.path.join(str(tmp_path), name), fact, dim, "jk", ["g"], ["v"]
+    )
+    ref.full_refresh()
+    return ref.read()
+
+
+def test_join_rollup_dim_update_reattributes_fact_mass(spark, tmp_path):
+    """The case single-table IVM can't express: a dim row changes group and
+    every joined fact row's mass must move — without rescanning the fact."""
+    fact, dim, mv = _mk_join(spark, tmp_path, "jr1")
+    fact.insert(_fdf(spark, [(1, 10, 2.5), (2, 10, 4.0), (3, 11, 1.0)]))
+    dim.insert(_ddf(spark, [(10, "gold"), (11, "silver")]))
+    mv.full_refresh()
+    dim.merge(_ddf(spark, [(10, "silver")]))  # 10's segment changes
+    mv.refresh()
+    got = {r["g"]: (r["n_rows"], float(r["sum_v"])) for r in mv.read().collect()}
+    assert got == {"silver": (3, 7.5)}
+    assert _rows(mv.read()) == _rows(_join_full(spark, tmp_path, fact, dim, "jr1_ref"))
+
+
+def test_join_rollup_dim_delete_drops_joined_mass(spark, tmp_path):
+    fact, dim, mv = _mk_join(spark, tmp_path, "jr2")
+    fact.insert(_fdf(spark, [(1, 10, 2.0), (2, 11, 3.0)]))
+    dim.insert(_ddf(spark, [(10, "a"), (11, "b")]))
+    mv.full_refresh()
+    dim.delete([10])
+    mv.refresh()
+    got = {r["g"] for r in mv.read().collect()}
+    assert got == {"b"}
+    assert _rows(mv.read()) == _rows(_join_full(spark, tmp_path, fact, dim, "jr2_ref"))
+
+
+def test_join_rollup_random_ops_both_sides(spark, tmp_path):
+    """Random interleavings on BOTH tables — including steps where both
+    sides change before one refresh — must equal a from-scratch rebuild
+    exactly at every point."""
+    import random
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        fact, dim, mv = _mk_join(spark, tmp_path, f"jrand{seed}")
+        n_dim = 6
+        dim.insert(_ddf(spark, [(j, f"g{j % 3}") for j in range(n_dim)]))
+        fact.insert(
+            _fdf(spark, [
+                (i, rng.randrange(n_dim + 2), rng.uniform(-50, 50))
+                for i in range(20)
+            ])
+        )
+        mv.full_refresh()
+        next_key = 20
+        for step in range(5):
+            for op in rng.sample(
+                ["f_insert", "f_merge", "f_delete", "d_merge", "d_insert",
+                 "d_delete"],
+                k=rng.randint(1, 2),
+            ):
+                if op == "f_insert":
+                    rows = [
+                        (next_key + j, rng.randrange(n_dim + 2),
+                         rng.uniform(-50, 50))
+                        for j in range(rng.randint(1, 5))
+                    ]
+                    next_key += len(rows)
+                    fact.insert(_fdf(spark, rows))
+                elif op == "f_merge":
+                    rows = list({
+                        rng.randrange(next_key): None for _ in range(3)
+                    })
+                    fact.merge(_fdf(spark, [
+                        (k, rng.randrange(n_dim + 2), rng.uniform(-50, 50))
+                        for k in rows
+                    ]))
+                elif op == "f_delete":
+                    fact.delete(sorted({rng.randrange(next_key) for _ in range(3)}))
+                elif op == "d_merge":
+                    jk = rng.randrange(n_dim)
+                    dim.merge(_ddf(spark, [(jk, f"g{rng.randrange(3)}")]))
+                elif op == "d_insert":
+                    dim.merge(_ddf(spark, [(n_dim, f"g{rng.randrange(3)}")]))
+                    n_dim += 1
+                else:
+                    dim.delete([rng.randrange(n_dim)])
+            mv.refresh()
+            assert _rows(mv.read()) == _rows(
+                _join_full(spark, tmp_path, fact, dim, f"jrand{seed}_ref{step}")
+            ), f"seed={seed} step={step}"
+
+
+def test_join_rollup_noop_refresh(spark, tmp_path):
+    fact, dim, mv = _mk_join(spark, tmp_path, "jr3")
+    fact.insert(_fdf(spark, [(1, 10, 2.0)]))
+    dim.insert(_ddf(spark, [(10, "a")]))
+    ts = mv.full_refresh()
+    assert mv.refresh() == ts
+    assert _rows(mv.read()) == _rows(_join_full(spark, tmp_path, fact, dim, "jr3_ref"))
+
+
+def test_join_rollup_rejects_wrong_dim_key(spark, tmp_path):
+    import pytest as _pytest
+
+    from pixels_spark.mvcc.ivm import MaterializedJoinRollup
+
+    fact = MvccTable(spark, os.path.join(str(tmp_path), "wf"), key_col="k")
+    dim = MvccTable(spark, os.path.join(str(tmp_path), "wd"), key_col="other")
+    with _pytest.raises(ValueError, match="join key"):
+        MaterializedJoinRollup(
+            spark, os.path.join(str(tmp_path), "wmv"), fact, dim, "jk", ["g"], ["v"]
+        )
