@@ -100,6 +100,21 @@ HEADLINE = (
     "txt_quality_cut",
     "txt_corpus_report",
     "txt_temperature_mix",
+    # round 6, session 4: triangle counting (single-shuffle pair expansion
+    # + two-join wedge close), hybrid RRF retrieval, column profiler + DQ
+    # rule suite. mvcc_restore / mvcc_ivm_join stay out for the same
+    # reason as sql_dml_lifecycle: their cost is MVCC commit machinery
+    # already represented by mvcc_scd2. join_bloom_semi stays out like
+    # graph_pagerank: at sf0.1 the fact exchange its bitset eliminates is
+    # cheaper than the bitset build's two fixed jobs (measured 2.9 s vs
+    # 0.8 s plain), which would misread as a plan flaw — the operator
+    # pays when the fact shuffle dominates (its point, documented);
+    # correctness + superset/pruning contracts are pinned in
+    # tests/test_bloom.py and the driver oracle.
+    "graph_triangles",
+    "vec_hybrid_rrf",
+    "profile_columns",
+    "dq_checks",
 )
 
 
