@@ -1307,3 +1307,78 @@ def mvcc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("segment"),
         work,
     )
+
+
+@declare(
+    "stream_ivm_join",
+    sql="""
+    WITH d AS (
+      SELECT c_custkey AS user_id,
+             CASE WHEN c_custkey = 3 THEN 'MOVED' ELSE c_mktsegment END
+               AS segment
+      FROM customer WHERE c_custkey < 15
+    )
+    SELECT d.segment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN d ON e.user_id = d.user_id
+    GROUP BY d.segment ORDER BY d.segment
+    """,
+    tags=("streaming", "ivm", "join", "materialized-view"),
+)
+def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest against a JOIN-view: events replayed as a 2-batch
+    stream into the fact MVCC table, each micro-batch folding only its
+    own commits into the fact ⋈ customers segment rollup
+    (MaterializedJoinRollup.refresh — ΔF ⋈ D_new, delta-sized); after the
+    stream, a DIM segment reassignment (customer 3 → 'MOVED') lands as a
+    third delta through the F_old ⋈ ΔD term. The served rollup is always
+    merge-free and must equal the from-scratch join aggregation."""
+    from ..mvcc.ivm import MaterializedJoinRollup
+    from ..mvcc.table import MvccTable
+    from ..streaming.ingest import ingest_stream_with_ivm
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_ivm_join_")
+    src = os.path.join(work, "src")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(((F.min("event_id") + F.max("event_id")) / 2).alias("m")).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+    dim = MvccTable(spark, os.path.join(work, "dim"), key_col="user_id")
+    dim.insert(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 15)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    fact = MvccTable(spark, os.path.join(work, "fact"), key_col="event_id")
+    mv = MaterializedJoinRollup(
+        spark, os.path.join(work, "mv"), fact, dim, "user_id",
+        ["segment"], ["value"],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest_stream_with_ivm(stream, fact, mv, os.path.join(work, "ck"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("ivm join ingest did not finish in 600s")
+    dim.merge(
+        spark.createDataFrame([(3, "MOVED")], "user_id bigint, segment string")
+    )
+    mv.refresh()
+    return _finalize(
+        mv.read()
+        .select(
+            "segment",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("segment"),
+        work,
+    )

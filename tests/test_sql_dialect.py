@@ -72,7 +72,7 @@ DIALECT_SHARED = [
     "ts_ewma", "sql_dml_lifecycle", "mvcc_snapshot_diff",
     # round 6, session 4 (vec_hybrid_rrf is NOT shareable — list_* cosine)
     "graph_triangles", "join_bloom_semi", "profile_columns", "mvcc_restore",
-    "mvcc_ivm_join", "dq_checks",
+    "mvcc_ivm_join", "dq_checks", "stream_ivm_join",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant
