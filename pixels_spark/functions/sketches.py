@@ -1,0 +1,119 @@
+"""Mergeable frequency sketches (Count-Min) over DataFrames.
+
+The reference's approximate surface is cardinality-shaped (HLL via
+``approx_count_distinct``, sampled stats in pixels-core's stats collector);
+a 100 TB ingest pipeline also wants *frequency* estimates — per-key counts
+good enough for heavy-hitter triage without a full groupBy over an
+unbounded key domain. Count-Min (Cormode & Muthukrishnan 2005) is the
+standard answer: a depth×width grid of counters, each row r counting
+``hash_r(key) % width``; the estimate is the min over rows, always an
+OVERestimate, within ``e/width · N`` of truth with probability
+``1 - e^-depth``.
+
+Spark-first shape — the sketch IS a tiny DataFrame:
+
+- build: one narrow pass (explode each row into ``depth`` (r, bucket)
+  cells) followed by ONE hash aggregation. Map-side partial aggregation
+  collapses every partition to ≤ depth×width rows before the exchange, so
+  the shuffle volume is O(partitions × depth × width) regardless of input
+  size — the classic "per-partition sketch, merge by cell-sum" plan,
+  expressed declaratively instead of with mapPartitions.
+- merge: union + the same cell-sum groupBy (sketches are counters — the
+  linearity is what makes them mergeable across days/sources/streams).
+- estimate: broadcast the ≤ depth×width-row sketch to the probe side; no
+  second scan of the data.
+
+The hash family is the repo's md5 family (first 8 hex chars of
+``md5('r|' || key)`` as a bigint — ``functions/dedup.minhash_md5_bands``),
+so every cell and every estimate is bit-identically computable in ANSI SQL
+and the driver oracle can replay the whole sketch exactly
+(``sketch_count_min``). Reference stats surface for contrast:
+pixels-core/src/main/java/io/pixelsdb/pixels/core/stats (exact per-column
+min/max/sum collectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Bucket of ``key`` in sketch row ``row``: md5-family hash mod width.
+
+    First 8 md5 hex chars < 2^32 fit a bigint exactly and are non-negative,
+    so ``%`` agrees across engines (DuckDB restatement:
+    ``CAST(concat('0x', substr(md5('r|' || key), 1, 8)) AS BIGINT) % w``).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}|"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % F.lit(width)).alias(f"b{row}")
+
+
+def count_min_build(
+    df: DataFrame, col: str, depth: int = 3, width: int = 64
+) -> DataFrame:
+    """Build a Count-Min sketch of ``df[col]`` as a (r, bucket, cnt) frame.
+
+    NULL keys are skipped (SQL aggregate convention). Cells never touched
+    stay absent (sparse); readers must treat absent as 0 — ``count_min_estimate``
+    does via its left join + coalesce.
+    """
+    key = F.col(col)
+    cells = df.filter(key.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        cms_bucket(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(
+        F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width, hash family):
+    cell-wise counter sum. union + one groupBy — linear, associative,
+    order-free, which is why one sketch per day/source/stream composes."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(
+    keys: DataFrame, sketch: DataFrame, col: str, depth: int = 3, width: int = 64
+) -> DataFrame:
+    """Point-query estimates for every row of ``keys[col]``: min over the
+    depth rows of the key's cell counters (absent cell = 0). The sketch is
+    ≤ depth×width rows — broadcast it; the keys side never shuffles."""
+    key = F.col(col)
+    probes = keys.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        cms_bucket(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(col, F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )

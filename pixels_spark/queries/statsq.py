@@ -465,3 +465,88 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("rule")
+
+
+_CMS_DEPTH, _CMS_WIDTH = 3, 64
+
+
+def _cms_oracle() -> str:
+    """SQL restatement of functions.sketches.count_min_*: same md5 hash
+    family, same cell grid, same min-over-rows estimate — integer-exact
+    on both engines (no approximation in the COMPARISON; the sketch's
+    approximation is vs the true counts, and both engines build the
+    identical sketch)."""
+    return f"""
+    WITH cells AS (
+      SELECT r,
+             CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR), '|',
+                    CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               % {_CMS_WIDTH} AS bucket
+      FROM events, unnest([0, 1, 2]) AS t(r)
+      WHERE user_id IS NOT NULL),
+    sketch AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY r, bucket),
+    keys AS (
+      SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 10),
+    probes AS (
+      SELECT k.user_id, t.r,
+             CAST(concat('0x', substr(md5(concat(CAST(t.r AS VARCHAR), '|',
+                    CAST(k.user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               % {_CMS_WIDTH} AS bucket
+      FROM keys k, unnest([0, 1, 2]) AS t(r)),
+    est AS (
+      SELECT p.user_id,
+             CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_cnt
+      FROM probes p LEFT JOIN sketch s
+        ON s.r = p.r AND s.bucket = p.bucket
+      GROUP BY p.user_id),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id)
+    SELECT e.user_id, e.est_cnt, x.exact_cnt,
+           e.est_cnt >= x.exact_cnt AS is_overestimate
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    ORDER BY e.user_id
+    """
+
+
+@declare(
+    "sketch_count_min",
+    sql=_cms_oracle(),
+    tags=("sketch", "count-min", "approximate", "beyond-parity"),
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (depth 3 × width 64, md5 hash family)
+    over events.user_id, probed for the 10 smallest user ids against the
+    exact counts. Every cell and estimate is bit-identically replayed by
+    the oracle — the md5 family makes the whole sketch engine-portable —
+    so the row set, including the collision-inflated overestimates the
+    64-bucket width forces at 150+ users, matches exactly.
+
+    Scale: build is one narrow explode + ONE hash aggregate (map-side
+    partials collapse each partition to ≤ depth×width cells before the
+    exchange); the probe broadcasts the ≤192-row sketch. The exact-count
+    branch exists only for the oracle's comparison column."""
+    from ..functions.sketches import count_min_build, count_min_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = count_min_build(e, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    keys = (
+        e.select("user_id").filter(F.col("user_id").isNotNull())
+        .distinct().orderBy("user_id").limit(10)
+    )
+    est = count_min_estimate(keys, sketch, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("est_cnt").cast("bigint").alias("est_cnt"),
+            "exact_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("is_overestimate"),
+        )
+        .orderBy("user_id")
+    )

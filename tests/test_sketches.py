@@ -1,0 +1,77 @@
+"""Count-Min sketch properties: overestimate guarantee, merge linearity,
+sparse-cell handling, and estimate accuracy at adequate width."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pixels_spark.functions.sketches import (
+    count_min_build,
+    count_min_estimate,
+    count_min_merge,
+)
+
+
+def _freq_df(spark, pairs):
+    rows = [(k,) for k, n in pairs for _ in range(n)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_never_underestimates(spark):
+    # 40 keys into 8 buckets: collisions guaranteed; est >= exact for ALL
+    pairs = [(f"key{i}", (i % 7) + 1) for i in range(40)]
+    df = _freq_df(spark, pairs)
+    sketch = count_min_build(df, "k", depth=3, width=8)
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["est_cnt"]
+        for r in count_min_estimate(keys, sketch, "k", depth=3, width=8).collect()
+    }
+    for k, n in pairs:
+        assert est[k] >= n, (k, est[k], n)
+
+
+def test_cms_exact_when_width_ample(spark):
+    # 5 keys into 1024 buckets x 4 rows: collision probability ~0 -> every
+    # estimate should equal the true count (no systematic inflation)
+    pairs = [("a", 3), ("b", 1), ("c", 7), ("d", 2), ("e", 5)]
+    df = _freq_df(spark, pairs)
+    sketch = count_min_build(df, "k", depth=4, width=1024)
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["est_cnt"]
+        for r in count_min_estimate(keys, sketch, "k", depth=4, width=1024).collect()
+    }
+    assert est == dict(pairs)
+
+
+def test_cms_merge_equals_whole(spark):
+    pairs = [(f"k{i}", i + 1) for i in range(20)]
+    df = _freq_df(spark, pairs)
+    # deterministic split (limit() would re-evaluate differently per ref)
+    half1 = df.filter(F.length("k") == 2)  # k0..k9
+    half2 = df.filter(F.length("k") > 2)  # k10..k19
+    s_whole = count_min_build(df, "k", depth=3, width=16)
+    s_merged = count_min_merge(
+        count_min_build(half1, "k", depth=3, width=16),
+        count_min_build(half2, "k", depth=3, width=16),
+    )
+    whole = {(r["r"], r["bucket"]): r["cnt"] for r in s_whole.collect()}
+    merged = {(r["r"], r["bucket"]): r["cnt"] for r in s_merged.collect()}
+    assert whole == merged
+
+
+def test_cms_absent_key_estimates_from_zero_cells(spark):
+    df = _freq_df(spark, [("x", 4)])
+    sketch = count_min_build(df, "k", depth=3, width=1024)
+    keys = spark.createDataFrame([("never-seen",)], "k string")
+    [row] = count_min_estimate(keys, sketch, "k", depth=3, width=1024).collect()
+    assert row["est_cnt"] == 0
+
+
+def test_cms_skips_null_keys(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",), (None,)], "k string")
+    sketch = count_min_build(df, "k", depth=2, width=32)
+    total = sketch.groupBy("r").agg(F.sum("cnt").alias("n")).collect()
+    # each row counts every non-null input exactly once
+    assert all(r["n"] == 2 for r in total)
