@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .dedup import cut_lineage
 
-__all__ = ["pagerank", "triangles"]
+__all__ = ["bfs_hops", "pagerank", "triangles"]
 
 
 def triangles(edges: DataFrame, src: str = "s1", dst: str = "s2") -> DataFrame:
@@ -249,5 +249,59 @@ def pagerank(
     out = generations.pop()
     out.count()
     for h in (e, deg, contrib_e, nodes, *generations):
+        h.unpersist()
+    return out
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Min-hop distance from a seed set, capped at ``max_hops`` rounds
+    (multi-source BFS over a directed ``(src, dst)`` edge relation).
+
+    Returns ``(node, hops)`` for every node reachable within ``max_hops``
+    — seeds at 0, whether or not they appear in the graph. Integer-exact
+    and round-bounded, so the whole computation restates as ``max_hops``
+    unrolled CTEs (``d_i = min over (d_{i-1} ∪ d_{i-1}⋈edges+1)``) that
+    run verbatim on DuckDB AND spark.sql.
+
+    Scale shape: round i joins only the FRONTIER (nodes first reached at
+    hop i-1) against the edge relation — the classic delta-BFS, so total
+    join work is O(edges touched), not O(rounds × edges). The reached set
+    stays persisted per round (it is O(nodes)); the frontier shrinks to
+    empty and rounds short-circuit (the unrolled oracle computes the same
+    fixpoint — extra rounds past exhaustion are no-ops in both engines).
+    Billion-edge note: pre-partition ``edges`` by src once (done here via
+    one repartition + persist) so every round's join reuses the same
+    layout and only the tiny frontier moves.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = edges.select("src", "dst").distinct().repartition("src").persist()
+    dist = seeds.select(F.col("node").cast("string").alias("node")) \
+        .distinct().withColumn("hops", F.lit(0)).persist()
+    frontier = dist
+    handles = [e, dist]
+    for i in range(1, max_hops + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            cand.join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(i))
+            .persist()
+        )
+        if new.isEmpty():
+            new.unpersist()
+            break
+        dist = dist.unionByName(new).persist()
+        handles.extend([new, dist])
+        frontier = new
+    out = dist.select("node", F.col("hops").cast("int").alias("hops"))
+    out = out.persist()
+    out.count()
+    for h in handles:
         h.unpersist()
     return out

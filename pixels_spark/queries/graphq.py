@@ -354,3 +354,72 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "partkey")
         .limit(10)
     )
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    """Unrolled delta-free BFS: d_i(node) = min hops within i rounds.
+    Pure joins + GROUP BY MIN over exact integers — runs verbatim on
+    DuckDB and spark.sql (dialect-shared, strict compare)."""
+    head = """
+    WITH eb AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS src,
+                      's' || CAST(l_suppkey AS STRING) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM eb
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM eb),
+    d0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS STRING) AS node, 0 AS hops
+           FROM customer WHERE c_nationkey = 0)"""
+    steps = []
+    for i in range(1, _BFS_HOPS + 1):
+        steps.append(
+            f""",
+    d{i} AS (SELECT node, MIN(hops) AS hops FROM (
+        SELECT node, hops FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.hops + 1 AS hops
+        FROM d{i - 1} d JOIN edges e ON e.src = d.node
+      ) u{i} GROUP BY node)"""
+        )
+    return head + "".join(steps) + f"""
+    SELECT node, CAST(hops AS INT) AS hops FROM d{_BFS_HOPS} ORDER BY node
+    """
+
+
+@declare(
+    "graph_bfs_hops",
+    sql=_bfs_oracle(),
+    tags=("graph", "iterative", "bfs", "beyond-parity"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: min-hop distance from nation-0 customers over the
+    symmetrized customer–supplier graph, capped at 3 hops (hop 1 = their
+    suppliers, hop 2 = customers sharing a supplier, hop 3 = those
+    customers' other suppliers — the "expand a labeled subset" primitive
+    behind contamination neighborhoods and account-ring triage).
+
+    Spark side is delta-BFS (functions/graph.bfs_hops): each round joins
+    only the newly-reached frontier against the src-partitioned edge
+    relation, so total join work is O(edges touched) — while the oracle
+    states the same fixpoint as 3 unrolled min-merge CTEs (exact
+    integers; dialect-shared strict)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    eb = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = c.filter(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return G.bfs_hops(edges, seeds, max_hops=_BFS_HOPS).orderBy("node")

@@ -263,3 +263,43 @@ def test_triangles_matches_brute_force_on_random_graphs(spark):
         )
         got = sorted(tuple(r) for r in triangles(edges).collect())
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+class TestBfsHops:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_chain_distances(self, spark):
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+        seeds = spark.createDataFrame([("a",)], "node string")
+        from pixels_spark.functions.graph import bfs_hops
+
+        got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=3).collect()}
+        # e is 4 hops away -> outside the cap
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_min_over_multiple_paths_and_multi_source(self, spark):
+        # x reachable at hop 2 via s1 but hop 1 via s2 -> min wins
+        e = self._edges(spark, [("s1", "m"), ("m", "x"), ("s2", "x")])
+        seeds = spark.createDataFrame([("s1",), ("s2",)], "node string")
+        from pixels_spark.functions.graph import bfs_hops
+
+        got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=3).collect()}
+        assert got == {"s1": 0, "s2": 0, "m": 1, "x": 1}
+
+    def test_seed_outside_graph_kept_at_zero(self, spark):
+        e = self._edges(spark, [("a", "b")])
+        seeds = spark.createDataFrame([("zz",), ("a",)], "node string")
+        from pixels_spark.functions.graph import bfs_hops
+
+        got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=2).collect()}
+        assert got == {"zz": 0, "a": 0, "b": 1}
+
+    def test_early_exit_on_exhausted_frontier(self, spark):
+        # component exhausts after 1 hop; max_hops=5 must not loop or err
+        e = self._edges(spark, [("a", "b"), ("b", "a"), ("c", "d")])
+        seeds = spark.createDataFrame([("a",)], "node string")
+        from pixels_spark.functions.graph import bfs_hops
+
+        got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=5).collect()}
+        assert got == {"a": 0, "b": 1}

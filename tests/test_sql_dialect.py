@@ -73,6 +73,9 @@ DIALECT_SHARED = [
     # round 6, session 4 (vec_hybrid_rrf is NOT shareable — list_* cosine)
     "graph_triangles", "join_bloom_semi", "profile_columns", "mvcc_restore",
     "mvcc_ivm_join", "dq_checks", "stream_ivm_join",
+    # round 6, session 5 (sketch_count_min is NOT shareable — DuckDB
+    # unnest-table-function syntax in the cell expansion)
+    "graph_bfs_hops",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant
