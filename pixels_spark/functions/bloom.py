@@ -264,7 +264,15 @@ class BloomRegistry:
         ).filter(~F.col("_seen"))
         kept = df.join(kept_ids.select(id_col), id_col, "left_semi")
 
-        n = len([d for d in os.listdir(self.kept_dir) if d.startswith("batch=")]) + 1
+        # max(existing)+1, NOT count+1: if a middle batch dir was removed
+        # (compaction, manual cleanup), count+1 would collide with — and
+        # silently overwrite — the newest surviving batch.
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.kept_dir)
+            if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+        ]
+        n = (max(existing) if existing else 0) + 1
         kept_path = os.path.join(self.kept_dir, f"batch={n}")
         kept.write.mode("overwrite").parquet(kept_path)
 

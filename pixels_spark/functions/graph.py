@@ -277,8 +277,16 @@ def bfs_hops(
     """
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
-    e = edges.select("src", "dst").distinct().repartition("src").persist()
-    dist = seeds.select(F.col("node").cast("string").alias("node")) \
+    # Join keys must share ONE declared type: cast seeds to the edge
+    # relation's src type (so bigint ids stay bigint — no silent
+    # string<->bigint coercion, and the output `node` keeps the caller's
+    # id type). String seeds against string edges are unchanged.
+    node_t = edges.schema["src"].dataType
+    e = (
+        edges.select(F.col("src").cast(node_t), F.col("dst").cast(node_t))
+        .distinct().repartition("src").persist()
+    )
+    dist = seeds.select(F.col("node").cast(node_t).alias("node")) \
         .distinct().withColumn("hops", F.lit(0)).persist()
     frontier = dist
     handles = [e, dist]

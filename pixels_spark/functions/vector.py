@@ -739,16 +739,20 @@ def batch_knn(
     Scale shape — the corpus is NEVER shuffled at its own volume:
 
     1. broadcast the query set; score map-side (corpus × |Q| rows exist
-       only inside each task);
-    2. per-(query, input-partition) top-k via a hash aggregate keyed on
-       ``spark_partition_id()`` — every group is local to one partition,
-       so the aggregate completes map-side and the exchange carries only
-       k rows per (query, partition);
+       only inside each task, one Arrow batch at a time);
+    2. TRUE map-side per-partition top-k via ``mapInPandas``: a running
+       ≤k-rows-per-query pool is folded across the partition's Arrow
+       batches, so task memory is bounded by one batch + k×|Q| kept rows
+       and the exchange that follows carries only ≤k rows per
+       (query, partition) — never a partition's full corpus×|Q| scores
+       (a plain ``collect_list``+slice aggregate would buffer those in
+       its partial-aggregation buffers crossing the shuffle);
     3. final per-query top-k merges those k-lists.
 
     Ordering is total — (sim DESC, id ASC), encoded as an ascending
-    struct sort on (-sim, id) — and sims fold left→right exactly like
-    the single-query path, so results are engine-reproducible."""
+    sort on (-sim, id) — and sims fold left→right exactly like the
+    single-query path (the pandas stage only *selects* rows, it never
+    recomputes scores), so results are engine-reproducible."""
     from .dedup import spread
 
     # single-row-group fixtures arrive as one partition; the per-partition
@@ -766,17 +770,41 @@ def batch_knn(
         corpus.crossJoin(F.broadcast(q))
         .select(
             F.col(q_id_col),
-            F.struct((-sim).alias("neg"), F.col(id_col).alias("id")).alias("_s"),
+            (-sim).alias("_neg"),
+            F.col(id_col).alias("_cid"),
         )
-        .withColumn("_pid", F.spark_partition_id())
     )
-    top_expr = F.slice(F.sort_array(F.collect_list("_s")), 1, k)
-    pre = scored.groupBy(q_id_col, "_pid").agg(top_expr.alias("_top"))
-    merged = (
-        pre.select(q_id_col, F.explode("_top").alias("_s"))
-        .groupBy(q_id_col)
-        .agg(top_expr.alias("_top"))
+    out_schema = scored.schema
+
+    def _part_topk(batches):
+        import pandas as pd
+
+        kept = None
+        for pdf in batches:
+            pool = pdf if kept is None else pd.concat(
+                [kept, pdf], ignore_index=True
+            )
+            # global (neg, id) sort then head(k) per query: NaNs sort
+            # last (matching Spark's NaN-greatest double ordering)
+            kept = (
+                pool.sort_values(["_neg", "_cid"])
+                .groupby(q_id_col, sort=False)
+                .head(k)
+            )
+        if kept is not None:
+            yield kept
+
+    pre = scored.mapInPandas(_part_topk, out_schema)
+    top_expr = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("_neg").alias("neg"), F.col("_cid").alias("id"))
+            )
+        ),
+        1,
+        k,
     )
+    merged = pre.groupBy(q_id_col).agg(top_expr.alias("_top"))
     return merged.select(
         q_id_col, F.posexplode("_top").alias("_r", "_s")
     ).select(

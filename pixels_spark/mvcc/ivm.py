@@ -144,10 +144,11 @@ class MaterializedRollup:
         last, cur = state["last_ts"], self.table.trans.high_watermark
         if cur <= last:
             return last
-        k = self.table.key_col
         touched = self._touched_keys(last, cur)
-        old = self.table.read_latest_version(last).join(touched, k, "left_semi")
-        new = self.table.read_latest_version(cur).join(touched, k, "left_semi")
+        # key restriction applied BELOW latest-only: the latest-version
+        # shuffles carry only touched keys' rows, not the full history
+        old = self.table.read_latest_version(last, keys=touched)
+        new = self.table.read_latest_version(cur, keys=touched)
 
         def signed(df: DataFrame, sign: int) -> DataFrame:
             return df.select(
@@ -202,8 +203,11 @@ class MaterializedJoinRollup:
     of inserts/updates/deletes on either side (fuzzed in
     tests/test_ivm.py).
 
-    Scale (100 TB fact, large dim): term 1's left side is ΔF (commit-dir
-    pruned, delta-sized) joining the dim — a plain key join AQE plans;
+    Scale (100 TB fact, large dim): term 1's left side is ΔF — its
+    touched-key discovery is commit-dir pruned and its snapshot reads are
+    key-restricted below the latest-only shuffles (delta-sized shuffles;
+    the file scans are full-width absent a key index) — joining the dim,
+    a plain key join AQE plans;
     term 2's fact side is F_old SEMI-JOINED down to ΔD's join keys before
     it ever joins or aggregates — cost tracks |fact rows of the touched
     dim keys|, not |fact|. Neither term rescans the full fact table; the
@@ -272,19 +276,17 @@ class MaterializedJoinRollup:
 
     def _signed_delta(self, table: MvccTable, last: int, cur: int) -> DataFrame:
         """Signed latest-version delta of ``table`` over (last, cur]:
-        +1 rows of the new latest, −1 rows of the old latest, restricted
-        to touched keys (commit-dir pruned discovery — delta-sized)."""
-        k = table.key_col
+        +1 rows of the new latest, −1 rows of the old latest. Touched-key
+        DISCOVERY is commit-dir pruned (delta-sized); the two snapshot
+        reads are key-restricted BELOW the latest-only computation, so
+        their shuffles carry only touched keys' version rows — the file
+        scan itself remains full-width absent a key index."""
         touched = touched_keys(self.spark, table, last, cur)
-        new = (
-            table.read_latest_version(cur)
-            .join(touched, k, "left_semi")
-            .withColumn("_sign", F.lit(1))
+        new = table.read_latest_version(cur, keys=touched).withColumn(
+            "_sign", F.lit(1)
         )
-        old = (
-            table.read_latest_version(last)
-            .join(touched, k, "left_semi")
-            .withColumn("_sign", F.lit(-1))
+        old = table.read_latest_version(last, keys=touched).withColumn(
+            "_sign", F.lit(-1)
         )
         return new.unionByName(old)
 

@@ -572,9 +572,28 @@ class MvccTable:
             .select(*w_cols, COMMIT_TS)
         )
 
-    def read_latest_version(self, snapshot_ts: int | None = None) -> DataFrame:
-        """Snapshot read keeping only the newest visible version per key."""
-        return self.latest_only(self.read(snapshot_ts))
+    def read_latest_version(
+        self, snapshot_ts: int | None = None, keys: DataFrame | None = None
+    ) -> DataFrame:
+        """Snapshot read keeping only the newest visible version per key.
+
+        ``keys`` (a 1-column DataFrame of key values) restricts the read
+        to those keys BEFORE the latest-per-key computation — latest-only
+        commutes with key-set restriction, so results are identical, but
+        the groupBy-max and self-semi-join shuffles then carry only the
+        requested keys' version rows instead of the full history. This is
+        what makes IVM deltas delta-sized past the scan (the file scan
+        itself is still full-width absent a key index; the shuffles —
+        the expensive part at scale — are not)."""
+        visible = self.read(snapshot_ts)
+        if keys is not None:
+            kname = keys.columns[0]
+            visible = visible.join(
+                keys.select(F.col(kname).alias(self.key_col)).distinct(),
+                self.key_col,
+                "left_semi",
+            )
+        return self.latest_only(visible)
 
     def snapshot_diff(self, ts_a: int, ts_b: int) -> DataFrame:
         """Audit diff between two snapshots → (key, change, old, new) with

@@ -213,3 +213,32 @@ def test_key_bitset_null_keys_dropped_and_empty_dim(spark):
 
     empty_bits = build_key_bitset(dim.filter("k is null and k is not null"), "k")
     assert bloom_filter_keys(fact, "k", empty_bits).count() == 0
+
+
+def test_bloom_registry_batch_numbering_survives_removed_middle_batch(
+    spark, tmp_path
+):
+    """max(existing)+1 naming: deleting a middle batch dir (compaction /
+    cleanup) must NOT make the next register overwrite the newest
+    surviving batch (count+1 would collide with batch=3)."""
+    import os
+    import shutil
+
+    from pixels_spark.functions.bloom import BloomRegistry
+
+    reg = BloomRegistry(spark, str(tmp_path / "reg"))
+    for i, txt in enumerate(["one alpha", "two beta", "three gamma"]):
+        reg.register_batch(
+            spark.createDataFrame([(i, txt)], ["doc_id", "text"])
+        )
+    kept = str(tmp_path / "reg" / "kept")
+    assert sorted(os.listdir(kept)) == ["batch=1", "batch=2", "batch=3"]
+    shutil.rmtree(os.path.join(kept, "batch=2"))
+    reg.register_batch(
+        spark.createDataFrame([(9, "four delta")], ["doc_id", "text"])
+    )
+    dirs = sorted(os.listdir(kept))
+    assert dirs == ["batch=1", "batch=3", "batch=4"]
+    # batch=3's content is untouched
+    b3 = spark.read.parquet(os.path.join(kept, "batch=3"))
+    assert [r["doc_id"] for r in b3.collect()] == [2]

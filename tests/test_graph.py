@@ -303,3 +303,19 @@ class TestBfsHops:
 
         got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=5).collect()}
         assert got == {"a": 0, "b": 1}
+
+    def test_bigint_node_ids_keep_their_type(self, spark):
+        """Non-string node ids: both join sides share the edges' declared
+        type and the output `node` column keeps it — no silent
+        string<->bigint coercion (precision-lossy for large ids)."""
+        big = 9_007_199_254_740_993  # 2^53+1: survives bigint, not double
+        e = spark.createDataFrame(
+            [(big, big + 1), (big + 1, big + 2)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(big,)], "node long")
+        from pixels_spark.functions.graph import bfs_hops
+
+        out = bfs_hops(e, seeds, max_hops=2)
+        assert out.schema["node"].dataType.simpleString() == "bigint"
+        got = {r["node"]: r["hops"] for r in out.collect()}
+        assert got == {big: 0, big + 1: 1, big + 2: 2}

@@ -69,5 +69,8 @@ BATCH = sorted(
 def test_plan_has_no_anti_patterns(spark, sf_dir, name):
     findings = plan_anti_patterns(REGISTRY[name].fn(spark, sf_dir))
     if name in ALLOWLIST:
-        return  # deliberate pattern, reason recorded above
+        # The allowlist waives ONLY the deliberate BroadcastNestedLoopJoin
+        # each entry documents — a CartesianProduct or row-wise Python UDF
+        # sneaking into an allowlisted query must still fail the gate.
+        findings = [f for f in findings if "nested-loop" not in f]
     assert not findings, f"{name}: {findings}"
