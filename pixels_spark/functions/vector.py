@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 from .dedup import cut_lineage
 
 
+def stable_mean(col: Column) -> Column:
+    """Order-independent mean for Lloyd updates: values are quantized to
+    DECIMAL(18,9) before summing (decimal addition is exact → the sum is
+    independent of partitioning/merge order), then divided as double.
+    This makes trained centroids bit-reproducible across cluster layouts
+    AND exactly replayable by a SQL oracle — the property vec_kmeans_round
+    proved for one round, applied to every round of every trainer."""
+    return F.sum(col.cast("double").cast("decimal(18,9)")).cast(
+        "double"
+    ) / F.count(F.lit(1))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two equal-length array columns (double)."""
     return F.aggregate(
@@ -360,7 +372,7 @@ def ivf_probe(
             F.col(centroid_id),
             cosine(F.col(centroid_vec), F.col("_qvec")).alias("_csim"),
         )
-        .orderBy(F.col("_csim").desc())
+        .orderBy(F.col("_csim").desc(), F.col(centroid_id))
         .limit(n_probe)
         .select(F.col(centroid_id).alias("_probe_cell"))
     )
@@ -483,7 +495,7 @@ def make_centroids(
         means = (
             assigned.select("ivf_cell", F.posexplode(F.col(vec_col)))
             .groupBy("ivf_cell", "pos")
-            .agg(F.avg("col").alias("m"))
+            .agg(stable_mean(F.col("col")).alias("m"))
             .groupBy("ivf_cell")
             .agg(
                 F.transform(
@@ -584,7 +596,7 @@ def pq_codebooks(
         means = (
             assigned.select("sub", "code", F.posexplode("sv"))
             .groupBy("sub", "code", "pos")
-            .agg(F.avg("col").alias("mv"))
+            .agg(stable_mean(F.col("col")).alias("mv"))
             .groupBy("sub", "code")
             .agg(
                 F.transform(

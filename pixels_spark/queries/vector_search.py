@@ -31,6 +31,214 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
+def _sql_l2(a: str, b: str, d: int) -> str:
+    """Ordered-fold squared L2 over the first ``d`` dims — bit-identical
+    to ``F.aggregate(zip_with((x-y)*(x-y)), 0.0, acc+x)``."""
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_sum(list_transform(range(1, {d + 1}), i -> {diff} * {diff}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle CTE builders for the trained-index probe family. Training itself
+# is replayed in SQL: init is deterministic (lowest-id vectors), every
+# Lloyd mean is DECIMAL(18,9)-quantized before summing (order-independent
+# — see functions.vector.stable_mean), and every similarity/distance is an
+# ordered fold, so centroids, codebooks, assignments, and ADC scores are
+# all bit-identical between the Spark trainers and these CTEs.
+
+
+def _lloyd_cte(rounds: int = 2, n_cells: int = 8) -> str:
+    """CTEs computing IVF centroids after ``rounds`` Lloyd iterations:
+    c0 (init = lowest-id vectors) … c{rounds}(cell_id, cvec)."""
+    parts = [
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells}))"""
+    ]
+    for r in range(1, rounds + 1):
+        cos = _sql_cos("e.embedding", "c.cvec")
+        parts.append(
+            f"""a{r} AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos} DESC, c.cell_id) AS rn
+        FROM embeddings e CROSS JOIN c{r - 1} c) t WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+      SELECT cell_id, pos,
+             CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+               / count(*) AS mv
+      FROM (SELECT cell_id, CAST(u['p'] AS INTEGER) AS pos, u['v'] AS v
+            FROM (SELECT cell_id,
+                         unnest(list_transform(range(1, len(embedding)+1),
+                           i -> struct_pack(p := i-1, v := embedding[i]))) AS u
+                  FROM a{r}) x) y
+      GROUP BY cell_id, pos)"""
+        )
+        parts.append(
+            f"""c{r} AS (
+      SELECT p.cell_id, coalesce(n.cvec, p.cvec) AS cvec
+      FROM c{r - 1} p LEFT JOIN (
+        SELECT cell_id, list(mv ORDER BY pos) AS cvec
+        FROM m{r} GROUP BY cell_id) n ON p.cell_id = n.cell_id)"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _ivf_cands_cte(
+    rounds: int = 2, n_assign: int = 2, n_probe: int = 2, qid: int = 7
+) -> str:
+    """CTEs q / asg / probe / cands: spill assignment to the final
+    centroids, query-side cell ranking, candidate vec_ids (deduped)."""
+    R = rounds
+    return f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+    asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_sql_cos("e.embedding", "c.cvec")} DESC, c.cell_id) AS rn
+        FROM embeddings e CROSS JOIN c{R} c) t WHERE rn <= {n_assign}),
+    probe AS (
+      SELECT cell_id FROM (
+        SELECT c.cell_id,
+               row_number() OVER (
+                 ORDER BY {_sql_cos("c.cvec", "qv")} DESC, c.cell_id) AS rn
+        FROM c{R} c CROSS JOIN q) t WHERE rn <= {n_probe}),
+    cands AS (SELECT DISTINCT a.vec_id
+              FROM asg a JOIN probe p ON a.cell_id = p.cell_id)"""
+
+
+def _ivf_probe_oracle() -> str:
+    """Full IVF-probe oracle: exact cosine top-10 within the probed cells'
+    (spill-assigned, deduplicated) candidates."""
+    return f"""
+    WITH {_lloyd_cte(2, 8)},
+    {_ivf_cands_cte(2, 2, 2, 7)}
+    SELECT vec_id, sim FROM (
+      SELECT e.vec_id, {_sql_cos("e.embedding", "qv")} AS sim
+      FROM embeddings e JOIN cands USING (vec_id) CROSS JOIN q) t
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """
+
+
+def _pq_cte(rounds: int = 2, m: int = 16, k: int = 32, d_sub: int = 4) -> str:
+    """CTEs training PQ codebooks: subsp / spts (per-subspace views) /
+    cb0 (init = k lowest-id subvectors) … cb{rounds}(sub, code, cv)."""
+    l2 = _sql_l2("p.sv", "c.cv", d_sub)
+    parts = [
+        f"""subsp AS (SELECT unnest(range(0, {m})) AS sub),
+    spts AS (
+      SELECT e.vec_id, s.sub,
+             list_transform(range(1, {d_sub + 1}),
+               i -> CAST(e.embedding[s.sub*{d_sub} + i] AS DOUBLE)) AS sv
+      FROM embeddings e CROSS JOIN subsp s),
+    cb0 AS (
+      SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
+             sv AS cv
+      FROM spts
+      QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= {k})"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""pa{r} AS (
+      SELECT sub, vec_id, sv, code FROM (
+        SELECT p.sub, p.vec_id, p.sv, c.code,
+               row_number() OVER (PARTITION BY p.sub, p.vec_id
+                 ORDER BY {l2}, c.code) AS rn
+        FROM spts p JOIN cb{r - 1} c ON p.sub = c.sub) t WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""pm{r} AS (
+      SELECT sub, code, pos,
+             CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mv
+      FROM (SELECT sub, code, CAST(u['p'] AS INTEGER) AS pos, u['v'] AS v
+            FROM (SELECT sub, code,
+                         unnest(list_transform(range(1, {d_sub + 1}),
+                           i -> struct_pack(p := i-1, v := sv[i]))) AS u
+                  FROM pa{r}) x) y
+      GROUP BY sub, code, pos)"""
+        )
+        parts.append(
+            f"""cb{r} AS (
+      SELECT c.sub, c.code, coalesce(n.cv, c.cv) AS cv
+      FROM cb{r - 1} c LEFT JOIN (
+        SELECT sub, code, list(mv ORDER BY pos) AS cv
+        FROM pm{r} GROUP BY sub, code) n
+        ON c.sub = n.sub AND c.code = n.code)"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _adc_cte(
+    rounds: int = 2, d_sub: int = 4, qid: int = 7, with_q: bool = True
+) -> str:
+    """CTEs q / qs / enc / lut / qn: encode the corpus against the final
+    codebooks and precompute the query's per-(sub, code) partial dot +
+    codeword squared norm — the ADC lookup tables ``pq_knn`` ships as
+    literals, here as a k×m relation. ``with_q=False`` when a ``q`` CTE
+    is already in scope (the IVF candidate CTEs define the same one)."""
+    R = rounds
+    l2 = _sql_l2("p.sv", "c.cv", d_sub)
+    q_cte = (
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),\n    "
+        if with_q
+        else ""
+    )
+    return f"""{q_cte}qs AS (SELECT s.sub,
+                  list_transform(range(1, {d_sub + 1}),
+                    i -> CAST(q.qv[s.sub*{d_sub} + i] AS DOUBLE)) AS qsv
+           FROM q CROSS JOIN subsp s),
+    enc AS (
+      SELECT sub, vec_id, code FROM (
+        SELECT p.sub, p.vec_id, c.code,
+               row_number() OVER (PARTITION BY p.sub, p.vec_id
+                 ORDER BY {l2}, c.code) AS rn
+        FROM spts p JOIN cb{R} c ON p.sub = c.sub) t WHERE rn = 1),
+    lut AS (
+      SELECT c.sub, c.code,
+             {_SQL_DOT.format(a="s.qsv", b="c.cv")} AS pdot,
+             {_SQL_DOT.format(a="c.cv", b="c.cv")} AS pn2
+      FROM cb{R} c JOIN qs s ON c.sub = s.sub),
+    qn AS (SELECT sqrt({_SQL_DOT.format(a="qv", b="qv")}) AS qnorm FROM q)"""
+
+
+_ADC_SCORE = """vsc AS (
+      SELECT e.vec_id,
+             list_sum(list(l.pdot ORDER BY l.sub)) AS d,
+             list_sum(list(l.pn2 ORDER BY l.sub)) AS n2
+      FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code{cand_join}
+      GROUP BY e.vec_id)
+    SELECT vec_id, d / (sqrt(n2) * qnorm) AS sim
+    FROM vsc CROSS JOIN qn
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """
+
+
+def _pq_probe_oracle() -> str:
+    return f"""
+    WITH {_pq_cte(2, 16, 32, 4)},
+    {_adc_cte(2, 4, 7)},
+    {_ADC_SCORE.format(cand_join="")}"""
+
+
+def _ivfpq_probe_oracle() -> str:
+    """IVF+PQ: candidate set from the (shared-centroid) IVF spill
+    assignment ∩ probed cells, scored by ADC against the shared PQ
+    codebooks — exactly what the partitioned code index serves."""
+    cand = "\n      JOIN cands ON e.vec_id = cands.vec_id"
+    return f"""
+    WITH {_lloyd_cte(2, 8)},
+    {_pq_cte(2, 16, 32, 4)},
+    {_ivf_cands_cte(2, 2, 2, 7)},
+    {_adc_cte(2, 4, 7, with_q=False)},
+    {_ADC_SCORE.format(cand_join=cand)}"""
+
+
 @declare(
     "vec_norms",
     sql=f"""
@@ -215,14 +423,19 @@ def vec_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_int8(e, "embedding", "vec_id", q, k=10)
 
 
-@declare("vec_knn_pq", sql=None, tags=("vector", "topk", "knn", "quantization", "pq"))
+@declare(
+    "vec_knn_pq",
+    sql=_pq_probe_oracle(),
+    tags=("vector", "topk", "knn", "quantization", "pq"),
+)
 def vec_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 approximate cosine kNN over PRODUCT-QUANTIZED embeddings —
     16 codebook codes per 64-dim vector (16x memory vs float32), scored by
     Asymmetric Distance Computation: two literal-LUT folds per row, never
-    touching a float vector. Rows-only: k-means codebooks have no SQL
-    oracle; ADC==reconstructed-cosine identity and recall >= 6/10 vs exact
-    are pinned in tests/test_vector.py."""
+    touching a float vector. EXACTLY oracled: codebook training replays in
+    SQL (deterministic init + decimal-stable Lloyd means + ordered folds),
+    so every code and ADC score is bit-identical; ADC==reconstructed-cosine
+    identity and recall pinned in tests/test_vector.py."""
     from pyspark.sql import functions as F
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -232,11 +445,14 @@ def vec_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.pq_knn(enc, "vec_id", books, qvec, k=10)
 
 
-@declare("vec_ivf_knn", sql=None, tags=("vector", "ivf", "knn"))
+@declare("vec_ivf_knn", sql=_ivf_probe_oracle(), tags=("vector", "ivf", "knn"))
 def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assign + probe — ANN with k-means (Lloyd) centroids, top-2 spill
-    assignment, broadcast probe (rows-only; recall property-tested >= 0.9 at
-    n_probe=4 in tests/test_vector.py).
+    assignment, broadcast probe. EXACTLY oracled: the 2 Lloyd rounds replay
+    in SQL (deterministic init, decimal-stable means), assignment/probe
+    ranking and the within-cell exact cosine are ordered folds with
+    deterministic tiebreaks. Recall additionally property-tested >= 0.9 at
+    n_probe=4 in tests/test_vector.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
     cents = V.make_centroids(e, "embedding", "vec_id", n_cells=8, iterations=2)
@@ -292,7 +508,7 @@ def ensure_ivf_index(
         name="ivf",
         source_paths=[table_path(sf_dir, "embeddings")],
         build=build,
-        params=f"c{n_cells}_i{iterations}_a{n_assign}_v1",
+        params=f"c{n_cells}_i{iterations}_a{n_assign}_v2",
         cache_root=root,
     )
     return os.path.join(dest, "index"), os.path.join(dest, "centroids.parquet")
@@ -323,20 +539,21 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str, m: int = 16, k: int = 32):
         name="pq",
         source_paths=[table_path(sf_dir, "embeddings")],
         build=build,
-        params=f"m{m}_k{k}_v2",
+        params=f"m{m}_k{k}_v3",
     )
     with open(os.path.join(dest, "codebooks.json")) as f:
         books = json.load(f)
     return books, os.path.join(dest, "encoded.parquet")
 
 
-@declare("vec_pq_probe", sql=None, tags=("vector", "topk", "knn", "pq"))
+@declare("vec_pq_probe", sql=_pq_probe_oracle(), tags=("vector", "topk", "knn", "pq"))
 def vec_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC probe against the PREBUILT PQ index — the per-query serving
     path: read the encoded (16x smaller) corpus, fold two literal LUTs,
-    top-10. Codebook training is amortized like the IVF build. Rows-only:
-    k-means codebooks have no SQL oracle; consistency and recall pinned in
-    tests/test_vector.py."""
+    top-10. Codebook training is amortized like the IVF build. EXACTLY
+    oracled (training replayed in SQL — decimal-stable means make the
+    codebooks order-independent, hence engine-reproducible); consistency
+    and recall additionally pinned in tests/test_vector.py."""
     from pyspark.sql import functions as F
 
     books, enc_path = ensure_pq_index(spark, sf_dir)
@@ -388,21 +605,22 @@ def ensure_ivfpq_index(
         name="ivfpq",
         source_paths=[table_path(sf_dir, "embeddings")],
         build=build,
-        params=f"c{n_cells}_a{n_assign}_m{m}_k{k}_v2",
+        params=f"c{n_cells}_a{n_assign}_m{m}_k{k}_v3",
     )
     with open(os.path.join(dest, "codebooks.json")) as f:
         books = json.load(f)
     return books, os.path.join(dest, "centroids.parquet"), os.path.join(dest, "index")
 
 
-@declare("vec_ivfpq_probe", sql=None, tags=("vector", "ivf", "pq", "knn"))
+@declare("vec_ivfpq_probe", sql=_ivfpq_probe_oracle(), tags=("vector", "ivf", "pq", "knn"))
 def vec_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ probe: rank centroids driver-side (O(n_cells)), scan ONLY the
     probed cells' directories (static partition filter), deduplicate spill
     copies, ADC-score the codes — the scan is bounded by n_probe x cell
-    size AND reads 16x fewer bytes than float vectors. Rows-only (k-means
-    has no SQL oracle); probed-subset equivalence + pruning asserted in
-    tests/test_vector.py."""
+    size AND reads 16x fewer bytes than float vectors. EXACTLY oracled:
+    shared centroids + codebooks replay in SQL; candidate set (spill
+    assignment ∩ probed cells) and ADC scores are bit-identical.
+    Probed-subset equivalence + pruning asserted in tests/test_vector.py."""
     from pyspark.sql import functions as F
 
     books, cents_path, idx_path = ensure_ivfpq_index(spark, sf_dir)
@@ -434,14 +652,16 @@ def probed_cells(spark: SparkSession, cents_path: str, qvec: list, n_probe: int)
     return [cid for _s, cid in ranked[:n_probe]]
 
 
-@declare("vec_ivf_probe", sql=None, tags=("vector", "ivf", "knn"))
+@declare("vec_ivf_probe", sql=_ivf_probe_oracle(), tags=("vector", "ivf", "knn"))
 def vec_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe against a prebuilt partitioned index — the per-query serving path
     (what users actually run after write_ivf_index; build cost is paid once,
     amortized across queries). The scan is partition-pruned to the probed cells
-    (plan-asserted in tests). Rows-only: iterative k-means centroids have no
-    SQL oracle; top-k correctness vs brute force within probed cells is tested
-    in tests/test_vector.py.
+    (plan-asserted in tests). EXACTLY oracled: the trained centroids are
+    order-independent (decimal-stable Lloyd means), so the oracle recomputes
+    them in SQL and replays assignment, cell ranking, and the within-cell
+    exact cosine bit-identically. Top-k vs brute force within probed cells
+    additionally tested in tests/test_vector.py.
     """
     idx_path, cents_path = ensure_ivf_index(spark, sf_dir)
     cents = spark.read.parquet(cents_path)

@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.join(_ROOT, "tests"))
 from pixels_spark.queries import load_all_modules  # noqa: E402
 
 
-def main() -> None:
+def render() -> str:
+    """Render QUERIES.md from the live registry (used by the generator AND
+    the freshness gate in tests/test_queries_md.py)."""
     reg = load_all_modules()
     from test_sql_dialect import DIALECT_SHARED, TPCH  # noqa: E402
 
@@ -54,10 +56,16 @@ def main() -> None:
         lines.append(
             f"| `{name}` | {oracle} | {dia} | {', '.join(q.tags)} | {doc} |"
         )
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
     out = os.path.join(_ROOT, "QUERIES.md")
+    text = render()
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}: {n} queries, {n_oracle} oracled, {n_shared} dialect-shared")
+        f.write(text)
+    n = text.count("\n| `")
+    print(f"wrote {out}: {n} query rows")
 
 
 if __name__ == "__main__":
