@@ -825,3 +825,58 @@ def batch_knn(
         F.col("_s.id").alias(id_col),
         (-F.col("_s.neg")).alias("sim"),
     )
+
+
+def rrf_fuse(
+    cands_a: DataFrame,
+    cands_b: DataFrame,
+    id_col: str,
+    k: int = 10,
+    rrf_k: int = 60,
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal Rank Fusion over two BOUNDED candidate lists — the
+    production hybrid-retrieval shape: each retriever contributes its
+    top-N candidates ``(id, score)`` (a TakeOrdered, never a corpus-wide
+    rank), and the fusion touches only the ≤2N candidate rows.
+
+    Ranks are assigned WITHOUT a window: each list collapses to ONE row
+    via ``collect_list`` (safe — the list is bounded by construction),
+    is sorted as an ascending struct array on (-score, id), and
+    ``posexplode`` yields rank = position+1. An id absent from a list
+    contributes 0 to its RRF sum (the standard candidate-list
+    convention); ``rrf = Σ 1/(rrf_k + rank)`` over the lists that
+    returned it. Output: (id, rank_a, rank_b, rrf), top-``k`` by
+    (rrf DESC, id) — fully deterministic, hence SQL-oracle-able."""
+
+    def ranked(df: DataFrame, rank_name: str) -> DataFrame:
+        s = df.select(
+            F.struct(
+                (-F.col(score_col)).alias("neg"), F.col(id_col).alias("id")
+            ).alias("_s")
+        )
+        return (
+            s.agg(F.sort_array(F.collect_list("_s")).alias("_l"))
+            .select(F.posexplode("_l").alias("_r", "_s"))
+            .select(
+                F.col("_s.id").alias(id_col),
+                (F.col("_r") + 1).cast("bigint").alias(rank_name),
+            )
+        )
+
+    a = ranked(cands_a, "rank_a")
+    b = ranked(cands_b, "rank_b")
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(rrf_k) + F.col(c)), F.lit(0.0)
+    )
+    return (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            "rank_a",
+            "rank_b",
+            (term("rank_a") + term("rank_b")).cast("double").alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), id_col)
+        .limit(k)
+    )

@@ -937,3 +937,80 @@ def vec_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
     )
+
+
+_TOPN = 200
+
+
+@declare(
+    "vec_hybrid_rrf_topn",
+    sql=f"""
+    WITH qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id = 7),
+    dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents WHERE doc_id <> 7),
+    kw AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS kw_overlap
+           FROM dt d JOIN qt q ON d.w = q.w GROUP BY d.doc_id),
+    kwc AS (SELECT doc_id, rank_a FROM (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY kw_overlap DESC, doc_id)
+                       AS rank_a
+              FROM kw) t WHERE rank_a <= {_TOPN}),
+    qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+    vc AS (SELECT doc_id, rank_b FROM (
+             SELECT vec_id AS doc_id,
+                    row_number() OVER (
+                      ORDER BY {_sql_cos("embedding", "qvec")} DESC, vec_id)
+                      AS rank_b
+             FROM embeddings, qv WHERE vec_id <> 7) t WHERE rank_b <= {_TOPN})
+    SELECT coalesce(k.doc_id, v.doc_id) AS doc_id,
+           CAST(k.rank_a AS BIGINT) AS rank_a,
+           CAST(v.rank_b AS BIGINT) AS rank_b,
+           CAST(coalesce(1.0 / (60 + k.rank_a), 0.0)
+                + coalesce(1.0 / (60 + v.rank_b), 0.0) AS DOUBLE) AS rrf
+    FROM kwc k FULL JOIN vc v ON k.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("vector", "text", "search", "rrf", "topk", "beyond-parity"),
+)
+def vec_hybrid_rrf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-shape hybrid retrieval: each retriever contributes a
+    BOUNDED top-200 candidate list — keyword overlap (docs sharing ≥1
+    query token, TakeOrdered) and exact-cosine kNN (TakeOrderedAndProject)
+    — fused with ``functions.vector.rrf_fuse``. No corpus-wide rank
+    anywhere: the plan has NO Window node (plan-asserted), ranks come from
+    a sort of each ≤200-row candidate list collapsed to one row, and the
+    fusion join touches ≤400 rows. ``vec_hybrid_rrf`` stays as the
+    full-rank exactness reference; on the fixture the fused top-10 equals
+    the full-rank top-10 (tests/test_vector.py cross-check). An id absent
+    from one list contributes 0 for that list (standard candidate-list
+    RRF), which is the only semantic difference from the full-rank form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    q_toks = (
+        d.filter(F.col("doc_id") == 7)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .distinct()
+    )
+    d_toks = (
+        d.filter(F.col("doc_id") != 7)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .distinct()
+    )
+    kw_cands = (
+        d_toks.join(F.broadcast(q_toks), "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_TOPN)
+    )
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    vec_cands = (
+        V.knn_brute_force(
+            e.filter(F.col("vec_id") != 7), "embedding", "vec_id", q, k=_TOPN
+        )
+        .select(F.col("vec_id").alias("doc_id"), F.col("sim").alias("score"))
+    )
+    return V.rrf_fuse(kw_cands, vec_cands, "doc_id", k=10)

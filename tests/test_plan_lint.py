@@ -58,6 +58,7 @@ ALLOWLIST = {
     "txt_training_pipeline": "scalar corpus/budget frames (composition)",
     "vec_lsh_pairs": "tiny hyperplane frame crossJoin (seeded planes)",
     "vec_hybrid_rrf": "1-row query-vector crossJoin",
+    "vec_hybrid_rrf_topn": "1-row query-vector crossJoin (bounded kNN leg)",
 }
 
 BATCH = sorted(

@@ -514,3 +514,20 @@ def test_batch_knn_matches_per_query_brute_force(spark, sf_dir):
         ).collect()
         want = [(r["vec_id"], r["sim"]) for r in single]
         assert got[qid] == want, qid
+
+
+def test_hybrid_rrf_topn_no_window_and_matches_full_rank(spark, sf_dir):
+    """Production-shape RRF: (a) the plan contains NO Window node — ranks
+    come from bounded candidate lists, never a corpus-wide rank; (b) on
+    the fixture the fused top-10 equals the full-rank reference's top-10
+    (same doc_ids in the same order)."""
+    from pixels_spark.queries import load_all_modules
+
+    reg = load_all_modules()
+    topn = reg["vec_hybrid_rrf_topn"].fn(spark, sf_dir)
+    plan = topn._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "corpus-wide rank sneaked into the plan"
+    full = reg["vec_hybrid_rrf"].fn(spark, sf_dir)
+    got = [r["doc_id"] for r in topn.collect()]
+    want = [r["doc_id"] for r in full.collect()]
+    assert got == want
