@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .dedup import cut_lineage
 
-__all__ = ["bfs_hops", "pagerank", "triangles"]
+__all__ = ["bfs_hops", "pagerank", "triangles", "triangles_degree_ordered"]
 
 
 def triangles(edges: DataFrame, src: str = "s1", dst: str = "s2") -> DataFrame:
@@ -52,6 +52,71 @@ def triangles(edges: DataFrame, src: str = "s1", dst: str = "s2") -> DataFrame:
     wedges = e1.join(e2, "b")
     closing = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
     return wedges.join(closing, ["a", "c"]).select("a", "b", "c")
+
+def triangles_degree_ordered(
+    edges: DataFrame, src: str = "s1", dst: str = "s2"
+) -> DataFrame:
+    """``triangles`` with DEGREE-ordered orientation — the skew-robust
+    enumeration. Input/output contract is identical (id-oriented edges in,
+    ``(a, b, c)`` with ``a < b < c`` out, each triangle once); only the
+    internal orientation differs: every edge points toward its
+    higher-``(degree, id)`` endpoint, wedges are the OUT-OUT pairs of the
+    lowest-ordered vertex, and the closing edge is looked up in the same
+    oriented relation.
+
+    Why: with id-ordering, wedge fanout at a vertex is C(out-degree, 2)
+    where out-degree can be the vertex's full degree (a hub with many
+    higher-id neighbors). Degree-ordering bounds every out-degree by
+    O(√m) — a vertex of degree d > √m has all its ≥d-degree neighbors
+    capped at 2m/d < 2√m of them — giving the classic Σ C(outdeg,2) =
+    O(m^1.5) total wedge bound REGARDLESS of skew (Schank & Wagner 2005's
+    forward algorithm, relationally). On a star graph the id-ordered form
+    generates C(hub_outdeg, 2) wedges; this form generates O(m). Measured
+    in tests/test_graph.py::test_degree_ordering_bounds_star_wedges.
+
+    Cost: one extra degree aggregation (O(m) shuffle) and two degree
+    joins before the same two enumeration equi-joins — the trade that
+    wins whenever the graph has hubs, i.e. every real co-occurrence or
+    link graph at 100 TB.
+    """
+    deg = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    with_deg = (
+        edges.join(deg.withColumnRenamed("node", src), src)
+        .withColumnRenamed("_deg", "_ds")
+        .join(deg.withColumnRenamed("node", dst), dst)
+        .withColumnRenamed("_deg", "_dd")
+    )
+    lo_first = (F.col("_ds") < F.col("_dd")) | (
+        (F.col("_ds") == F.col("_dd")) & (F.col(src) < F.col(dst))
+    )
+    o = with_deg.select(
+        F.when(lo_first, F.col(src)).otherwise(F.col(dst)).alias("u"),
+        F.when(lo_first, F.col(dst)).otherwise(F.col(src)).alias("v"),
+        F.when(lo_first, F.col("_dd")).otherwise(F.col("_ds")).alias("_dv"),
+    )
+    l = o.select("u", F.col("v").alias("x"), F.col("_dv").alias("_dx"))
+    r = o.select("u", F.col("v").alias("y"), F.col("_dv").alias("_dy"))
+    wedges = l.join(r, "u").filter(
+        (F.col("_dx") < F.col("_dy"))
+        | ((F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        o.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    tri = closed.select(
+        F.array_sort(F.array("u", "x", "y")).alias("_t")
+    )
+    return tri.select(
+        F.element_at("_t", 1).alias("a"),
+        F.element_at("_t", 2).alias("b"),
+        F.element_at("_t", 3).alias("c"),
+    )
+
 
 # target edges per cached partition for the iteration loop: below this,
 # per-task scheduling overhead dominates the ~μs of compute per row

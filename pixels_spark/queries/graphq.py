@@ -305,6 +305,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster at sf0.1). Wedge fanout is bounded by per-vertex out-degree,
     controlled by the support threshold (raise it as density grows).
     Both triangle joins are plain equi-joins AQE can re-plan on skew.
+
+    Orientation choice (measured): ``functions.graph`` offers both
+    id-ordering and the skew-robust degree-ordering
+    (``triangles_degree_ordered``, total wedges = sum C(outdeg,2) =
+    O(m^1.5) on ANY degree distribution — property-tested equal,
+    star-graph fanout measured in tests/test_graph.py). This co-purchase
+    graph is near-uniform (max id-out-degree 199 at sf0.1 even at
+    support 1; id-wedges 49M << m^1.5 1.3B), so id-ordering wins here —
+    0.5 s vs 4.0 s at sf0.1, the degree joins' overhead buying nothing.
+    At 100 TB pick degree-ordering whenever sum C(outdeg_id, 2) (one
+    cheap aggregate) exceeds the m^1.5 bound — i.e. real hub-skewed
+    link graphs.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     per_order = li.groupBy("l_orderkey").agg(
