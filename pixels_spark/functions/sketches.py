@@ -117,3 +117,104 @@ def count_min_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# THE MERGEABLE-SKETCH CONTRACT (the one place it is written down)
+#
+# The engine maintains three sketch families; all obey the same algebra so
+# batch jobs, backfills, and streaming foreachBatch loops compose freely:
+#
+#   build(rows)  -> sketch      one narrow pass + one bounded aggregate
+#   merge(a, b)  -> sketch      associative + commutative ("⊕"); identity
+#                               is the empty sketch, so
+#                               build(A) ⊕ build(B) ≡ build(A ∪ B) exactly
+#   query(sketch, key) -> est   one-sided error, never touches the rows
+#
+# - Count-Min (this module): ⊕ = cell-wise counter SUM; estimate is an
+#   OVERestimate. md5 hash family → bit-identically SQL-replayable;
+#   persisted/streamed via CountMinRegistry below.
+# - Bloom (functions/bloom.py): ⊕ = bitset OR; membership has false
+#   positives, never false negatives. Same md5 position family; persisted
+#   / streamed via BloomRegistry (constant-memory dedup history).
+# - HLL (Spark's approx_count_distinct, queries/clickbench.py): ⊕ = Spark's
+#   internal register-max merge (map-side partials ARE sketch merges);
+#   cardinality within ±rsd. Not bit-replayable — the driver oracle checks
+#   an exact-count tolerance band instead.
+#
+# Linearity is the 100 TB property: one sketch per partition/day/source,
+# merged in any order, equals the sketch of everything — no re-scan, no
+# giant groupBy over an unbounded key domain.
+
+
+class CountMinRegistry:
+    """Persisted, incrementally-maintained Count-Min sketch — the
+    streaming/warehouse-maintenance shape of ``count_min_*`` (the CMS
+    sibling of ``BloomRegistry``): each ``merge_batch`` folds ONE batch's
+    sketch into the stored one by cell-wise sum, so after any sequence of
+    batches the stored sketch is bit-identical to a one-shot build over
+    their union (the ⊕ law above; proven e2e by the oracled
+    ``stream_sketch_count_min`` driver query and fuzzed over random batch
+    splits in tests/test_sketches.py).
+
+    State is a ≤ depth×width-row parquet dir behind an atomic JSON
+    pointer (write-new → ``os.replace`` → drop-old, the repo's
+    MaterializedRollup discipline), so readers always see a complete
+    sketch. Single-writer assumption, same as BloomRegistry: the
+    streaming foreachBatch loop is single-threaded per query."""
+
+    def __init__(self, spark, path: str, depth: int = 3, width: int = 64):
+        import os
+
+        self.spark, self.path = spark, path
+        self.depth, self.width = depth, width
+        self.state_path = os.path.join(path, "_state.json")
+        os.makedirs(path, exist_ok=True)
+
+    def _state(self) -> dict | None:
+        import json
+        import os
+
+        if not os.path.exists(self.state_path):
+            return None
+        with open(self.state_path) as f:
+            return json.load(f)
+
+    def read(self) -> DataFrame:
+        """The current sketch (empty frame before the first batch)."""
+        state = self._state()
+        if state is None:
+            return self.spark.createDataFrame(
+                [], "r int, bucket bigint, cnt bigint"
+            )
+        return self.spark.read.parquet(state["data"])
+
+    def merge_batch(self, df: DataFrame, col: str) -> None:
+        import json
+        import os
+        import shutil
+
+        batch = count_min_build(df, col, self.depth, self.width)
+        state = self._state()
+        if state is None:
+            merged, n = batch, 1
+        else:
+            merged = count_min_merge(self.read(), batch)
+            n = state["n"] + 1
+        dest = os.path.join(self.path, f"sketch_v={n}")
+        merged.select(
+            F.col("r").cast("int"),
+            F.col("bucket").cast("bigint"),
+            F.col("cnt").cast("bigint"),
+        ).write.mode("overwrite").parquet(dest)
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": n, "data": dest}, f)
+        os.replace(tmp, self.state_path)
+        if state and state["data"] != dest and os.path.isdir(state["data"]):
+            shutil.rmtree(state["data"], ignore_errors=True)
+
+    def estimate(self, keys: DataFrame, col: str) -> DataFrame:
+        return count_min_estimate(
+            keys, self.read(), col, self.depth, self.width
+        )

@@ -1382,3 +1382,80 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("segment"),
         work,
     )
+
+
+def _stream_cms_oracle() -> str:
+    from .statsq import _cms_oracle
+
+    return _cms_oracle()
+
+
+@declare(
+    "stream_sketch_count_min",
+    sql=_stream_cms_oracle(),
+    tags=("streaming", "sketch", "count-min", "mergeable", "beyond-parity"),
+)
+def stream_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the Count-Min sketch: events replayed as a
+    2-micro-batch file stream, each batch's sketch folded into a persisted
+    ``CountMinRegistry`` by cell-wise sum (foreachBatch — the same loop
+    shape as BloomRegistry's streaming dedup). Because merge is linear,
+    sketch(batch₁) ⊕ sketch(batch₂) ≡ sketch(batch₁ ∪ batch₂) EXACTLY, so
+    the maintained sketch's estimates are bit-identical to the one-shot
+    batch build — the oracle is literally ``sketch_count_min``'s (built
+    over the whole table), and the driver hash must match it."""
+    from ..functions.sketches import CountMinRegistry
+    from .statsq import _CMS_DEPTH, _CMS_WIDTH
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_cms_")
+    src = os.path.join(work, "src")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).alias("m")
+    ).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    reg = CountMinRegistry(
+        spark, os.path.join(work, "cms"), _CMS_DEPTH, _CMS_WIDTH
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: reg.merge_batch(bdf, "user_id")
+        )
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_sketch_count_min did not finish in 600s")
+    assert reg._state()["n"] >= 2, "expected >= 2 micro-batches"
+    keys = (
+        e.select("user_id")
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+        .orderBy("user_id")
+        .limit(10)
+    )
+    est = reg.estimate(keys, "user_id")
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    out = (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("est_cnt").cast("bigint").alias("est_cnt"),
+            "exact_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("is_overestimate"),
+        )
+        .orderBy("user_id")
+    )
+    return _finalize(out, work)

@@ -75,3 +75,36 @@ def test_cms_skips_null_keys(spark):
     total = sketch.groupBy("r").agg(F.sum("cnt").alias("n")).collect()
     # each row counts every non-null input exactly once
     assert all(r["n"] == 2 for r in total)
+
+
+def test_cms_registry_random_splits_equal_one_shot_build(spark, tmp_path):
+    """⊕ law, fuzzed: folding random batch splits through a persisted
+    CountMinRegistry yields a sketch bit-identical to the one-shot build
+    over the union — and survives registry re-instantiation."""
+    import random
+
+    from pixels_spark.functions.sketches import (
+        CountMinRegistry,
+        count_min_build,
+    )
+
+    rng = random.Random(11)
+    rows = [(f"k{rng.randint(0, 40)}",) for _ in range(300)]
+    df = spark.createDataFrame(rows, "k string")
+    for trial in range(3):
+        cuts = sorted(rng.sample(range(1, 300), 2))
+        parts = [rows[: cuts[0]], rows[cuts[0]:cuts[1]], rows[cuts[1]:]]
+        path = str(tmp_path / f"reg{trial}")
+        reg = CountMinRegistry(spark, path, depth=3, width=32)
+        for i, p in enumerate(parts):
+            if i == 2:  # re-open mid-sequence: state is on disk, not in RAM
+                reg = CountMinRegistry(spark, path, depth=3, width=32)
+            reg.merge_batch(spark.createDataFrame(p, "k string"), "k")
+        got = {
+            (r["r"], r["bucket"]): r["cnt"] for r in reg.read().collect()
+        }
+        want = {
+            (r["r"], r["bucket"]): r["cnt"]
+            for r in count_min_build(df, "k", depth=3, width=32).collect()
+        }
+        assert got == want, f"trial {trial}"
