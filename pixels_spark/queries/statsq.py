@@ -403,15 +403,23 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     column consistency (n_chars = length(text)), referential integrity
     both directions (events→customer FK; orders with no lineitems — the
     fixture really has ~1.7% childless orders), domain range (discount ∈
-    [0, 0.1]), and key uniqueness. Each rule uses its natural distributed
-    shape: map-side CASE sums for row-local rules, a broadcast/AQE left
-    join + null probe for the FK rules, count-distinct for uniqueness —
-    no rule collects, every rule is one agg row out.
+    [0, 0.1]), and key uniqueness. No rule collects.
 
-    100 TB: rules over the same table share one scan when composed (the
-    CASE sums are a single wide aggregate like profile_columns); the FK
-    probes are plain joins AQE plans. Violation EXAMPLES (not counts)
-    are a LIMIT k per rule away — same plans, early-terminated.
+    ONE SCAN PER SOURCE TABLE (plan-asserted in tests/test_statsq.py):
+    same-table rules compose into a single wide aggregate whose 1-row
+    result explodes into the per-rule report rows (the profile_columns
+    pattern) — documents' two rules share one aggregate, orders' two
+    (dup keys + childless) share the post-join aggregate. lineitem is
+    scanned ONCE for both its consumers: a per-orderkey pre-aggregate
+    carries the discount-violation partial sums AND serves as the
+    distinct-key set for the orders anti-probe, so the second consumer
+    rides a ReusedExchange instead of a second FileScan. The FK probes
+    stay plain AQE-planned joins.
+
+    100 TB: the wide aggregates are map-side CASE sums; the lineitem
+    pre-aggregate is the one key-cardinality shuffle the childless-orders
+    rule needs anyway. Violation EXAMPLES (not counts) are a LIMIT k per
+    rule away — same plans, early-terminated.
     """
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "events")
@@ -419,51 +427,77 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
 
-    def rule(name: str, df: DataFrame, bad: Column) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("rule"),
-            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
-            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+    def report(agg_row: DataFrame, rules: list[tuple[str, str, str]]) -> DataFrame:
+        packed = [
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(chk).cast("bigint").alias("n_checked"),
+                F.col(vio).cast("bigint").alias("n_violations"),
+            )
+            for name, chk, vio in rules
+        ]
+        return agg_row.select(F.explode(F.array(*packed)).alias("x")).select(
+            "x.rule", "x.n_checked", "x.n_violations"
         )
 
+    def bad(cond: Column) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
     lang_ok = ["en", "de", "es", "fr", "zh"]
-    parts = [
-        rule("documents_lang_allowed", d, ~F.col("lang").isin(lang_ok)),
-        rule(
-            "documents_nchars_consistent",
-            d,
-            F.col("n_chars") != F.length("text"),
+    doc_rules = report(
+        d.agg(
+            F.count(F.lit(1)).alias("_n"),
+            bad(~F.col("lang").isin(lang_ok)).alias("_lang"),
+            bad(F.col("n_chars") != F.length("text")).alias("_nchars"),
         ),
-        rule(
-            "events_user_fk",
-            e.join(c, e["user_id"] == c["c_custkey"], "left_outer"),
-            F.col("c_custkey").isNull(),
+        [
+            ("documents_lang_allowed", "_n", "_lang"),
+            ("documents_nchars_consistent", "_n", "_nchars"),
+        ],
+    )
+    fk_rules = report(
+        e.join(c, e["user_id"] == c["c_custkey"], "left_outer").agg(
+            F.count(F.lit(1)).alias("_n"),
+            bad(F.col("c_custkey").isNull()).alias("_orphans"),
         ),
-        rule(
-            "lineitem_discount_range",
-            li,
-            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
-        ),
-        o.agg(
-            F.lit("orders_duplicate_keys").alias("rule"),
-            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
-            (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
-            .cast("bigint")
-            .alias("n_violations"),
-        ),
-        rule(
-            "orders_without_lineitems",
-            o.join(
-                li.select("l_orderkey").distinct(),
-                o["o_orderkey"] == F.col("l_orderkey"),
-                "left_outer",
+        [("events_user_fk", "_n", "_orphans")],
+    )
+    # ONE lineitem scan and ONE orders scan: the per-orderkey lineitem
+    # pre-aggregate (which the childless-orders probe needs anyway) also
+    # carries the discount-violation partial sums, and a single FULL OUTER
+    # key join + wide aggregate yields all three remaining rules — no
+    # second consumer subtree, so no scan duplication for Catalyst to
+    # (fail to) deduplicate.
+    li_grp = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_rows"),
+        bad(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("_bad_disc"),
+    )
+    lo = o.select("o_orderkey").join(
+        li_grp, o["o_orderkey"] == li_grp["l_orderkey"], "full_outer"
+    )
+    lo_rules = report(
+        lo.agg(
+            F.sum(F.coalesce(F.col("_n_rows"), F.lit(0))).alias("_n_li"),
+            F.sum(F.coalesce(F.col("_bad_disc"), F.lit(0))).alias("_disc"),
+            F.count("o_orderkey").alias("_n_ord"),
+            (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias(
+                "_dups"
             ),
-            F.col("l_orderkey").isNull(),
+            bad(
+                F.col("o_orderkey").isNotNull() & F.col("l_orderkey").isNull()
+            ).alias("_childless"),
         ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        [
+            ("lineitem_discount_range", "_n_li", "_disc"),
+            ("orders_duplicate_keys", "_n_ord", "_dups"),
+            ("orders_without_lineitems", "_n_ord", "_childless"),
+        ],
+    )
+    out = doc_rules
+    for part in [fk_rules, lo_rules]:
+        out = out.unionByName(part)
     return out.orderBy("rule")
 
 
