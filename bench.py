@@ -158,18 +158,17 @@ def stage_tables(spark, sf_dir: str, cache_root: str) -> str:
     return dest_root
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", config.DEFAULT_SF_DIR)
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    registry = load_all_modules()
-
-    spark = local_session()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # ingest into the engine-managed layout (parallelism-sized files)
+def prepare(spark, sf_dir: str, cache_root: str | None = None):
+    """Stage the fixture into the engine layout and prebuild every derived
+    artifact the timed queries serve from (IVF/PQ indexes, money/ev_struct
+    stored tables, the SCD2 MVCC history). Returns
+    (staged_dir, load_sec, ivf_build_sec, derived_build_sec). Shared by
+    the bench run and tools/scale_check.py so both measure the same
+    serving paths."""
+    cache_root = cache_root or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
+    )
     t0 = time.perf_counter()
-    cache_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     staged_dir = stage_tables(spark, sf_dir, cache_root)
     load_sec = round(time.perf_counter() - t0, 4)
 
@@ -201,6 +200,21 @@ def main() -> None:
     ensure_pq_index(spark, staged_dir)
     mvcc_scd2(spark, staged_dir).count()  # stages the mutated MVCC table
     derived_build_sec = round(time.perf_counter() - t0, 4)
+    return staged_dir, load_sec, ivf_build_sec, derived_build_sec
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", config.DEFAULT_SF_DIR)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    registry = load_all_modules()
+
+    spark = local_session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    staged_dir, load_sec, ivf_build_sec, derived_build_sec = prepare(
+        spark, sf_dir
+    )
 
     # warm the JVM/catalyst once on a cheap query so per-query times measure
     # execution, not first-call JIT/planning setup

@@ -145,52 +145,86 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     reliable: bool = False,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via shingle inverted index.
+    """Exact Jaccard-similar pairs via PREFIX-FILTERED shingle join
+    (Chaudhuri et al. 2006 / PPJoin's prefix principle, relationally).
 
-    explode(shingles) → self-join on shingle → count common shingles per
-    pair → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. The shingle join only
-    produces pairs that share ≥1 shingle — sub-quadratic on real corpora.
+    A naive inverted-index self-join costs Σ df(shingle)² — quadratic in
+    the posting length of every corpus-common shingle, which is exactly
+    what blows up on templated/boilerplate text (measured: a 5× corpus
+    OOMed the join; see tools/scale_check.py). Prefix filtering keeps the
+    join EXACT but joins only each document's rarest shingles: order every
+    document's shingle set by (global document frequency, shingle) and
+    keep the first ``|A| − ⌈t·|A|⌉ + 1`` — any pair with Jaccard ≥ t must
+    share its MINIMAL common shingle inside both prefixes (if a set's
+    intersection avoided its prefix, the suffix could hold at most
+    ``⌈t·|A|⌉ − 1 < t·|A| ≤ |A∩B|`` common shingles). Hot shingles land
+    deep in every suffix, so their postings never meet the join.
+
+    Candidates then verify exactly: one join back to the per-doc shingle
+    arrays, ``|A∩B| = size(array_intersect)``, Jaccard ≥ threshold.
 
     ``block_col`` (e.g. language, source, length bucket) restricts pairs to
-    equal blocking-key values — the standard dedup blocking strategy: the
-    shingle join's candidate volume drops by roughly the sum of squared
-    block frequencies, at the cost of never comparing across blocks.
+    equal blocking-key values — the standard dedup blocking strategy —
+    and composes with the prefix filter (candidates must collide on
+    (prefix shingle, block)).
     """
+    from pyspark.sql.window import Window
+
     cols = [
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_sh"),
     ]
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))
-    # lineage cut: the shingled table feeds BOTH sides of the self-join and
-    # exchange reuse doesn't fire across the aliased sides — without it the
-    # tokenize+shingle CPU (the expensive part) runs twice. Materialize the
-    # compact per-doc form (one row per doc, shingle array), not the
-    # exploded form, so the stored footprint is ~the text size.
+    # lineage cut: the shingled table feeds the frequency pass, the prefix
+    # pass, and both verification sides — materialize the compact per-doc
+    # form once (one row per doc, shingle array, ~text-sized).
     sh = cut_lineage(
         spread(df, id_col).select(*cols).withColumn("_size", F.size("_sh")),
         reliable,
     )
     keep = ["_id", "_size"] + (["_blk"] if block_col else [])
     exploded = sh.select(*keep, F.explode("_sh").alias("_shingle"))
+    freq = exploded.groupBy("_shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    prefix_len = F.col("_size") - F.ceil(
+        F.lit(threshold) * F.col("_size")
+    ) + 1
+    w = Window.partitionBy("_id").orderBy("_df", "_shingle")
+    prefix = (
+        exploded.join(freq, "_shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= prefix_len)
+    )
     join_keys = ["_shingle"] + (["_blk"] if block_col else [])
-    a = exploded.select(
-        F.col("_id").alias("id_a"), F.col("_size").alias("_size_a"), *join_keys
-    )
-    b = exploded.select(
-        F.col("_id").alias("id_b"), F.col("_size").alias("_size_b"), *join_keys
-    )
-    common = (
+    a = prefix.select(F.col("_id").alias("id_a"), *join_keys)
+    b = prefix.select(F.col("_id").alias("id_b"), *join_keys)
+    cands = (
         a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "_size_a", "_size_b")
-        .agg(F.count(F.lit(1)).alias("_common"))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    sa = sh.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("_sh_a"),
+        F.col("_size").alias("_size_a"),
+    )
+    sb = sh.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("_sh_b"),
+        F.col("_size").alias("_size_b"),
+    )
+    common = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     jaccard = F.col("_common") / (
         F.col("_size_a") + F.col("_size_b") - F.col("_common")
     )
     return (
-        common.withColumn("jaccard", jaccard)
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_common", common)
+        .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from .dedup import cut_lineage
 
-__all__ = ["bfs_hops", "pagerank", "triangles", "triangles_degree_ordered"]
+__all__ = [
+    "bfs_hops",
+    "label_propagation_min",
+    "pagerank",
+    "triangles",
+    "triangles_degree_ordered",
+]
 
 
 def triangles(edges: DataFrame, src: str = "s1", dst: str = "s2") -> DataFrame:
@@ -374,6 +380,81 @@ def bfs_hops(
         frontier = new
     out = dist.select("node", F.col("hops").cast("int").alias("hops"))
     out = out.persist()
+    out.count()
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def label_propagation_min(
+    edges: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Synchronous min-label propagation over a directed ``(src, dst)``
+    edge relation for a FIXED number of rounds: every node starts with
+    its own id as label; each round every node takes the min of its own
+    label and its in-neighbors' labels. After enough rounds this is
+    connected components (labels = component-min id); with bounded
+    ``rounds`` it is the deterministic, oracle-comparable prefix — the
+    same fixed-rounds-not-convergence choice as ``pagerank``. Callers
+    wanting undirected semantics symmetrize the edges first.
+
+    Returns ``(node, label)`` for every node in the graph. Integer/
+    string-exact (min over a total order), so the whole computation
+    restates as ``rounds`` unrolled SQL CTEs that run verbatim on DuckDB
+    AND spark.sql.
+
+    Scale shape (delta form): round i joins only the CHANGED set (nodes
+    whose label improved in round i-1) against the edge relation — the
+    same frontier trick as ``bfs_hops``, so per-round join work tracks
+    label churn, not O(edges) forever; the label table update is one
+    min-merge groupBy. Edges are repartitioned by src once and persisted
+    so every round reuses the layout.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    node_t = edges.schema["src"].dataType
+    e = (
+        edges.select(F.col("src").cast(node_t), F.col("dst").cast(node_t))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node")).persist()
+    changed = labels
+    handles = [e, labels]
+    for _ in range(rounds):
+        prop = (
+            changed.join(e, changed["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.col("label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("_new"))
+        )
+        merged = (
+            labels.join(prop, "node", "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_new"), F.col("label"))
+                ).alias("label"),
+                (
+                    F.col("_new").isNotNull()
+                    & (F.col("_new") < F.col("label"))
+                ).alias("_chg"),
+            )
+            .persist()
+        )
+        nxt_changed = merged.filter(F.col("_chg")).select("node", "label")
+        labels = merged.select("node", "label")
+        handles.append(merged)
+        if nxt_changed.isEmpty():
+            break
+        changed = nxt_changed
+    out = labels.persist()
     out.count()
     for h in handles:
         h.unpersist()

@@ -228,3 +228,72 @@ def temperature_thresholds(
         .withColumn("_thr", F.floor(rate * F.lit(N_BUCKETS)).cast("bigint"))
         .select(stratum_col, "_n_s", "_thr")
     )
+
+
+def quota_sample_hamilton(
+    df: DataFrame,
+    stratum_col: str,
+    budget: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Fixed TOTAL budget apportioned across strata by the largest-remainder
+    (Hamilton) method, then filled deterministically — the eval-set /
+    annotation-batch shape: "exactly B documents, proportional to the
+    corpus mix, reproducible anywhere". Complements
+    ``stratified_sample_exact`` (per-stratum FRACTION) with exact
+    whole-corpus APPORTIONMENT: Σ alloc_s == budget exactly, every
+    alloc_s ∈ {floor(quota), ceil(quota)}.
+
+    All integer-exact (BIGINT products, DIV/MOD — no float quotas, so no
+    engine disagreement at any corpus size), ties on remainders break by
+    stratum name. Within a stratum the ``alloc_s`` lowest
+    md5(salt||key)-ordered rows are kept (the repo's portable-hash order).
+    Requires ``budget <= corpus rows`` (then alloc_s <= n_s always holds).
+
+    Scale shape: one count per stratum (map-side partials), a
+    strata-cardinality apportionment frame (broadcast), and ONE
+    stratum-partitioned window for the fill — the corpus shuffles once,
+    on the stratum key.
+    """
+    from pyspark.sql.window import Window
+
+    sizes = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = sizes.agg(F.sum("_n").alias("_tot"))
+    q = (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            (F.lit(budget) * F.col("_n")).cast("bigint").alias("_bn"),
+            F.col("_tot"),
+        )
+        .select(
+            stratum_col,
+            F.expr("_bn DIV _tot").alias("_base"),
+            F.pmod(F.col("_bn"), F.col("_tot")).alias("_rem"),
+        )
+    )
+    leftover = q.agg((F.lit(budget) - F.sum("_base")).alias("_left"))
+    w = Window.orderBy(F.col("_rem").desc(), F.col(stratum_col))
+    alloc = (
+        q.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            stratum_col,
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            ).cast("bigint").alias("alloc"),
+        )
+    )
+    wr = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.col(key_col),
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(wr))
+    return (
+        ranked.join(F.broadcast(alloc), stratum_col)
+        .filter(F.col("_rn") <= F.col("alloc"))
+        .drop("alloc")
+        .withColumnRenamed("_rn", "stratum_rank")
+    )

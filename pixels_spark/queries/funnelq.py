@@ -19,7 +19,7 @@ Scale notes (100 TB of events):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -247,4 +247,63 @@ def cb_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_level")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("funnel_level")
+    )
+
+
+_TRANSITION_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events WHERE user_id IS NOT NULL),
+    cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    tot AS (SELECT from_type, SUM(n) AS t FROM cnt GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           CAST(c.n AS DOUBLE) / t.t AS p
+    FROM cnt c JOIN tot t ON c.from_type = t.from_type
+    ORDER BY c.from_type, c.to_type
+    """
+
+
+@declare(
+    "ev_transition_matrix",
+    sql=_TRANSITION_SQL,
+    tags=("events", "markov", "window", "behavioral", "beyond-parity"),
+)
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for every (from_type → to_type) adjacent pair (ordered by ts with
+    event_id tiebreak), the count and the row-normalized probability —
+    the behavioral model behind next-action prediction, funnel-leak
+    triage, and bot detection (improbable chains). Exact: integer counts,
+    one double division (n / row_total) identical in both engines;
+    dialect-shared oracle.
+
+    Scale: ONE user-keyed shuffle for the lead() window (sort-based
+    streaming frame, O(1) memory per user), then a transition-cardinality
+    aggregate (≤ |types|² rows) and its row-total self-aggregation —
+    everything after the window is tiny."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("_t"))
+    return (
+        cnt.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("_t")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
     )

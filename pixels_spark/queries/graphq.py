@@ -435,3 +435,71 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
     )
     return G.bfs_hops(edges, seeds, max_hops=_BFS_HOPS).orderBy("node")
+
+
+_LP_ROUNDS = 3
+
+
+def _lp_oracle() -> str:
+    """Unrolled synchronous min-label propagation: l_i(v) = min(l_{i-1}(v),
+    min over in-neighbors). Pure joins + GROUP BY MIN over strings —
+    dialect-shared (runs verbatim on DuckDB and spark.sql)."""
+    head = """
+    WITH eb AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS src,
+                      's' || CAST(l_suppkey AS STRING) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM eb
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM eb),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    steps = []
+    for i in range(1, _LP_ROUNDS + 1):
+        steps.append(
+            f""",
+    l{i} AS (SELECT node, MIN(label) AS label FROM (
+        SELECT node, label FROM l{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, l.label AS label
+        FROM l{i - 1} l JOIN edges e ON e.src = l.node
+      ) u{i} GROUP BY node)"""
+        )
+    return head + "".join(steps) + f"""
+    SELECT node, label FROM l{_LP_ROUNDS} ORDER BY node
+    """
+
+
+@declare(
+    "graph_label_prop",
+    sql=_lp_oracle(),
+    tags=("graph", "iterative", "community", "label-propagation", "beyond-parity"),
+)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation (3 synchronous rounds) over the symmetrized
+    customer–supplier graph — the bounded-round prefix of connected
+    components, and the deterministic core of label-propagation community
+    detection (every node's label after round i = min node id within i
+    hops). Complements BFS (distance from a seed set) with the
+    all-nodes-at-once labeling used for dedup-cluster canonicalization
+    and account-ring grouping.
+
+    Spark side is the DELTA form (functions/graph.label_propagation_min):
+    each round propagates only labels that improved last round, so join
+    work tracks churn; the dialect-shared oracle states the identical
+    fixpoint prefix as 3 unrolled min-merge CTEs (min over strings —
+    total order, no floats anywhere)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eb.union(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return G.label_propagation_min(edges, rounds=_LP_ROUNDS).orderBy("node")

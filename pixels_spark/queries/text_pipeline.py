@@ -1774,3 +1774,55 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5_hash = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text", bits=32, hash_fn=md5_hash).orderBy("doc_id")
+
+
+@declare(
+    "txt_quota_sample",
+    sql="""
+    WITH sizes AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS t FROM sizes),
+    q AS (SELECT lang, (50 * n) // t AS base, (50 * n) % t AS rem
+          FROM sizes, tot),
+    lft AS (SELECT 50 - SUM(base) AS l FROM q),
+    alloc AS (
+      SELECT lang,
+             CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                                   <= l THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM q, lft),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('quota1' || CAST(doc_id AS STRING)), doc_id
+             ) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS stratum_rank
+    FROM ranked r JOIN alloc a ON r.lang = a.lang
+    WHERE r.rn <= a.alloc
+    ORDER BY r.doc_id
+    """,
+    tags=("text", "sampling", "apportionment", "beyond-parity"),
+)
+def txt_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget stratified sample: EXACTLY 50 documents apportioned
+    across languages by the largest-remainder (Hamilton) method —
+    integer-exact quotas (no float apportionment to disagree across
+    engines), remainder ties to the stratum name, fill order = portable
+    md5 hash — the "draw exactly B for annotation/eval, matching the
+    corpus mix, reproducibly on any engine" operation.
+    ``txt_stratified_sample`` is the per-stratum-FRACTION counterpart;
+    this one guarantees the TOTAL. One stratum-keyed corpus shuffle;
+    the apportionment frame is strata-cardinality and broadcast."""
+    from ..functions.sampling import quota_sample_hamilton
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        quota_sample_hamilton(d, "lang", 50, "doc_id", salt="quota1")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("stratum_rank").cast("bigint").alias("stratum_rank"),
+        )
+        .orderBy("doc_id")
+    )

@@ -59,6 +59,7 @@ ALLOWLIST = {
     "vec_lsh_pairs": "tiny hyperplane frame crossJoin (seeded planes)",
     "vec_hybrid_rrf": "1-row query-vector crossJoin",
     "vec_hybrid_rrf_topn": "1-row query-vector crossJoin (bounded kNN leg)",
+    "txt_quota_sample": "1-row corpus-total / leftover frame crossJoins",
 }
 
 BATCH = sorted(

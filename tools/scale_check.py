@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""Synthetic scale-up validation (VERDICT r6 #6): materialize a ~5×
+fixture from sf0.1 — the original tables unioned with key-shifted copies,
+written through the engine's own LOAD path (repartition + parquet, the
+same layout staging the bench uses) — run the headline suite ONCE at each
+scale in the same session, and print per-query scaling ratios as a
+markdown table for SCALE.md.
+
+Key shifting preserves referential integrity: every entity key
+(custkey / orderkey / partkey / suppkey / event_id / user_id / doc_id /
+vec_id) shifts by copy_index × 100M in every table that carries it, so
+each copy is a self-contained shard of the database. nation/region stay
+single copies — 25/5-row dims shared across shards, exactly how a real
+5× ingest would look.
+
+Content columns are DERANGED per shard, not copied verbatim: document
+words and embedding dims rotate by the copy index (length-, n_chars- and
+norm-preserving), so cross-shard texts/vectors are NOT near-duplicates.
+Exact copies would turn every similarity-join workload quadratic in the
+copy count (measured: dedup_ngram_jaccard's candidate pairs grow ~25× at
+5 copies — the first fixture attempt never finished it), which measures
+a different WORKLOAD, not the same workload at more volume. Within-shard
+duplicate/near-dup structure is preserved exactly, so the dedup family
+still finds 5× the pairs — linear, like a real 5× corpus.
+
+Usage: python tools/scale_check.py [copies]   (default 5)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import reduce
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import bench  # noqa: E402
+from pixels_spark.catalog import TABLES, load_table  # noqa: E402
+from pixels_spark.queries import load_all_modules  # noqa: E402
+from pixels_spark.session import local_session  # noqa: E402
+
+_OFF = 100_000_000
+_SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def make_scaled_fixture(spark, src_dir: str, dest_dir: str, copies: int) -> float:
+    """LOAD the ~copies× fixture into ``dest_dir`` (skipped if present).
+    Returns the build time in seconds (0.0 on cache hit)."""
+    marker = os.path.join(dest_dir, "_SCALED")
+    if os.path.exists(marker):
+        return 0.0
+    n = spark.sparkContext.defaultParallelism
+    t0 = time.perf_counter()
+    os.makedirs(dest_dir, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src_dir, t)
+        keys = _SHIFT_COLS.get(t)
+        if keys:
+            shards = []
+            for i in range(copies):
+                s = df
+                for k in keys:
+                    s = s.withColumn(k, (F.col(k) + F.lit(i * _OFF)).cast("bigint"))
+                if i > 0 and t == "documents":
+                    # rotate word order by i: same chars, same n_chars,
+                    # different shingles -> not a cross-shard near-dup
+                    w = F.split(F.col("text"), " ")
+                    rot = F.array_join(
+                        F.concat(
+                            F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))),
+                            F.slice(w, 1, F.least(F.lit(i), F.size(w))),
+                        ),
+                        " ",
+                    )
+                    s = s.withColumn("text", rot)
+                if i > 0 and t == "embeddings":
+                    # rotate dims by i: norm-preserving, cosine vs the
+                    # original ~ random -> not a cross-shard near-dup
+                    v = F.col("embedding")
+                    s = s.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice(v, i + 1, F.size(v) - i), F.slice(v, 1, i)
+                        ),
+                    )
+                shards.append(s)
+            df = reduce(lambda a, b: a.unionByName(b), shards)
+        parts = n if t in ("lineitem", "orders", "events") else max(4, n // 4)
+        df.repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(dest_dir, f"{t}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write(f"copies={copies} src={src_dir}")
+    return round(time.perf_counter() - t0, 2)
+
+
+def run_suite(
+    spark, registry, staged_dir: str, save_path: str | None = None
+) -> dict[str, float]:
+    """One timed pass over HEADLINE. With ``save_path``, results persist
+    after EVERY query so a killed run resumes where it left off."""
+    import json
+
+    out: dict[str, float] = {}
+    if save_path and os.path.exists(save_path):
+        with open(save_path) as f:
+            out = json.load(f)
+    bench._consume(registry["tpch_q6"].fn(spark, staged_dir))  # warm
+    for name in bench.HEADLINE:
+        if name in out:
+            continue
+        t0 = time.perf_counter()
+        bench._consume(registry[name].fn(spark, staged_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {out[name]}s", flush=True)
+        if save_path:
+            with open(save_path, "w") as f:
+                json.dump(out, f)
+    return out
+
+
+def main() -> None:
+    """Stages (each resumable, results cached as JSON under .bench_cache):
+    ``build`` → ``base`` → ``scaled`` → ``report``. Run with no args to
+    execute the next missing stage; repeat until report prints."""
+    import json
+
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cache_root = os.path.join(_ROOT, ".bench_cache")
+    # NB: under fixtures/ so stage_tables' dest (cache_root/<basename>)
+    # can never collide with — and rmtree — the fixture itself
+    scaled_src = os.path.join(cache_root, "fixtures", f"sf0.{copies}x")
+    base_json = os.path.join(cache_root, "scale_base.json")
+    scaled_json = os.path.join(cache_root, "scale_scaled.json")
+
+    if os.path.exists(base_json) and os.path.exists(scaled_json):
+        with open(base_json) as f:
+            base = json.load(f)
+        with open(scaled_json) as f:
+            scaled = json.load(f)
+        print(f"| query | sf0.1 s | {copies}x s | ratio |")
+        print("|---|---|---|---|")
+        flagged = []
+        for name in bench.HEADLINE:
+            if name not in base or name not in scaled:
+                continue
+            r = scaled[name] / base[name] if base[name] > 0 else float("inf")
+            print(
+                f"| {name} | {base[name]:.2f} | {scaled[name]:.2f} | {r:.2f}x |"
+            )
+            if r > copies + 1:
+                flagged.append((name, round(r, 2)))
+        tb, ts = sum(base.values()), sum(scaled.values())
+        print(f"| **total** | {tb:.1f} | {ts:.1f} | {ts / tb:.2f}x |")
+        if flagged:
+            print("\nsuper-linear (> copies+1):", flagged)
+        return
+
+    registry = load_all_modules()
+    spark = local_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    build_sec = make_scaled_fixture(spark, base_sf, scaled_src, copies)
+    if build_sec:
+        print(f"scaled fixture build: {build_sec}s ({copies}x of {base_sf})")
+    if not os.path.exists(base_json):
+        staged, *_ = bench.prepare(spark, base_sf, cache_root)
+        res = run_suite(spark, registry, staged, base_json + ".partial")
+        os.replace(base_json + ".partial", base_json)
+        print(f"base suite done: {sum(res.values()):.1f}s -> {base_json}")
+    else:
+        staged, *_ = bench.prepare(spark, scaled_src, cache_root)
+        res = run_suite(spark, registry, staged, scaled_json + ".partial")
+        os.replace(scaled_json + ".partial", scaled_json)
+        print(f"scaled suite done: {sum(res.values()):.1f}s -> {scaled_json}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
