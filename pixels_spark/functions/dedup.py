@@ -192,6 +192,9 @@ def ngram_jaccard_pairs(
         F.lit(threshold) * F.col("_size")
     ) + 1
     w = Window.partitionBy("_id").orderBy("_df", "_shingle")
+    # (measured: lineage-cutting the prefix relation too is a net LOSS at
+    # fixture scale — the eager checkpoint costs more than recomputing the
+    # cheap freq-join/rank pipeline for the second self-join side)
     prefix = (
         exploded.join(freq, "_shingle")
         .withColumn("_rk", F.row_number().over(w))

@@ -10,6 +10,7 @@ mismatches surface before the driver runs.
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 
 import duckdb
@@ -50,8 +51,13 @@ def _canon_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        p = table_path(sf_dir, t)
+        # engine-written (staged / scaled) fixtures are parquet DIRECTORIES
+        # of part files; driver fixtures are single files — glob for dirs
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     return con
 
