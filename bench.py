@@ -115,6 +115,16 @@ HEADLINE = (
     "vec_hybrid_rrf",
     "profile_columns",
     "dq_checks",
+    # round 7: production-shape bounded-candidate RRF (the serving path;
+    # the full-rank reference stays too), Markov transition matrix,
+    # Hamilton quota sampling. graph_label_prop stays out for the same
+    # measured reason as graph_pagerank: its 3 delta rounds cost ~8 s of
+    # per-round persist/isEmpty scheduling at sf0.1 (μs of compute),
+    # which would misread as a plan flaw; its oracle parity is
+    # driver-checked and the delta-frontier shape mirrors bfs_hops.
+    "vec_hybrid_rrf_topn",
+    "ev_transition_matrix",
+    "txt_quota_sample",
 )
 
 

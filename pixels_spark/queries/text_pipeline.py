@@ -1826,3 +1826,49 @@ def txt_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@declare(
+    "dedup_keep_best",
+    sql=r"""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, f,
+             row_number() OVER (
+               PARTITION BY f ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY f) AS n_copies
+      FROM fp)
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1 AND n_copies >= 2
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "text", "canonicalization"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the step AFTER duplicate
+    detection in every curation pipeline: within each exact-duplicate
+    cluster (whitespace-normalized md5 fingerprint, the repo's
+    ``dedup_exact`` convention), keep ONE representative by a quality
+    order (longest text first — truncated/boilerplate-stripped copies
+    lose — with doc_id as the total-order tiebreak), reporting the kept
+    doc and its cluster size for clusters of ≥2. Exactly oracled (string
+    hash + integer ordering; no floats).
+
+    Scale: one fingerprint-keyed shuffle; the window is per-cluster
+    (bounded by duplication depth, not corpus size)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fpd = d.select("doc_id", "n_chars", T.fingerprint(F.col("text")).alias("_f"))
+    w = Window.partitionBy("_f").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("_f")
+    return (
+        fpd.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter((F.col("_rn") == 1) & (F.col("n_copies") >= 2))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )

@@ -49,14 +49,16 @@ def _sql_l2(a: str, b: str, d: int) -> str:
 # all bit-identical between the Spark trainers and these CTEs.
 
 
-def _lloyd_cte(rounds: int = 2, n_cells: int = 8) -> str:
+def _lloyd_cte(rounds: int = 2, n_cells: int = 8, src: str = "embeddings") -> str:
     """CTEs computing IVF centroids after ``rounds`` Lloyd iterations:
-    c0 (init = lowest-id vectors) … c{rounds}(cell_id, cvec)."""
+    c0 (init = lowest-id vectors) … c{rounds}(cell_id, cvec). ``src`` is
+    the TRAINING relation (a subquery string for subset-trained indexes,
+    e.g. the incremental-append lifecycle)."""
     parts = [
         f"""c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_cells}))"""
+      FROM (SELECT * FROM {src} ORDER BY vec_id LIMIT {n_cells}))"""
     ]
     for r in range(1, rounds + 1):
         cos = _sql_cos("e.embedding", "c.cvec")
@@ -66,7 +68,7 @@ def _lloyd_cte(rounds: int = 2, n_cells: int = 8) -> str:
         SELECT e.vec_id, e.embedding, c.cell_id,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY {cos} DESC, c.cell_id) AS rn
-        FROM embeddings e CROSS JOIN c{r - 1} c) t WHERE rn = 1)"""
+        FROM {src} e CROSS JOIN c{r - 1} c) t WHERE rn = 1)"""
         )
         parts.append(
             f"""m{r} AS (
@@ -1014,3 +1016,82 @@ def vec_hybrid_rrf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"), F.col("sim").alias("score"))
     )
     return V.rrf_fuse(kw_cands, vec_cands, "doc_id", k=10)
+
+
+_INCR_SPLIT = 400
+
+
+def ensure_ivf_incr_index(spark: SparkSession, sf_dir: str):
+    """Build-once INCREMENTAL IVF index: train + assign on the initial
+    corpus slice (vec_id < 400), materialize the partitioned layout, then
+    absorb the remaining vectors through ``ivf_append`` — the real
+    serving lifecycle (train once, keep ingesting against frozen
+    centroids). Returns (index_path, cents_path)."""
+    import os
+
+    from ..storage.derived import ensure_derived
+
+    def build(sp, tmp):
+        e = load_table(sp, sf_dir, "embeddings")
+        old = e.filter(F.col("vec_id") < _INCR_SPLIT)
+        cents = V.make_centroids(old, "embedding", "vec_id", n_cells=8, iterations=2)
+        assigned = V.ivf_assign(old, "embedding", cents, id_col="vec_id", n_assign=1)
+        idx = os.path.join(tmp, "index")
+        V.write_ivf_index(assigned, idx)
+        cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids.parquet"))
+        V.ivf_append(
+            e.filter(F.col("vec_id") >= _INCR_SPLIT),
+            "embedding",
+            cents,
+            idx,
+            id_col="vec_id",
+            n_assign=1,
+        )
+
+    dest = ensure_derived(
+        spark,
+        sf_dir,
+        name="ivf_incr",
+        source_paths=[table_path(sf_dir, "embeddings")],
+        build=build,
+        params=f"split{_INCR_SPLIT}_c8_i2_a1_v1",
+    )
+    return os.path.join(dest, "index"), os.path.join(dest, "centroids.parquet")
+
+
+def _ivf_incr_oracle() -> str:
+    """Subset-trained centroids (vec_id < split), full-corpus assignment,
+    probe top-2 cells, exact cosine top-10 — frozen-centroid append means
+    old ∪ new is indistinguishable from a one-shot assignment, which this
+    oracle states directly."""
+    src = f"(SELECT * FROM embeddings WHERE vec_id < {_INCR_SPLIT})"
+    return f"""
+    WITH {_lloyd_cte(2, 8, src=src)},
+    {_ivf_cands_cte(2, 1, 2, 7)}
+    SELECT vec_id, sim FROM (
+      SELECT e.vec_id, {_sql_cos("e.embedding", "qv")} AS sim
+      FROM embeddings e JOIN cands USING (vec_id) CROSS JOIN q) t
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """
+
+
+@declare(
+    "vec_ivf_incremental",
+    sql=_ivf_incr_oracle(),
+    tags=("vector", "ivf", "incremental", "serving", "beyond-parity"),
+)
+def vec_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe against the INCREMENTALLY-built IVF index (train on the
+    first 400 vectors, ``ivf_append`` the rest against the frozen
+    centroids — O(new batch) writes, no retrain, partition pruning sees
+    old ∪ new immediately). EXACTLY oracled: frozen-centroid append is
+    bit-identical to one-shot assignment (same deterministic kernel), so
+    the oracle restates the whole lifecycle as subset-trained Lloyd CTEs
+    + full-corpus assignment + probed-cell exact top-10."""
+    idx_path, cents_path = ensure_ivf_incr_index(spark, sf_dir)
+    cents = spark.read.parquet(cents_path)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    return V.ivf_probe_index(
+        spark, idx_path, "embedding", "vec_id", q, cents, k=10, n_probe=2
+    )

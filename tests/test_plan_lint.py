@@ -45,6 +45,7 @@ ALLOWLIST = {
     "vec_batch_knn": "bounded query-set crossJoin (16 rows, broadcast)",
     "vec_ivf_knn": "1-row query-vector crossJoin",
     "vec_ivf_probe": "1-row query-vector crossJoin",
+    "vec_ivf_incremental": "1-row query-vector crossJoin",
     "vec_ivfpq_probe": "1-row query-vector crossJoin",
     "vec_pq_probe": "1-row query-vector crossJoin",
     "vec_semdedup": "scalar threshold frame crossJoin",

@@ -531,3 +531,44 @@ def test_hybrid_rrf_topn_no_window_and_matches_full_rank(spark, sf_dir):
     got = [r["doc_id"] for r in topn.collect()]
     want = [r["doc_id"] for r in full.collect()]
     assert got == want
+
+
+def test_ivf_incremental_append_equals_one_shot(spark, sf_dir, tmp_path):
+    """Frozen-centroid append: an index built as train(old) + append(new)
+    serves bit-identical probe results to an index assigned in one shot
+    with the same centroids."""
+    import os
+
+    from pixels_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") < 300)
+    new = e.filter(F.col("vec_id") >= 300)
+    cents = V.make_centroids(old, "embedding", "vec_id", n_cells=8, iterations=2)
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+
+    incr = str(tmp_path / "incr")
+    V.write_ivf_index(
+        V.ivf_assign(old, "embedding", cents, id_col="vec_id", n_assign=1), incr
+    )
+    V.ivf_append(new, "embedding", cents, incr, id_col="vec_id", n_assign=1)
+    oneshot = str(tmp_path / "oneshot")
+    V.write_ivf_index(
+        V.ivf_assign(e, "embedding", cents, id_col="vec_id", n_assign=1), oneshot
+    )
+    got = [
+        tuple(r)
+        for r in V.ivf_probe_index(
+            spark, incr, "embedding", "vec_id", q, cents, k=10, n_probe=2
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in V.ivf_probe_index(
+            spark, oneshot, "embedding", "vec_id", q, cents, k=10, n_probe=2
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+    # the appended batch is physically present in the cell layout
+    cells = [d for d in os.listdir(incr) if d.startswith("ivf_cell=")]
+    assert cells, "no cell partitions written"
