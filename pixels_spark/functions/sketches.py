@@ -120,6 +120,77 @@ def count_min_estimate(
 
 
 # ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002.
+#
+# Keep the k smallest 60-bit md5 hash values of a key set; the k-th
+# smallest order statistic of k uniform draws estimates the density, so
+# DV ≈ (k-1) · 2^60 / h_(k). Unlike HLL, a KMV synopsis supports SET
+# OPERATIONS: the k smallest of S_A ∪ S_B is computable from the two
+# sketches alone (⊕ = union + re-truncate), and the fraction of the union
+# synopsis present in BOTH input sketches estimates the Jaccard
+# similarity, giving |A ∩ B| ≈ ρ · DV(A ∪ B) without ever rescanning —
+# the estimator behind Theta-sketch set algebra (Apache DataSketches).
+# The md5 family makes every hash, every synopsis row, and every estimate
+# bit-identically replayable in ANSI SQL (driver query ``sketch_kmv``).
+# ---------------------------------------------------------------------------
+
+
+KMV_DOMAIN = float(1 << 60)  # hash domain size; exact as a double
+
+
+def kmv_hash(key: Column) -> Column:
+    """60-bit md5-family hash: first 15 hex chars of ``md5(key)`` as a
+    bigint (< 2^60, non-negative — DuckDB restatement:
+    ``CAST(concat('0x', substr(md5(key), 1, 15)) AS BIGINT)``)."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def kmv_build(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """KMV synopsis of ``df[col]``: the ``k`` smallest distinct hash
+    values, as a ≤k-row ``(hv)`` frame. NULL keys are skipped.
+
+    Scale shape: one shuffle for the hash-distinct, then a global top-k
+    (Spark plans ``orderBy().limit(k)`` as TakeOrderedAndProject —
+    per-partition heaps, only k rows per partition reach the driver-side
+    merge). The synopsis is bounded at k rows no matter the input size."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(kmv_hash(F.col(col)).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
+    """⊕ for KMV: union the synopses, drop duplicate hashes, keep the k
+    smallest. Associative/commutative with the empty sketch as identity;
+    ``kmv_build(A) ⊕ kmv_build(B) ≡ kmv_build(A ∪ B)`` EXACTLY (the k
+    smallest of the union are always within the k smallest of each side)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("hv").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a synopsis, as a 1-row ``(est_dv)``
+    frame. A synopsis holding fewer than k hashes saw the whole key set —
+    the estimate degrades to the EXACT distinct count; otherwise
+    (k-1)·2^60/h_(k). Both branches are deterministic doubles computed
+    from exact integers, so the oracle replays them bit-identically."""
+    return sketch.agg(
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(F.lit(float(k - 1)) * F.lit(KMV_DOMAIN) / F.max("hv").cast("double"))
+        .alias("est_dv")
+    )
+
+
+# ---------------------------------------------------------------------------
 # THE MERGEABLE-SKETCH CONTRACT (the one place it is written down)
 #
 # The engine maintains three sketch families; all obey the same algebra so
@@ -141,6 +212,10 @@ def count_min_estimate(
 #   internal register-max merge (map-side partials ARE sketch merges);
 #   cardinality within ±rsd. Not bit-replayable — the driver oracle checks
 #   an exact-count tolerance band instead.
+# - KMV (this module, above): ⊕ = union + re-truncate to the k smallest;
+#   distinct counts AND set-operation estimates (∪ from the merged
+#   synopsis, ∩ via the Jaccard fraction). md5 family → bit-replayable
+#   (``sketch_kmv``). The ~1/√k relative error is two-sided.
 #
 # Linearity is the 100 TB property: one sketch per partition/day/source,
 # merged in any order, equals the sketch of everything — no re-scan, no

@@ -584,3 +584,146 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_KMV_K = 256
+
+
+def _kmv_oracle() -> str:
+    """SQL restatement of functions.sketches.kmv_* — same 60-bit md5
+    family, same k-smallest synopses, same closed-form estimates. The
+    COMPARISON is exact (both engines build the identical synopsis and
+    evaluate the identical double expressions); the sketch's ~1/√k error
+    is vs the exact_* columns, carried alongside for calibration."""
+    hv = (
+        "CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 15)) "
+        "AS BIGINT)"
+    )
+    est = (
+        "CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE) "
+        "ELSE {km1}.0 * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE) END"
+    ).format(k=_KMV_K, km1=_KMV_K - 1)
+    return f"""
+    WITH a AS (SELECT DISTINCT o_custkey AS key FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate <  TIMESTAMP '1997-01-01'),
+    b AS (SELECT DISTINCT o_custkey AS key FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01'),
+    sa AS (SELECT {hv} AS hv FROM a ORDER BY hv LIMIT {_KMV_K}),
+    sb AS (SELECT {hv} AS hv FROM b ORDER BY hv LIMIT {_KMV_K}),
+    su AS (SELECT DISTINCT hv FROM
+             (SELECT hv FROM sa UNION ALL SELECT hv FROM sb) u
+           ORDER BY hv LIMIT {_KMV_K}),
+    ea AS (SELECT {est} AS est_a FROM sa),
+    eb AS (SELECT {est} AS est_b FROM sb),
+    eu AS (SELECT {est} AS est_union FROM su),
+    rho AS (SELECT CAST(count(*) AS BIGINT) AS in_both FROM su
+            WHERE hv IN (SELECT hv FROM sa)
+              AND hv IN (SELECT hv FROM sb)),
+    usz AS (SELECT CAST(count(*) AS BIGINT) AS u_sz FROM su),
+    ex AS (SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM a) AS exact_a,
+      (SELECT CAST(count(*) AS BIGINT) FROM b) AS exact_b,
+      (SELECT CAST(count(DISTINCT key) AS BIGINT) FROM
+         (SELECT key FROM a UNION ALL SELECT key FROM b) x) AS exact_union,
+      (SELECT CAST(count(*) AS BIGINT) FROM a
+       WHERE key IN (SELECT key FROM b)) AS exact_inter)
+    SELECT {_KMV_K} AS k, est_a, est_b, est_union,
+           CAST(in_both AS DOUBLE) / CAST(u_sz AS DOUBLE) * est_union
+             AS est_inter,
+           exact_a, exact_b, exact_union, exact_inter
+    FROM ea, eb, eu, rho, usz, ex
+    """
+
+
+@declare(
+    "sketch_kmv",
+    sql=_kmv_oracle(),
+    tags=("sketch", "kmv", "distinct", "set-operations", "beyond-parity"),
+)
+def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch with SET-OPERATION
+    estimates: distinct 1996 buyers, distinct 1997 buyers, their union
+    and intersection — all four estimated from two 256-row synopses
+    built with ONE scan each, never rescanning the data (the union
+    synopsis is ⊕-merged from the two sketches; the intersection uses
+    the Jaccard fraction of the union synopsis present in both inputs —
+    the Theta-sketch estimator). Exact counts ride along for
+    calibration. The md5 hash family makes every synopsis row and both
+    closed-form estimates bit-identically SQL-replayable, so this
+    APPROXIMATE operator gets an EXACT oracle (same pattern as
+    ``sketch_count_min``).
+
+    Scale: each synopsis is one hash-distinct shuffle + per-partition
+    top-k (TakeOrderedAndProject); everything downstream touches only
+    ≤k-row frames (broadcast / 1-row crossJoins).
+
+    Reference approximate-cardinality surface for contrast:
+    pixels-core/src/main/java/io/pixelsdb/pixels/core/stats (exact
+    collectors) + HLL via approx_count_distinct elsewhere."""
+    from ..functions.sketches import kmv_build, kmv_estimate, kmv_merge
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select(F.col("o_custkey").alias("key"))
+    b = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select(F.col("o_custkey").alias("key"))
+    sa = kmv_build(a, "key", _KMV_K).persist()
+    sb = kmv_build(b, "key", _KMV_K).persist()
+    su = kmv_merge(sa, sb, k=_KMV_K).persist()
+    ea = kmv_estimate(sa, _KMV_K).withColumnRenamed("est_dv", "est_a")
+    eb = kmv_estimate(sb, _KMV_K).withColumnRenamed("est_dv", "est_b")
+    eu = kmv_estimate(su, _KMV_K).withColumnRenamed("est_dv", "est_union")
+    rho = (
+        su.join(sa, "hv", "left_semi")
+        .join(sb, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("in_both"))
+    )
+    usz = su.agg(F.count(F.lit(1)).cast("bigint").alias("u_sz"))
+    da, db_ = a.distinct().persist(), b.distinct().persist()
+    ex = (
+        da.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+        .crossJoin(db_.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b")))
+        .crossJoin(
+            da.unionByName(db_)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+        )
+        .crossJoin(
+            da.join(db_, "key", "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+        )
+    )
+    out = (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(rho)
+        .crossJoin(usz)
+        .crossJoin(ex)
+        .select(
+            F.lit(_KMV_K).alias("k"),
+            "est_a",
+            "est_b",
+            "est_union",
+            (
+                F.col("in_both").cast("double")
+                / F.col("u_sz").cast("double")
+                * F.col("est_union")
+            ).alias("est_inter"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+        )
+    )
+    # materialize before releasing the synopsis caches (bench loops call
+    # queries repeatedly — leaked cache blocks compound)
+    rows = out.collect()
+    for h in (sa, sb, su, da, db_):
+        h.unpersist()
+    return spark.createDataFrame(rows, out.schema)

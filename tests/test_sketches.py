@@ -108,3 +108,55 @@ def test_cms_registry_random_splits_equal_one_shot_build(spark, tmp_path):
             for r in count_min_build(df, "k", depth=3, width=32).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+
+
+def _ids(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").cast("bigint").alias("key"))
+
+
+def test_kmv_merge_law_equals_one_shot_build(spark):
+    """⊕ law: kmv_build(A) ⊕ kmv_build(B) ≡ kmv_build(A ∪ B) exactly."""
+    from pixels_spark.functions.sketches import kmv_build, kmv_merge
+
+    a, b = _ids(spark, 0, 400), _ids(spark, 300, 700)
+    merged = {
+        r.hv
+        for r in kmv_merge(
+            kmv_build(a, "key", 64), kmv_build(b, "key", 64), k=64
+        ).collect()
+    }
+    whole = {r.hv for r in kmv_build(a.unionByName(b), "key", 64).collect()}
+    assert merged == whole and len(merged) == 64
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    """A synopsis that saw every distinct key degrades to the exact count."""
+    from pixels_spark.functions.sketches import kmv_build, kmv_estimate
+
+    est = kmv_estimate(kmv_build(_ids(spark, 0, 37), "key", 256), 256).collect()
+    assert est[0].est_dv == 37.0
+
+
+def test_kmv_estimate_within_relative_error(spark):
+    """Deterministic fixture: k=256 over 5000 distinct keys lands within
+    the ~2/√k band (fixed md5 hashes — this is a pinned value, not a
+    flaky statistical assertion)."""
+    from pixels_spark.functions.sketches import kmv_build, kmv_estimate
+
+    est = kmv_estimate(kmv_build(_ids(spark, 0, 5000), "key", 256), 256).collect()
+    assert abs(est[0].est_dv - 5000) / 5000 < 0.15
+
+
+def test_kmv_skips_nulls_and_dedups_values(spark):
+    from pixels_spark.functions.sketches import kmv_build, kmv_estimate
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,)], "key bigint"
+    )
+    sk = kmv_build(df, "key", 8)
+    assert sk.count() == 2
+    assert kmv_estimate(sk, 8).collect()[0].est_dv == 2.0
