@@ -459,3 +459,88 @@ def label_propagation_min(
     for h in handles:
         h.unpersist()
     return out
+
+
+def shortest_paths(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Bounded-round weighted shortest paths from a seed set
+    (multi-source Bellman-Ford) over a directed ``(src, dst, w)`` edge
+    relation with non-negative integer weights.
+
+    ``rounds`` synchronous relaxations: ``d_i(v) = min(d_{i-1}(v),
+    min over in-edges (d_{i-1}(u) + w))`` with seeds at 0 — so ``d_i``
+    is the exact min-weight over paths of ≤ i edges, the same
+    fixed-rounds-not-convergence contract as ``bfs_hops`` (which this
+    generalizes: unit weights ⇒ hop counts). Integer-exact throughout,
+    so the whole computation restates as ``rounds`` unrolled min-merge
+    SQL CTEs that run verbatim on DuckDB AND spark.sql.
+
+    Returns ``(node, dist)`` for every node reachable within ``rounds``
+    edges. Parallel edges should be pre-minimized by the caller (or are
+    harmless — MIN absorbs them).
+
+    Scale shape (delta form): round i relaxes only the CHANGED set
+    (nodes whose distance improved in round i-1) against the
+    src-partitioned edge relation, so per-round join work tracks
+    improvement churn, not O(edges) per round; the distance update is
+    one min-merge groupBy over O(reached nodes). Edges repartition by
+    src once and stay persisted; rounds short-circuit when no distance
+    improves.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    node_t = edges.schema["src"].dataType
+    e = (
+        edges.select(
+            F.col("src").cast(node_t),
+            F.col("dst").cast(node_t),
+            F.col("w").cast("bigint"),
+        )
+        .repartition("src")
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col("node").cast(node_t).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .persist()
+    )
+    changed = dist
+    handles = [e, dist]
+    for _ in range(rounds):
+        relaxed = (
+            changed.join(e, changed["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("_new"))
+        )
+        merged = (
+            dist.join(relaxed, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("_new")),
+                    F.coalesce(F.col("_new"), F.col("dist")),
+                ).alias("dist"),
+                (
+                    F.col("_new").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("_new") < F.col("dist")))
+                ).alias("_chg"),
+            )
+            .persist()
+        )
+        nxt_changed = merged.filter(F.col("_chg")).select("node", "dist")
+        dist = merged.select("node", "dist")
+        handles.append(merged)
+        if nxt_changed.isEmpty():
+            break
+        changed = nxt_changed
+    out = dist.persist()
+    out.count()
+    for h in handles:
+        h.unpersist()
+    return out

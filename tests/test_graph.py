@@ -405,3 +405,57 @@ class TestTrianglesDegreeOrdered:
         from pixels_spark.functions.graph import triangles_degree_ordered
 
         assert triangles_degree_ordered(edges).count() == 0
+
+
+class TestShortestPaths:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string, w bigint")
+
+    def test_weighted_relaxation_beats_fewer_hops(self, spark):
+        """Cheapest path may use MORE edges: a->b->c (1+1) beats a->c (5)
+        once round 2 relaxes it — the Bellman-Ford signature."""
+        e = self._edges(spark, [("a", "b", 1), ("b", "c", 1), ("a", "c", 5)])
+        seeds = spark.createDataFrame([("a",)], "node string")
+        from pixels_spark.functions.graph import shortest_paths
+
+        one = {r["node"]: r["dist"] for r in shortest_paths(e, seeds, rounds=1).collect()}
+        assert one == {"a": 0, "b": 1, "c": 5}
+        two = {r["node"]: r["dist"] for r in shortest_paths(e, seeds, rounds=2).collect()}
+        assert two == {"a": 0, "b": 1, "c": 2}
+
+    def test_multi_source_and_parallel_edge_min(self, spark):
+        e = self._edges(
+            spark,
+            [("s1", "x", 9), ("s2", "x", 3), ("s2", "x", 7), ("x", "y", 1)],
+        )
+        seeds = spark.createDataFrame([("s1",), ("s2",)], "node string")
+        from pixels_spark.functions.graph import shortest_paths
+
+        got = {r["node"]: r["dist"] for r in shortest_paths(e, seeds, rounds=3).collect()}
+        assert got == {"s1": 0, "s2": 0, "x": 3, "y": 4}
+
+    def test_unit_weights_equal_bfs_hops(self, spark):
+        """Unit weights ⇒ shortest_paths degenerates to bfs_hops exactly."""
+        import random
+
+        from pixels_spark.functions.graph import bfs_hops, shortest_paths
+
+        rng = random.Random(7)
+        nodes = [f"n{i}" for i in range(30)]
+        pairs = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+        ]
+        e1 = self._edges(spark, [(s, d, 1) for s, d in pairs])
+        e0 = spark.createDataFrame(pairs, "src string, dst string")
+        seeds = spark.createDataFrame([("n0",), ("n1",)], "node string")
+        sp = {r["node"]: r["dist"] for r in shortest_paths(e1, seeds, rounds=3).collect()}
+        bf = {r["node"]: r["hops"] for r in bfs_hops(e0, seeds, max_hops=3).collect()}
+        assert sp == {k: v for k, v in bf.items()}
+
+    def test_early_exit_on_no_improvement(self, spark):
+        e = self._edges(spark, [("a", "b", 2), ("c", "d", 2)])
+        seeds = spark.createDataFrame([("a",)], "node string")
+        from pixels_spark.functions.graph import shortest_paths
+
+        got = {r["node"]: r["dist"] for r in shortest_paths(e, seeds, rounds=6).collect()}
+        assert got == {"a": 0, "b": 2}
