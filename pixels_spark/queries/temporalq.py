@@ -389,3 +389,87 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", "ts", "value", (num / den).alias("ewma")
     ).orderBy("event_id")
+
+
+@declare(
+    "ts_anomaly",
+    sql="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), w AS (
+      SELECT event_type, hr, cnt,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(cnt) OVER win AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) OVER win AS BIGINT) AS ss
+      FROM h
+      WINDOW win AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT event_type, hr, cnt,
+             (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / CAST(n - 1 AS DOUBLE)) AS z
+      FROM w
+      WHERE n >= 12
+        AND (CAST(ss AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+    )
+    SELECT event_type, hr, cnt, z
+    FROM z WHERE abs(z) >= 2.5
+    ORDER BY event_type, hr
+    """,
+    tags=("temporal", "timeseries", "anomaly", "zscore", "beyond-parity"),
+)
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the event stream: hourly
+    per-type counts scored against the TRAILING 24-bucket window
+    (current bucket excluded — the score never contaminates its own
+    baseline); flag |z| ≥ 2.5 once ≥12 history buckets exist. The
+    monitoring primitive behind ingest-volume alerting on a feed.
+
+    Determinism discipline: the window accumulates n/Σx/Σx² as EXACT
+    bigints (counts are integers); mean/variance/z are evaluated in
+    double FROM those exact sums with the identical expression in both
+    engines — the stat_corr_regression pattern, so the oracle is exact
+    and the text is dialect-shared. Scale: one hash aggregate to hourly
+    grain (events never hit the window), then one window pass over the
+    tiny per-type hourly series."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    w = h.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
+        F.sum("cnt").over(win).cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(win).cast("bigint").alias("ss"),
+    )
+    var_num = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    z = (
+        F.col("cnt").cast("double")
+        - F.col("s").cast("double") / F.col("n").cast("double")
+    ) / F.sqrt(var_num / (F.col("n") - 1).cast("double"))
+    return (
+        w.filter((F.col("n") >= 12) & (var_num > 0))
+        .select("event_type", "hr", "cnt", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.5)
+        .orderBy("event_type", "hr")
+    )

@@ -259,3 +259,33 @@ def test_asof_tolerance_and_inner_with_skew_bucketing(spark):
                                    **kw).collect()
             )
             assert bucketed == plain, (how, direction)
+
+
+def test_ts_anomaly_flags_injected_spike_not_baseline(spark, tmp_path):
+    """A flat hourly series with one injected 10× spike: the spike hour is
+    flagged, baseline hours are not, and the spike's own bucket does not
+    contaminate its trailing baseline (window excludes the current row)."""
+    import datetime as dt
+
+    from pixels_spark.queries.temporalq import ts_anomaly
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for h in range(48):
+        n = 50 if h != 40 else 500  # spike at hour 40
+        # jitter the flat baseline so variance > 0
+        n += h % 3
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h), 1, "click", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = ts_anomaly(spark, str(tmp_path)).collect()
+    hours = {r.hr.hour + 24 * (r.hr.day - 1) for r in got}
+    assert 40 in hours
+    assert not any(h < 40 for h in hours)  # baseline never flagged
+    spike = [r for r in got if r.hr.hour + 24 * (r.hr.day - 1) == 40][0]
+    assert spike.z > 10
