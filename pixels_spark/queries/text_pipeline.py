@@ -1872,3 +1872,200 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_copies")
         .orderBy("doc_id")
     )
+
+
+def _bpe_train_oracle() -> str:
+    """SQL restatement of one full BPE training step + the next round's
+    pair statistics. The greedy left-to-right merge application is the
+    run-parity trick: within each maximal run of consecutive match
+    positions, every odd-indexed occurrence merges (for l≠r runs have
+    length 1, so this is simply 'every match'; for l=r it is exactly
+    the non-overlapping greedy scan). Integer-exact throughout."""
+    return r"""
+    WITH wf AS (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents) t
+      WHERE regexp_full_match(tok, '[a-z]+')
+      GROUP BY tok
+    ),
+    t0 AS (
+      SELECT word, freq, p AS pos, substr(word, CAST(p AS INT), 1) AS tok
+      FROM wf, unnest(range(1, CAST(length(word) AS BIGINT) + 1)) r(p)
+    ),
+    adj1 AS (
+      SELECT word, freq, pos, tok,
+             lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM t0
+    ),
+    p1 AS (
+      SELECT tok AS left_tok, nxt AS right_tok, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM adj1 WHERE nxt IS NOT NULL GROUP BY tok, nxt
+    ),
+    m1 AS (SELECT left_tok, right_tok, cnt FROM p1
+           ORDER BY cnt DESC, left_tok, right_tok LIMIT 1),
+    mt AS (
+      SELECT a.word, a.freq, a.pos, a.tok,
+             (a.tok = m.left_tok AND a.nxt = m.right_tok) AS is_m
+      FROM adj1 a CROSS JOIN m1 m
+    ),
+    runs AS (
+      SELECT word, pos,
+             pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+      FROM mt WHERE is_m
+    ),
+    valid AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS k
+        FROM runs) v
+      WHERE k % 2 = 1
+    ),
+    merged AS (
+      SELECT t.word, t.freq, t.pos,
+             CASE WHEN v.pos IS NOT NULL THEN t.tok || m.right_tok
+                  ELSE t.tok END AS tok
+      FROM t0 t CROSS JOIN m1 m
+      LEFT JOIN valid v ON v.word = t.word AND v.pos = t.pos
+      WHERE NOT EXISTS (SELECT 1 FROM valid v2
+                        WHERE v2.word = t.word AND v2.pos = t.pos - 1)
+    ),
+    p2 AS (
+      SELECT tok AS left_tok, nxt AS right_tok, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT word, freq, pos, tok,
+                   lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+            FROM merged) x
+      WHERE nxt IS NOT NULL GROUP BY tok, nxt
+    ),
+    r1 AS (SELECT CAST(1 AS INT) AS round, CAST(1 AS INT) AS rnk,
+                  left_tok, right_tok, cnt FROM m1),
+    r2 AS (SELECT CAST(2 AS INT) AS round,
+                  CAST(row_number() OVER
+                       (ORDER BY cnt DESC, left_tok, right_tok) AS INT) AS rnk,
+                  left_tok, right_tok, cnt
+           FROM p2 ORDER BY cnt DESC, left_tok, right_tok LIMIT 10)
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY round, rnk
+    """
+
+
+@declare(
+    "txt_bpe_train",
+    sql=_bpe_train_oracle(),
+    tags=("text", "tokenizer", "bpe", "iterative", "beyond-parity"),
+)
+def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full distributed BPE tokenizer-training step (Sennrich et al.
+    2016): count adjacent symbol pairs weighted by word frequency, pick
+    the top merge (count desc, pair asc tie-break), APPLY it greedily
+    left-to-right across the vocabulary, and emit the merge plus the
+    next round's top-10 pair statistics — the iterated kernel of every
+    production tokenizer build.
+
+    Greedy application is set-based, not sequential: a matched position
+    merges iff it is odd-indexed within its RUN of consecutive matches
+    (run-parity = the non-overlapping left-to-right scan, exact even for
+    self-pairs like 'aa' in 'aaaa'); gaps-and-islands gives the runs.
+
+    Scale: pair counting runs over the WORD-FREQUENCY table, not the
+    corpus — the classic BPE bound (vocab × avg word length rows), so
+    the corpus is touched once for word counts and never again; every
+    later stage shuffles on `word`, reusing one partitioning; the chosen
+    merge is a 1-row broadcast. Top-10 is sort+limit (per-partition
+    heaps) before the cosmetic rank window over ≤10 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word").rlike(r"^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    chars = F.expr("filter(split(word, '(?!^)'), x -> x != '')")
+    t0 = wf.select(
+        "word", "freq", F.posexplode(chars).alias("p0", "tok")
+    ).select("word", "freq", (F.col("p0") + 1).alias("pos"), "tok")
+    w_word = Window.partitionBy("word").orderBy("pos")
+    adj1 = t0.select(
+        "word", "freq", "pos", "tok", F.lead("tok").over(w_word).alias("nxt")
+    )
+    p1 = (
+        adj1.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("left_tok"), F.col("nxt").alias("right_tok"))
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    m1 = p1.orderBy(
+        F.desc("cnt"), F.asc("left_tok"), F.asc("right_tok")
+    ).limit(1)
+    mt = adj1.crossJoin(F.broadcast(m1)).select(
+        "word",
+        "freq",
+        "pos",
+        "tok",
+        ((F.col("tok") == F.col("left_tok")) & (F.col("nxt") == F.col("right_tok"))).alias(
+            "is_m"
+        ),
+    )
+    runs = (
+        mt.filter("is_m")
+        .select(
+            "word",
+            "pos",
+            (F.col("pos") - F.row_number().over(w_word)).alias("grp"),
+        )
+    )
+    valid = (
+        runs.select(
+            "word",
+            "pos",
+            F.row_number()
+            .over(Window.partitionBy("word", "grp").orderBy("pos"))
+            .alias("k"),
+        )
+        .filter(F.col("k") % 2 == 1)
+        .select("word", "pos")
+    )
+    merged = (
+        t0.crossJoin(F.broadcast(m1.select("right_tok")))
+        .join(valid.withColumn("_hit", F.lit(True)), ["word", "pos"], "left")
+        .join(
+            valid.select("word", (F.col("pos") + 1).alias("pos")),
+            ["word", "pos"],
+            "left_anti",
+        )
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("_hit"), F.concat("tok", "right_tok"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+    )
+    p2 = (
+        merged.select(
+            "word", "freq", "tok", F.lead("tok").over(w_word).alias("nxt")
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("left_tok"), F.col("nxt").alias("right_tok"))
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    r1 = m1.select(
+        F.lit(1).alias("round"),
+        F.lit(1).alias("rnk"),
+        "left_tok",
+        "right_tok",
+        "cnt",
+    )
+    top2 = p2.orderBy(F.desc("cnt"), F.asc("left_tok"), F.asc("right_tok")).limit(10)
+    r2 = top2.select(
+        F.lit(2).alias("round"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("left_tok"), F.asc("right_tok")))
+        .cast("int")
+        .alias("rnk"),
+        "left_tok",
+        "right_tok",
+        "cnt",
+    )
+    return r1.unionByName(r2).orderBy("round", "rnk")

@@ -465,3 +465,33 @@ def test_char_entropy_skips_empty_text(spark, tmp_path):
     docs.write.parquet(os.path.join(sf, "documents.parquet"))
     rows = txt_char_entropy(spark, sf).collect()
     assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_bpe_train_greedy_self_pair_and_next_round_counts(spark, tmp_path):
+    """Crafted corpus where the top merge is the SELF-pair (a,a): greedy
+    left-to-right must merge 'aaaa'→[aa,aa] and 'aaa'→[aa,a] (run
+    parity), never the overlapping [a,aa,a]/[aa,aa] miscounts — then the
+    round-2 pair table is fully pinned by hand."""
+    import os
+
+    from pixels_spark.queries.text_pipeline import txt_bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa abab", "en", "s", 13)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf"); os.makedirs(sf, exist_ok=True)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = [
+        (r["round"], r["rnk"], r["left_tok"], r["right_tok"], r["cnt"])
+        for r in txt_bpe_train(spark, sf).collect()
+    ]
+    # round 1: (a,a) wins with 3+2=5 adjacent occurrences
+    assert rows[0] == (1, 1, "a", "a", 5)
+    # round 2 over [aa,aa] + [aa,a] + [a,b,a,b]:
+    assert rows[1:] == [
+        (2, 1, "a", "b", 2),
+        (2, 2, "aa", "a", 1),
+        (2, 3, "aa", "aa", 1),
+        (2, 4, "b", "a", 1),
+    ]
