@@ -125,6 +125,15 @@ HEADLINE = (
     "vec_hybrid_rrf_topn",
     "ev_transition_matrix",
     "txt_quota_sample",
+    # round 7, session 2: KMV set-operation sketch, rolling z-score
+    # anomaly detection, BPE merge-training step. graph_shortest_path
+    # stays out for the same measured reason as graph_label_prop /
+    # graph_pagerank (delta-round scheduling overhead at toy scale);
+    # its oracle parity is driver-checked and dialect-shared.
+    "sketch_kmv",
+    "ts_anomaly",
+    "txt_bpe_train",
+    "rec_item_sim",
 )
 
 

@@ -582,3 +582,81 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
     )
     return G.shortest_paths(edges, seeds, rounds=_SP_ROUNDS).orderBy("node")
+
+
+@declare(
+    "rec_item_sim",
+    sql="""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM baskets GROUP BY l_partkey),
+    c AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                 CAST(count(*) AS BIGINT) AS cooccur
+          FROM baskets a JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING count(*) >= 3)
+    SELECT item_a, item_b, cooccur, na.n_orders AS n_a, nb.n_orders AS n_b,
+           CAST(cooccur AS DOUBLE)
+             / sqrt(CAST(na.n_orders AS DOUBLE) * CAST(nb.n_orders AS DOUBLE))
+             AS cosine
+    FROM c JOIN n na ON na.l_partkey = item_a
+           JOIN n nb ON nb.l_partkey = item_b
+    ORDER BY cosine DESC, item_a, item_b LIMIT 20
+    """,
+    tags=("recommender", "cooccurrence", "similarity", "beyond-parity"),
+)
+def rec_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity (the classic
+    Amazon-style recommender prep): parts as items, orders as baskets,
+    cosine over binary basket vectors = cooccur / √(n_a·n_b), support
+    threshold ≥3 shared baskets, top-20 pairs. Cosine is evaluated in
+    double FROM exact integer counts — identical expression both
+    engines, so the oracle is exact and the text dialect-shared.
+
+    100 TB: co-occurrence pairs are generated with ONE lineitem shuffle
+    (groupBy orderkey → sorted distinct item set → ordered-pair HOF
+    expansion, the graph_triangles pattern) instead of the oracle's
+    relational self-join (two basket-wide exchanges); fanout is bounded
+    by basket size, and the support HAVING prunes the pair table before
+    the two small n-joins. Top-20 is sort+limit (per-partition heaps).
+    Skew lever at scale: cap or sample mega-baskets (a basket of k items
+    emits C(k,2) pairs) before expansion."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    n = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    per_order = baskets.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = (
+        "transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS item_a, y AS item_b)))"
+    )
+    c = (
+        per_order.select(F.explode(F.flatten(F.expr(pair_expr))).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooccur"))
+        .filter(F.col("cooccur") >= 3)
+    )
+    na = n.select(F.col("item").alias("item_a"), F.col("n_orders").alias("n_a"))
+    nb = n.select(F.col("item").alias("item_b"), F.col("n_orders").alias("n_b"))
+    return (
+        c.join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "cooccur",
+            "n_a",
+            "n_b",
+            (
+                F.col("cooccur").cast("double")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "item_a", "item_b")
+        .limit(20)
+    )
