@@ -293,3 +293,66 @@ class CountMinRegistry:
         return count_min_estimate(
             keys, self.read(), col, self.depth, self.width
         )
+
+
+class KmvRegistry:
+    """Persisted, incrementally-maintained KMV distinct synopsis — the
+    streaming/warehouse shape of ``kmv_*`` (the KMV sibling of
+    CountMinRegistry / BloomRegistry): each ``merge_batch`` ⊕-folds one
+    batch's synopsis into the stored one (union + re-truncate to the k
+    smallest), so after any batch sequence the stored synopsis is
+    bit-identical to a one-shot build over their union — giving running
+    distinct-count (and set-operation) estimates over an unbounded
+    stream in O(k) state, no growing distinct table.
+
+    State is a ≤k-row parquet dir behind an atomic JSON pointer
+    (write-new → ``os.replace`` → drop-old). Single-writer assumption,
+    same as the sibling registries."""
+
+    def __init__(self, spark, path: str, k: int = 256):
+        import os
+
+        self.spark, self.path, self.k = spark, path, k
+        os.makedirs(path, exist_ok=True)
+        self.state_path = os.path.join(path, "STATE.json")
+
+    def _state(self):
+        import json
+        import os
+
+        if not os.path.exists(self.state_path):
+            return None
+        with open(self.state_path) as f:
+            return json.load(f)
+
+    def read(self) -> DataFrame:
+        state = self._state()
+        if state is None:
+            return self.spark.createDataFrame([], "hv bigint")
+        return self.spark.read.parquet(state["data"])
+
+    def merge_batch(self, df: DataFrame, col: str) -> None:
+        import json
+        import os
+        import shutil
+
+        batch = kmv_build(df, col, self.k)
+        state = self._state()
+        if state is None:
+            merged, n = batch, 1
+        else:
+            merged = kmv_merge(self.read(), batch, k=self.k)
+            n = state["n"] + 1
+        dest = os.path.join(self.path, f"sketch_v={n}")
+        merged.select(F.col("hv").cast("bigint")).write.mode(
+            "overwrite"
+        ).parquet(dest)
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": n, "data": dest}, f)
+        os.replace(tmp, self.state_path)
+        if state and state["data"] != dest and os.path.isdir(state["data"]):
+            shutil.rmtree(state["data"], ignore_errors=True)
+
+    def estimate(self) -> DataFrame:
+        return kmv_estimate(self.read(), self.k)

@@ -1459,3 +1459,164 @@ def stream_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
     return _finalize(out, work)
+
+
+def _stream_kmv_oracle() -> str:
+    """One-shot KMV build over ALL order custkeys — the streaming
+    registry must equal it bit-for-bit (⊕ law)."""
+    k = 256
+    return f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    s AS (SELECT DISTINCT CAST(concat('0x',
+            substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          FROM keys ORDER BY hv LIMIT {k})
+    SELECT {k} AS k,
+      (SELECT CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+              ELSE {k - 1}.0 * 1152921504606846976.0
+                   / CAST(max(hv) AS DOUBLE) END FROM s) AS est_dv,
+      (SELECT CAST(count(*) AS BIGINT) FROM keys) AS exact_dv
+    """
+
+
+@declare(
+    "stream_sketch_kmv",
+    sql=_stream_kmv_oracle(),
+    tags=("streaming", "sketch", "kmv", "mergeable", "beyond-parity"),
+)
+def stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the KMV distinct synopsis: orders
+    replayed as a 2-micro-batch file stream, each batch's synopsis
+    ⊕-folded into a persisted ``KmvRegistry`` (union + re-truncate —
+    the same foreachBatch loop shape as CountMinRegistry). Because the
+    k smallest of a union are always within the union of each side's k
+    smallest, the maintained synopsis is BIT-IDENTICAL to a one-shot
+    build over the whole table — the oracle is that one-shot build, and
+    the driver hash must match it. Running distinct-buyer estimate in
+    O(k) state over an unbounded stream."""
+    from ..functions.sketches import KmvRegistry
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_kmv_")
+    src = os.path.join(work, "src")
+    o = load_table(spark, sf_dir, "orders")
+    half = o.agg(
+        ((F.min("o_orderkey") + F.max("o_orderkey")) / 2).alias("m")
+    ).first()["m"]
+    _write_slices(
+        [o.filter(F.col("o_orderkey") <= half), o.filter(F.col("o_orderkey") > half)],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMAS["orders"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    reg = KmvRegistry(spark, os.path.join(work, "kmv"), k=256)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: reg.merge_batch(bdf, "o_custkey")
+        )
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_sketch_kmv did not finish in 600s")
+    assert reg._state()["n"] >= 2, "expected >= 2 micro-batches"
+    exact = o.select("o_custkey").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_dv")
+    )
+    out = (
+        reg.estimate()
+        .crossJoin(exact)
+        .select(F.lit(256).alias("k"), "est_dv", "exact_dv")
+    )
+    return _finalize(out, work)
+
+
+def _stream_anomaly_oracle() -> str:
+    from .temporalq import _anomaly_oracle
+
+    return _anomaly_oracle()
+
+
+@declare(
+    "stream_anomaly",
+    sql=_stream_anomaly_oracle(),
+    tags=("streaming", "anomaly", "zscore", "linear-state", "beyond-parity"),
+)
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``ts_anomaly``: events replayed as a
+    2-micro-batch file stream; each batch folds its hourly per-type
+    counts into a persisted counter table by SUM (counts are LINEAR, so
+    fold(batch₁) + fold(batch₂) ≡ count(batch₁ ∪ batch₂) exactly —
+    state is one row per (event_type, hour), independent of event
+    volume). After ingest the identical scoring stage
+    (``temporalq.anomaly_scores``) runs over the maintained counters,
+    so the result — and the driver hash — must equal the batch query's,
+    against the SAME dialect-shared oracle. The alerting shape at
+    100 TB: the raw stream is touched once per batch; scoring reads
+    only the tiny counter table."""
+    import json
+    import shutil
+
+    from .temporalq import anomaly_scores
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_anom_")
+    src = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    state_json = os.path.join(state_root, "STATE.json")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).alias("m")
+    ).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        h = batch_df.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        if os.path.exists(state_json):
+            with open(state_json) as f:
+                st = json.load(f)
+            prev = spark.read.parquet(st["data"])
+            merged = (
+                prev.unionByName(h)
+                .groupBy("event_type", "hr")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+            n = st["n"] + 1
+        else:
+            st, merged, n = None, h, 1
+        dest = os.path.join(state_root, f"counts_v={n}")
+        merged.write.mode("overwrite").parquet(dest)
+        tmp = state_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": n, "data": dest}, f)
+        os.replace(tmp, state_json)
+        if st and st["data"] != dest and os.path.isdir(st["data"]):
+            shutil.rmtree(st["data"], ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_anomaly did not finish in 600s")
+    with open(state_json) as f:
+        st = json.load(f)
+    assert st["n"] >= 2, "expected >= 2 micro-batches"
+    counters = spark.read.parquet(st["data"])
+    return _finalize(anomaly_scores(counters), work)

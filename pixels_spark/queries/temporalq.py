@@ -391,9 +391,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-@declare(
-    "ts_anomaly",
-    sql="""
+def _anomaly_oracle() -> str:
+    """Dialect-shared z-score oracle — also the oracle of the streaming
+    twin ``stream_anomaly`` (linear hourly-count state)."""
+    return """
     WITH h AS (
       SELECT event_type, date_trunc('hour', ts) AS hr,
              CAST(count(*) AS BIGINT) AS cnt
@@ -421,7 +422,12 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, hr, cnt, z
     FROM z WHERE abs(z) >= 2.5
     ORDER BY event_type, hr
-    """,
+    """
+
+
+@declare(
+    "ts_anomaly",
+    sql=_anomaly_oracle(),
     tags=("temporal", "timeseries", "anomaly", "zscore", "beyond-parity"),
 )
 def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,6 +449,14 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+    return anomaly_scores(h)
+
+
+def anomaly_scores(h: DataFrame) -> DataFrame:
+    """Scoring stage of ``ts_anomaly`` over an hourly count frame
+    ``(event_type, hr, cnt)`` — shared with the streaming-maintained
+    twin ``stream_anomaly`` (hourly counts are LINEAR, so batch-folded
+    counts feed the identical scoring and must match the batch oracle)."""
     from pyspark.sql import Window
 
     win = (

@@ -160,3 +160,28 @@ def test_kmv_skips_nulls_and_dedups_values(spark):
     sk = kmv_build(df, "key", 8)
     assert sk.count() == 2
     assert kmv_estimate(sk, 8).collect()[0].est_dv == 2.0
+
+
+def test_kmv_registry_random_splits_equal_one_shot_build(spark, tmp_path):
+    """⊕ law, fuzzed: folding random batch splits through a persisted
+    KmvRegistry yields a synopsis bit-identical to the one-shot build
+    over the union — and survives registry re-instantiation."""
+    import random
+
+    from pixels_spark.functions.sketches import KmvRegistry, kmv_build
+
+    rng = random.Random(13)
+    rows = [(f"k{rng.randint(0, 500)}",) for _ in range(600)]
+    df = spark.createDataFrame(rows, "k string")
+    for trial in range(3):
+        cuts = sorted(rng.sample(range(1, 600), 2))
+        parts = [rows[: cuts[0]], rows[cuts[0]:cuts[1]], rows[cuts[1]:]]
+        path = str(tmp_path / f"reg{trial}")
+        reg = KmvRegistry(spark, path, k=64)
+        for i, p in enumerate(parts):
+            if i == 2:  # re-open mid-sequence: state is on disk, not in RAM
+                reg = KmvRegistry(spark, path, k=64)
+            reg.merge_batch(spark.createDataFrame(p, "k string"), "k")
+        got = sorted(r["hv"] for r in reg.read().collect())
+        want = sorted(r["hv"] for r in kmv_build(df, "k", 64).collect())
+        assert got == want and len(got) == 64, f"trial {trial}"
