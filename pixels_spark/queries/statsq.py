@@ -655,75 +655,89 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     APPROXIMATE operator gets an EXACT oracle (same pattern as
     ``sketch_count_min``).
 
-    Scale: each synopsis is one hash-distinct shuffle + per-partition
-    top-k (TakeOrderedAndProject); everything downstream touches only
-    ≤k-row frames (broadcast / 1-row crossJoins).
+    Scale: ONE scan and ONE shuffle total — the (key → in_a, in_b)
+    membership table is a single hash aggregate over the date-pruned
+    scan; every exact count is one aggregate over it, each synopsis is
+    a per-partition top-k (TakeOrderedAndProject) over it, and
+    everything downstream touches only ≤k-row frames (broadcast / 1-row
+    crossJoins).
 
     Reference approximate-cardinality surface for contrast:
     pixels-core/src/main/java/io/pixelsdb/pixels/core/stats (exact
     collectors) + HLL via approx_count_distinct elsewhere."""
-    from ..functions.sketches import kmv_build, kmv_estimate, kmv_merge
+    from ..functions.sketches import KMV_DOMAIN, kmv_hash
 
     o = load_table(spark, sf_dir, "orders")
-    a = o.filter(
-        (F.col("o_orderdate") >= "1996-01-01")
-        & (F.col("o_orderdate") < "1997-01-01")
-    ).select(F.col("o_custkey").alias("key"))
-    b = o.filter(
-        (F.col("o_orderdate") >= "1997-01-01")
-        & (F.col("o_orderdate") < "1998-01-01")
-    ).select(F.col("o_custkey").alias("key"))
-    sa = kmv_build(a, "key", _KMV_K).persist()
-    sb = kmv_build(b, "key", _KMV_K).persist()
-    su = kmv_merge(sa, sb, k=_KMV_K).persist()
-    ea = kmv_estimate(sa, _KMV_K).withColumnRenamed("est_dv", "est_a")
-    eb = kmv_estimate(sb, _KMV_K).withColumnRenamed("est_dv", "est_b")
-    eu = kmv_estimate(su, _KMV_K).withColumnRenamed("est_dv", "est_union")
-    rho = (
-        su.join(sa, "hv", "left_semi")
-        .join(sb, "hv", "left_semi")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("in_both"))
+    in_a = (F.col("o_orderdate") >= "1996-01-01") & (
+        F.col("o_orderdate") < "1997-01-01"
     )
-    usz = su.agg(F.count(F.lit(1)).cast("bigint").alias("u_sz"))
-    da, db_ = a.distinct().persist(), b.distinct().persist()
-    ex = (
-        da.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
-        .crossJoin(db_.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b")))
-        .crossJoin(
-            da.unionByName(db_)
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+    keys = (
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
         )
-        .crossJoin(
-            da.join(db_, "key", "left_semi")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
-        )
-    )
-    out = (
-        ea.crossJoin(eb)
-        .crossJoin(eu)
-        .crossJoin(rho)
-        .crossJoin(usz)
-        .crossJoin(ex)
         .select(
-            F.lit(_KMV_K).alias("k"),
-            "est_a",
-            "est_b",
-            "est_union",
-            (
-                F.col("in_both").cast("double")
-                / F.col("u_sz").cast("double")
-                * F.col("est_union")
-            ).alias("est_inter"),
-            "exact_a",
-            "exact_b",
-            "exact_union",
-            "exact_inter",
+            F.col("o_custkey").alias("key"),
+            in_a.cast("int").alias("in_a"),
+            (~in_a).cast("int").alias("in_b"),
         )
+        .groupBy("key")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .select("key", "in_a", "in_b", kmv_hash(F.col("key")).alias("hv"))
+        .persist()
     )
-    # materialize before releasing the synopsis caches (bench loops call
-    # queries repeatedly — leaked cache blocks compound)
-    rows = out.collect()
-    for h in (sa, sb, su, da, db_):
-        h.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # Each synopsis is O(k) BY CONSTRUCTION — collect it and run the
+    # ⊕/estimate algebra driver-side (the same bounded-collect budget as
+    # Bloom bit positions / centroid ranking): 3 cluster jobs total
+    # instead of ~10 scheduling-bound micro-jobs over ≤k-row frames.
+    # Every arithmetic step below is the oracle's, in IEEE doubles.
+    sa = [
+        r.hv
+        for r in keys.filter("in_a = 1")
+        .select("hv")
+        .orderBy("hv")
+        .limit(_KMV_K)
+        .collect()
+    ]
+    sb = [
+        r.hv
+        for r in keys.filter("in_b = 1")
+        .select("hv")
+        .orderBy("hv")
+        .limit(_KMV_K)
+        .collect()
+    ]
+    su = sorted(set(sa) | set(sb))[:_KMV_K]
+
+    def est(s: list[int]) -> float:
+        if len(s) < _KMV_K:
+            return float(len(s))
+        return float(_KMV_K - 1) * KMV_DOMAIN / float(max(s))
+
+    in_both = sum(1 for h in su if h in set(sa) and h in set(sb))
+    est_inter = float(in_both) / float(len(su)) * est(su)
+    ex = keys.agg(
+        F.sum("in_a").cast("bigint").alias("exact_a"),
+        F.sum("in_b").cast("bigint").alias("exact_b"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("exact_inter"),
+    ).first()
+    keys.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                _KMV_K,
+                est(sa),
+                est(sb),
+                est(su),
+                est_inter,
+                ex.exact_a,
+                ex.exact_b,
+                ex.exact_union,
+                ex.exact_inter,
+            )
+        ],
+        "k int, est_a double, est_b double, est_union double, "
+        "est_inter double, exact_a bigint, exact_b bigint, "
+        "exact_union bigint, exact_inter bigint",
+    )

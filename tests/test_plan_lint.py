@@ -61,7 +61,6 @@ ALLOWLIST = {
     "vec_hybrid_rrf": "1-row query-vector crossJoin",
     "vec_hybrid_rrf_topn": "1-row query-vector crossJoin (bounded kNN leg)",
     "txt_quota_sample": "1-row corpus-total / leftover frame crossJoins",
-    "sketch_kmv": "≤k-row synopsis / 1-row estimate frame crossJoins",
     "txt_bpe_train": "1-row chosen-merge frame crossJoins (broadcast)",
 }
 
