@@ -134,6 +134,7 @@ HEADLINE = (
     "ts_anomaly",
     "txt_bpe_train",
     "rec_item_sim",
+    "ts_trend_forecast",
 )
 
 

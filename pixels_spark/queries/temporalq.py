@@ -487,3 +487,104 @@ def anomaly_scores(h: DataFrame) -> DataFrame:
         .filter(F.abs(F.col("z")) >= 2.5)
         .orderBy("event_type", "hr")
     )
+
+
+@declare(
+    "ts_trend_forecast",
+    sql="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), idx AS (
+      SELECT event_type, cnt,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+                  AS BIGINT) - 1 AS t
+      FROM h
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(cnt) AS BIGINT) AS sc,
+             CAST(sum(t * cnt) AS BIGINT) AS stc,
+             CAST(sum(t * t) AS BIGINT) AS stt
+      FROM idx GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(stc AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(sc AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope,
+           (CAST(sc AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(stc AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sc AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept,
+           (CAST(sc AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(stc AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sc AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE)
+           + (CAST(n AS DOUBLE) * CAST(stc AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(sc AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             * CAST(n AS DOUBLE) AS forecast_next
+    FROM s ORDER BY event_type
+    """,
+    tags=("temporal", "timeseries", "forecast", "regression", "beyond-parity"),
+)
+def ts_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly workload trend + next-bucket forecast: OLS over
+    the (bucket index, hourly count) series, forecast at the next index
+    — the workload-prediction primitive the reference's autoscaler runs
+    as a driver-side AutoARIMA script over 5-minute query-load buckets
+    (pixels-daemon/.../scaling/policy/helper/forecast.py); here the
+    trend model is computed IN the engine, distributed, from exact
+    integer sums (t indexes are row_numbers, counts are bigints — n,
+    Σt, Σc, Σtc, Σt² all exact), with the closed form evaluated in
+    double identically on both engines (the stat_corr_regression
+    discipline), so the oracle is exact and the text dialect-shared.
+    Forecast index = n (t runs 0..n-1, next bucket is t=n).
+
+    Scale: one hash aggregate to hourly grain, one window pass over the
+    tiny per-type series, one closing aggregate."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    idx = h.select(
+        "event_type",
+        "cnt",
+        (
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("hr"))
+            .cast("bigint")
+            - 1
+        ).alias("t"),
+    )
+    s = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("cnt").cast("bigint").alias("sc"),
+        F.sum(F.col("t") * F.col("cnt")).cast("bigint").alias("stc"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    n, st, sc = (F.col(c).cast("double") for c in ("n", "st", "sc"))
+    stc, stt = (F.col(c).cast("double") for c in ("stc", "stt"))
+    slope = (n * stc - st * sc) / (n * stt - st * st)
+    intercept = (sc - slope * st) / n
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        (intercept + slope * n).alias("forecast_next"),
+    ).orderBy("event_type")

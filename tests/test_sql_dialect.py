@@ -79,7 +79,7 @@ DIALECT_SHARED = [
     # round 7 (txt_quota_sample is NOT shareable — DuckDB // integer
     # division; the probe-family oracles are NOT shareable — list_* folds)
     "graph_label_prop", "ev_transition_matrix", "graph_shortest_path",
-    "ts_anomaly", "rec_item_sim", "stream_anomaly",
+    "ts_anomaly", "rec_item_sim", "stream_anomaly", "ts_trend_forecast",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant

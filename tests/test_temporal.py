@@ -289,3 +289,29 @@ def test_ts_anomaly_flags_injected_spike_not_baseline(spark, tmp_path):
     assert not any(h < 40 for h in hours)  # baseline never flagged
     spike = [r for r in got if r.hr.hour + 24 * (r.hr.day - 1) == 40][0]
     assert spike.z > 10
+
+
+def test_ts_trend_forecast_recovers_exact_linear_series(spark, tmp_path):
+    """Hourly counts that ARE a line (cnt = 10 + 3t) must come back with
+    slope=3, intercept=10 exactly, and forecast_next = 10 + 3n."""
+    import datetime as dt
+
+    from pixels_spark.queries.temporalq import ts_trend_forecast
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 3, 1)
+    n_hours = 12
+    for t in range(n_hours):
+        for _ in range(10 + 3 * t):
+            rows.append((eid, base + dt.timedelta(hours=t), 1, "buy", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = ts_trend_forecast(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n == n_hours
+    assert abs(r.slope - 3.0) < 1e-9 and abs(r.intercept - 10.0) < 1e-9
+    assert abs(r.forecast_next - (10.0 + 3.0 * n_hours)) < 1e-9
