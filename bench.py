@@ -135,6 +135,7 @@ HEADLINE = (
     "txt_bpe_train",
     "rec_item_sim",
     "ts_trend_forecast",
+    "rec_user_topk",
 )
 
 

@@ -660,3 +660,143 @@ def rec_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "item_a", "item_b")
         .limit(20)
     )
+
+
+@declare(
+    "rec_user_topk",
+    sql="""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM baskets GROUP BY l_partkey),
+    c AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                 CAST(count(*) AS BIGINT) AS cooccur
+          FROM baskets a JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 3),
+    sims AS (
+      SELECT item_a, item_b,
+             CAST(CAST(cooccur AS DOUBLE)
+               / sqrt(CAST(na.n_orders AS DOUBLE)
+                      * CAST(nb.n_orders AS DOUBLE))
+               AS DECIMAL(18,12)) AS sim
+      FROM c JOIN n na ON na.l_partkey = item_a
+             JOIN n nb ON nb.l_partkey = item_b),
+    sym AS (SELECT item_a AS item, item_b AS cand, sim FROM sims
+            UNION ALL SELECT item_b AS item, item_a AS cand, sim FROM sims),
+    owned AS (SELECT DISTINCT o.o_custkey, b.l_partkey AS item
+              FROM baskets b JOIN orders o ON o.o_orderkey = b.l_orderkey),
+    scored AS (
+      SELECT w.o_custkey, s.cand,
+             CAST(sum(s.sim) AS DOUBLE) AS score,
+             CAST(count(*) AS BIGINT) AS n_paths
+      FROM owned w JOIN sym s ON s.item = w.item
+      WHERE NOT EXISTS (SELECT 1 FROM owned w2
+                        WHERE w2.o_custkey = w.o_custkey
+                          AND w2.item = s.cand)
+      GROUP BY w.o_custkey, s.cand),
+    ranked AS (
+      SELECT o_custkey, cand, score, n_paths,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY score DESC, cand) AS rnk
+      FROM scored)
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(cand AS BIGINT) AS item, score, n_paths,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY custkey, rnk
+    """,
+    tags=("recommender", "topk", "similarity", "beyond-parity"),
+)
+def rec_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end item-based recommendation: top-3 parts per customer,
+    scored by summing item-item basket-cosine similarities from every
+    part the customer already bought to each candidate they have NOT
+    (the rec_item_sim model, symmetrized, composed into a serving
+    query). Scores sum DECIMAL(18,12)-quantized similarities — the
+    repo's order-independent-sum pattern — so the aggregate is exact on
+    both engines and the oracle hashes bit-identically.
+
+    100 TB shape: the similarity model is support-thresholded and TINY
+    relative to the interaction table — broadcast it; the only big
+    shuffles are the distinct basket build and the per-customer
+    aggregate, both on natural keys. The already-owned exclusion is a
+    left-anti join, not a per-row subquery. Top-3 is one bounded
+    window per customer."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = li.distinct()
+    n = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    pair_expr = (
+        "transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS item_a, y AS item_b)))"
+    )
+    c = (
+        baskets.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.explode(F.flatten(F.expr(pair_expr))).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooccur"))
+        .filter(F.col("cooccur") >= 3)
+    )
+    sims = (
+        c.join(n.select(F.col("item").alias("item_a"), F.col("n_orders").alias("n_a")), "item_a")
+        .join(n.select(F.col("item").alias("item_b"), F.col("n_orders").alias("n_b")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            (
+                F.col("cooccur").cast("double")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            )
+            .cast("decimal(18,12)")
+            .alias("sim"),
+        )
+    )
+    sym = sims.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("cand"), "sim"
+    ).unionByName(
+        sims.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("cand"), "sim"
+        )
+    )
+    owned = (
+        baskets.join(o, baskets["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    scored = (
+        owned.join(F.broadcast(sym), "item")
+        .join(
+            owned.select("o_custkey", F.col("item").alias("cand")),
+            ["o_custkey", "cand"],
+            "left_anti",
+        )
+        .groupBy("o_custkey", "cand")
+        .agg(
+            F.sum("sim").cast("double").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = scored.select(
+        "o_custkey",
+        "cand",
+        "score",
+        "n_paths",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(F.desc("score"), "cand")
+        )
+        .cast("int")
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 3)
+    return ranked.select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.col("cand").cast("bigint").alias("item"),
+        "score",
+        "n_paths",
+        "rnk",
+    ).orderBy("custkey", "rnk")

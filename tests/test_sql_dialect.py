@@ -80,6 +80,7 @@ DIALECT_SHARED = [
     # division; the probe-family oracles are NOT shareable — list_* folds)
     "graph_label_prop", "ev_transition_matrix", "graph_shortest_path",
     "ts_anomaly", "rec_item_sim", "stream_anomaly", "ts_trend_forecast",
+    "rec_user_topk",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant
