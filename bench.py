@@ -136,6 +136,9 @@ HEADLINE = (
     "rec_item_sim",
     "ts_trend_forecast",
     "rec_user_topk",
+    # round 7, session 3: journey path analysis, market-basket rules
+    "ev_top_paths",
+    "rec_assoc_rules",
 )
 
 

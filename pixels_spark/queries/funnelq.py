@@ -307,3 +307,64 @@ def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+_TOP_PATHS_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id IS NOT NULL),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM seq WHERE rn <= 5 GROUP BY user_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """
+
+
+@declare(
+    "ev_top_paths",
+    sql=_TOP_PATHS_SQL,
+    tags=("events", "path-analysis", "window", "behavioral", "beyond-parity"),
+)
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first five events (ordered by ts
+    with event_id tiebreak) joined into a '>'-separated path string, then
+    the 20 most common paths with their user counts — the Sankey /
+    journey-map aggregation product analytics tools ship, generalizing
+    ev_transition_matrix from single hops to full prefixes. Exact:
+    deterministic ordering (ts, event_id unique), integer counts,
+    (n_users DESC, path) total order at the LIMIT boundary.
+
+    Scale: ONE user-keyed Exchange — the row_number window and the
+    per-user path assembly group on the SAME key, so Catalyst reuses the
+    partitioning (no second shuffle); per-user state is the 5-row prefix
+    only (rn filter before collect). The path-frequency aggregate is
+    map-side combinable and its cardinality is bounded by |types|^5, and
+    top-20 is per-partition heaps + single merge, never a global sort of
+    users."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    paths = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )

@@ -800,3 +800,99 @@ def rec_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_paths",
         "rnk",
     ).orderBy("custkey", "rnk")
+
+
+@declare(
+    "rec_assoc_rules",
+    sql="""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    total AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+              FROM baskets),
+    n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM baskets GROUP BY l_partkey),
+    c AS (SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+                 CAST(count(*) AS BIGINT) AS cooccur
+          FROM baskets a JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING count(*) >= 3)
+    SELECT antecedent, consequent, cooccur,
+           na.n_orders AS n_ante, nb.n_orders AS n_cons,
+           CAST(cooccur AS DOUBLE) / CAST(na.n_orders AS DOUBLE)
+             AS confidence,
+           (CAST(cooccur AS DOUBLE) * CAST(t.n_baskets AS DOUBLE))
+             / (CAST(na.n_orders AS DOUBLE) * CAST(nb.n_orders AS DOUBLE))
+             AS lift
+    FROM c JOIN n na ON na.l_partkey = antecedent
+           JOIN n nb ON nb.l_partkey = consequent
+           CROSS JOIN total t
+    ORDER BY lift DESC, antecedent, consequent LIMIT 30
+    """,
+    tags=("recommender", "association-rules", "market-basket", "beyond-parity"),
+)
+def rec_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal/Srikant shape): directed
+    item pairs with support >= 3 shared orders, confidence
+    = supp(a,b)/supp(a), and lift = conf / baseline(b)
+    = supp(a,b)*N / (supp(a)*supp(b)); top-30 rules by lift. All ratios
+    are single double expressions over exact integer counts — identical
+    text both engines, so the oracle is exact AND dialect-shared.
+
+    Scale: directed pairs come from the SAME single-shuffle HOF
+    expansion as rec_item_sim (per-order sorted item set -> ordered
+    pairs, emitted once and mirrored), not the oracle's basket×basket
+    self-join; the support HAVING prunes before the two n-joins; the
+    basket total is a 1-row broadcast cross join (plan-lint-allowlisted
+    scalar). Mega-basket cap applies as in rec_item_sim."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    total = baskets.select(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets")
+    )
+    n = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    per_order = baskets.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = (
+        "transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b)))"
+    )
+    und = (
+        per_order.select(F.explode(F.flatten(F.expr(pair_expr))).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooccur"))
+        .filter(F.col("cooccur") >= 3)
+    )
+    c = und.select(
+        F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "cooccur"
+    ).unionByName(
+        und.select(
+            F.col("b").alias("antecedent"), F.col("a").alias("consequent"), "cooccur"
+        )
+    )
+    na = n.select(F.col("item").alias("antecedent"), F.col("n_orders").alias("n_ante"))
+    nb = n.select(F.col("item").alias("consequent"), F.col("n_orders").alias("n_cons"))
+    return (
+        c.join(na, "antecedent")
+        .join(nb, "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "cooccur",
+            "n_ante",
+            "n_cons",
+            (F.col("cooccur").cast("double") / F.col("n_ante").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("cooccur").cast("double") * F.col("n_baskets").cast("double"))
+                / (F.col("n_ante").cast("double") * F.col("n_cons").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(30)
+    )

@@ -62,6 +62,7 @@ ALLOWLIST = {
     "vec_hybrid_rrf_topn": "1-row query-vector crossJoin (bounded kNN leg)",
     "txt_quota_sample": "1-row corpus-total / leftover frame crossJoins",
     "txt_bpe_train": "1-row chosen-merge frame crossJoins (broadcast)",
+    "rec_assoc_rules": "scalar basket-total frame crossJoin (1 row)",
 }
 
 BATCH = sorted(

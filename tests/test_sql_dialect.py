@@ -81,6 +81,9 @@ DIALECT_SHARED = [
     "graph_label_prop", "ev_transition_matrix", "graph_shortest_path",
     "ts_anomaly", "rec_item_sim", "stream_anomaly", "ts_trend_forecast",
     "rec_user_topk",
+    # round 7, session 3 (ev_top_paths is NOT shareable — DuckDB
+    # string_agg(... ORDER BY) has no Spark twin in the shared subset)
+    "rec_assoc_rules",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant
