@@ -27,6 +27,7 @@ from .dedup import cut_lineage
 
 __all__ = [
     "bfs_hops",
+    "kcore",
     "label_propagation_min",
     "pagerank",
     "triangles",
@@ -540,6 +541,59 @@ def shortest_paths(
             break
         changed = nxt_changed
     out = dist.persist()
+    out.count()
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
+    """Fixed-rounds k-core peeling over an UNDIRECTED edge relation given
+    as BOTH directions (``src``, ``dst``; symmetrize first, as for
+    ``label_propagation_min``): each round computes every node's degree
+    in the surviving subgraph, drops nodes with degree < ``k``, and keeps
+    only edges whose both endpoints survive. ``rounds`` is fixed — not
+    run to fixpoint — so the result is a deterministic, oracle-unrollable
+    prefix of the true k-core (the same fixed-rounds choice as
+    ``pagerank``/``label_propagation_min``). Returns ``(node, deg)`` over
+    the edge set surviving the LAST peel: nodes whose every neighbor was
+    peeled disappear with their edges.
+
+    Scale shape: each round is one degree aggregate (map-side combinable,
+    one row per node) plus two semi-joins of the edge relation against
+    the surviving-node set. The edge relation is repartitioned by src
+    once and persisted per generation, so the src-side semi-join reuses
+    the layout; peeling monotonically shrinks the edge set, so per-round
+    cost tracks the surviving subgraph, not the input. Early-exits when a
+    peel removes nothing (the subgraph is then stable for all later
+    rounds).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select("src", "dst").distinct().repartition("src").persist()
+    handles = [e]
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select("src").persist()
+        nxt = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .repartition("src")
+            .persist()
+        )
+        handles.extend([keep, nxt])
+        stable = nxt.count() == e.count()
+        e = nxt
+        if stable:
+            break
+    out = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .persist()
+    )
     out.count()
     for h in handles:
         h.unpersist()

@@ -896,3 +896,78 @@ def rec_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(30)
     )
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled k-core peel: each round re-derives degrees and drops
+    <k-degree nodes; dialect-shared (joins + GROUP BY + HAVING only)."""
+    parts = [
+        """
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    base AS (SELECT a.l_partkey AS ia, b.l_partkey AS ib
+             FROM baskets a JOIN baskets b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2),
+    e0 AS (SELECT ia AS src, ib AS dst FROM base
+           UNION ALL SELECT ib AS src, ia AS dst FROM base)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{i} AS (SELECT src, count(*) AS deg FROM e{i - 1} GROUP BY src),
+    k{i} AS (SELECT src FROM d{i} WHERE deg >= {k}),
+    e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e
+             JOIN k{i} a ON e.src = a.src
+             JOIN k{i} b ON e.dst = b.src)"""
+        )
+    parts.append(
+        f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+    FROM e{rounds} GROUP BY src ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+
+@declare(
+    "graph_kcore",
+    sql=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    tags=("graph", "kcore", "iterative", "beyond-parity"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition prefix (k=4, 3 peel rounds) of the
+    co-purchase graph (parts adjacent when >= 2 shared orders): rounds of
+    drop-nodes-with-degree<k + drop-their-edges — the standard dense-core
+    extractor for community mining and spam/bot subgraph isolation.
+    Fixed rounds (not fixpoint) keep it deterministic and the oracle
+    unrollable; at the fixture the peel shrinks 1880 -> 860 -> 503 -> 243
+    nodes, so every round does real work. Integer-exact; dialect-shared.
+
+    Scale: edge construction is the single-shuffle HOF pair expansion
+    (rec_item_sim pattern), NOT the oracle's basket self-join; each peel
+    round is one degree aggregate + two semi-joins on a monotonically
+    shrinking, src-repartitioned edge set (functions/graph.py::kcore)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    per_order = baskets.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = (
+        "transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS ia, y AS ib)))"
+    )
+    base = (
+        per_order.select(F.explode(F.flatten(F.expr(pair_expr))).alias("p"))
+        .select("p.ia", "p.ib")
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("_co"))
+        .filter(F.col("_co") >= 2)
+        .select("ia", "ib")
+    )
+    edges = base.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionByName(base.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+    return G.kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")

@@ -741,3 +741,74 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_inter double, exact_a bigint, exact_b bigint, "
         "exact_union bigint, exact_inter bigint",
     )
+
+
+@declare(
+    "stat_skyline",
+    sql="""
+    SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+    tags=("skyline", "pareto", "olap", "beyond-parity"),
+)
+def stat_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts: minimize price, maximize size
+    — every part no other part dominates (cheaper-or-equal AND
+    bigger-or-equal, strictly better in one). The classic multi-criteria
+    OLAP operator (Börzsönyi et al. 2001). Semantics are defined on
+    DISTINCT (price, size) points; all parts carrying a frontier point
+    are returned. Exact: double/int comparisons only.
+
+    Scale — the oracle's NOT EXISTS is a quadratic self-join; the engine
+    instead runs a two-level distributed prefix-max over the sorted
+    order (price asc, size desc), where a point is on the frontier iff
+    its size strictly exceeds the running max size of all predecessors:
+    (1) bucket points by price range; (2) per-bucket max size (tiny
+    aggregate) -> exclusive prefix max across buckets via a window over
+    the O(#buckets) frame, broadcast back; (3) within each bucket a
+    PARTITIONED window computes the local running max. No global window
+    ever touches the full point set, so the frontier scan parallelizes
+    by bucket; the final emit joins the (small) frontier point set back
+    broadcast. At 100 TB the bucket bounds come from column stats
+    instead of a fixed width."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("bigint").alias("p_size")
+    )
+    pts = (
+        p.select("p_retailprice", "p_size")
+        .distinct()
+        .withColumn("_b", F.floor(F.col("p_retailprice") / F.lit(100.0)))
+    )
+    bmax = pts.groupBy("_b").agg(F.max("p_size").alias("_bm"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bmax.select("_b", F.max("_bm").over(wb).alias("_lower"))
+    win = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        pts.join(F.broadcast(bpre), "_b")
+        .withColumn("_local", F.max("p_size").over(win))
+        .withColumn(
+            "_pred",
+            F.greatest(
+                F.coalesce(F.col("_local"), F.lit(-1).cast("bigint")),
+                F.coalesce(F.col("_lower"), F.lit(-1).cast("bigint")),
+            ),
+        )
+        .filter(F.col("p_size") > F.col("_pred"))
+        .select("p_retailprice", "p_size")
+    )
+    return (
+        p.join(F.broadcast(frontier), ["p_retailprice", "p_size"])
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

@@ -459,3 +459,47 @@ class TestShortestPaths:
 
         got = {r["node"]: r["dist"] for r in shortest_paths(e, seeds, rounds=6).collect()}
         assert got == {"a": 0, "b": 2}
+
+
+class TestKcore:
+    """kcore on crafted graphs with hand-computable cores."""
+
+    @staticmethod
+    def _sym(spark, pairs):
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        return df.unionByName(
+            df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def test_clique_with_tail_peels_to_clique(self, spark):
+        from pixels_spark.functions.graph import kcore
+
+        # 4-clique a-b-c-d (degree 3 each) + path tail d-e-f
+        clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        tail = [("d", "e"), ("e", "f")]
+        got = {
+            r["node"]: r["deg"]
+            for r in kcore(self._sym(spark, clique + tail), k=3, rounds=3).collect()
+        }
+        # round 1 drops e,f (deg 2,1); clique survives with deg 3 each
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_cascading_peel_needs_rounds(self, spark):
+        from pixels_spark.functions.graph import kcore
+
+        # chain: each peel exposes the next node; k=2 on a path graph
+        path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        e = self._sym(spark, path)
+        r1 = {r["node"] for r in kcore(e, k=2, rounds=1).collect()}
+        r3 = {r["node"] for r in kcore(e, k=2, rounds=3).collect()}
+        assert r1 == {"b", "c", "d"}  # endpoints a,e peeled first
+        assert r3 == set()  # path has no 2-core; cascade empties it
+
+    def test_stable_graph_early_exit_matches_deep_rounds(self, spark):
+        from pixels_spark.functions.graph import kcore
+
+        clique = [("a", "b"), ("a", "c"), ("b", "c")]
+        e = self._sym(spark, clique)
+        deep = {(r["node"], r["deg"]) for r in kcore(e, k=2, rounds=8).collect()}
+        one = {(r["node"], r["deg"]) for r in kcore(e, k=2, rounds=1).collect()}
+        assert deep == one == {("a", 2), ("b", 2), ("c", 2)}
