@@ -145,6 +145,7 @@ HEADLINE = (
     "ev_top_paths",
     "rec_assoc_rules",
     "stat_skyline",
+    "sketch_histogram",
 )
 
 

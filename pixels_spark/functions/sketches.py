@@ -193,7 +193,7 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
 # ---------------------------------------------------------------------------
 # THE MERGEABLE-SKETCH CONTRACT (the one place it is written down)
 #
-# The engine maintains three sketch families; all obey the same algebra so
+# The engine maintains five sketch families; all obey the same algebra so
 # batch jobs, backfills, and streaming foreachBatch loops compose freely:
 #
 #   build(rows)  -> sketch      one narrow pass + one bounded aggregate
@@ -212,6 +212,10 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
 #   internal register-max merge (map-side partials ARE sketch merges);
 #   cardinality within ±rsd. Not bit-replayable — the driver oracle checks
 #   an exact-count tolerance band instead.
+# - Histogram (this module, below): ⊕ = bin-wise counter SUM (same law as
+#   Count-Min); quantile estimates within one bin width over a fixed
+#   range. Deterministic binning → bit-replayable (``sketch_histogram``);
+#   persisted/streamed via HistogramRegistry.
 # - KMV (this module, above): ⊕ = union + re-truncate to the k smallest;
 #   distinct counts AND set-operation estimates (∪ from the merged
 #   synopsis, ∩ via the Jaccard fraction). md5 family → bit-replayable
@@ -356,3 +360,165 @@ class KmvRegistry:
 
     def estimate(self) -> DataFrame:
         return kmv_estimate(self.read(), self.k)
+
+
+def hist_bin(value: Column, lo: float, hi: float, bins: int) -> Column:
+    """Equi-width bin of ``value`` over ``[lo, hi)``: out-of-range values
+    clamp into the edge bins (bin 0 / bin ``bins-1``), so the sketch is
+    total over any input. Pure double floor-divide — identical IEEE result
+    in ANSI SQL (``least(bins-1, greatest(0, floor((x - lo) / w)))``)."""
+    w = (hi - lo) / bins
+    raw = F.floor((value.cast("double") - F.lit(lo)) / F.lit(w)).cast("bigint")
+    return F.least(
+        F.lit(bins - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw)
+    )
+
+
+def hist_build(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int = 64
+) -> DataFrame:
+    """Equi-width histogram sketch of ``df[col]``: ≤``bins`` rows of
+    ``(bin, cnt)``. NULLs are skipped. One narrow pass + ONE hash
+    aggregate; map-side partials collapse every partition to ≤bins rows
+    before the exchange, so shuffle volume is O(partitions × bins)
+    regardless of input size — same plan shape as ``count_min_build``."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(hist_bin(F.col(col), lo, hi, bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """⊕ for histograms: counters are linear, so merge = union + cell-sum
+    (identical law to Count-Min). ``hist_build(A) ⊕ hist_build(B) ≡
+    hist_build(A ∪ B)`` exactly, for the same (lo, hi, bins)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each ``q`` find the
+    first bin whose cumulative count reaches ``q·N`` and interpolate
+    linearly inside it — ``est = lo + w·(bin + (qN - cum_prev)/cnt)``.
+    Error is bounded by one bin width (vs KLL/t-digest's rank error; the
+    trade is fixed-range simplicity + EXACT SQL replayability, since every
+    step is integer counts + one deterministic double expression).
+
+    All computation runs on the ≤bins-row sketch: the cumulative window
+    and the quantile probe join never touch source rows. Returns
+    ``(q, est)``, one row per requested quantile."""
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    w = (hi - lo) / bins
+    c = sketch.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = (
+        qdf.join(
+            F.broadcast(c),
+            F.col("cum").cast("double") >= F.col("q") * F.col("n").cast("double"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return hit.select(
+        "q",
+        (
+            F.lit(lo)
+            + F.lit(w)
+            * (
+                F.col("bin").cast("double")
+                + (
+                    F.col("q") * F.col("n").cast("double")
+                    - (F.col("cum") - F.col("cnt")).cast("double")
+                )
+                / F.col("cnt").cast("double")
+            )
+        ).alias("est"),
+    )
+
+
+class HistogramRegistry:
+    """Persisted, incrementally-maintained histogram sketch — the
+    streaming/warehouse shape of ``hist_*`` (fourth registry sibling):
+    ``merge_batch`` cell-sums one batch's histogram into the stored one,
+    so the stored sketch is bit-identical to a one-shot build over the
+    union of all batches (counter linearity, proven e2e by the oracled
+    ``stream_sketch_histogram`` driver query). Running quantile estimates
+    over an unbounded stream in O(bins) state — no sorted data kept.
+
+    Same atomic-pointer parquet state + single-writer contract as
+    CountMinRegistry."""
+
+    def __init__(self, spark, path: str, lo: float, hi: float, bins: int = 64):
+        import os
+
+        self.spark, self.path = spark, path
+        self.lo, self.hi, self.bins = lo, hi, bins
+        self.state_path = os.path.join(path, "_state.json")
+        os.makedirs(path, exist_ok=True)
+
+    def _state(self) -> dict | None:
+        import json
+        import os
+
+        if not os.path.exists(self.state_path):
+            return None
+        with open(self.state_path) as f:
+            return json.load(f)
+
+    def read(self) -> DataFrame:
+        state = self._state()
+        if state is None:
+            return self.spark.createDataFrame([], "bin bigint, cnt bigint")
+        return self.spark.read.parquet(state["data"])
+
+    def merge_batch(self, df: DataFrame, col: str) -> None:
+        import json
+        import os
+        import shutil
+
+        batch = hist_build(df, col, self.lo, self.hi, self.bins)
+        state = self._state()
+        if state is None:
+            merged, n = batch, 1
+        else:
+            merged = hist_merge(self.read(), batch)
+            n = state["n"] + 1
+        dest = os.path.join(self.path, f"sketch_v={n}")
+        merged.select(
+            F.col("bin").cast("bigint"), F.col("cnt").cast("bigint")
+        ).write.mode("overwrite").parquet(dest)
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": n, "data": dest}, f)
+        os.replace(tmp, self.state_path)
+        if state and state["data"] != dest and os.path.isdir(state["data"]):
+            shutil.rmtree(state["data"], ignore_errors=True)
+
+    def quantiles(self, qs: list[float]) -> DataFrame:
+        return hist_quantiles(self.read(), qs, self.lo, self.hi, self.bins)

@@ -812,3 +812,69 @@ def stat_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 64
+_HIST_QS = [0.5, 0.9, 0.99]
+
+
+def _hist_oracle() -> str:
+    """Bit-exact SQL replay of the histogram sketch + quantile read:
+    deterministic binning, integer counts, one double interpolation —
+    dialect-shared (floor/least/greatest/windows in the ANSI subset)."""
+    w = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    qs_union = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q" for q in _HIST_QS
+    )
+    return f"""
+    WITH h AS (
+      SELECT least(CAST({_HIST_BINS - 1} AS BIGINT),
+                   greatest(CAST(0 AS BIGINT),
+                     CAST(floor((CAST(o_totalprice AS DOUBLE) - {_HIST_LO})
+                                / {w}) AS BIGINT))) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1),
+    c AS (SELECT bin, cnt,
+                 sum(cnt) OVER (ORDER BY bin) AS cum,
+                 sum(cnt) OVER () AS n
+          FROM h),
+    qs AS ({qs_union}),
+    hit AS (SELECT q, bin, cnt, cum, n,
+                   row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+            FROM qs JOIN c ON CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE))
+    SELECT q,
+           {_HIST_LO} + {w} * (CAST(bin AS DOUBLE)
+             + (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+               / CAST(cnt AS DOUBLE)) AS est
+    FROM hit WHERE rn = 1 ORDER BY q
+    """
+
+
+@declare(
+    "sketch_histogram",
+    sql=_hist_oracle(),
+    tags=("sketch", "histogram", "quantile", "mergeable", "beyond-parity"),
+)
+def sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch over order totals with
+    quantile reads (p50/p90/p99 by linear interpolation inside the hit
+    bin) — the fixed-range member of the engine's mergeable-sketch
+    family (functions/sketches.py algebra: ⊕ = bin-wise counter sum, so
+    per-day/per-source histograms fold into exact union histograms with
+    no rescan; HistogramRegistry + stream_sketch_histogram are the
+    maintenance path). Unlike KLL/t-digest the error bound is one bin
+    width over a declared range — the trade that buys exact SQL
+    replayability, which is why every value here is oracle-hashable.
+
+    Scale: build is one narrow pass + ONE ≤64-row aggregate (map-side
+    partials bound shuffle volume at O(partitions × bins)); the quantile
+    read runs entirely on the 64-row sketch (tiny windows + a 3-row
+    broadcast probe), never touching source rows again."""
+    from ..functions.sketches import hist_build, hist_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    sk = hist_build(o, "o_totalprice", _HIST_LO, _HIST_HI, _HIST_BINS)
+    return hist_quantiles(sk, _HIST_QS, _HIST_LO, _HIST_HI, _HIST_BINS).orderBy(
+        "q"
+    )

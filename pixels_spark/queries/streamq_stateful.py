@@ -1620,3 +1620,59 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert st["n"] >= 2, "expected >= 2 micro-batches"
     counters = spark.read.parquet(st["data"])
     return _finalize(anomaly_scores(counters), work)
+
+
+def _stream_hist_oracle() -> str:
+    from .statsq import _hist_oracle
+
+    return _hist_oracle()
+
+
+@declare(
+    "stream_sketch_histogram",
+    sql=_stream_hist_oracle(),
+    tags=("streaming", "sketch", "histogram", "mergeable", "beyond-parity"),
+)
+def stream_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the histogram sketch: orders replayed as
+    a 2-micro-batch file stream, each batch's histogram bin-summed into a
+    persisted ``HistogramRegistry`` (foreachBatch — same loop shape as
+    the CMS/KMV/Bloom registries). Counter linearity makes the maintained
+    sketch bit-identical to a one-shot build over the whole table, so the
+    oracle is literally ``sketch_histogram``'s — running p50/p90/p99 over
+    an unbounded stream in O(bins) state, and the driver hash must match
+    the batch build exactly."""
+    from ..functions.sketches import HistogramRegistry
+    from .statsq import _HIST_BINS, _HIST_HI, _HIST_LO, _HIST_QS
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_hist_")
+    src = os.path.join(work, "src")
+    o = load_table(spark, sf_dir, "orders")
+    half = o.agg(
+        ((F.min("o_orderkey") + F.max("o_orderkey")) / 2).alias("m")
+    ).first()["m"]
+    _write_slices(
+        [o.filter(F.col("o_orderkey") <= half), o.filter(F.col("o_orderkey") > half)],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMAS["orders"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    reg = HistogramRegistry(
+        spark, os.path.join(work, "hist"), _HIST_LO, _HIST_HI, _HIST_BINS
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: reg.merge_batch(bdf, "o_totalprice")
+        )
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_sketch_histogram did not finish in 600s")
+    assert reg._state()["n"] >= 2, "expected >= 2 micro-batches"
+    return _finalize(reg.quantiles(_HIST_QS).orderBy("q"), work)

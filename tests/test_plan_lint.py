@@ -63,6 +63,7 @@ ALLOWLIST = {
     "txt_quota_sample": "1-row corpus-total / leftover frame crossJoins",
     "txt_bpe_train": "1-row chosen-merge frame crossJoins (broadcast)",
     "rec_assoc_rules": "scalar basket-total frame crossJoin (1 row)",
+    "sketch_histogram": "3-row quantile probe against the <=64-row sketch",
 }
 
 BATCH = sorted(

@@ -185,3 +185,57 @@ def test_kmv_registry_random_splits_equal_one_shot_build(spark, tmp_path):
         got = sorted(r["hv"] for r in reg.read().collect())
         want = sorted(r["hv"] for r in kmv_build(df, "k", 64).collect())
         assert got == want and len(got) == 64, f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch
+
+
+def test_hist_clamps_out_of_range_into_edge_bins(spark):
+    from pixels_spark.functions.sketches import hist_build
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (99.9,), (100.0,), (250.0,), (None,)],
+        "x double",
+    )
+    got = {r["bin"]: r["cnt"] for r in hist_build(df, "x", 0.0, 100.0, 10).collect()}
+    # -5 clamps to bin 0; 100/250 clamp to bin 9; NULL skipped
+    assert got == {0: 3, 1: 1, 9: 3}
+
+
+def test_hist_quantile_within_one_bin_width_of_exact(spark):
+    from pixels_spark.functions.sketches import hist_build, hist_quantiles
+
+    df = spark.range(0, 1000).select((F.col("id").cast("double")).alias("x"))
+    sk = hist_build(df, "x", 0.0, 1000.0, 20)  # bin width 50
+    got = {r["q"]: r["est"] for r in hist_quantiles(sk, [0.5, 0.9], 0.0, 1000.0, 20).collect()}
+    assert abs(got[0.5] - 500.0) <= 50.0
+    assert abs(got[0.9] - 900.0) <= 50.0
+
+
+def test_hist_registry_random_splits_equal_one_shot_build(spark, tmp_path):
+    """⊕ law, fuzzed: folding random batch splits through a persisted
+    HistogramRegistry yields bins bit-identical to the one-shot build —
+    and survives registry re-instantiation."""
+    import random
+
+    from pixels_spark.functions.sketches import HistogramRegistry, hist_build
+
+    rng = random.Random(17)
+    rows = [(rng.uniform(-10.0, 110.0),) for _ in range(300)]
+    df = spark.createDataFrame(rows, "x double")
+    for trial in range(3):
+        cuts = sorted(rng.sample(range(1, 300), 2))
+        parts = [rows[: cuts[0]], rows[cuts[0]:cuts[1]], rows[cuts[1]:]]
+        path = str(tmp_path / f"hreg{trial}")
+        reg = HistogramRegistry(spark, path, 0.0, 100.0, bins=16)
+        for i, p in enumerate(parts):
+            if i == 2:
+                reg = HistogramRegistry(spark, path, 0.0, 100.0, bins=16)
+            reg.merge_batch(spark.createDataFrame(p, "x double"), "x")
+        got = {r["bin"]: r["cnt"] for r in reg.read().collect()}
+        want = {
+            r["bin"]: r["cnt"]
+            for r in hist_build(df, "x", 0.0, 100.0, 16).collect()
+        }
+        assert got == want, f"trial {trial}"
