@@ -146,6 +146,8 @@ HEADLINE = (
     "rec_assoc_rules",
     "stat_skyline",
     "sketch_histogram",
+    "ts_active_intervals",
+    "ts_cumulative_users",
 )
 
 

@@ -588,3 +588,141 @@ def ts_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         intercept.alias("intercept"),
         (intercept + slope * n).alias("forecast_next"),
     ).orderBy("event_type")
+
+
+@declare(
+    "ts_active_intervals",
+    sql="""
+    WITH spans AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0,
+             CAST(max(l.l_shipdate) AS DATE) AS d1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)),
+    deltas AS (
+      SELECT d0 AS day, 1 AS delta FROM spans
+      UNION ALL
+      SELECT d1 + 1 AS day, -1 AS delta FROM spans),
+    dd AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM deltas
+           GROUP BY day),
+    run AS (SELECT day, sum(net) OVER (ORDER BY day) AS active FROM dd),
+    ranked AS (
+      SELECT CAST(year(day) * 100 + month(day) AS BIGINT) AS month,
+             day AS peak_day, CAST(active AS BIGINT) AS peak_active,
+             row_number() OVER (
+               PARTITION BY year(day) * 100 + month(day)
+               ORDER BY active DESC, day) AS rn
+      FROM run)
+    SELECT month, peak_day, peak_active
+    FROM ranked WHERE rn = 1 ORDER BY month
+    """,
+    tags=("temporal", "interval", "sweep-line", "beyond-parity"),
+)
+def ts_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap concurrency by sweep line: each order is open
+    from its order date to its last lineitem ship date; per month, the
+    day with the most concurrently-open orders and that peak count — the
+    operator behind 'max concurrent sessions/jobs/tickets' capacity
+    questions. Sweep line = +1 at start, -1 at end+1, running sum over
+    the per-day net — O(days) state instead of the quadratic
+    interval×interval overlap join. Integer-exact; dialect-shared.
+
+    Scale: the interval endpoints aggregate (one shuffle, map-side
+    combinable) collapses everything to <= 2×|days| delta rows; the
+    running sum's global window runs over that tiny per-DAY aggregate
+    (same O(domain) tiny-frame pattern as stat_skyline's bucket prefix
+    max — at second granularity it would become the same two-level
+    bucketed prefix sum). Peak-per-month is a window over <= 31 rows per
+    partition."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d0")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "d0")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("d1"))
+    )
+    deltas = spans.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
+        spans.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    dd = deltas.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net"))
+    run = dd.select(
+        "day", F.sum("net").over(Window.orderBy("day")).alias("active")
+    )
+    mo = (F.year("day") * 100 + F.month("day")).cast("bigint")
+    ranked = run.select(
+        mo.alias("month"),
+        F.col("day").alias("peak_day"),
+        F.col("active").cast("bigint").alias("peak_active"),
+        F.row_number()
+        .over(Window.partitionBy(mo).orderBy(F.desc("active"), "day"))
+        .alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select("month", "peak_day", "peak_active")
+        .orderBy("month")
+    )
+
+
+@declare(
+    "ts_cumulative_users",
+    sql="""
+    WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    nu AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+           FROM fs GROUP BY first_day),
+    act AS (SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY CAST(ts AS DATE))
+    SELECT a.day, a.active_users,
+           COALESCE(n.new_users, 0) AS new_users,
+           a.active_users - COALESCE(n.new_users, 0) AS returning_users,
+           CAST(sum(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day)
+                AS BIGINT) AS cumulative_users
+    FROM act a LEFT JOIN nu n ON n.day = a.day
+    ORDER BY a.day
+    """,
+    tags=("temporal", "growth", "behavioral", "beyond-parity"),
+)
+def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users, new users (first-ever
+    appearance), returning = active - new, and the cumulative
+    distinct-user count — the standard growth dashboard (DAU / new /
+    returning / total-acquired). The cumulative distinct is computed
+    WITHOUT windowed distinct state: first-seen day per user (one
+    aggregate), then a prefix sum of new-user counts over the tiny day
+    domain — every first-seen day is an active day, so summing new_users
+    through day d equals |users seen <= d| exactly. Integer-exact;
+    dialect-shared.
+
+    Scale: two user-keyed aggregates (first-seen, per-day distinct) are
+    the only O(data) shuffles; the prefix-sum window runs over the
+    per-day aggregate (O(days) rows)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    fs = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    nu = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    act = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users")
+    )
+    joined = act.join(nu, "day", "left_outer").select(
+        "day",
+        "active_users",
+        F.coalesce(F.col("new_users"), F.lit(0).cast("bigint")).alias("new_users"),
+    )
+    return (
+        joined.select(
+            "day",
+            "active_users",
+            "new_users",
+            (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+            F.sum("new_users")
+            .over(Window.orderBy("day"))
+            .cast("bigint")
+            .alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )

@@ -84,6 +84,7 @@ DIALECT_SHARED = [
     # round 7, session 3 (ev_top_paths is NOT shareable — DuckDB
     # string_agg(... ORDER BY) has no Spark twin in the shared subset)
     "rec_assoc_rules", "graph_kcore", "stat_skyline", "sketch_histogram",
+    "ts_active_intervals", "ts_cumulative_users",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant
