@@ -109,6 +109,80 @@ def mixture_sample(
     return df.filter(b < thr)
 
 
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weight-proportional sample of exactly ``k`` rows WITHOUT replacement
+    with unbiased subset-sum estimates — priority sampling (Duffield, Lund,
+    Thorup, JACM 2007). Each row gets priority q = w / u with u a
+    deterministic md5-derived uniform in (0, 1]; the k highest-priority rows
+    are the sample, and with τ = the (k+1)-th priority, ŵ = max(w, τ) is an
+    unbiased estimator of any subset's total weight (E[Σ_{i∈S∩sample} ŵᵢ] =
+    Σ_{i∈S} wᵢ). The curation shape: "show me 64 documents drawn
+    proportional to length/quality, and let me estimate corpus totals from
+    the sample alone".
+
+    Determinism discipline: u = (h32 + 1) / 2³², where h32 is the first 8
+    md5 hex chars of salt||key — so q = w · 2³² / (h32 + 1) is a quotient of
+    exact integers evaluated once in IEEE double (correctly-rounded ops:
+    both engines produce the identical bit pattern), ties broken by key.
+    No RNG state, reproducible at any scale, on any engine.
+
+    Scale shape: the priority is a map-side expression; the k+1 selection is
+    a TakeOrderedAndProject (per-partition top-(k+1) heaps merged at the
+    driver — no global sort, no full shuffle); τ extraction and the ŵ
+    attach are single-row-frame ops on the k+1 survivors. The corpus is
+    read once and never shuffled at its own volume.
+
+    Returns the k sampled rows with ``priority`` and ``est_weight`` (ŵ)
+    columns appended. If the input has ≤ k rows, all rows are returned with
+    ŵ = w (τ = 0: the "sample" is exhaustive and estimates are exact).
+    """
+    from pyspark.sql.window import Window
+
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    q = (
+        F.col(weight_col).cast("double")
+        * F.lit(4294967296.0)
+        / (h32 + F.lit(1)).cast("double")
+    )
+    top = (
+        df.withColumn("priority", q)
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k + 1)
+    )
+    # The k+1 survivors are a tiny bounded frame: a global window over them
+    # is O(k), and the 1-row τ frame is a broadcast scalar (allowlisted
+    # crossJoin pattern).
+    w = Window.orderBy(F.col("priority").desc(), F.col(key_col))
+    ranked = top.withColumn("_rk", F.row_number().over(w))
+    tau = ranked.agg(
+        F.max(F.when(F.col("_rk") == k + 1, F.col("priority"))).alias("_tau")
+    )
+    return (
+        ranked.filter(F.col("_rk") <= k)
+        .crossJoin(F.broadcast(tau))
+        .withColumn(
+            "est_weight",
+            F.greatest(
+                F.col(weight_col).cast("double"),
+                F.coalesce(F.col("_tau"), F.lit(0.0)),
+            ),
+        )
+        .drop("_rk", "_tau")
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_cols: list[str],

@@ -998,6 +998,55 @@ def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "txt_priority_sample",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(n_chars AS DOUBLE) * 4294967296.0
+               / CAST(CAST(concat('0x', substr(
+                     md5('prio1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1 AS DOUBLE) AS priority
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_chars, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+      FROM scored
+    ), tau AS (
+      SELECT max(CASE WHEN rk = 65 THEN priority END) AS t FROM ranked
+    )
+    SELECT doc_id, source, n_chars, priority,
+           greatest(CAST(n_chars AS DOUBLE), coalesce(t, 0.0)) AS est_weight
+    FROM ranked, tau
+    WHERE rk <= 64
+    ORDER BY doc_id
+    """,
+    tags=("text", "sampling", "priority", "beyond-parity"),
+)
+def txt_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup 2007): exactly 64 documents
+    drawn weight-proportionally (weight = n_chars) without replacement,
+    each carrying the unbiased subset-sum estimator ŵ = max(w, τ) — so any
+    slice's total character volume can be estimated from the 64-row sample
+    alone (E[Σ ŵ] = Σ w, pinned by the unbiasedness fuzz in
+    tests/test_sampling.py). The md5-derived uniform makes the draw
+    reproducible on every engine at every scale; priorities are single
+    IEEE-double quotients of exact integers, so both engines rank
+    identically and the oracle is exact.
+
+    Scale: priority is a map-side expression; selection is
+    TakeOrderedAndProject (per-partition heaps, no global sort); τ/ŵ are
+    O(k) frame ops. The corpus is never shuffled."""
+    from ..functions.sampling import priority_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return priority_sample(
+        d, "doc_id", "n_chars", k=64, salt="prio1"
+    ).orderBy("doc_id")
+
+
+@declare(
     "txt_heavy_hitters",
     sql="""
     WITH words AS (

@@ -208,3 +208,53 @@ def test_temperature_mix_upsamples_low_resource_strata(spark):
     ids2 = sorted(r["doc_id"] for r in
                   temperature_mix(df, "doc_id", "lang", target_frac=0.4).collect())
     assert ids1 == ids2
+
+
+def test_priority_sample_exhaustive_when_k_covers_all(spark):
+    """n <= k: every row returned, tau = 0, est_weight == weight exactly."""
+    from pixels_spark.functions.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, 10 * (i + 1)) for i in range(5)], ["k", "w"]
+    )
+    out = priority_sample(df, "k", "w", k=8).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["est_weight"] == float(r["w"])
+
+
+def test_priority_sample_size_determinism_and_tau_floor(spark):
+    """Exactly k rows; rerun identical; every est_weight >= its weight and
+    the non-sampled mass is represented: est_weight >= tau for all rows."""
+    from pixels_spark.functions.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(500)], ["k", "w"]
+    )
+    s1 = priority_sample(df, "k", "w", k=32, salt="a").collect()
+    s2 = priority_sample(df, "k", "w", k=32, salt="a").collect()
+    assert sorted(r["k"] for r in s1) == sorted(r["k"] for r in s2)
+    assert len(s1) == 32
+    tau = min(r["est_weight"] for r in s1)  # est >= tau, with equality hit
+    for r in s1:
+        assert r["est_weight"] >= float(r["w"])
+        assert r["est_weight"] >= tau - 1e-12
+
+
+def test_priority_sample_subset_sum_unbiased(spark):
+    """E[sum(est_weight)] == total weight (DLT unbiasedness): average the
+    estimator over independent salts; the mean must land within 10% of the
+    true total (k=64 over n=400 -> the estimator variance is small)."""
+    from pixels_spark.functions.sampling import priority_sample
+
+    rows = [(i, (i % 13) + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "w"]).cache()
+    total = sum(w for _k, w in rows)
+    ests = []
+    for s in range(12):
+        got = priority_sample(df, "k", "w", k=64, salt=f"s{s}").agg(
+            F.sum("est_weight").alias("e")
+        ).collect()[0]["e"]
+        ests.append(got)
+    mean = sum(ests) / len(ests)
+    assert abs(mean - total) / total < 0.10
