@@ -489,6 +489,111 @@ def anomaly_scores(h: DataFrame) -> DataFrame:
     )
 
 
+_CUSUM_ORACLE = """
+    WITH RECURSIVE h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), stats AS (
+      SELECT event_type, CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM h GROUP BY event_type
+    ), idx AS (
+      SELECT h.event_type, hr, cnt, tot, n,
+             CAST(row_number() OVER (PARTITION BY h.event_type ORDER BY hr)
+                  AS BIGINT) AS rn
+      FROM h JOIN stats USING (event_type)
+    ), cus AS (
+      SELECT event_type, rn, hr, cnt, tot, n,
+             greatest(CAST(0 AS BIGINT), 10 * n * cnt - 11 * tot) AS s
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.event_type, i.rn, i.hr, i.cnt, i.tot, i.n,
+             greatest(CAST(0 AS BIGINT), c.s + 10 * i.n * i.cnt - 11 * i.tot)
+      FROM idx i JOIN cus c ON i.event_type = c.event_type AND i.rn = c.rn + 1
+    ), peak AS (
+      SELECT event_type, max(s) AS peak_s FROM cus GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(max(c.n) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN c.s > 50 * c.tot THEN 1 ELSE 0 END) AS BIGINT)
+             AS alarm_buckets,
+           p.peak_s,
+           min(c.hr) FILTER (WHERE c.s = p.peak_s) AS peak_hr
+    FROM cus c JOIN peak p USING (event_type)
+    GROUP BY c.event_type, p.peak_s
+    ORDER BY c.event_type
+    """
+
+
+@declare(
+    "ts_cusum",
+    sql=_CUSUM_ORACLE,
+    tags=("temporal", "timeseries", "changepoint", "cusum", "beyond-parity"),
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954) on the event stream:
+    per-type hourly counts folded through the one-sided cumulative-sum
+    recursion S_t = max(0, S_{t-1} + (x_t − μ − κ)) with slack κ = 10% of
+    the per-type mean and alarm threshold H = 5× the mean — the classic
+    drift detector that catches sustained small shifts a per-bucket
+    z-score (``ts_anomaly``) misses. Reports, per type, the number of
+    alarm buckets, the peak CUSUM statistic, and the hour it peaked
+    (earliest on ties).
+
+    Determinism discipline: the recursion runs entirely in scaled exact
+    bigints — the residual 10·n·xₜ − 11·tot equals 10n·(xₜ − μ − μ/10)
+    with μ = tot/n never materialized as a float — so Spark's single-pass
+    array fold and DuckDB's recursive CTE produce identical integers.
+
+    Scale: one hash aggregate to hourly grain (events are never collected),
+    then a per-type fold over the bucketed series — state is bounded by
+    the calendar (8,760 buckets/type/year), not by data volume; the oracle
+    unrolls the same recursion as a recursive CTE, which Spark 4 could run
+    but would schedule one join per bucket — the fold is the plan you want."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return cusum_scan(h)
+
+
+def cusum_scan(h: DataFrame) -> DataFrame:
+    """CUSUM fold over an hourly count frame ``(event_type, hr, cnt)`` —
+    factored like ``anomaly_scores`` so tests can inject synthetic shifts
+    and a streaming twin can feed linearly-maintained counters."""
+    g = h.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("hr", "cnt"))).alias("series"),
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    step = "greatest(CAST(0 AS BIGINT), acc.s + 10 * n * x.cnt - 11 * tot)"
+    fold = f"""aggregate(
+        series,
+        named_struct('s', CAST(0 AS BIGINT), 'alarm', CAST(0 AS BIGINT),
+                     'peak', CAST(-1 AS BIGINT),
+                     'peak_hr', CAST(NULL AS TIMESTAMP)),
+        (acc, x) -> named_struct(
+            's', {step},
+            'alarm', acc.alarm
+                     + IF({step} > 50 * tot, CAST(1 AS BIGINT),
+                          CAST(0 AS BIGINT)),
+            'peak', IF({step} > acc.peak, {step}, acc.peak),
+            'peak_hr', IF({step} > acc.peak, x.hr, acc.peak_hr)))"""
+    return (
+        g.withColumn("_acc", F.expr(fold))
+        .select(
+            "event_type",
+            F.col("n").alias("n_buckets"),
+            F.col("_acc.alarm").alias("alarm_buckets"),
+            F.col("_acc.peak").alias("peak_s"),
+            F.col("_acc.peak_hr").alias("peak_hr"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @declare(
     "ts_trend_forecast",
     sql="""

@@ -315,3 +315,29 @@ def test_ts_trend_forecast_recovers_exact_linear_series(spark, tmp_path):
     assert r.n == n_hours
     assert abs(r.slope - 3.0) < 1e-9 and abs(r.intercept - 10.0) < 1e-9
     assert abs(r.forecast_next - (10.0 + 3.0 * n_hours)) < 1e-9
+
+
+def test_ts_cusum_detects_sustained_shift_not_flat_baseline(spark):
+    """A flat series never alarms (residuals are -tot < 0 every bucket, so
+    S sticks at 0); a doubled rate sustained over the back half accumulates
+    past H = 5x mean and alarms, with the peak at the last shifted hour."""
+    import datetime as dt
+
+    from pixels_spark.queries.temporalq import cusum_scan
+
+    base = dt.datetime(2024, 3, 1)
+    flat = [("flat", base + dt.timedelta(hours=t), 100) for t in range(96)]
+    shift = [
+        ("shift", base + dt.timedelta(hours=t), 100 if t < 48 else 200)
+        for t in range(96)
+    ]
+    h = spark.createDataFrame(
+        flat + shift, "event_type string, hr timestamp, cnt bigint"
+    )
+    got = {r.event_type: r for r in cusum_scan(h).collect()}
+    assert got["flat"].alarm_buckets == 0 and got["flat"].peak_s == 0
+    assert got["shift"].alarm_buckets > 0
+    # peak CUSUM of a sustained shift is at the series end
+    assert got["shift"].peak_hr == base + dt.timedelta(hours=95)
+    # first-occurrence tie-break: flat series peaks (S=0) at the FIRST hour
+    assert got["flat"].peak_hr == base
