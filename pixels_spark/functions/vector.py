@@ -880,3 +880,153 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), id_col)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA — exact-integer co-moment matrix + power iteration
+# ---------------------------------------------------------------------------
+
+PCA_SCALE = 1_000_000  # component quantization: 6 decimal digits
+
+
+def comoment_matrix(
+    emb: DataFrame, id_col: str, vec_col: str, scale: int = PCA_SCALE
+) -> DataFrame:
+    """Exact centered co-moment matrix of an embedding column in ONE pass:
+    returns the upper triangle (i <= j) of M = n²·Cov as (i, j, m, n) with
+    m an exact DECIMAL(38,0) — M[i][j] = n·Σ qᵢqⱼ − (Σ qᵢ)(Σ qⱼ) over
+    components quantized to q = floor(x·scale + 0.5) (the repo's
+    engine-portable rounding: floor(x+0.5), not round(), because Spark
+    HALF_UP and DuckDB half-away disagree on negative halves). Centering
+    stays integer-exact because the mean is never materialized: n²·cov
+    needs no division.
+
+    Scale shape: the d(d+1)/2 pair products are generated per vector with
+    an array HOF (no self-join — the `graph_triangles` pattern) and
+    collapse map-side to d² partial sums per partition before ONE exchange
+    of d² rows per partition; the linear sums ride the same shape. At
+    100 TB the wire carries O(partitions · d²), never O(rows)."""
+    qarr = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT))"
+    )
+    base = emb.select(qarr.alias("q"))
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (xi, i) -> "
+                "transform(slice(q, i + 1, size(q) - i), (xj, jj) -> "
+                "named_struct('i', i, 'j', i + jj, "
+                "'p', CAST(xi AS DECIMAL(38,0)) * xj))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    upper = pairs.groupBy("i", "j").agg(F.sum("p").alias("p"))
+    lin = (
+        base.select(F.posexplode("q").alias("i", "qx"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    return (
+        upper.join(lin.select("i", F.col("s").alias("si"), "n"), "i")
+        .join(lin.select(F.col("i").alias("j"), F.col("s").alias("sj")), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("p") - F.col("si") * F.col("sj")).alias("m"),
+            "n",
+        )
+    )
+
+
+def pca_power(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rounds: int = 3,
+    scale: int = PCA_SCALE,
+) -> DataFrame:
+    """Top principal direction by power iteration run ENTIRELY in exact
+    integer arithmetic, so the result is bit-identical on every engine:
+    the centered co-moment matrix M (``comoment_matrix``) is rescaled once
+    to ≤10¹² via integer division (both engines truncate toward zero —
+    verified, so no sign decomposition games are needed, but we keep
+    operands positive anyway), then ``rounds`` iterations of
+    w = M_s·v (DECIMAL(38,0) exact sums) and v' = sign(w)·(|w|·scale DIV
+    max|w|) re-normalize v to the fixed ±scale grid. The only doubles are
+    the final loadings v/√(Σv²), computed from ONE exact decimal sum —
+    a fixed chain of correctly-rounded IEEE ops.
+
+    Returns one row per dimension: (dim, v_scaled BIGINT, loading DOUBLE).
+
+    Scale shape: after the single corpus pass inside ``comoment_matrix``,
+    everything operates on d²-row frames (tiny broadcast joins and 1-row
+    scalar crossJoins) — iteration cost is independent of corpus size.
+    The rescale-to-10¹² bound also caps every intermediate below 10²⁶
+    regardless of n, so DECIMAL(38,0) never overflows at any corpus."""
+    m_up = comoment_matrix(emb, id_col, vec_col, scale)
+    m_full = m_up.select("i", "j", "m").union(
+        m_up.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "m"
+        )
+    )
+    msc = m_full.agg(
+        F.expr(
+            "max(abs(m)) div CAST(1000000000000 AS DECIMAL(38,0)) + 1"
+        ).alias("_ms")
+    )
+    ms = m_full.crossJoin(F.broadcast(msc)).select(
+        "i",
+        "j",
+        F.expr(
+            "CAST(CASE WHEN m < 0 THEN -1 ELSE 1 END AS BIGINT)"
+            " * (abs(m) div CAST(_ms AS DECIMAL(38,0)))"
+        ).alias("m"),
+    )
+    v = (
+        m_up.select("i")
+        .distinct()
+        .select("i", F.lit(scale).cast("bigint").alias("v"))
+    )
+    for _ in range(rounds):
+        w = (
+            ms.join(
+                v.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("m").cast("decimal(38,0)") * F.col("vj")).alias(
+                    "w"
+                )
+            )
+        )
+        vmax = w.agg(
+            F.expr(
+                "greatest(max(abs(w)), CAST(1 AS DECIMAL(38,0)))"
+            ).alias("_vm")
+        )
+        v = w.crossJoin(F.broadcast(vmax)).select(
+            "i",
+            F.expr(
+                "CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS BIGINT)"
+                f" * ((abs(w) * {scale}) div _vm)"
+            ).alias("v"),
+        )
+    n2 = v.agg(
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("_n2")
+    )
+    return (
+        v.crossJoin(F.broadcast(n2))
+        .select(
+            F.col("i").alias("dim"),
+            F.col("v").alias("v_scaled"),
+            (
+                F.col("v").cast("double")
+                / F.sqrt(F.col("_n2").cast("double"))
+            ).alias("loading"),
+        )
+        .orderBy("dim")
+    )

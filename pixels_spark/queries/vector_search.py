@@ -1095,3 +1095,126 @@ def vec_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.ivf_probe_index(
         spark, idx_path, "embedding", "vec_id", q, cents, k=10, n_probe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA — exact-integer co-moment + power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_BASE_CTES = """q AS (
+      SELECT vec_id, CAST(u['i'] AS BIGINT) AS i, CAST(u['q'] AS HUGEINT) AS qx
+      FROM (SELECT vec_id,
+                   unnest(list_transform(range(1, len(embedding)+1),
+                     k -> struct_pack(i := k-1,
+                            q := CAST(floor(CAST(embedding[k] AS DOUBLE)
+                                            * 1000000.0 + 0.5) AS BIGINT))))
+                     AS u
+            FROM embeddings) t
+    ), lin AS (
+      SELECT i, CAST(sum(qx) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM q GROUP BY i
+    ), p AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.qx * b.qx) AS HUGEINT) AS p
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ), m AS (
+      SELECT p.i, p.j, li.n * p.p - li.s * lj.s AS m, li.n AS n
+      FROM p JOIN lin li ON p.i = li.i JOIN lin lj ON p.j = lj.i
+    )"""
+
+
+def _pca_power_oracle(rounds: int = 3) -> str:
+    parts = [
+        _PCA_BASE_CTES,
+        """mfull AS (
+      SELECT i, j, m FROM m
+      UNION ALL
+      SELECT j AS i, i AS j, m FROM m WHERE i < j
+    ), msc AS (
+      SELECT max(abs(m)) // CAST(1000000000000 AS HUGEINT)
+             + CAST(1 AS HUGEINT) AS ms FROM mfull
+    ), ms AS (
+      SELECT i, j,
+             CAST(CASE WHEN m < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * (abs(m) // ms) AS m
+      FROM mfull, msc
+    ), v0 AS (
+      SELECT i, CAST(1000000 AS HUGEINT) AS v FROM lin
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""w{r} AS (
+      SELECT ms.i, sum(ms.m * v{r - 1}.v) AS w
+      FROM ms JOIN v{r - 1} ON ms.j = v{r - 1}.i GROUP BY ms.i
+    ), vm{r} AS (
+      SELECT greatest(max(abs(w)), CAST(1 AS HUGEINT)) AS vm FROM w{r}
+    ), v{r} AS (
+      SELECT i,
+             CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * ((abs(w) * 1000000) // vm) AS v
+      FROM w{r}, vm{r}
+    )"""
+        )
+    parts.append(
+        f"""n2 AS (SELECT sum(v * v) AS n2 FROM v{rounds})
+    SELECT i AS dim, CAST(v AS BIGINT) AS v_scaled,
+           CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS loading
+    FROM v{rounds}, n2 ORDER BY dim"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@declare(
+    "vec_covariance",
+    sql=f"""
+    WITH {_PCA_BASE_CTES.strip()}
+    SELECT i, j, CAST(m AS VARCHAR) AS m_str,
+           CAST(m AS DOUBLE) / CAST(n * n AS DOUBLE) / 1000000000000.0
+             AS cov
+    FROM m ORDER BY i, j
+    """,
+    tags=("vector", "pca", "covariance", "beyond-parity"),
+)
+def vec_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding corpus (upper triangle,
+    d(d+1)/2 rows): the ML screening primitive (feature correlation,
+    whitening prep, PCA input) computed in ONE distributed pass. The
+    centered co-moment M = n²·Cov stays in exact integers (quantized
+    components, mean never materialized), so Spark and DuckDB agree
+    bit-for-bit on the 38-digit values; ``cov`` rescales to float once,
+    via a fixed chain of IEEE ops. See ``functions.vector.comoment_matrix``
+    for the no-self-join pair expansion and the O(partitions·d²) wire
+    bound."""
+    m = V.comoment_matrix(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+    return m.select(
+        "i",
+        "j",
+        F.col("m").cast("string").alias("m_str"),
+        (
+            F.col("m").cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+            / F.lit(1.0e12)
+        ).alias("cov"),
+    ).orderBy("i", "j")
+
+
+@declare(
+    "vec_pca_power",
+    sql=_pca_power_oracle(3),
+    tags=("vector", "pca", "power-iteration", "beyond-parity"),
+)
+def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by 3 rounds of
+    power iteration over the exact-integer co-moment matrix — distributed
+    PCA with a bit-identical cross-engine result (every iterate is
+    integer; only the final loadings touch doubles, via one exact decimal
+    sum). The oracle replays the identical integer recursion in HUGEINT.
+    One corpus pass total; iteration cost is O(d²) regardless of corpus
+    size. See ``functions.vector.pca_power``."""
+    return V.pca_power(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )

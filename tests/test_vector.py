@@ -572,3 +572,59 @@ def test_ivf_incremental_append_equals_one_shot(spark, sf_dir, tmp_path):
     # the appended batch is physically present in the cell layout
     cells = [d for d in os.listdir(incr) if d.startswith("ivf_cell=")]
     assert cells, "no cell partitions written"
+
+
+def test_comoment_matrix_equals_numpy_cov(spark):
+    """M = n^2 * cov (biased, over quantized components) must equal numpy
+    exactly — integers, no tolerance."""
+    import numpy as np
+
+    from pixels_spark.functions.vector import comoment_matrix
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(40, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        (r.i, r.j): int(r.m)
+        for r in comoment_matrix(df, "vec_id", "embedding").collect()
+    }
+    q = np.floor(x.astype(np.float64) * 1_000_000 + 0.5).astype(object)
+    n = q.shape[0]
+    for i in range(5):
+        for j in range(i, 5):
+            expect = n * int((q[:, i] * q[:, j]).sum()) - int(
+                q[:, i].sum()
+            ) * int(q[:, j].sum())
+            assert got[(i, j)] == expect, (i, j)
+
+
+def test_pca_power_recovers_dominant_direction(spark):
+    """Anisotropic cloud (one direction 10x the variance of the rest):
+    3 power rounds must align with numpy's top eigenvector, |cos| > 0.999."""
+    import numpy as np
+
+    from pixels_spark.functions.vector import pca_power
+
+    rng = np.random.default_rng(11)
+    d = 6
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    x = (
+        rng.normal(size=(300, 1)) * 10.0 * direction[None, :]
+        + rng.normal(size=(300, d)) * 0.5
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = pca_power(df, "vec_id", "embedding").collect()
+    v = np.array([r.loading for r in sorted(out, key=lambda r: r.dim)])
+    cov = np.cov(x.astype(np.float64).T, bias=True)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    top = eigvecs[:, -1]
+    assert abs(float(v @ top)) > 0.999
+    # loadings are unit-norm by construction
+    assert abs(float(v @ v) - 1.0) < 1e-9
