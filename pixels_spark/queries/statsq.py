@@ -878,3 +878,217 @@ def sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantiles(sk, _HIST_QS, _HIST_LO, _HIST_HI, _HIST_BINS).orderBy(
         "q"
     )
+
+
+_MWU_Z = """(CAST(two_u AS DOUBLE) / 2.0
+             - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+            / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                   * (CAST(na + nb + 1 AS DOUBLE)
+                      - CAST(tie_t AS DOUBLE)
+                        / (CAST(na + nb AS DOUBLE)
+                           * CAST(na + nb - 1 AS DOUBLE))))"""
+
+
+@declare(
+    "stat_mann_whitney",
+    sql=f"""
+    WITH ab AS (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY value
+    ), pre AS (
+      SELECT v, ca, cb,
+             CAST(coalesce(sum(cb) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS less_b
+      FROM ab
+    ), s AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(sum(ca * (2 * less_b + cb)) AS BIGINT) AS two_u,
+             CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                  AS BIGINT) AS tie_t
+      FROM pre
+    )
+    SELECT na, nb, two_u, tie_t, {_MWU_Z} AS z
+    FROM s
+    """,
+    tags=("stats", "hypothesis-test", "rank-sum", "drift", "beyond-parity"),
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the 'view' and 'click' value
+    distributions — the nonparametric two-sample drift test a data-quality
+    pipeline runs between corpus snapshots (distribution shifted? no
+    normality assumption). The statistic is held exact: 2U = Σ cₐ(v)·
+    (2·|{b < v}| + ties_b(v)) and the tie term Σ(t³−t) are BIGINTs built
+    from per-value counts; the normal-approximation z (tie-corrected
+    variance) is one fixed chain of IEEE ops from those integers, so the
+    oracle matches exactly and the text is dialect-shared.
+
+    Scale: the oracle ranks via ONE global window — fine for DuckDB, a
+    single-task sort at 100 TB. The engine instead computes |{b < v}| with
+    a TWO-LEVEL prefix sum (the stat_skyline pattern): per-value counts
+    (one shuffle on value), bucket subtotals → exclusive bucket prefix over
+    the tiny bucket frame, then a bucket-PARTITIONED window for the local
+    prefix — no global window ever touches the value set. The closing
+    aggregate is map-side. (tie_t cubes per-value tie counts: at extreme
+    corpus sizes pre-bucket values to bound t³ below 2⁶³.)"""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select("event_type", F.col("value").alias("v"))
+    )
+    ab = e.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    b = ab.withColumn("_b", F.floor(F.col("v") / F.lit(25.0)))
+    bsum = b.groupBy("_b").agg(F.sum("cb").alias("_bs"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bsum.select(
+        "_b",
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_lower"),
+    )
+    win = (
+        Window.partitionBy("_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = (
+        b.join(F.broadcast(bpre), "_b")
+        .withColumn(
+            "less_b",
+            (
+                F.col("_lower")
+                + F.coalesce(F.sum("cb").over(win), F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    s = pre.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("less_b") + F.col("cb")))
+        .cast("bigint")
+        .alias("two_u"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        )
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    return s.select("na", "nb", "two_u", "tie_t", F.expr(_MWU_Z).alias("z"))
+
+
+_CHI2 = """CAST(sum(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                          AS DECIMAL(28,12))) AS DOUBLE)"""
+
+
+@declare(
+    "stat_chi_square",
+    sql=f"""
+    WITH o AS (
+      SELECT event_type AS rt, CAST(hour(ts) AS BIGINT) AS ct,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY event_type, hour(ts)
+    ), r AS (SELECT rt, CAST(sum(obs) AS BIGINT) AS rtot FROM o GROUP BY rt),
+    c AS (SELECT ct, CAST(sum(obs) AS BIGINT) AS ctot FROM o GROUP BY ct),
+    g AS (SELECT CAST(sum(obs) AS BIGINT) AS gt,
+                 CAST(count(DISTINCT rt) AS BIGINT) AS nr,
+                 CAST(count(DISTINCT ct) AS BIGINT) AS nc
+          FROM o),
+    cells AS (
+      SELECT coalesce(o.obs, 0) AS obs, r.rtot, c.ctot, g.gt, g.nr, g.nc,
+             (CAST(coalesce(o.obs, 0) AS DECIMAL(38,0)) * g.gt
+              - CAST(r.rtot AS DECIMAL(38,0)) * c.ctot)
+             * (CAST(coalesce(o.obs, 0) AS DECIMAL(38,0)) * g.gt
+                - CAST(r.rtot AS DECIMAL(38,0)) * c.ctot) AS num,
+             CAST(r.rtot AS DECIMAL(38,0)) * c.ctot * g.gt AS den
+      FROM r CROSS JOIN c CROSS JOIN g
+      LEFT JOIN o ON o.rt = r.rt AND o.ct = c.ct
+    )
+    SELECT max(gt) AS n, max(nr) AS n_rows, max(nc) AS n_cols,
+           (max(nr) - 1) * (max(nc) - 1) AS dof,
+           {_CHI2} AS chi2,
+           sqrt({_CHI2}
+                / CAST(max(gt) * least(max(nr) - 1, max(nc) - 1)
+                       AS DOUBLE)) AS cramers_v
+    FROM cells
+    """,
+    tags=("stats", "hypothesis-test", "chi-square", "independence",
+          "beyond-parity"),
+)
+def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and hour-of-day
+    (is traffic mix time-of-day dependent?), with Cramér's V effect size —
+    the categorical-drift primitive a curation pipeline runs between
+    corpus slices. The statistic is exact-by-construction: each cell's
+    (o·g − r·c)² / (r·c·g) form keeps numerator/denominator in integer
+    DECIMAL(38,0) (expected counts never materialized as floats), the
+    per-cell quotient is one IEEE division quantized to DECIMAL(28,12),
+    and the sum is an exact decimal aggregate — order-independent, so the
+    oracle matches exactly and the text is dialect-shared. Zero cells of
+    the R×C grid are restored by the tiny cross join (5 types × 24 hours),
+    allowlisted. (At extreme corpora o·g approaches DECIMAL(38) — pre-scale
+    counts by a common factor first; χ² is scale-sensitive but the
+    INDEPENDENCE decision at such n is degenerate anyway.)
+
+    Scale: one hash aggregate to the R×C grid (map-side partials), then
+    O(R·C) frame ops — the events table is scanned once and never
+    shuffled at its own volume."""
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        F.col("event_type").alias("rt"),
+        F.hour("ts").cast("bigint").alias("ct"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    r = o.groupBy("rt").agg(F.sum("obs").cast("bigint").alias("rtot"))
+    c = o.groupBy("ct").agg(F.sum("obs").cast("bigint").alias("ctot"))
+    g = o.agg(
+        F.sum("obs").cast("bigint").alias("gt"),
+        F.countDistinct("rt").cast("bigint").alias("nr"),
+        F.countDistinct("ct").cast("bigint").alias("nc"),
+    )
+    diff = (
+        F.coalesce(F.col("obs"), F.lit(0)).cast("decimal(38,0)") * F.col("gt")
+        - F.col("rtot").cast("decimal(38,0)") * F.col("ctot")
+    )
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(o), ["rt", "ct"], "left")
+        .select(
+            "gt",
+            "nr",
+            "nc",
+            (diff * diff).alias("num"),
+            (
+                F.col("rtot").cast("decimal(38,0)")
+                * F.col("ctot")
+                * F.col("gt")
+            ).alias("den"),
+        )
+    )
+    return cells.agg(
+        F.max("gt").alias("n"),
+        F.max("nr").alias("n_rows"),
+        F.max("nc").alias("n_cols"),
+        ((F.max("nr") - 1) * (F.max("nc") - 1)).alias("dof"),
+        F.expr(_CHI2).alias("chi2"),
+        F.expr(
+            f"""sqrt({_CHI2}
+                / CAST(max(gt) * least(max(nr) - 1, max(nc) - 1)
+                       AS DOUBLE))"""
+        ).alias("cramers_v"),
+    )

@@ -66,6 +66,7 @@ ALLOWLIST = {
     "rec_assoc_rules": "scalar basket-total frame crossJoin (1 row)",
     "sketch_histogram": "3-row quantile probe against the <=64-row sketch",
     "vec_pca_power": "1-row rescale/vmax/norm scalar crossJoins (d-row frames)",
+    "stat_chi_square": "R x C contingency grid cross join (5x24, broadcast)",
 }
 
 BATCH = sorted(

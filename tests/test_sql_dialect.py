@@ -85,6 +85,12 @@ DIALECT_SHARED = [
     # string_agg(... ORDER BY) has no Spark twin in the shared subset)
     "rec_assoc_rules", "graph_kcore", "stat_skyline", "sketch_histogram",
     "ts_active_intervals", "ts_cumulative_users",
+    # round 7, session 6 (ts_cusum is NOT shareable — Spark 4 parses
+    # WITH RECURSIVE but the engine runs the fold, and the raw-string
+    # compare would hit differently-typed NULL rendering; txt_priority_
+    # sample / vec_* PCA oracles are NOT shareable — DuckDB hex cast /
+    # HUGEINT + // division)
+    "stat_mann_whitney", "stat_chi_square",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant

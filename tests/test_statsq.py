@@ -11,3 +11,71 @@ def test_dq_checks_one_filescan_per_source_table(spark, sf_dir):
     for t in ["documents", "events", "lineitem", "orders", "customer"]:
         n = plan.count(f"{t}.parquet")
         assert n == 1, f"{t}: {n} FileScans"
+
+
+def _events_frame(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, 1, et, v, "{}") for i, (ts, et, v) in enumerate(rows)],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+
+
+def test_mann_whitney_detects_shift_direction_and_null_case(spark, tmp_path):
+    """Identical samples -> z ~ 0 (U = na*nb/2 exactly, by symmetry of the
+    construction); B stochastically larger -> U_A small -> z < -3."""
+    import datetime as dt
+
+    from pixels_spark.queries.statsq import stat_mann_whitney
+
+    base = dt.datetime(2024, 5, 1)
+    same = [(base, "view", float(i % 50)) for i in range(200)] + [
+        (base, "click", float(i % 50)) for i in range(200)
+    ]
+    _events_frame(spark, same).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = stat_mann_whitney(spark, str(tmp_path)).collect()[0]
+    assert r.na == 200 and r.nb == 200
+    assert r.two_u == r.na * r.nb  # 2U = na*nb exactly on identical samples
+    assert abs(r.z) < 1e-9
+
+    shifted = [(base, "view", float(i % 50)) for i in range(200)] + [
+        (base, "click", 100.0 + float(i % 50)) for i in range(200)
+    ]
+    _events_frame(spark, shifted).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r2 = stat_mann_whitney(spark, str(tmp_path)).collect()[0]
+    assert r2.two_u == 0  # every click value exceeds every view value
+    assert r2.z < -3
+
+
+def test_chi_square_zero_on_independent_grid(spark, tmp_path):
+    """A perfectly independent type x hour grid (every cell = 5) must give
+    chi2 = 0 exactly; concentrating one type in one hour makes it large."""
+    import datetime as dt
+
+    from pixels_spark.queries.statsq import stat_chi_square
+
+    base = dt.datetime(2024, 5, 1)
+    indep = [
+        (base + dt.timedelta(hours=h), et, 1.0)
+        for h in range(6)
+        for et in ("a", "b")
+        for _ in range(5)
+    ]
+    _events_frame(spark, indep).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = stat_chi_square(spark, str(tmp_path)).collect()[0]
+    assert r.dof == 5 and r.chi2 == 0.0 and r.cramers_v == 0.0
+
+    dep = [
+        (base + dt.timedelta(hours=0), "a", 1.0) for _ in range(30)
+    ] + [(base + dt.timedelta(hours=1), "b", 1.0) for _ in range(30)]
+    _events_frame(spark, dep).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r2 = stat_chi_square(spark, str(tmp_path)).collect()[0]
+    assert r2.dof == 1 and r2.chi2 > 50  # fully dependent: chi2 = n = 60
