@@ -1557,12 +1557,25 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the SAME dialect-shared oracle. The alerting shape at
     100 TB: the raw stream is touched once per batch; scoring reads
     only the tiny counter table."""
+    from .temporalq import anomaly_scores
+
+    counters, work = _maintained_hourly_counters(spark, sf_dir, "anom")
+    return _finalize(anomaly_scores(counters), work)
+
+
+def _maintained_hourly_counters(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> tuple[DataFrame, str]:
+    """Replay events as a 2-micro-batch file stream and maintain the
+    per-(event_type, hour) counter table via foreachBatch SUM-folds —
+    the LINEAR-state ingest stage shared by ``stream_anomaly`` and
+    ``stream_cusum`` (counts are linear: fold(b₁)+fold(b₂) ≡
+    count(b₁∪b₂) exactly, so any scorer over the counters matches its
+    batch twin bit-for-bit). Returns (counter frame, workdir)."""
     import json
     import shutil
 
-    from .temporalq import anomaly_scores
-
-    work = tempfile.mkdtemp(prefix="pxs_stream_anom_")
+    work = tempfile.mkdtemp(prefix=f"pxs_stream_{prefix}_")
     src = os.path.join(work, "src")
     state_root = os.path.join(work, "state")
     os.makedirs(state_root, exist_ok=True)
@@ -1614,12 +1627,36 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q.awaitTermination(600):
         q.stop()
-        raise RuntimeError("stream_anomaly did not finish in 600s")
+        raise RuntimeError(f"stream_{prefix} did not finish in 600s")
     with open(state_json) as f:
         st = json.load(f)
     assert st["n"] >= 2, "expected >= 2 micro-batches"
-    counters = spark.read.parquet(st["data"])
-    return _finalize(anomaly_scores(counters), work)
+    return spark.read.parquet(st["data"]), work
+
+
+def _stream_cusum_oracle() -> str:
+    from .temporalq import _CUSUM_ORACLE
+
+    return _CUSUM_ORACLE
+
+
+@declare(
+    "stream_cusum",
+    sql=_stream_cusum_oracle(),
+    tags=("streaming", "changepoint", "cusum", "linear-state",
+          "beyond-parity"),
+)
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``ts_cusum``: the same maintained hourly counter
+    table as ``stream_anomaly`` (linear SUM-folds per micro-batch, state
+    one row per type×hour), scored by the identical exact-bigint CUSUM
+    fold (``temporalq.cusum_scan``) — so drift detection runs over an
+    unbounded stream with calendar-bounded state and the driver hash must
+    equal the batch query's, against the SAME recursive-CTE oracle."""
+    from .temporalq import cusum_scan
+
+    counters, work = _maintained_hourly_counters(spark, sf_dir, "cusum")
+    return _finalize(cusum_scan(counters), work)
 
 
 def _stream_hist_oracle() -> str:

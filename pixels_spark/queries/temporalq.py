@@ -831,3 +831,92 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_HOLT_ORACLE = """
+    WITH RECURSIVE h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), idx AS (
+      SELECT event_type, hr, cnt,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h
+    ), holt AS (
+      SELECT event_type, rn, n, CAST(cnt AS DOUBLE) AS l,
+             CAST(0 AS DOUBLE) AS b
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.event_type, i.rn, i.n,
+             0.5 * CAST(i.cnt AS DOUBLE) + 0.5 * (c.l + c.b),
+             0.25 * ((0.5 * CAST(i.cnt AS DOUBLE) + 0.5 * (c.l + c.b)) - c.l)
+               + 0.75 * c.b
+      FROM idx i JOIN holt c
+        ON i.event_type = c.event_type AND i.rn = c.rn + 1
+    )
+    SELECT event_type, n AS n_buckets, l AS level, b AS trend,
+           l + 3.0 * b AS forecast_h3
+    FROM holt WHERE rn = n ORDER BY event_type
+    """
+
+
+@declare(
+    "ts_holt",
+    sql=_HOLT_ORACLE,
+    tags=("temporal", "timeseries", "holt", "smoothing", "forecast",
+          "beyond-parity"),
+)
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per event type
+    over the hourly count series, with a 3-step-ahead forecast — the
+    trend-aware smoother between ``ts_ewma`` (level only, window-truncated)
+    and ``ts_trend_forecast`` (global OLS line): l_t = αx_t + (1−α)(l+b),
+    b_t = β(l_t − l_{t−1}) + (1−β)b, α = 1/2, β = 1/4 (binary-exact
+    constants, so no literal drift).
+
+    Determinism: the coupled recursion can't be unrolled into a window
+    like EWMA, so BOTH engines run the identical IEEE-double op sequence
+    — Spark as a single-pass array fold (the ``cusum_scan`` shape),
+    DuckDB as a recursive CTE with the b-step's l_new expression repeated
+    verbatim — making every intermediate bit-identical (+,*,− are
+    correctly rounded, same order).
+
+    Scale: one hash aggregate to hourly grain; the fold state is the
+    bucketed series, bounded by the calendar (8,760 buckets/type/year),
+    never by event volume."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    g = h.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("hr", "cnt"))).alias("series"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    l_new = (
+        "0.5 * CAST(x.cnt AS DOUBLE) + 0.5 * (acc.l + acc.b)"
+    )
+    fold = f"""aggregate(
+        series,
+        named_struct('l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+                     'k', CAST(0 AS BIGINT)),
+        (acc, x) -> named_struct(
+            'l', IF(acc.k = 0, CAST(x.cnt AS DOUBLE), {l_new}),
+            'b', IF(acc.k = 0, CAST(0 AS DOUBLE),
+                    0.25 * (({l_new}) - acc.l) + 0.75 * acc.b),
+            'k', acc.k + 1))"""
+    return (
+        g.withColumn("_acc", F.expr(fold))
+        .select(
+            "event_type",
+            F.col("n").alias("n_buckets"),
+            F.col("_acc.l").alias("level"),
+            F.col("_acc.b").alias("trend"),
+            (F.col("_acc.l") + F.lit(3.0) * F.col("_acc.b")).alias(
+                "forecast_h3"
+            ),
+        )
+        .orderBy("event_type")
+    )
