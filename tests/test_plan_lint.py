@@ -65,7 +65,6 @@ ALLOWLIST = {
     "txt_bpe_train": "1-row chosen-merge frame crossJoins (broadcast)",
     "rec_assoc_rules": "scalar basket-total frame crossJoin (1 row)",
     "sketch_histogram": "3-row quantile probe against the <=64-row sketch",
-    "vec_pca_power": "1-row rescale/vmax/norm scalar crossJoins (d-row frames)",
     "stat_chi_square": "R x C contingency grid cross join (5x24, broadcast)",
 }
 
