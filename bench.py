@@ -160,6 +160,10 @@ HEADLINE = (
     "vec_pca_power",
     "stat_mann_whitney",
     "stat_chi_square",
+    # round 7, session 6b: PCA projection scores (training + second
+    # corpus pass); stream_priority_sample stays out (stream-replay
+    # machinery, oracle shared with txt_priority_sample).
+    "vec_pca_scores",
 )
 
 

@@ -142,8 +142,20 @@ def priority_sample(
     columns appended. If the input has ≤ k rows, all rows are returned with
     ŵ = w (τ = 0: the "sample" is exhaustive and estimates are exact).
     """
-    from pyspark.sql.window import Window
+    top = (
+        priority_scored(df, key_col, weight_col, salt)
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k + 1)
+    )
+    return priority_topk_finalize(top, key_col, weight_col, k)
 
+
+def priority_scored(
+    df: DataFrame, key_col: str, weight_col: str, salt: str = ""
+) -> DataFrame:
+    """Map-side priority column attach for ``priority_sample`` — exposed
+    separately so a streaming maintainer can score each micro-batch with
+    the identical expression."""
     h32 = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
@@ -156,14 +168,21 @@ def priority_sample(
         * F.lit(4294967296.0)
         / (h32 + F.lit(1)).cast("double")
     )
-    top = (
-        df.withColumn("priority", q)
-        .orderBy(F.col("priority").desc(), F.col(key_col))
-        .limit(k + 1)
-    )
-    # The k+1 survivors are a tiny bounded frame: a global window over them
-    # is O(k), and the 1-row τ frame is a broadcast scalar (allowlisted
-    # crossJoin pattern).
+    return df.withColumn("priority", q)
+
+
+def priority_topk_finalize(
+    top: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Close a priority sample over any frame that CONTAINS the global
+    top-(k+1) scored rows (the full corpus's head, or a maintained
+    streaming state — top-(k+1) of a union is always within the union of
+    each side's top-(k+1), so the merge is exact). The k+1 survivors are
+    a tiny bounded frame: a global window over them is O(k), and the
+    1-row τ frame is a broadcast scalar (allowlisted crossJoin
+    pattern)."""
+    from pyspark.sql.window import Window
+
     w = Window.orderBy(F.col("priority").desc(), F.col(key_col))
     ranked = top.withColumn("_rk", F.row_number().over(w))
     tau = ranked.agg(

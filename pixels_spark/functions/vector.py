@@ -1053,3 +1053,64 @@ def pca_power(
         )
         .orderBy("dim")
     )
+
+
+def pca_scores(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rounds: int = 3,
+    scale: int = PCA_SCALE,
+    k: int = 10,
+) -> DataFrame:
+    """Project every vector onto the learned top principal direction and
+    return the k most extreme documents — the outlier/typicality screen a
+    curation pipeline runs after PCA. score = Σ qᵢ·vᵢ is an exact decimal
+    sum of integer products (bit-identical cross-engine); ``proj``
+    de-scales it to the unit-direction projection in one fixed IEEE chain.
+
+    Scale shape: training is ``pca_power`` (one corpus pass + O(d²)
+    iteration); the projection is a SECOND corpus pass — exploded
+    components joined to the broadcast 64-row direction, partial-agg'd
+    map-side per vector; the top-k is a TakeOrderedAndProject (per-
+    partition heaps, no global sort)."""
+    from .dedup import spread
+
+    v = pca_power(emb, id_col, vec_col, rounds, scale)
+    from pyspark.sql.window import Window
+
+    vb = v.withColumn(
+        "_n2",
+        F.sum(
+            F.col("v_scaled").cast("decimal(38,0)") * F.col("v_scaled")
+        ).over(Window.partitionBy()),
+    ).select(F.col("dim").alias("i"), F.col("v_scaled").alias("_v"), "_n2")
+    qarr = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT))"
+    )
+    q = spread(emb, id_col).select(
+        F.col(id_col), F.posexplode(qarr).alias("i", "qx")
+    )
+    sc = (
+        q.join(F.broadcast(vb), "i")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("qx").cast("decimal(38,0)") * F.col("_v")).alias(
+                "_score"
+            ),
+            F.max("_n2").alias("_n2"),
+        )
+    )
+    return (
+        sc.select(
+            id_col,
+            F.col("_score").cast("double").alias("score"),
+            (
+                F.col("_score").cast("double")
+                / (F.lit(float(scale)) * F.sqrt(F.col("_n2").cast("double")))
+            ).alias("proj"),
+        )
+        .orderBy(F.abs(F.col("score")).desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1634,6 +1634,104 @@ def _maintained_hourly_counters(
     return spark.read.parquet(st["data"]), work
 
 
+def _stream_priority_oracle() -> str:
+    from .text_pipeline import _PRIORITY_ORACLE
+
+    return _PRIORITY_ORACLE
+
+
+@declare(
+    "stream_priority_sample",
+    sql=_stream_priority_oracle(),
+    tags=("streaming", "sampling", "priority", "mergeable", "beyond-parity"),
+)
+def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the priority sample: documents replayed
+    as a 2-micro-batch file stream, each batch's top-(k+1) priorities
+    folded into an O(k) persisted state (state ∪ batch-head → keep
+    top-(k+1)). Priorities are a pure function of (key, weight, salt),
+    and the global top-(k+1) of a union is always contained in the union
+    of each side's top-(k+1) — so the maintained head is BIT-IDENTICAL
+    to the batch scan's and the driver hash must match
+    ``txt_priority_sample``'s oracle exactly. A weight-proportional
+    sample (with unbiased subset-sum estimates) over an unbounded stream
+    in 65 rows of state."""
+    import json
+    import shutil
+
+    from ..functions.sampling import priority_scored, priority_topk_finalize
+
+    k = 64
+    work = tempfile.mkdtemp(prefix="pxs_stream_prio_")
+    src = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    state_json = os.path.join(state_root, "STATE.json")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    half = d.agg(((F.min("doc_id") + F.max("doc_id")) / 2).alias("m")).first()[
+        "m"
+    ]
+    _write_slices(
+        [d.filter(F.col("doc_id") <= half), d.filter(F.col("doc_id") > half)],
+        src,
+    )
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        head = priority_scored(
+            batch_df.select("doc_id", "source", "n_chars"),
+            "doc_id",
+            "n_chars",
+            salt="prio1",
+        )
+        if os.path.exists(state_json):
+            with open(state_json) as f:
+                st = json.load(f)
+            head = head.unionByName(spark.read.parquet(st["data"]))
+            n = st["n"] + 1
+        else:
+            st, n = None, 1
+        merged = head.orderBy(
+            F.col("priority").desc(), F.col("doc_id")
+        ).limit(k + 1)
+        dest = os.path.join(state_root, f"head_v={n}")
+        merged.write.mode("overwrite").parquet(dest)
+        tmp = state_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": n, "data": dest}, f)
+        os.replace(tmp, state_json)
+        if st and st["data"] != dest and os.path.isdir(st["data"]):
+            shutil.rmtree(st["data"], ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: fold(
+                bdf.select("doc_id", "source", "n_chars"), bid
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_priority_sample did not finish in 600s")
+    with open(state_json) as f:
+        st = json.load(f)
+    assert st["n"] >= 2, "expected >= 2 micro-batches"
+    head = spark.read.parquet(st["data"])
+    out = priority_topk_finalize(head, "doc_id", "n_chars", k).select(
+        "doc_id", "source", "n_chars", "priority", "est_weight"
+    ).orderBy("doc_id")
+    return _finalize(out, work)
+
+
 def _stream_cusum_oracle() -> str:
     from .temporalq import _CUSUM_ORACLE
 

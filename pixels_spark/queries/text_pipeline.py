@@ -997,9 +997,7 @@ def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@declare(
-    "txt_priority_sample",
-    sql="""
+_PRIORITY_ORACLE = """
     WITH scored AS (
       SELECT doc_id, source, n_chars,
              CAST(n_chars AS DOUBLE) * 4294967296.0
@@ -1019,7 +1017,12 @@ def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked, tau
     WHERE rk <= 64
     ORDER BY doc_id
-    """,
+    """
+
+
+@declare(
+    "txt_priority_sample",
+    sql=_PRIORITY_ORACLE,
     tags=("text", "sampling", "priority", "beyond-parity"),
 )
 def txt_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1166,6 +1166,28 @@ def _pca_power_oracle(rounds: int = 3) -> str:
     return "WITH " + ",\n    ".join(parts)
 
 
+def _pca_scores_oracle(rounds: int = 3, k: int = 10) -> str:
+    """Same training CTEs as ``_pca_power_oracle``, closed by the
+    projection: score(doc) = Σ qᵢ·vᵢ (exact HUGEINT), top-k extremes."""
+    head = _pca_power_oracle(rounds)
+    head = head[: head.index("n2 AS (")]
+    return (
+        head
+        + f"""n2 AS (SELECT sum(v * v) AS n2 FROM v{rounds}),
+    sc AS (
+      SELECT q.vec_id, sum(q.qx * v.v) AS score
+      FROM q JOIN v{rounds} v ON q.i = v.i
+      GROUP BY q.vec_id
+    )
+    SELECT vec_id, CAST(score AS DOUBLE) AS score,
+           CAST(score AS DOUBLE)
+             / (1000000.0 * sqrt(CAST(n2 AS DOUBLE))) AS proj
+    FROM sc, n2
+    ORDER BY abs(CAST(score AS DOUBLE)) DESC, vec_id
+    LIMIT {k}"""
+    )
+
+
 @declare(
     "vec_covariance",
     sql=f"""
@@ -1216,5 +1238,22 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus pass total; iteration cost is O(d²) regardless of corpus
     size. See ``functions.vector.pca_power``."""
     return V.pca_power(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
+@declare(
+    "vec_pca_scores",
+    sql=_pca_scores_oracle(3, 10),
+    tags=("vector", "pca", "projection", "outliers", "beyond-parity"),
+)
+def vec_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most extreme embeddings along the learned principal
+    direction — PCA-based outlier screening, end to end in the engine:
+    exact-integer training (``vec_pca_power``) plus a second corpus pass
+    projecting every vector onto the broadcast direction (exact decimal
+    scores, TakeOrdered top-k). The oracle replays training AND
+    projection in HUGEINT."""
+    return V.pca_scores(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
     )
