@@ -1732,6 +1732,95 @@ def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out, work)
 
 
+def _stream_pca_oracle() -> str:
+    from .vector_search import _pca_power_oracle
+
+    return _pca_power_oracle(3)
+
+
+@declare(
+    "stream_pca",
+    sql=_stream_pca_oracle(),
+    tags=("streaming", "pca", "mergeable", "linear-state", "beyond-parity"),
+)
+def stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PCA maintenance: embeddings replayed as a 2-micro-batch
+    file stream; each batch's co-moment PARTIALS (Σq, Σqq, n — all plain
+    sums, see ``functions.vector.comoment_partials``) fold into a
+    persisted O(d²) state by groupBy-SUM, and the identical exact-integer
+    power iteration (``pca_power_from_comoment``) runs over the assembled
+    matrix — so the learned principal direction over an unbounded
+    embedding stream is BIT-IDENTICAL to the batch build, and the driver
+    hash must equal ``vec_pca_power``'s oracle. The model-maintenance
+    shape at 100 TB: each batch is touched once; state is d(d+1)/2+d+1
+    rows regardless of corpus size."""
+    import json
+    import shutil
+
+    from ..functions.vector import (
+        comoment_from_partials,
+        comoment_partials,
+        pca_power_from_comoment,
+    )
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_pca_")
+    src = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    state_json = os.path.join(state_root, "STATE.json")
+    e = load_table(spark, sf_dir, "embeddings")
+    half = e.agg(((F.min("vec_id") + F.max("vec_id")) / 2).alias("m")).first()[
+        "m"
+    ]
+    _write_slices(
+        [e.filter(F.col("vec_id") <= half), e.filter(F.col("vec_id") > half)],
+        src,
+    )
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        parts = comoment_partials(batch_df, "vec_id", "embedding")
+        if os.path.exists(state_json):
+            with open(state_json) as f:
+                st = json.load(f)
+            parts = (
+                parts.unionByName(spark.read.parquet(st["data"]))
+                .groupBy("i", "j")
+                .agg(F.sum("p").alias("p"))
+            )
+            n = st["n"] + 1
+        else:
+            st, n = None, 1
+        dest = os.path.join(state_root, f"parts_v={n}")
+        parts.write.mode("overwrite").parquet(dest)
+        tmp = state_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": n, "data": dest}, f)
+        os.replace(tmp, state_json)
+        if st and st["data"] != dest and os.path.isdir(st["data"]):
+            shutil.rmtree(st["data"], ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_pca did not finish in 600s")
+    with open(state_json) as f:
+        st = json.load(f)
+    assert st["n"] >= 2, "expected >= 2 micro-batches"
+    parts = spark.read.parquet(st["data"])
+    out = pca_power_from_comoment(comoment_from_partials(parts))
+    return _finalize(out, work)
+
+
 def _stream_cusum_oracle() -> str:
     from .temporalq import _CUSUM_ORACLE
 
