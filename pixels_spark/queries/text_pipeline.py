@@ -2121,3 +2121,156 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
     )
     return r1.unionByName(r2).orderBy("round", "rnk")
+
+
+_LSH_EVAL_FINAL = """
+    SELECT n_truth, n_cand, tp, fp, fn,
+           CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+           2.0 * (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE))
+               * (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))
+             / ((CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE))
+                + (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))) AS f1
+    FROM s"""
+
+
+def _lsh_eval_oracle() -> str:
+    from .streamq_stateful import _md5_minhash_sql
+
+    tail = f"""
+    , cand AS (
+      SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.bh = b2.bh AND b1.doc_id < b2.doc_id),
+    cand_l AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN documents da ON da.doc_id = c.id_a
+      JOIN documents db ON db.doc_id = c.id_b
+      WHERE da.lang = db.lang),
+    truth AS (SELECT id_a, id_b FROM ({_NGRAM_PAIRS_SQL}) t0),
+    flags AS (
+      SELECT (t.id_a IS NOT NULL) AS is_true,
+             (c.id_a IS NOT NULL) AS is_cand
+      FROM truth t FULL OUTER JOIN cand_l c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b),
+    s AS (
+      SELECT CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truth,
+             CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cand,
+             CAST(sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM flags)
+    {_LSH_EVAL_FINAL}"""
+    return _md5_minhash_sql(select=tail)
+
+
+@declare(
+    "dedup_lsh_eval",
+    sql=_lsh_eval_oracle(),
+    tags=("dedup", "minhash", "lsh", "evaluation", "beyond-parity"),
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the MinHash-LSH candidate generator against EXACT n-gram
+    Jaccard ground truth: precision / recall / F1 of the md5-band
+    collision set (8 hashes × 2-row bands) vs the language-blocked
+    Jaccard ≥ 0.5 pairs — the config-tuning report a dedup pipeline runs
+    before trusting an LSH setting at corpus scale (how much does banding
+    miss? how much junk does it admit?). Counts are exact integers from
+    a full-outer pair join; the ratios are fixed IEEE chains, and the md5
+    family makes the whole evaluation — candidates included — exactly
+    oracle-replayable.
+
+    Scale: candidates via band equi-join (never all-pairs), truth via the
+    prefix-filtered inverted shingle index; both pair sets are sparse
+    (near-dup density), so the full-outer join is tiny relative to the
+    corpus."""
+    from ..functions.dedup import minhash_md5_bands, spread
+
+    d = load_table(spark, sf_dir, "documents")
+    bb = spread(d, "doc_id").select(
+        "doc_id", F.explode(minhash_md5_bands(F.col("text"))).alias("_b")
+    ).select(
+        "doc_id",
+        F.col("_b.band").alias("band"),
+        F.col("_b.bh").alias("bh"),
+    )
+    cand = (
+        bb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    langs = d.select("doc_id", "lang")
+    cand_l = (
+        cand.join(
+            langs.select(
+                F.col("doc_id").alias("id_a"), F.col("lang").alias("_la")
+            ),
+            "id_a",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("id_b"), F.col("lang").alias("_lb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("_la") == F.col("_lb"))
+        .select("id_a", "id_b")
+    )
+    truth = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, block_col="lang"
+    ).select("id_a", "id_b")
+    flags = (
+        truth.withColumn("_t", F.lit(True))
+        .join(
+            cand_l.withColumn("_c", F.lit(True)), ["id_a", "id_b"], "full_outer"
+        )
+        .select(
+            F.col("_t").isNotNull().alias("is_true"),
+            F.col("_c").isNotNull().alias("is_cand"),
+        )
+    )
+    s = flags.agg(
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_truth"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cand"),
+        F.sum(F.when(F.col("is_true") & F.col("is_cand"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("is_cand") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(F.col("is_true") & ~F.col("is_cand"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return s.select(
+        "n_truth", "n_cand", "tp", "fp", "fn",
+        F.expr("CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)").alias(
+            "precision"
+        ),
+        F.expr("CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)").alias(
+            "recall"
+        ),
+        F.expr(
+            """2.0 * (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE))
+               * (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))
+             / ((CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE))
+                + (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)))"""
+        ).alias("f1"),
+    )
