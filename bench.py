@@ -164,6 +164,8 @@ HEADLINE = (
     # corpus pass); stream_priority_sample stays out (stream-replay
     # machinery, oracle shared with txt_priority_sample).
     "vec_pca_scores",
+    # round 7, session 6c: nearest-direction as-of (two window kernels)
+    "asof_nearest",
 )
 
 

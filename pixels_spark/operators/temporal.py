@@ -51,7 +51,9 @@ def asof_join(
     skew_bucket_us: int | None = None,
 ) -> DataFrame:
     """As-of join: latest-right-at-or-before (backward) / earliest-right-at-
-    or-after (forward) per left row, matched within ``by`` keys.
+    or-after (forward) / closest-in-time either side (nearest, ties →
+    backward — pandas merge_asof semantics) per left row, matched within
+    ``by`` keys.
 
     Returns all ``left`` columns plus every non-key right column renamed
     ``{right_prefix}{col}`` (nullable when unmatched). ``how='inner'`` keeps
@@ -76,6 +78,45 @@ def asof_join(
     rows in one time bucket + 1, at the cost of two extra small shuffles —
     results are identical to the unbucketed plan (fuzz-asserted).
     """
+    if direction == "nearest":
+        # Nearest-in-time match (pandas merge_asof direction='nearest'):
+        # the backward and forward kernels each need their own sort order,
+        # so nearest composes them — the backward pass's output (left cols
+        # + _nb_* match) feeds the forward pass as its left side, then a
+        # per-row CASE keeps the match with the smaller |gap| (ties →
+        # backward, matching pandas). Two key-shuffles total; each pass
+        # keeps the one-struct-per-row window state.
+        if how not in ("left", "inner"):
+            raise ValueError(f"how must be left|inner, got {how!r}")
+        r_payload_n = [c for c in right.columns if c not in by]
+        b = asof_join(
+            left, right, by, left_ts, right_ts, "backward", tolerance,
+            "left", "_nb_", skew_bucket_us,
+        )
+        f = asof_join(
+            b, right, by, left_ts, right_ts, "forward", tolerance,
+            "left", "_nf_", skew_bucket_us,
+        )
+        bk_ts, fw_ts = f"_nb_{right_ts}", f"_nf_{right_ts}"
+        choose_b = F.col(fw_ts).isNull() | (
+            F.col(bk_ts).isNotNull()
+            & (
+                F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(bk_ts))
+                <= F.unix_micros(F.col(fw_ts)) - F.unix_micros(F.col(left_ts))
+            )
+        )
+        out = f.select(
+            *left.columns,
+            *[
+                F.when(choose_b, F.col(f"_nb_{c}"))
+                .otherwise(F.col(f"_nf_{c}"))
+                .alias(f"{right_prefix}{c}")
+                for c in r_payload_n
+            ],
+        )
+        if how == "inner":
+            out = out.filter(F.col(f"{right_prefix}{right_ts}").isNotNull())
+        return out
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if how not in ("left", "inner"):

@@ -920,3 +920,62 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declare(
+    "asof_nearest",
+    sql="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    b AS (SELECT p.event_id, p.user_id, p.ts,
+                 cb.event_id AS b_id, cb.ts AS b_ts
+          FROM p ASOF LEFT JOIN c cb
+            ON p.user_id = cb.user_id AND p.ts >= cb.ts),
+    f AS (SELECT p.event_id, cf.event_id AS f_id, cf.ts AS f_ts
+          FROM p ASOF LEFT JOIN c cf
+            ON p.user_id = cf.user_id AND p.ts <= cf.ts)
+    SELECT b.event_id AS purchase_id, b.user_id,
+           CASE WHEN f.f_ts IS NULL
+                     OR (b.b_ts IS NOT NULL
+                         AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                             <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                THEN b.b_id ELSE f.f_id END AS click_id,
+           CASE WHEN f.f_ts IS NULL
+                     OR (b.b_ts IS NOT NULL
+                         AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                             <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                THEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                ELSE epoch_us(b.ts) - epoch_us(f.f_ts) END AS gap_us
+    FROM b JOIN f ON b.event_id = f.event_id
+    ORDER BY purchase_id
+    """,
+    tags=("asof_join", "temporal", "nearest"),
+)
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of: attribute each purchase to the user's
+    click CLOSEST in time, either side (ties → backward — pandas
+    merge_asof semantics; ``gap_us`` is signed left−right, negative when
+    the click came after). The feature-store nearness join DuckDB's
+    native ASOF can't express in one pass — its oracle composes a
+    backward and a forward ASOF with the tie CASE; the engine runs the
+    same composition as two single-shuffle window kernels
+    (operators/temporal.asof_join direction='nearest')."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        p, c, by=["user_id"], left_ts="ts", right_ts="ts",
+        direction="nearest",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("r_event_id").alias("click_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias(
+            "gap_us"
+        ),
+    ).orderBy("purchase_id")

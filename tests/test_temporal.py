@@ -341,3 +341,26 @@ def test_ts_cusum_detects_sustained_shift_not_flat_baseline(spark):
     assert got["shift"].peak_hr == base + dt.timedelta(hours=95)
     # first-occurrence tie-break: flat series peaks (S=0) at the FIRST hour
     assert got["flat"].peak_hr == base
+
+
+def test_asof_nearest_picks_closer_side_ties_backward(spark, quotes, trades):
+    from pixels_spark.operators.temporal import asof_join
+
+    out = {
+        r["tid"]: r["r_px"]
+        for r in asof_join(
+            trades, quotes, by=["sym"], left_ts="tts", right_ts="qts",
+            direction="nearest",
+        ).collect()
+    }
+    assert out[1] == 101.0  # forward gap 1s beats backward gap 4s
+    assert out[2] == 101.0  # equal-ts tie -> backward (same quote here)
+    assert out[3] == 100.0  # only forward exists
+    assert out[4] == 200.0  # only backward exists
+    assert out[5] is None and out[6] is None  # no key / null key
+
+    inner = asof_join(
+        trades, quotes, by=["sym"], left_ts="tts", right_ts="qts",
+        direction="nearest", how="inner",
+    )
+    assert sorted(r["tid"] for r in inner.collect()) == [1, 2, 3, 4]
