@@ -2274,3 +2274,52 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)))"""
         ).alias("f1"),
     )
+
+
+@declare(
+    "txt_group_kfold",
+    sql="""
+    WITH folds AS (
+      SELECT doc_id, source, n_chars,
+             CAST(CAST(concat('0x', substr(md5('fold1' || source), 1, 8))
+                       AS BIGINT) % 5 AS BIGINT) AS fold
+      FROM documents
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM folds GROUP BY fold ORDER BY fold
+    """,
+    tags=("text", "sampling", "kfold", "group-split", "beyond-parity"),
+)
+def txt_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP K-fold assignment (scikit-learn GroupKFold semantics, hash
+    flavored): every document of a SOURCE lands in the same fold — the
+    leakage-safe cross-validation split (near-duplicate documents cluster
+    within a source; splitting at document grain would leak them across
+    train/test). Fold = md5(salt||source) % 5 — engine-independent,
+    reproducible at any scale, one map-side expression; the report
+    aggregates per-fold volume so imbalance is visible. Contract pinned
+    in tests/test_sampling.py: fold is constant within each source."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold1"), F.col("source"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("fold")
+    )

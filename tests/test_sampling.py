@@ -258,3 +258,22 @@ def test_priority_sample_subset_sum_unbiased(spark):
         ests.append(got)
     mean = sum(ests) / len(ests)
     assert abs(mean - total) / total < 0.10
+
+
+def test_group_kfold_never_splits_a_source(spark, sf_dir):
+    """Leakage-safety contract: every doc of a source is in ONE fold."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fold1"), F.col("source"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 5
+    )
+    per_source = (
+        d.select("source", fold.alias("fold"))
+        .groupBy("source")
+        .agg(F.countDistinct("fold").alias("nf"))
+    )
+    assert per_source.filter(F.col("nf") > 1).count() == 0
