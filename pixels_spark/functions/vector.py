@@ -1004,12 +1004,22 @@ def pca_power_from_comoment(
     # (measured: 13 s of tiny-stage churn at sf0.1 → 2.9 s in this form).
     # The windows are safe at any corpus size — the frames are O(d²) by
     # construction, never data-sized.
+    ms = _rescale_matrix(m_full)
+    dims = m_up.select("i").distinct()
+    v = _power_rounds(ms, dims, rounds, scale)
+    return _with_loading(v).orderBy("dim")
+
+
+def _rescale_matrix(m_full: DataFrame) -> DataFrame:
+    """Rescale a full (i, j, m) integer matrix to |m| ≤ 10¹² via
+    truncating integer division (identical on both engines) — bounds
+    every downstream matvec term below DECIMAL(38,0) overflow at ANY
+    corpus size."""
     from pyspark.sql.window import Window
 
-    everything = Window.partitionBy()
-    ms = m_full.withColumn(
+    return m_full.withColumn(
         "_ms",
-        F.expr("max(abs(m))").over(everything)
+        F.expr("max(abs(m))").over(Window.partitionBy())
         .cast("decimal(38,0)"),
     ).select(
         "i",
@@ -1020,11 +1030,18 @@ def pca_power_from_comoment(
             " + 1))"
         ).alias("m"),
     )
-    v = (
-        m_up.select("i")
-        .distinct()
-        .select("i", F.lit(scale).cast("bigint").alias("v"))
-    )
+
+
+def _power_rounds(
+    ms: DataFrame, dims: DataFrame, rounds: int, scale: int
+) -> DataFrame:
+    """``rounds`` exact-integer power iterations of the rescaled matrix
+    ``ms`` from the all-ones start: w = ms·v (exact decimal sums),
+    v' = sign(w)·(|w|·scale DIV max|w|). Returns (i, v BIGINT)."""
+    from pyspark.sql.window import Window
+
+    everything = Window.partitionBy()
+    v = dims.select("i", F.lit(scale).cast("bigint").alias("v"))
     for _ in range(rounds):
         w = (
             ms.join(
@@ -1050,22 +1067,25 @@ def pca_power_from_comoment(
                 f" * ((abs(w) * {scale}) div _vm)"
             ).alias("v"),
         )
-    return (
-        v.withColumn(
-            "_n2",
-            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).over(
-                everything
-            ),
-        )
-        .select(
-            F.col("i").alias("dim"),
-            F.col("v").alias("v_scaled"),
-            (
-                F.col("v").cast("double")
-                / F.sqrt(F.col("_n2").cast("double"))
-            ).alias("loading"),
-        )
-        .orderBy("dim")
+    return v
+
+
+def _with_loading(v: DataFrame, suffix: str = "") -> DataFrame:
+    """(i, v) → (dim, v_scaled{suffix}, loading{suffix}): unit-norm
+    loadings from ONE exact decimal Σv² (a fixed IEEE chain)."""
+    from pyspark.sql.window import Window
+
+    return v.withColumn(
+        "_n2",
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).over(
+            Window.partitionBy()
+        ),
+    ).select(
+        F.col("i").alias("dim"),
+        F.col("v").alias(f"v_scaled{suffix}"),
+        (
+            F.col("v").cast("double") / F.sqrt(F.col("_n2").cast("double"))
+        ).alias(f"loading{suffix}"),
     )
 
 
@@ -1194,4 +1214,79 @@ def comoment_from_partials(parts: DataFrame) -> DataFrame:
             (F.col("n") * F.col("p") - F.col("si") * F.col("sj")).alias("m"),
             "n",
         )
+    )
+
+
+def pca_top2(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rounds: int = 3,
+    scale: int = PCA_SCALE,
+) -> DataFrame:
+    """Top TWO principal directions — the second via Hotelling deflation
+    kept in exact integers: with v₁ truncated to the 10⁴ grid,
+    c₁ = v₁ᵀv₁ and c₂ = v₁ᵀM_s v₁ are exact, and
+    N = c₁²·M_s − c₂·(v₁v₁ᵀ) is an INTEGER matrix proportional to the
+    deflated operator (for an exact eigenvector, N·v₁ = 0 — the v₁
+    component of any start vector is annihilated in one multiply), so the
+    second component is the same bit-identical ``_power_rounds`` kernel
+    over the re-rescaled N. Magnitude audit (d=64): c₁ ≤ d·10⁸ = 6.4·10⁹,
+    c₁²·M_s ≤ ~4·10³¹ and c₂·vᵢvⱼ ≤ ~4·10³¹ — inside DECIMAL(38,0) at any
+    corpus.
+
+    Returns (dim, v_scaled, loading, v_scaled2, loading2). Deflation is
+    exact only up to v₁'s grid truncation — tests pin numpy alignment of
+    BOTH components (and near-orthogonality) on a separated spectrum.
+
+    Scale shape: one corpus pass (the co-moment), then O(d²) frame ops;
+    the intermediate d-row frames are persisted (v₁, N) so the iterated
+    lazy plans don't recompute prior rounds per reuse."""
+    m_up = comoment_matrix(emb, id_col, vec_col, scale).persist()
+    m_full = m_up.select("i", "j", "m").union(
+        m_up.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "m"
+        )
+    )
+    ms = _rescale_matrix(m_full).persist()
+    dims = m_up.select("i").distinct()
+    v1 = _power_rounds(ms, dims, rounds, scale).persist()
+    v1s = v1.select(
+        "i",
+        F.expr(
+            "CAST(CASE WHEN v < 0 THEN -1 ELSE 1 END AS BIGINT)"
+            " * (abs(v) div 100)"
+        ).alias("v"),
+    )
+    mv = (
+        ms.join(v1s.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("m").cast("decimal(38,0)") * F.col("vj")).alias("mv"))
+    )
+    sc = (
+        v1s.join(mv, "i")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("c1"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("mv")).alias("c2"),
+        )
+    )
+    n_full = (
+        ms.join(v1s.select("i", F.col("v").alias("vi")), "i")
+        .join(v1s.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("c1") * F.col("c1") * F.col("m").cast("decimal(38,0)")
+                - F.col("c2") * F.col("vi") * F.col("vj")
+            ).alias("m"),
+        )
+    )
+    ns = _rescale_matrix(n_full).persist()
+    v2 = _power_rounds(ns, dims, rounds, scale)
+    return (
+        _with_loading(v1)
+        .join(_with_loading(v2, "2"), "dim")
+        .orderBy("dim")
     )

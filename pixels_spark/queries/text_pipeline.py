@@ -2188,7 +2188,9 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates via band equi-join (never all-pairs), truth via the
     prefix-filtered inverted shingle index; both pair sets are sparse
     (near-dup density), so the full-outer join is tiny relative to the
-    corpus."""
+    corpus. Measured caveat (SCALE.md 5×): EXACT duplicates make band
+    buckets quadratic (k copies → k² candidate pairs) — run
+    ``dedup_exact`` first; LSH evaluation is for the near-dup residue."""
     from ..functions.dedup import minhash_md5_bands, spread
 
     d = load_table(spark, sf_dir, "documents")

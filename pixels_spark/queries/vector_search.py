@@ -1257,3 +1257,112 @@ def vec_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.pca_scores(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
     )
+
+
+def _power_round_ctes(mat: str, pfx: str, rounds: int) -> str:
+    """Round CTEs ``{pfx}1..{pfx}{rounds}`` of the integer power kernel
+    over matrix CTE ``mat``, starting from the all-ones ``{pfx}0``."""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""{pfx}w{r} AS (
+      SELECT {mat}.i, sum({mat}.m * {pfx}{r - 1}.v) AS w
+      FROM {mat} JOIN {pfx}{r - 1} ON {mat}.j = {pfx}{r - 1}.i
+      GROUP BY {mat}.i
+    ), {pfx}vm{r} AS (
+      SELECT greatest(max(abs(w)), CAST(1 AS HUGEINT)) AS vm FROM {pfx}w{r}
+    ), {pfx}{r} AS (
+      SELECT i,
+             CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * ((abs(w) * 1000000) // vm) AS v
+      FROM {pfx}w{r}, {pfx}vm{r}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _pca2_oracle(rounds: int = 3) -> str:
+    R = rounds
+    sql = (
+        "WITH "
+        + _PCA_BASE_CTES
+        + """, mfull AS (
+      SELECT i, j, m FROM m
+      UNION ALL
+      SELECT j AS i, i AS j, m FROM m WHERE i < j
+    ), msc AS (
+      SELECT max(abs(m)) // CAST(1000000000000 AS HUGEINT)
+             + CAST(1 AS HUGEINT) AS ms FROM mfull
+    ), ms AS (
+      SELECT i, j,
+             CAST(CASE WHEN m < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * (abs(m) // ms) AS m
+      FROM mfull, msc
+    ), a0 AS (
+      SELECT i, CAST(1000000 AS HUGEINT) AS v FROM lin
+    ),
+    """
+        + _power_round_ctes("ms", "a", R)
+        + f""",
+    v1s AS (
+      SELECT i, CAST(CASE WHEN v < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * (abs(v) // 100) AS v
+      FROM a{R}
+    ), mv AS (
+      SELECT ms.i, sum(ms.m * s.v) AS mv
+      FROM ms JOIN v1s s ON ms.j = s.i GROUP BY ms.i
+    ), sc AS (
+      SELECT sum(s.v * s.v) AS c1, sum(s.v * mv.mv) AS c2
+      FROM v1s s JOIN mv ON s.i = mv.i
+    ), nfull AS (
+      SELECT ms.i, ms.j, sc.c1 * sc.c1 * ms.m - sc.c2 * si.v * sj.v AS m
+      FROM ms JOIN v1s si ON ms.i = si.i JOIN v1s sj ON ms.j = sj.i, sc
+    ), nsc AS (
+      SELECT max(abs(m)) // CAST(1000000000000 AS HUGEINT)
+             + CAST(1 AS HUGEINT) AS ms FROM nfull
+    ), ns AS (
+      SELECT i, j,
+             CAST(CASE WHEN m < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * (abs(m) // ms) AS m
+      FROM nfull, nsc
+    ), b0 AS (
+      SELECT i, CAST(1000000 AS HUGEINT) AS v FROM lin
+    ),
+    """
+        + _power_round_ctes("ns", "b", R)
+        + f""",
+    n2a AS (SELECT sum(v * v) AS n2 FROM a{R}),
+    n2b AS (SELECT sum(v * v) AS n2 FROM b{R})
+    SELECT a.i AS dim,
+           CAST(a.v AS BIGINT) AS v_scaled,
+           CAST(a.v AS DOUBLE) / sqrt(CAST(n2a.n2 AS DOUBLE)) AS loading,
+           CAST(b.v AS BIGINT) AS v_scaled2,
+           CAST(b.v AS DOUBLE) / sqrt(CAST(n2b.n2 AS DOUBLE)) AS loading2
+    FROM a{R} a JOIN b{R} b ON a.i = b.i, n2a, n2b
+    ORDER BY dim"""
+    )
+    # DuckDB inlines CTEs per reference: with two chained power-iteration
+    # stages the reused subtrees (scan/matrix/iterates) would re-expand
+    # exponentially — thousands of parquet opens ("Too many open files").
+    # Materialize every multiply-referenced CTE; evaluation becomes linear.
+    for cte in ("q", "ms", f"a{R}", "v1s", "ns", f"b{R}"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return sql
+
+
+@declare(
+    "vec_pca_top2",
+    sql=_pca2_oracle(3),
+    tags=("vector", "pca", "deflation", "beyond-parity"),
+)
+def vec_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal directions via exact-integer Hotelling deflation:
+    N = c₁²·M_s − c₂·v₁v₁ᵀ stays integer (N·v₁ = 0 for an exact
+    eigenvector — the first component is annihilated in one multiply), so
+    the second component runs the identical bit-deterministic power
+    kernel. The oracle replays training, deflation, and the second
+    iteration entirely in HUGEINT. See ``functions.vector.pca_top2`` for
+    the magnitude audit (every intermediate < 10²⁸)."""
+    return V.pca_top2(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )

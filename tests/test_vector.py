@@ -628,3 +628,35 @@ def test_pca_power_recovers_dominant_direction(spark):
     assert abs(float(v @ top)) > 0.999
     # loadings are unit-norm by construction
     assert abs(float(v @ v) - 1.0) < 1e-9
+
+
+def test_pca_top2_recovers_both_directions_orthogonal(spark):
+    """Two planted directions with separated variances (10x and 4x the
+    noise): deflation must recover BOTH (|cos| > 0.99 each) and the
+    learned loadings must be near-orthogonal."""
+    import numpy as np
+
+    from pixels_spark.functions.vector import pca_top2
+
+    rng = np.random.default_rng(23)
+    d = 6
+    a = rng.normal(size=d); a /= np.linalg.norm(a)
+    b = rng.normal(size=d); b -= (b @ a) * a; b /= np.linalg.norm(b)
+    x = (
+        rng.normal(size=(400, 1)) * 10.0 * a[None, :]
+        + rng.normal(size=(400, 1)) * 4.0 * b[None, :]
+        + rng.normal(size=(400, d)) * 0.3
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = sorted(pca_top2(df, "vec_id", "embedding").collect(),
+                 key=lambda r: r.dim)
+    v1 = np.array([r.loading for r in out])
+    v2 = np.array([r.loading2 for r in out])
+    cov = np.cov(x.astype(np.float64).T, bias=True)
+    _, eigvecs = np.linalg.eigh(cov)
+    assert abs(float(v1 @ eigvecs[:, -1])) > 0.99
+    assert abs(float(v2 @ eigvecs[:, -2])) > 0.99
+    assert abs(float(v1 @ v2)) < 0.05  # near-orthogonal (3-round v1 residual)
