@@ -166,6 +166,12 @@ HEADLINE = (
     "vec_pca_scores",
     # round 7, session 6c: nearest-direction as-of (two window kernels)
     "asof_nearest",
+    # round 7, session 6d: exact weighted median (two-level prefix) and
+    # the join-key skew advisor. dedup_lsh_eval and vec_pca_top2 stay
+    # out: the eval composes two already-benched pair-generating legs,
+    # and top2 re-runs pca_power's benched kernel twice.
+    "stat_weighted_median",
+    "dq_skew_report",
 )
 
 

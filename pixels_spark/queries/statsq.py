@@ -1092,3 +1092,156 @@ def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS DOUBLE))"""
         ).alias("cramers_v"),
     )
+
+
+@declare(
+    "stat_weighted_median",
+    sql="""
+    WITH vw AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS v,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ), cum AS (
+      SELECT grp, v, w,
+             CAST(sum(w) OVER (PARTITION BY grp ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+      FROM vw
+    )
+    SELECT grp, min(v) AS weighted_median, max(tw) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY grp ORDER BY grp
+    """,
+    tags=("stats", "median", "weighted", "beyond-parity"),
+)
+def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower) of extended price per return flag,
+    weighted by quantity — the order statistic ``cb_quantiles`` can't
+    express (every unit of quantity votes, not every row): min v with
+    2·cumweight(v) ≥ totalweight, all integer compares (quantities are
+    integral in the fixture; cast is exact).
+
+    Scale: the oracle's per-group cumulative window is a single sorted
+    partition per group; the engine computes the running weight with the
+    TWO-LEVEL prefix sum instead (the stat_skyline / stat_mann_whitney
+    pattern — price-band subtotals → exclusive band prefix over the tiny
+    band frame → band-partitioned local window), so no window partition
+    ever holds a full group."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    vw = li.groupBy("grp", "v").agg(F.sum("q").cast("bigint").alias("w"))
+    b = vw.withColumn("_b", F.floor(F.col("v") / F.lit(1000.0)))
+    bs = b.groupBy("grp", "_b").agg(F.sum("w").alias("_bs"))
+    wb = (
+        Window.partitionBy("grp")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = bs.select(
+        "grp",
+        "_b",
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("_lower"),
+        F.sum("_bs")
+        .over(Window.partitionBy("grp"))
+        .cast("bigint")
+        .alias("tw"),
+    )
+    win = (
+        Window.partitionBy("grp", "_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = b.join(F.broadcast(bpre), ["grp", "_b"]).withColumn(
+        "cw", (F.col("_lower") + F.sum("w").over(win)).cast("bigint")
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("grp")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tw").alias("total_weight"),
+        )
+        .orderBy("grp")
+    )
+
+
+_SKEW_KEYS = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_leg_sql(table: str, key: str) -> str:
+    return f"""
+      SELECT '{table}.{key}' AS key_name,
+             CAST(max(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS max_key_rows,
+             CAST(max(c) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS top1_share,
+             CAST(-sum(CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                            AS DECIMAL(28,12))) AS DOUBLE) AS entropy
+      FROM (SELECT c, sum(c) OVER () AS n
+            FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                  FROM {table} GROUP BY {key}) t0) t1"""
+
+
+@declare(
+    "dq_skew_report",
+    sql=" UNION ALL ".join(
+        _skew_leg_sql(t, k) for t, k in _SKEW_KEYS
+    )
+    + " ORDER BY key_name",
+    tags=("dq", "skew", "join-planning", "beyond-parity"),
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew advisor: for each configured join key, the row
+    count, distinct keys, the hottest key's row count and share, and the
+    Shannon entropy of the key distribution — the numbers that decide
+    salting / AQE-skew-join settings BEFORE a 100 TB join is launched
+    (top1_share·n over shuffle-partition size ⇒ a straggler). Entropy
+    terms are DECIMAL(28,12)-quantized before the exact decimal sum (the
+    stat_chi_square discipline), so the report hash-matches the oracle.
+
+    Scale: one hash aggregate per key (map-side partials), then O(keys)
+    frame math. The oracle's `sum(c) OVER ()` global window is replaced
+    engine-side by a 1-row broadcast total (Spark reuses the aggregate's
+    exchange, so the table is still scanned once per leg)."""
+    legs = []
+    for table, key in _SKEW_KEYS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        tot = counts.agg(F.sum("c").cast("bigint").alias("n"))
+        legs.append(
+            counts.crossJoin(F.broadcast(tot)).agg(
+                F.lit(f"{table}.{key}").alias("key_name"),
+                F.max("n").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.max("c").alias("max_key_rows"),
+                F.expr(
+                    "CAST(max(c) AS DOUBLE) / CAST(max(n) AS DOUBLE)"
+                ).alias("top1_share"),
+                F.expr(
+                    """CAST(-sum(CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS DECIMAL(28,12))) AS DOUBLE)"""
+                ).alias("entropy"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("key_name")
