@@ -368,3 +368,75 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+_WILSON = """(
+  (CAST(conv AS DOUBLE) / CAST(base AS DOUBLE)
+     + 1.9208 / CAST(base AS DOUBLE)
+   {sign} 1.96 * sqrt((CAST(conv AS DOUBLE) / CAST(base AS DOUBLE))
+            * (1.0 - CAST(conv AS DOUBLE) / CAST(base AS DOUBLE))
+            / CAST(base AS DOUBLE)
+            + 0.9604 / (CAST(base AS DOUBLE) * CAST(base AS DOUBLE))))
+  / (1.0 + 3.8416 / CAST(base AS DOUBLE)))"""
+
+
+@declare(
+    "funnel_wilson_ci",
+    sql=f"""
+    WITH s AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    ), conv_u AS (
+      SELECT DISTINCT e.user_id
+      FROM events e
+      WHERE e.event_type = 'purchase'
+        AND EXISTS (SELECT 1 FROM events s2
+                    WHERE s2.event_type = 'signup'
+                      AND s2.user_id = e.user_id AND s2.ts < e.ts)
+    ), c AS (
+      SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS base,
+             CAST((SELECT count(*) FROM conv_u) AS BIGINT) AS conv
+    )
+    SELECT base, conv,
+           CAST(conv AS DOUBLE) / CAST(base AS DOUBLE) AS rate,
+           {_WILSON.format(sign='-')} AS ci_lo,
+           {_WILSON.format(sign='+')} AS ci_hi
+    FROM c
+    """,
+    tags=("funnel", "stats", "confidence-interval", "beyond-parity"),
+)
+def funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion rate with a 95% WILSON score interval —
+    the uncertainty a dashboard should print next to any funnel rate
+    (the normal approximation misbehaves at small counts / extreme
+    rates; Wilson doesn't). base = distinct signed-up users, conv =
+    those with a purchase strictly after a signup; the interval is one
+    fixed IEEE chain from the two exact counts (z = 1.96, z² = 3.8416
+    and z²/2 = 1.9208 as exact decimal literals), so the oracle matches
+    exactly and the text is dialect-shared.
+
+    Scale: two conditional distinct aggregates over one user-keyed
+    exchange-shape (the EXISTS decorrelates to a min-signup-ts window,
+    which Catalyst plans as a semi-join); the CI math is O(1)."""
+    e = load_table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_first_signup"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("_first_signup"))
+        .select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("conv"))
+    )
+    base = su.agg(F.count(F.lit(1)).cast("bigint").alias("base"))
+    c = base.crossJoin(F.broadcast(conv))
+    return c.select(
+        "base",
+        "conv",
+        F.expr("CAST(conv AS DOUBLE) / CAST(base AS DOUBLE)").alias("rate"),
+        F.expr(_WILSON.format(sign="-")).alias("ci_lo"),
+        F.expr(_WILSON.format(sign="+")).alias("ci_hi"),
+    )
