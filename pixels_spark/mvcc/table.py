@@ -26,6 +26,7 @@ broadcasts it when it fits.
 from __future__ import annotations
 
 import contextlib
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -683,6 +684,79 @@ class MvccTable:
             raise
         self.trans.commit_trans(ctx)
         return ctx.timestamp
+
+    def clone(self, dest_root: str, ts: int | None = None) -> "MvccTable":
+        """Zero-copy SHALLOW CLONE at snapshot ``ts`` (Delta Lake
+        ``CREATE TABLE … SHALLOW CLONE`` semantics): the clone is a new,
+        independently writable table whose initial state is this table's
+        snapshot, created WITHOUT copying data — committed ``_commit=``
+        directories at or before ``ts`` are symlinked into the clone, so
+        clone creation is O(commits), not O(bytes). The dev/test-fork
+        primitive: experiment on production data instantly, throw the
+        fork away.
+
+        Independence contract (pinned in tests/test_mvcc.py): writes to
+        the clone land in its OWN commit dirs (its timestamp oracle is
+        seeded at the source's next_ts, so clone commits are strictly
+        newer than every cloned one and the source never sees them);
+        writes to the source after the clone are invisible to the clone
+        (its dirs were never linked). Shared caveat, same as Delta's:
+        VACUUMing the source can remove files a shallow clone still
+        references — deep-copy (``restore``-style rewrite) before
+        vacuuming under a clone.
+        """
+        if self.persisted_schema() is None:
+            raise ValueError("clone of a never-written table")
+        if ts is None:
+            ts = self.trans.high_watermark
+        if os.path.exists(os.path.join(dest_root, "_trans_oracle.json")):
+            raise ValueError(f"clone destination {dest_root!r} already exists")
+        os.makedirs(dest_root, exist_ok=True)
+        src_state = self.trans._read()
+        # seed the clone's oracle PAST the source's: clone commits can
+        # never collide with (or be mistaken for) cloned history
+        tmp = os.path.join(dest_root, "_trans_oracle.json")
+        with open(tmp + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "next_trans_id": src_state["next_trans_id"],
+                    "next_ts": src_state["next_ts"],
+                    "high_watermark": ts,
+                    "pending": [],
+                },
+                f,
+            )
+        os.replace(tmp + ".tmp", tmp)
+        src_schema = os.path.join(self.root, "_schema.json")
+        if os.path.exists(src_schema):
+            shutil.copyfile(src_schema, os.path.join(dest_root, "_schema.json"))
+        dest = MvccTable(
+            self.spark,
+            dest_root,
+            self.key_col,
+            indexed=self.indexed,
+            index_files=self.index_files,
+        )
+        for src_parent, dst_parent in (
+            (self.data_dir, dest.data_dir),
+            (self.delete_dir, dest.delete_dir),
+        ):
+            if not os.path.isdir(src_parent):
+                continue
+            os.makedirs(dst_parent, exist_ok=True)
+            for e in os.listdir(src_parent):
+                if not e.startswith("_commit="):
+                    continue
+                if int(e.split("=", 1)[1]) <= ts:
+                    os.symlink(
+                        os.path.realpath(os.path.join(src_parent, e)),
+                        os.path.join(dst_parent, e),
+                    )
+        if self.indexed and self.manifest.exists():
+            dest.manifest.append(
+                [e for e in self.manifest.load() if e["commit_ts"] <= ts]
+            )
+        return dest
 
     def read_history(self, snapshot_ts: int | None = None) -> DataFrame:
         """SCD Type 2 view of the FULL version history at ``snapshot_ts``:

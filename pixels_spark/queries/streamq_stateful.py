@@ -1900,3 +1900,44 @@ def stream_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("stream_sketch_histogram did not finish in 600s")
     assert reg._state()["n"] >= 2, "expected >= 2 micro-batches"
     return _finalize(reg.quantiles(_HIST_QS).orderBy("q"), work)
+
+
+@declare(
+    "mvcc_clone",
+    sql="""
+    WITH src AS (
+      SELECT event_id, value FROM events WHERE event_id % 3 = 0)
+    SELECT event_id,
+           CASE WHEN event_id % 6 = 0 THEN value * 10 ELSE value END AS value
+    FROM src ORDER BY event_id
+    """,
+    tags=("mvcc", "clone", "zero-copy", "lakehouse"),
+)
+def mvcc_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE end-to-end: seed a table, zero-copy fork it
+    (symlinked commit dirs — O(commits) creation, Delta SHALLOW CLONE
+    semantics), then DIVERGE both sides — the clone ×10s the %6 values,
+    the SOURCE deletes the %9==6 keys. The clone's final snapshot must
+    show its own update and NONE of the source's post-clone delete; the
+    oracle restates exactly that. Independence + zero-copy + index
+    carryover are pinned in tests/test_mvcc.py."""
+    from ..mvcc.table import MvccTable
+
+    work = tempfile.mkdtemp(prefix="pxs_clone_")
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    src = MvccTable(spark, os.path.join(work, "src"), key_col="event_id")
+    src.insert(e.filter(F.col("event_id") % 3 == 0))
+    fork = src.clone(os.path.join(work, "fork"))
+    fork.update(
+        fork.read_latest_version()
+        .filter(F.col("event_id") % 6 == 0)
+        .drop("_commit_ts")
+        .withColumn("value", F.col("value") * 10)
+    )
+    src.delete(
+        e.filter(F.col("event_id") % 9 == 6).select("event_id")
+    )
+    return _finalize(
+        fork.read_latest_version().drop("_commit_ts").orderBy("event_id"),
+        work,
+    )

@@ -894,3 +894,50 @@ def test_restore_is_idempotent_at_target(spark, tmp_path):
     ts_r = t.restore(ts1)
     assert ts_r > ts1
     assert [(r["k"], r["v"]) for r in t.read().collect()] == [(1, 2)]
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """Clone at ts1: (a) no data bytes copied (commit dirs are symlinks);
+    (b) clone writes don't touch the source; (c) source writes after the
+    clone are invisible to the clone; (d) point-index manifest carries
+    over and keeps pruning."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pixels_spark.mvcc.table import MvccTable
+
+    src = MvccTable(spark, str(tmp_path / "src"), key_col="k", indexed=True)
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ts1 = src.insert(base)
+    clone = src.clone(str(tmp_path / "fork"))
+    # (a) zero-copy: every cloned commit dir is a symlink
+    for e in os.listdir(clone.data_dir):
+        assert os.path.islink(os.path.join(clone.data_dir, e)), e
+    assert sorted(r.k for r in clone.read_latest_version().collect()) == list(
+        range(100)
+    )
+    # (b) clone diverges without touching the source
+    clone.update(
+        clone.read_latest_version()
+        .filter(F.col("k") < 10)
+        .select("k", (F.col("v") * 100).alias("v"))
+        .drop("_commit_ts")
+    )
+    assert src.read_latest_version().filter(F.col("v") >= 1000).count() == 0
+    got = {r.k: r.v for r in clone.read_latest_version().collect()}
+    assert got[5] == 1000 and got[50] == 100
+    # (c) source evolution after the clone is invisible to the clone
+    src.delete(spark.range(100).select(F.col("id").alias("k")))
+    assert src.read_latest_version().count() == 0
+    assert clone.read_latest_version().count() == 100
+    # (d) manifest carried: point lookup on the clone prunes by file range
+    assert [r.v for r in clone.point_lookup(99).collect()] == [198]
+    # clone into an existing table refuses
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        src.clone(str(tmp_path / "fork"))
+    assert ts1 <= clone.trans.high_watermark
