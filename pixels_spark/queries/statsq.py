@@ -1182,18 +1182,24 @@ _SKEW_KEYS = (
 
 
 def _skew_leg_sql(table: str, key: str) -> str:
+    # entropy via the one-pass identity -SUM((c/n)ln(c/n)) = ln(n) - S/n
+    # with S = SUM(c*ln(c)): n, S, max(c), count(*) are ONE aggregate over
+    # the per-key counts -- no second scan for the total, no global window
     return f"""
-      SELECT '{table}.{key}' AS key_name,
-             CAST(max(n) AS BIGINT) AS n_rows,
-             CAST(count(*) AS BIGINT) AS n_distinct,
-             CAST(max(c) AS BIGINT) AS max_key_rows,
-             CAST(max(c) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS top1_share,
-             CAST(-sum(CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                            * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                            AS DECIMAL(28,12))) AS DOUBLE) AS entropy
-      FROM (SELECT c, sum(c) OVER () AS n
-            FROM (SELECT CAST(count(*) AS BIGINT) AS c
-                  FROM {table} GROUP BY {key}) t0) t1"""
+      SELECT key_name, n_rows, n_distinct, max_key_rows,
+             CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+               AS top1_share,
+             ln(CAST(n_rows AS DOUBLE))
+               - CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) AS entropy
+      FROM (
+        SELECT '{table}.{key}' AS key_name,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS max_key_rows,
+               sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                        AS DECIMAL(38,12))) AS s
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c
+              FROM {table} GROUP BY {key}) t0) t1"""
 
 
 @declare(
@@ -1209,14 +1215,18 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, distinct keys, the hottest key's row count and share, and the
     Shannon entropy of the key distribution — the numbers that decide
     salting / AQE-skew-join settings BEFORE a 100 TB join is launched
-    (top1_share·n over shuffle-partition size ⇒ a straggler). Entropy
-    terms are DECIMAL(28,12)-quantized before the exact decimal sum (the
+    (top1_share·n over shuffle-partition size ⇒ a straggler). Entropy is
+    ONE pass via the identity −Σ(c/n)·ln(c/n) = ln(n) − Σ c·ln(c)/n:
+    n, Σ c·ln(c), max(c) and the distinct count are a single aggregate
+    over the per-key counts, so each table is scanned exactly ONCE (the
+    naive c/n form needs n first — a second scan or a global window;
+    measured: the crossJoin-total form scanned every table twice, no
+    ReusedExchange under AQE). The Σ c·ln(c) terms are
+    DECIMAL(38,12)-quantized before the exact decimal sum (the
     stat_chi_square discipline), so the report hash-matches the oracle.
 
-    Scale: one hash aggregate per key (map-side partials), then O(keys)
-    frame math. The oracle's `sum(c) OVER ()` global window is replaced
-    engine-side by a 1-row broadcast total (Spark reuses the aggregate's
-    exchange, so the table is still scanned once per leg)."""
+    Scale: one hash aggregate per key (map-side partials), then O(1)
+    frame math per leg — plan-asserted single FileScan per table leg."""
     legs = []
     for table, key in _SKEW_KEYS:
         counts = (
@@ -1224,20 +1234,28 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(key)
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         )
-        tot = counts.agg(F.sum("c").cast("bigint").alias("n"))
+        agg = counts.agg(
+            F.lit(f"{table}.{key}").alias("key_name"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").alias("max_key_rows"),
+            F.expr(
+                """sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                   AS DECIMAL(38,12)))"""
+            ).alias("s"),
+        )
         legs.append(
-            counts.crossJoin(F.broadcast(tot)).agg(
-                F.lit(f"{table}.{key}").alias("key_name"),
-                F.max("n").alias("n_rows"),
-                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-                F.max("c").alias("max_key_rows"),
+            agg.select(
+                "key_name",
+                "n_rows",
+                "n_distinct",
+                "max_key_rows",
                 F.expr(
-                    "CAST(max(c) AS DOUBLE) / CAST(max(n) AS DOUBLE)"
+                    "CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)"
                 ).alias("top1_share"),
                 F.expr(
-                    """CAST(-sum(CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                       * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                       AS DECIMAL(28,12))) AS DOUBLE)"""
+                    """ln(CAST(n_rows AS DOUBLE))
+                       - CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE)"""
                 ).alias("entropy"),
             )
         )

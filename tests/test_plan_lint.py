@@ -67,7 +67,6 @@ ALLOWLIST = {
     "sketch_histogram": "3-row quantile probe against the <=64-row sketch",
     "stat_chi_square": "R x C contingency grid cross join (5x24, broadcast)",
     "vec_pca_top2": "1-row deflation-scalar (c1,c2) frame crossJoin",
-    "dq_skew_report": "1-row per-leg key-total frame crossJoins (broadcast)",
     "funnel_wilson_ci": "1-row base x conv scalar frame crossJoin",
 }
 

@@ -79,3 +79,15 @@ def test_chi_square_zero_on_independent_grid(spark, tmp_path):
     )
     r2 = stat_chi_square(spark, str(tmp_path)).collect()[0]
     assert r2.dof == 1 and r2.chi2 > 50  # fully dependent: chi2 = n = 60
+
+
+def test_dq_skew_report_one_filescan_per_leg(spark, sf_dir):
+    """The one-pass entropy identity means each key's table is scanned
+    exactly once per leg (lineitem appears in two legs -> 2 scans)."""
+    from pixels_spark.queries import load_all_modules
+
+    df = load_all_modules()["dq_skew_report"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("lineitem.parquet") == 2  # two key legs
+    assert plan.count("events.parquet") == 1
