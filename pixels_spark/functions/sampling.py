@@ -178,19 +178,21 @@ def priority_topk_finalize(
     top-(k+1) scored rows (the full corpus's head, or a maintained
     streaming state — top-(k+1) of a union is always within the union of
     each side's top-(k+1), so the merge is exact). The k+1 survivors are
-    a tiny bounded frame: a global window over them is O(k), and the
-    1-row τ frame is a broadcast scalar (allowlisted crossJoin
-    pattern)."""
+    a tiny bounded frame: both windows over them are O(k); τ attaches as
+    a second window column rather than a broadcast-scalar crossJoin,
+    which would re-evaluate the (corpus-scanning) top subtree per branch
+    — the pca_power lesson."""
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.col("priority").desc(), F.col(key_col))
-    ranked = top.withColumn("_rk", F.row_number().over(w))
-    tau = ranked.agg(
-        F.max(F.when(F.col("_rk") == k + 1, F.col("priority"))).alias("_tau")
+    ranked = top.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_tau",
+        F.max(F.when(F.col("_rk") == k + 1, F.col("priority"))).over(
+            Window.partitionBy()
+        ),
     )
     return (
         ranked.filter(F.col("_rk") <= k)
-        .crossJoin(F.broadcast(tau))
         .withColumn(
             "est_weight",
             F.greatest(

@@ -901,50 +901,16 @@ def comoment_matrix(
     stays integer-exact because the mean is never materialized: n²·cov
     needs no division.
 
-    Scale shape: the d(d+1)/2 pair products are generated per vector with
-    an array HOF (no self-join — the `graph_triangles` pattern) and
-    collapse map-side to d² partial sums per partition before ONE exchange
-    of d² rows per partition; the linear sums ride the same shape. At
-    100 TB the wire carries O(partitions · d²), never O(rows)."""
-    from .dedup import spread
-
-    qarr = F.expr(
-        f"transform({vec_col}, x -> "
-        f"CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT))"
-    )
-    # spread(): a compacted embeddings table often arrives as ONE parquet
-    # row group → the d²/2-per-vector pair explode would run single-task
-    # (measured 4.2 s at sf0.1); hash-spreading on the id engages every core
-    base = spread(emb, id_col).select(qarr.alias("q"))
-    pairs = base.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(q, (xi, i) -> "
-                "transform(slice(q, i + 1, size(q) - i), (xj, jj) -> "
-                "named_struct('i', i, 'j', i + jj, "
-                "'p', CAST(xi AS DECIMAL(38,0)) * xj))))"
-            )
-        ).alias("e")
-    ).select("e.i", "e.j", "e.p")
-    upper = pairs.groupBy("i", "j").agg(F.sum("p").alias("p"))
-    lin = (
-        base.select(F.posexplode("q").alias("i", "qx"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
-    )
-    return (
-        upper.join(lin.select("i", F.col("s").alias("si"), "n"), "i")
-        .join(lin.select(F.col("i").alias("j"), F.col("s").alias("sj")), "j")
-        .select(
-            "i",
-            "j",
-            (F.col("n") * F.col("p") - F.col("si") * F.col("sj")).alias("m"),
-            "n",
-        )
-    )
+    Scale shape: the d(d+1)/2 pair products, the d linear sums, and the
+    row count all ride ONE flattened array per vector
+    (``comoment_partials``) — one explode, one partial-aggregated
+    groupBy, ONE corpus scan (plan-asserted in tests/test_vector.py; the
+    earlier separate-branch form re-scanned the corpus per aggregate
+    branch). The partials agg output is O(d²) and persisted, so the
+    triple reuse in the assembly joins is cache-local. At 100 TB the
+    wire carries O(partitions · d²), never O(rows)."""
+    parts = comoment_partials(emb, id_col, vec_col, scale).persist()
+    return comoment_from_partials(parts)
 
 
 def pca_power(
@@ -1165,7 +1131,12 @@ def comoment_partials(
         f"CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT))"
     )
     base = spread(emb, id_col).select(qarr.alias("q"))
-    pairs = (
+    # Pair products, linear sums, AND the row count ride ONE flattened
+    # array per vector (sentinel (i,-1) / (-1,-1) rows) -> one explode,
+    # one partial-aggregated groupBy, ONE corpus scan. Emitting them as
+    # separate aggregate branches would re-scan the corpus per branch
+    # (a lazy-plan subtree is re-evaluated per reference, not CSE'd).
+    return (
         base.select(
             F.explode(
                 F.expr(
@@ -1173,6 +1144,10 @@ def comoment_partials(
                     "transform(slice(q, i + 1, size(q) - i), (xj, jj) -> "
                     "named_struct('i', i, 'j', i + jj, "
                     "'p', CAST(xi AS DECIMAL(38,0)) * xj))))"
+                    " || transform(q, (x, i) -> named_struct("
+                    "'i', i, 'j', -1, 'p', CAST(x AS DECIMAL(38,0))))"
+                    " || array(named_struct('i', -1, 'j', -1, "
+                    "'p', CAST(1 AS DECIMAL(38,0))))"
                 )
             ).alias("e")
         )
@@ -1180,16 +1155,6 @@ def comoment_partials(
         .groupBy("i", "j")
         .agg(F.sum("p").alias("p"))
     )
-    lin = (
-        base.select(F.posexplode("q").alias("i", "qx"))
-        .groupBy("i")
-        .agg(F.sum(F.col("qx").cast("decimal(38,0)")).alias("p"))
-        .select("i", F.lit(-1).alias("j"), "p")
-    )
-    cnt = base.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("p")
-    ).select(F.lit(-1).alias("i"), F.lit(-1).alias("j"), "p")
-    return pairs.unionByName(lin).unionByName(cnt)
 
 
 def comoment_from_partials(parts: DataFrame) -> DataFrame:
@@ -1197,22 +1162,31 @@ def comoment_from_partials(parts: DataFrame) -> DataFrame:
     merged ``comoment_partials`` rows — the identical M = n·Σqq − Σq·Σq
     formula over the identical exact sums, so a maintainer's result is
     bit-equal to ``comoment_matrix`` over the union of its batches."""
-    p = parts.filter(F.col("j") >= 0)
-    s = parts.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
-        "i", F.col("p").alias("s")
+    from pyspark.sql.window import Window
+
+    # n rides a global window over the O(d²)-bounded partials frame (the
+    # pca_power lesson: a broadcast-scalar crossJoin would duplicate the
+    # subtree per reference)
+    parts2 = parts.withColumn(
+        "_n",
+        F.max(F.when(F.col("i") == -1, F.col("p"))).over(
+            Window.partitionBy()
+        ),
     )
-    n = parts.filter(F.col("i") == -1).select(
-        F.col("p").cast("bigint").alias("n")
+    p = parts2.filter(F.col("j") >= 0)
+    s = parts2.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        "i", F.col("p").alias("s")
     )
     return (
         p.join(s.select(F.col("i"), F.col("s").alias("si")), "i")
         .join(s.select(F.col("i").alias("j"), F.col("s").alias("sj")), "j")
-        .crossJoin(F.broadcast(n))
         .select(
             "i",
             "j",
-            (F.col("n") * F.col("p") - F.col("si") * F.col("sj")).alias("m"),
-            "n",
+            (F.col("_n") * F.col("p") - F.col("si") * F.col("sj")).alias(
+                "m"
+            ),
+            F.col("_n").cast("bigint").alias("n"),
         )
     )
 

@@ -414,25 +414,29 @@ def funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     and z²/2 = 1.9208 as exact decimal literals), so the oracle matches
     exactly and the text is dialect-shared.
 
-    Scale: two conditional distinct aggregates over one user-keyed
-    exchange-shape (the EXISTS decorrelates to a min-signup-ts window,
-    which Catalyst plans as a semi-join); the CI math is O(1)."""
-    e = load_table(spark, sf_dir, "events")
-    su = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("_first_signup"))
+    Scale: ONE scan, one user-keyed aggregate (exists-purchase-after ==
+    max purchase ts > min signup ts per user), one closing aggregate;
+    the CI math is O(1). Plan-asserted single FileScan."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
     )
-    conv = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(su, "user_id")
-        .filter(F.col("ts") > F.col("_first_signup"))
-        .select("user_id")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("bigint").alias("conv"))
+    # exists-purchase-after-first-signup == max(purchase ts) > min(signup
+    # ts): base and conv are ONE per-user aggregate + one closing
+    # aggregate — a single scan, no join, no scalar crossJoin
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "_fs"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "_mp"
+        ),
     )
-    base = su.agg(F.count(F.lit(1)).cast("bigint").alias("base"))
-    c = base.crossJoin(F.broadcast(conv))
+    c = per_user.filter(F.col("_fs").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("base"),
+        F.sum(F.when(F.col("_mp") > F.col("_fs"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
     return c.select(
         "base",
         "conv",

@@ -944,6 +944,9 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("view", "click"))
         .select("event_type", F.col("value").alias("v"))
     )
+    # persist the value-grain counts: the bucket-subtotal branch and the
+    # main join both read them — unpersisted, the events scan runs twice.
+    # O(distinct values) rows; MEMORY_AND_DISK default handles any size.
     ab = e.groupBy("v").agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
         .cast("bigint")
@@ -951,7 +954,7 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("bigint")
         .alias("cb"),
-    )
+    ).persist()
     b = ab.withColumn("_b", F.floor(F.col("v") / F.lit(25.0)))
     bsum = b.groupBy("_b").agg(F.sum("cb").alias("_bs"))
     wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
@@ -1049,10 +1052,13 @@ def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(R·C) frame ops — the events table is scanned once and never
     shuffled at its own volume."""
     e = load_table(spark, sf_dir, "events")
+    # persist the R×C cell frame: r/c/g and the grid join all derive from
+    # it, and an unpersisted lazy subtree is re-evaluated per reference —
+    # the events scan would run 4× (measured; cells are ≤ R·C rows)
     o = e.groupBy(
         F.col("event_type").alias("rt"),
         F.hour("ts").cast("bigint").alias("ct"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs")).persist()
     r = o.groupBy("rt").agg(F.sum("obs").cast("bigint").alias("rtot"))
     c = o.groupBy("ct").agg(F.sum("obs").cast("bigint").alias("ctot"))
     g = o.agg(

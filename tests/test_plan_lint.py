@@ -61,13 +61,11 @@ ALLOWLIST = {
     "vec_hybrid_rrf": "1-row query-vector crossJoin",
     "vec_hybrid_rrf_topn": "1-row query-vector crossJoin (bounded kNN leg)",
     "txt_quota_sample": "1-row corpus-total / leftover frame crossJoins",
-    "txt_priority_sample": "1-row tau frame crossJoin over k+1 survivors",
     "txt_bpe_train": "1-row chosen-merge frame crossJoins (broadcast)",
     "rec_assoc_rules": "scalar basket-total frame crossJoin (1 row)",
     "sketch_histogram": "3-row quantile probe against the <=64-row sketch",
     "stat_chi_square": "R x C contingency grid cross join (5x24, broadcast)",
     "vec_pca_top2": "1-row deflation-scalar (c1,c2) frame crossJoin",
-    "funnel_wilson_ci": "1-row base x conv scalar frame crossJoin",
 }
 
 BATCH = sorted(

@@ -91,3 +91,18 @@ def test_dq_skew_report_one_filescan_per_leg(spark, sf_dir):
     assert plan.count("orders.parquet") == 1
     assert plan.count("lineitem.parquet") == 2  # two key legs
     assert plan.count("events.parquet") == 1
+
+
+def test_single_scan_queries_plan(spark, sf_dir):
+    """Queries whose docstrings claim ONE FileScan must show exactly one
+    (the lazy-plan-subtree-reuse lesson, pinned)."""
+    from pixels_spark.queries import load_all_modules
+
+    R = load_all_modules()
+    for name, table in [
+        ("txt_priority_sample", "documents"),
+        ("funnel_wilson_ci", "events"),
+        ("txt_group_kfold", "documents"),
+    ]:
+        plan = R[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(f"{table}.parquet") == 1, name
