@@ -172,6 +172,9 @@ HEADLINE = (
     # and top2 re-runs pca_power's benched kernel twice.
     "stat_weighted_median",
     "dq_skew_report",
+    # round 7, session 6e: KS two-sample drift test (CDF distance —
+    # complements the rank-sum test; same two-level prefix machinery)
+    "stat_ks_test",
 )
 
 

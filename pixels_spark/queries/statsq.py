@@ -1269,3 +1269,127 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("key_name")
+
+
+@declare(
+    "stat_ks_test",
+    sql="""
+    WITH ab AS (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY value
+    ), pre AS (
+      SELECT v,
+             CAST(sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_b,
+             CAST(sum(ca) OVER () AS BIGINT) AS na,
+             CAST(sum(cb) OVER () AS BIGINT) AS nb
+      FROM ab
+    ), s AS (
+      SELECT max(abs(cum_a * nb - cum_b * na)) AS d_num,
+             max(na) AS na, max(nb) AS nb
+      FROM pre
+    )
+    SELECT na, nb, d_num,
+           CAST(d_num AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d,
+           1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+             AS crit_05,
+           CAST(d_num AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+           > 1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+             AS reject_05
+    FROM s
+    """,
+    tags=("stats", "hypothesis-test", "ks", "drift", "beyond-parity"),
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the 'view' and 'click'
+    value distributions — the CDF-distance drift test (sensitive to ANY
+    distributional difference, where rank-sum ``stat_mann_whitney``
+    targets location shift; a monitoring stack runs both). The statistic
+    is held exact: D·nₐ·n_b = max|cumₐ·n_b − cum_b·nₐ| over per-value
+    cumulative counts — all BIGINT; D and the α=0.05 critical value
+    (c(α)=1.358) are fixed IEEE chains, so the oracle matches exactly
+    and the text is dialect-shared.
+
+    Scale: per-value counts (one shuffle), then the same TWO-LEVEL
+    prefix-sum the Mann-Whitney engine uses — INCLUSIVE local windows
+    partitioned by value band, exclusive band prefix over the tiny band
+    frame, totals from the band frame too; no global window touches the
+    value set."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select("event_type", F.col("value").alias("v"))
+    )
+    ab = e.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    ).persist()
+    b = ab.withColumn("_b", F.floor(F.col("v") / F.lit(25.0)))
+    bs = b.groupBy("_b").agg(
+        F.sum("ca").alias("_ba"), F.sum("cb").alias("_bb")
+    )
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bpre = bs.select(
+        "_b",
+        F.coalesce(F.sum("_ba").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("_la"),
+        F.coalesce(F.sum("_bb").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("_lb"),
+        F.sum("_ba").over(wt).cast("bigint").alias("na"),
+        F.sum("_bb").over(wt).cast("bigint").alias("nb"),
+    )
+    win = (
+        Window.partitionBy("_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = b.join(F.broadcast(bpre), "_b").select(
+        (F.col("_la") + F.sum("ca").over(win)).cast("bigint").alias("cum_a"),
+        (F.col("_lb") + F.sum("cb").over(win)).cast("bigint").alias("cum_b"),
+        "na",
+        "nb",
+    )
+    s = pre.agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+        ).alias("d_num"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    d = "CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+    crit = (
+        "1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))"
+        " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"
+    )
+    return s.select(
+        "na",
+        "nb",
+        "d_num",
+        F.expr(d).alias("d"),
+        F.expr(crit).alias("crit_05"),
+        F.expr(f"{d} > {crit}").alias("reject_05"),
+    )

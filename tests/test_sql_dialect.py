@@ -91,7 +91,7 @@ DIALECT_SHARED = [
     # sample / vec_* PCA oracles are NOT shareable — DuckDB hex cast /
     # HUGEINT + // division)
     "stat_mann_whitney", "stat_chi_square", "stat_weighted_median",
-    "dq_skew_report", "funnel_wilson_ci", "mvcc_clone",
+    "dq_skew_report", "funnel_wilson_ci", "mvcc_clone", "stat_ks_test",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant
