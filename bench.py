@@ -174,7 +174,10 @@ HEADLINE = (
     "dq_skew_report",
     # round 7, session 6e: KS two-sample drift test (CDF distance —
     # complements the rank-sum test; same two-level prefix machinery)
+    # and common-neighbor Jaccard link prediction (wedge expansion +
+    # anti-join, the graph-feature twin of rec_item_sim)
     "stat_ks_test",
+    "graph_link_predict",
 )
 
 

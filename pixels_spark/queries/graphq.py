@@ -971,3 +971,104 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ia").alias("src"), F.col("ib").alias("dst")
     ).unionByName(base.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
     return G.kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")
+
+
+@declare(
+    "graph_link_predict",
+    sql=_TRI_EDGES_SQL
+    + """,
+    adj AS (
+      SELECT s1 AS a, s2 AS b FROM edges
+      UNION ALL SELECT s2 AS a, s1 AS b FROM edges),
+    cn AS (
+      SELECT x.b AS a, y.b AS c, CAST(count(*) AS BIGINT) AS common_nbrs
+      FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+      GROUP BY x.b, y.b),
+    newp AS (
+      SELECT cn.a, cn.c, cn.common_nbrs
+      FROM cn LEFT JOIN edges e ON e.s1 = cn.a AND e.s2 = cn.c
+      WHERE e.s1 IS NULL),
+    deg AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM adj GROUP BY a)
+    SELECT n.a AS p1, n.c AS p2, n.common_nbrs,
+           da.degree AS deg1, dc.degree AS deg2,
+           CAST(n.common_nbrs AS DOUBLE)
+             / CAST(da.degree + dc.degree - n.common_nbrs AS DOUBLE)
+             AS jaccard
+    FROM newp n
+    JOIN deg da ON da.node = n.a
+    JOIN deg dc ON dc.node = n.c
+    ORDER BY jaccard DESC, p1, p2 LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "jaccard", "beyond-parity"),
+)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: the 20 strongest
+    NON-edges by neighborhood Jaccard |Γ(a)∩Γ(c)| / |Γ(a)∪Γ(c)| — the
+    classic common-neighbors recommender ("parts bought with the same
+    things are substitutes/complements"), and the graph-feature twin of
+    ``rec_item_sim``'s basket cosine. Counts are exact integers; the
+    Jaccard quotient is one IEEE division, so ordering agrees and the
+    text is dialect-shared.
+
+    Scale: candidate pairs come from ONE wedge expansion over per-node
+    sorted neighbor lists (the graph_triangles HOF pattern — one
+    adjacency shuffle, fanout Σ C(deg,2) bounded by the support
+    threshold; the oracle's adj⋈adj restates it relationally), then an
+    anti-join against the edge set and two broadcast-size degree joins;
+    the top-20 is a TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = (
+        "transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS s1, y AS s2)))"
+    )
+    edges = (
+        per_order.select(F.explode(F.flatten(F.expr(pair_expr))).alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("s1", "s2")
+        .persist()
+    )
+    adj = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+    nbrs = adj.groupBy("u").agg(F.array_sort(F.collect_set("v")).alias("ps"))
+    cn = (
+        nbrs.select(F.explode(F.flatten(F.expr(pair_expr))).alias("p"))
+        .select(F.col("p.s1").alias("a"), F.col("p.s2").alias("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_nbrs"))
+    )
+    newp = cn.join(
+        edges.select(F.col("s1").alias("a"), F.col("s2").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return (
+        newp.join(deg.select(F.col("u").alias("a"), F.col("degree").alias("deg1")), "a")
+        .join(deg.select(F.col("u").alias("c"), F.col("degree").alias("deg2")), "c")
+        .select(
+            F.col("a").alias("p1"),
+            F.col("c").alias("p2"),
+            "common_nbrs",
+            "deg1",
+            "deg2",
+            (
+                F.col("common_nbrs").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("common_nbrs")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "p1", "p2")
+        .limit(20)
+    )

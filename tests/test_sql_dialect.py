@@ -92,6 +92,7 @@ DIALECT_SHARED = [
     # HUGEINT + // division)
     "stat_mann_whitney", "stat_chi_square", "stat_weighted_median",
     "dq_skew_report", "funnel_wilson_ci", "mvcc_clone", "stat_ks_test",
+    "graph_link_predict",
     # graph_pagerank's oracle ALSO runs verbatim on spark.sql but is
     # excluded here: this test compares raw value strings, and six rounds
     # of differently-ordered float sums agree only to ~12 significant
