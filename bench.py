@@ -178,6 +178,9 @@ HEADLINE = (
     # anti-join, the graph-feature twin of rec_item_sim)
     "stat_ks_test",
     "graph_link_predict",
+    # round 7, session 6f: LTTB dashboard downsampling (exact-integer
+    # triangle-area argmax fold; 24-CTE unrolled oracle)
+    "ts_lttb",
 )
 
 

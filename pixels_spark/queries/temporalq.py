@@ -979,3 +979,171 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_us"
         ),
     ).orderBy("purchase_id")
+
+
+_LTTB_B = 24  # interior buckets; output = B + first + last points
+
+
+def _lttb_oracle(B: int = _LTTB_B) -> str:
+    parts = [
+        f"""h AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY date_trunc('hour', ts)
+    ), idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS x, y,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM h
+    ), fl AS (
+      SELECT min(x) AS fx, max(x) AS lx, CAST(max(n) AS BIGINT) AS n
+      FROM idx
+    ), firstp AS (SELECT i.x, i.y FROM idx i, fl WHERE i.x = fl.fx),
+    lastp AS (SELECT i.x, i.y FROM idx i, fl WHERE i.x = fl.lx),
+    pts AS (
+      SELECT least(CAST((i.x - 2) // (((fl.n - 2) + {B} - 1) // {B})
+                        AS BIGINT), {B} - 1) + 1 AS k,
+             i.x, i.y
+      FROM idx i, fl WHERE i.x > fl.fx AND i.x < fl.lx
+    ), anch AS (
+      SELECT k - 1 AS k, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS c
+      FROM pts GROUP BY k
+    ), lanch AS (
+      SELECT CAST({B} AS BIGINT) AS k, x AS sx, y AS sy,
+             CAST(1 AS BIGINT) AS c
+      FROM lastp
+    ), anchors AS (
+      SELECT * FROM anch WHERE k >= 1 UNION ALL SELECT * FROM lanch
+    ), s0 AS (SELECT x, y FROM firstp)"""
+    ]
+    for k in range(1, B + 1):
+        parts.append(
+            f"""s{k} AS (
+      SELECT x, y FROM (
+        SELECT p.x, p.y,
+               row_number() OVER (ORDER BY
+                 abs((prev.x * a.c - a.sx) * (p.y - prev.y)
+                     - (prev.x - p.x) * (a.sy - prev.y * a.c)) DESC,
+                 p.x) AS rn
+        FROM pts p, s{k - 1} prev, anchors a
+        WHERE p.k = {k} AND a.k = {k}) t
+      WHERE rn = 1)"""
+        )
+    sel = " UNION ALL ".join(f"SELECT x, y FROM s{k}" for k in range(B + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT x, y FROM ({sel} UNION ALL SELECT x, y FROM lastp) t ORDER BY x"""
+    )
+
+
+@declare(
+    "ts_lttb",
+    sql=_lttb_oracle(),
+    tags=("temporal", "timeseries", "downsampling", "lttb", "beyond-parity"),
+)
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    the hourly event-count series to 26 points — the decimation every
+    dashboard runs before plotting (keep the visually salient extremes,
+    not bucket means). First/last kept; each of the 24 interior buckets
+    contributes the point maximizing the triangle area with the PREVIOUS
+    selected point and the NEXT bucket's centroid — a sequential
+    recursion, run here as a single array fold (the cusum_scan shape)
+    whose per-step argmax is an exact-INTEGER comparison: 2·Area scaled
+    by the next bucket's count, |( pₓ·c − Σx )(y − p_y) − (pₓ − x)(Σy −
+    p_y·c)|, ties → earliest x. The oracle unrolls the same recursion as
+    24 generated CTEs (the power-iteration pattern); both engines pick
+    identical points.
+
+    Scale: one hash aggregate to hourly grain; everything after operates
+    on the calendar-bounded series (indexing window + fold state are
+    O(buckets)); the raw stream is never re-read."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    B = _LTTB_B
+    w_all = Window.orderBy("hr")
+    idx = h.select(
+        F.row_number().over(w_all).cast("bigint").alias("x"), "y"
+    ).withColumn(
+        "n",
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint"),
+    ).persist()
+    interior = idx.filter((F.col("x") > 1) & (F.col("x") < F.col("n"))).select(
+        (
+            F.least(
+                F.expr(f"(x - 2) div (((n - 2) + {B} - 1) div {B})"),
+                F.lit(B - 1),
+            )
+            + 1
+        ).alias("k"),
+        "x",
+        "y",
+    )
+    buckets = interior.groupBy("k").agg(
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias("pts"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    lastp = idx.filter(F.col("x") == F.col("n")).select("x", "y")
+    firstp = idx.filter(F.col("x") == 1).select("x", "y")
+    # anchor of bucket k = sums of bucket k+1 (last bucket anchors on the
+    # final point): shift via a tiny self-join on the <=B-row frame
+    anchors = buckets.select(
+        (F.col("k") - 1).alias("k"),
+        F.col("sx").alias("asx"),
+        F.col("sy").alias("asy"),
+        F.col("c").alias("ac"),
+    ).filter(F.col("k") >= 1).unionByName(
+        lastp.select(
+            F.lit(B).cast("bigint").alias("k"),
+            F.col("x").alias("asx"),
+            F.col("y").alias("asy"),
+            F.lit(1).cast("bigint").alias("ac"),
+        )
+    )
+    folded = (
+        buckets.select("k", "pts")
+        .join(anchors, "k")
+        .select(
+            F.struct(
+                "k",
+                "pts",
+                F.col("asx").alias("sx"),
+                F.col("asy").alias("sy"),
+                F.col("ac").alias("c"),
+            ).alias("b")
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+        .crossJoin(F.broadcast(firstp))
+    )
+    step_cand = (
+        "array_max(transform(b.pts, p -> named_struct("
+        "'s', abs((acc.px * b.c - b.sx) * (p.y - acc.py)"
+        " - (acc.px - p.x) * (b.sy - acc.py * b.c)),"
+        "'nx', -p.x, 'y', p.y)))"
+    )
+    fold = f"""aggregate(
+        bs,
+        named_struct('px', x, 'py', y,
+                     'sel', array(named_struct('x', x, 'y', y))),
+        (acc, b) -> named_struct(
+            'px', -{step_cand}.nx,
+            'py', {step_cand}.y,
+            'sel', acc.sel || array(named_struct(
+                'x', -{step_cand}.nx, 'y', {step_cand}.y))))"""
+    out = (
+        folded.select(F.explode(F.expr(fold + ".sel")).alias("p"))
+        .select("p.x", "p.y")
+        .unionByName(lastp)
+    )
+    return out.orderBy("x")

@@ -66,6 +66,7 @@ ALLOWLIST = {
     "sketch_histogram": "3-row quantile probe against the <=64-row sketch",
     "stat_chi_square": "R x C contingency grid cross join (5x24, broadcast)",
     "vec_pca_top2": "1-row deflation-scalar (c1,c2) frame crossJoin",
+    "ts_lttb": "1-row first-point frame crossJoin seeding the bucket fold",
 }
 
 BATCH = sorted(
