@@ -298,6 +298,13 @@ def main() -> None:
             t0 = time.perf_counter()
             _consume(fn(spark, staged_dir))
             all_runs[name].append(round(time.perf_counter() - t0, 4))
+            # several operators persist small frames inside their plans
+            # (co-moment matrices, value-grain counts) and cannot
+            # unpersist before the caller executes; drop them so ~90
+            # queries × 3 passes don't accumulate orphaned caches in the
+            # driver heap. Per-query timing is unaffected: each timed run
+            # builds and uses its OWN caches within the run.
+            spark.catalog.clearCache()
     timings = {name: min(runs) for name, runs in all_runs.items()}
 
     total = round(sum(timings.values()), 4)
