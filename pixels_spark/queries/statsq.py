@@ -1343,6 +1343,16 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cb"),
     ).persist()
+    return ks_scan(ab)
+
+
+def ks_scan(ab: DataFrame) -> DataFrame:
+    """KS scoring stage over a value-grain count frame ``(v, ca, cb)`` —
+    factored like ``anomaly_scores``/``cusum_scan`` so the streaming
+    twin ``stream_ks_drift`` (linear counter maintenance) runs the
+    identical two-level-prefix CDF distance and shares the oracle."""
+    from pyspark.sql import Window
+
     b = ab.withColumn("_b", F.floor(F.col("v") / F.lit(25.0)))
     bs = b.groupBy("_b").agg(
         F.sum("ca").alias("_ba"), F.sum("cb").alias("_bb")

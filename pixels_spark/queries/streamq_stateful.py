@@ -1821,6 +1821,103 @@ def stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out, work)
 
 
+def _stream_ks_oracle() -> str:
+    from .registry import REGISTRY
+    from . import statsq  # noqa: F401  (ensure registration)
+
+    return REGISTRY["stat_ks_test"].sql
+
+
+@declare(
+    "stream_ks_drift",
+    sql=_stream_ks_oracle(),
+    tags=("streaming", "drift", "ks", "linear-state", "beyond-parity"),
+)
+def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitoring: the two-sample KS test maintained over
+    an unbounded stream. Per micro-batch, the (value, view-count,
+    click-count) table folds by SUM — value-grain counters are LINEAR,
+    so the maintained table equals the batch scan's exactly and the
+    identical scoring stage (two-level prefix CDF distance) must
+    hash-match ``stat_ks_test``'s oracle. State is one row per distinct
+    value, independent of event volume — the deploy-gate shape: "has the
+    click distribution drifted from views?" answered continuously."""
+    import json
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_ks_")
+    src = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    state_json = os.path.join(state_root, "STATE.json")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).alias("m")
+    ).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        ab = (
+            batch_df.filter(F.col("event_type").isin("view", "click"))
+            .groupBy(F.col("value").alias("v"))
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                ).cast("bigint").alias("ca"),
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                ).cast("bigint").alias("cb"),
+            )
+        )
+        if os.path.exists(state_json):
+            with open(state_json) as f:
+                st = json.load(f)
+            ab = (
+                ab.unionByName(spark.read.parquet(st["data"]))
+                .groupBy("v")
+                .agg(
+                    F.sum("ca").cast("bigint").alias("ca"),
+                    F.sum("cb").cast("bigint").alias("cb"),
+                )
+            )
+            n = st["n"] + 1
+        else:
+            st, n = None, 1
+        dest = os.path.join(state_root, f"counts_v={n}")
+        ab.write.mode("overwrite").parquet(dest)
+        tmp = state_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": n, "data": dest}, f)
+        os.replace(tmp, state_json)
+        if st and st["data"] != dest and os.path.isdir(st["data"]):
+            shutil.rmtree(st["data"], ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_ks_drift did not finish in 600s")
+    with open(state_json) as f:
+        st = json.load(f)
+    assert st["n"] >= 2, "expected >= 2 micro-batches"
+    from .statsq import ks_scan
+
+    counters = spark.read.parquet(st["data"])
+    return _finalize(ks_scan(counters), work)
+
+
 def _stream_cusum_oracle() -> str:
     from .temporalq import _CUSUM_ORACLE
 
