@@ -144,6 +144,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     reliable: bool = False,
+    df_threshold: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via PREFIX-FILTERED shingle join
     (Chaudhuri et al. 2006 / PPJoin's prefix principle, relationally).
@@ -159,6 +160,26 @@ def ngram_jaccard_pairs(
     intersection avoided its prefix, the suffix could hold at most
     ``⌈t·|A|⌉ − 1 < t·|A| ≤ |A∩B|`` common shingles). Hot shingles land
     deep in every suffix, so their postings never meet the join.
+
+    ``df_threshold`` (optional) switches on an ADAPTIVE split: shingles
+    with df ≤ threshold ("cold") join their postings directly (no rank —
+    output bounded by threshold × |postings|) while hotter shingles go
+    through the prefix machinery, whose window then runs over the hot
+    postings only. The split is EXACT: a qualifying pair's minimal common
+    shingle s* is either cold (found by the cold leg, which joins ALL
+    cold postings) or hot — and then every common shingle is ≥ s* in the
+    (df, shingle) order, so the prefix principle applies unchanged; the
+    hot leg's rank is the TRUE global rank because cold shingles sort
+    strictly first, so rank(hot s in A) = |A's cold| + rank among hot
+    (property-fuzzed vs brute force at K ∈ {0, 1, 4, 16, ∞} in
+    tests/test_dedup.py). MEASURED default is None — the unified prefix
+    pipeline — because on the fixture corpus the split LOSES (7.0 s vs
+    2.6 s warm at sf0.1, A/B in one session): the prefix filter's
+    candidate reduction (105k vs 268k pairs at K=16) outweighs the
+    freq-join + window it avoids, and the split pays the posting relation
+    twice more (4-way reuse) plus a union/distinct. The option exists for
+    corpora whose posting mass is overwhelmingly cold-tail (the window
+    input shrinks to the hot slice); flip it only with a measurement.
 
     Candidates then verify exactly: one join back to the per-doc shingle
     arrays, ``|A∩B| = size(array_intersect)``, Jaccard ≥ threshold.
@@ -188,27 +209,55 @@ def ngram_jaccard_pairs(
     freq = exploded.groupBy("_shingle").agg(
         F.count(F.lit(1)).alias("_df")
     )
+    # ceil over the DOUBLE product t·|A| can round UP on exact-integer
+    # products (0.07*100 = 7.000000000000001 → ceil 8), shortening the
+    # prefix by one slot and risking a missed boundary pair. Subtracting
+    # an epsilon before ceil makes the error one-sided: the prefix can
+    # only err LONGER (a few extra candidates), never shorter (a missed
+    # pair) — recall stays exact.
     prefix_len = F.col("_size") - F.ceil(
-        F.lit(threshold) * F.col("_size")
+        F.lit(threshold) * F.col("_size") - F.lit(1e-9)
     ) + 1
-    w = Window.partitionBy("_id").orderBy("_df", "_shingle")
-    # (measured: lineage-cutting the prefix relation too is a net LOSS at
-    # fixture scale — the eager checkpoint costs more than recomputing the
-    # cheap freq-join/rank pipeline for the second self-join side)
-    prefix = (
-        exploded.join(freq, "_shingle")
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= prefix_len)
-    )
     join_keys = ["_shingle"] + (["_blk"] if block_col else [])
-    a = prefix.select(F.col("_id").alias("id_a"), *join_keys)
-    b = prefix.select(F.col("_id").alias("id_b"), *join_keys)
-    cands = (
-        a.join(b, join_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    posts = exploded.join(freq, "_shingle")
+    w = Window.partitionBy("_id").orderBy("_df", "_shingle")
+
+    def _pairs(rel: DataFrame) -> DataFrame:
+        a = rel.select(F.col("_id").alias("id_a"), *join_keys)
+        b = rel.select(F.col("_id").alias("id_b"), *join_keys)
+        return (
+            a.join(b, join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+
+    if df_threshold is None:
+        # unified prefix pipeline (measured fastest on the fixture corpus;
+        # lineage-cutting the prefix relation too is a net LOSS at fixture
+        # scale — the eager checkpoint costs more than recomputing the
+        # cheap freq-join/rank pipeline for the second self-join side)
+        prefix = posts.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") <= prefix_len
+        )
+        cands = _pairs(prefix).distinct()
+    else:
+        # adaptive split: the posting relation feeds both legs' both join
+        # sides — materialize it once
+        posts = cut_lineage(posts, reliable)
+        cold = posts.filter(F.col("_df") <= df_threshold)
+        hot = posts.filter(F.col("_df") > df_threshold)
+        # hot-leg global rank = (# cold shingles in the doc) + rank among
+        # the doc's hot shingles; the window input is hot postings only
+        ncold = cold.groupBy("_id").agg(F.count(F.lit(1)).alias("_nc"))
+        hot_prefix = (
+            hot.join(ncold, "_id", "left")
+            .withColumn(
+                "_rk",
+                F.row_number().over(w) + F.coalesce(F.col("_nc"), F.lit(0)),
+            )
+            .filter(F.col("_rk") <= prefix_len)
+        )
+        cands = _pairs(cold).unionByName(_pairs(hot_prefix)).distinct()
     sa = sh.select(
         F.col("_id").alias("id_a"),
         F.col("_sh").alias("_sh_a"),

@@ -268,13 +268,29 @@ class CountMinRegistry:
             )
         return self.spark.read.parquet(state["data"])
 
-    def merge_batch(self, df: DataFrame, col: str) -> None:
+    def merge_batch(
+        self, df: DataFrame, col: str, batch_id: int | None = None
+    ) -> None:
+        """Fold one micro-batch into the stored sketch. Pass the
+        foreachBatch ``batch_id`` to make the fold idempotent under
+        Structured Streaming's at-least-once replay: a crash between the
+        sink commit and the checkpoint commit re-delivers the SAME batch
+        id, and without the guard the counters would be double-summed,
+        breaking the bit-identical-to-one-shot-build contract. The
+        last-applied id is persisted in the atomic state JSON, so the
+        guard survives process restarts."""
         import json
         import os
         import shutil
 
-        batch = count_min_build(df, col, self.depth, self.width)
         state = self._state()
+        if (
+            batch_id is not None
+            and state is not None
+            and state.get("last_bid") == batch_id
+        ):
+            return  # replayed micro-batch: already folded
+        batch = count_min_build(df, col, self.depth, self.width)
         if state is None:
             merged, n = batch, 1
         else:
@@ -288,7 +304,7 @@ class CountMinRegistry:
         ).write.mode("overwrite").parquet(dest)
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n": n, "data": dest}, f)
+            json.dump({"n": n, "data": dest, "last_bid": batch_id}, f)
         os.replace(tmp, self.state_path)
         if state and state["data"] != dest and os.path.isdir(state["data"]):
             shutil.rmtree(state["data"], ignore_errors=True)
@@ -335,13 +351,26 @@ class KmvRegistry:
             return self.spark.createDataFrame([], "hv bigint")
         return self.spark.read.parquet(state["data"])
 
-    def merge_batch(self, df: DataFrame, col: str) -> None:
+    def merge_batch(
+        self, df: DataFrame, col: str, batch_id: int | None = None
+    ) -> None:
+        """Fold one micro-batch. ``batch_id`` makes the fold idempotent
+        under at-least-once replay (same contract as
+        ``CountMinRegistry.merge_batch``); KMV's ⊕ (union + re-truncate)
+        is actually idempotent by construction, but the guard still skips
+        the wasted rewrite on a replayed batch."""
         import json
         import os
         import shutil
 
-        batch = kmv_build(df, col, self.k)
         state = self._state()
+        if (
+            batch_id is not None
+            and state is not None
+            and state.get("last_bid") == batch_id
+        ):
+            return  # replayed micro-batch: already folded
+        batch = kmv_build(df, col, self.k)
         if state is None:
             merged, n = batch, 1
         else:
@@ -353,7 +382,7 @@ class KmvRegistry:
         ).parquet(dest)
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n": n, "data": dest}, f)
+            json.dump({"n": n, "data": dest, "last_bid": batch_id}, f)
         os.replace(tmp, self.state_path)
         if state and state["data"] != dest and os.path.isdir(state["data"]):
             shutil.rmtree(state["data"], ignore_errors=True)
@@ -497,13 +526,24 @@ class HistogramRegistry:
             return self.spark.createDataFrame([], "bin bigint, cnt bigint")
         return self.spark.read.parquet(state["data"])
 
-    def merge_batch(self, df: DataFrame, col: str) -> None:
+    def merge_batch(
+        self, df: DataFrame, col: str, batch_id: int | None = None
+    ) -> None:
+        """Fold one micro-batch. ``batch_id`` makes the fold idempotent
+        under at-least-once replay (same contract as
+        ``CountMinRegistry.merge_batch``)."""
         import json
         import os
         import shutil
 
-        batch = hist_build(df, col, self.lo, self.hi, self.bins)
         state = self._state()
+        if (
+            batch_id is not None
+            and state is not None
+            and state.get("last_bid") == batch_id
+        ):
+            return  # replayed micro-batch: already folded
+        batch = hist_build(df, col, self.lo, self.hi, self.bins)
         if state is None:
             merged, n = batch, 1
         else:
@@ -515,7 +555,7 @@ class HistogramRegistry:
         ).write.mode("overwrite").parquet(dest)
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n": n, "data": dest}, f)
+            json.dump({"n": n, "data": dest, "last_bid": batch_id}, f)
         os.replace(tmp, self.state_path)
         if state and state["data"] != dest and os.path.isdir(state["data"]):
             shutil.rmtree(state["data"], ignore_errors=True)

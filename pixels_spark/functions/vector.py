@@ -34,12 +34,22 @@ from .dedup import cut_lineage
 
 def stable_mean(col: Column) -> Column:
     """Order-independent mean for Lloyd updates: values are quantized to
-    DECIMAL(18,9) before summing (decimal addition is exact → the sum is
+    DECIMAL(28,9) before summing (decimal addition is exact → the sum is
     independent of partitioning/merge order), then divided as double.
     This makes trained centroids bit-reproducible across cluster layouts
     AND exactly replayable by a SQL oracle — the property vec_kmeans_round
-    proved for one round, applied to every round of every trainer."""
-    return F.sum(col.cast("double").cast("decimal(18,9)")).cast(
+    proved for one round, applied to every round of every trainer.
+
+    Precondition: |x| < 1e19 per value (embedding/centroid components are
+    O(1)). 28 integer+fraction digits keep the CAST exact-in-range where
+    the earlier DECIMAL(18,9) overflowed-to-NULL at |x| ≥ 1e9 — a
+    silently biased mean, since F.sum skips NULLs while the count(*)
+    divisor still counted them. The divisor stays count(*) deliberately:
+    it matches the SQL oracles' count(*) bit-for-bit, and Lloyd inputs
+    are never NULL. For in-range values (28,9) and (18,9) quantize
+    identically at 9 fractional digits, so every existing oracle result
+    is unchanged."""
+    return F.sum(col.cast("double").cast("decimal(28,9)")).cast(
         "double"
     ) / F.count(F.lit(1))
 

@@ -162,6 +162,23 @@ class _SqliteManifest:
 _MANIFEST_BACKENDS = {"json": _JsonManifest, "sqlite": _SqliteManifest}
 
 
+def _remove_commit_dir(path: str, ignore_errors: bool = False) -> None:
+    """Remove a ``_commit=`` directory whether it is a real directory or a
+    symlink into a clone source (``clone()`` materializes shallow clones as
+    symlinked commit dirs). ``shutil.rmtree`` raises OSError on a symlink;
+    ``os.unlink`` removes only the link, never the shared target — so
+    maintenance ops (compact_history / vacuum) on a clone drop only the
+    clone's own references and leave the source's data intact."""
+    if os.path.islink(path):
+        try:
+            os.unlink(path)
+        except OSError:
+            if not ignore_errors:
+                raise
+    else:
+        shutil.rmtree(path, ignore_errors=ignore_errors)
+
+
 def footer_range_entries(commit_dir: str, col: str, ts: int) -> list[dict]:
     """Per-file [min, max] of ``col`` from the parquet footers of one
     commit directory — the shared kernel behind the primary manifest and
@@ -239,7 +256,7 @@ class MvccTable:
             os.path.join(self.data_dir, f"_commit={ts}"),
             os.path.join(self.delete_dir, f"_commit={ts}"),
         ):
-            shutil.rmtree(d, ignore_errors=True)
+            _remove_commit_dir(d, ignore_errors=True)
         if self.manifest.exists():
             self.manifest.remove_commits({ts})
 
@@ -701,9 +718,12 @@ class MvccTable:
         newer than every cloned one and the source never sees them);
         writes to the source after the clone are invisible to the clone
         (its dirs were never linked). Shared caveat, same as Delta's:
-        VACUUMing the source can remove files a shallow clone still
-        references — deep-copy (``restore``-style rewrite) before
-        vacuuming under a clone.
+        VACUUM or COMPACT_HISTORY on the source can remove commit dirs a
+        shallow clone still references (the clone's symlinks dangle) —
+        deep-copy (``restore``-style rewrite) the clone before running
+        either maintenance op on the source. Maintenance ops ON the clone
+        are safe: they unlink only the clone's symlinks, never the shared
+        source data (see ``_remove_commit_dir``).
         """
         if self.persisted_schema() is None:
             raise ValueError("clone of a never-written table")
@@ -886,11 +906,11 @@ class MvccTable:
         tmp_dir = os.path.join(self.root, f"_compact_tmp={retain_ts}")
         snap.write.mode("overwrite").parquet(tmp_dir)
         for ts in old_ts:
-            shutil.rmtree(os.path.join(self.data_dir, f"_commit={ts}"))
+            _remove_commit_dir(os.path.join(self.data_dir, f"_commit={ts}"))
         if os.path.isdir(self.delete_dir):
             for e in list(os.listdir(self.delete_dir)):
                 if e.startswith("_commit=") and int(e.split("=", 1)[1]) <= retain_ts:
-                    shutil.rmtree(os.path.join(self.delete_dir, e))
+                    _remove_commit_dir(os.path.join(self.delete_dir, e))
         new_dir = os.path.join(self.data_dir, f"_commit={retain_ts}")
         os.replace(tmp_dir, new_dir)
         if self.manifest.exists():
@@ -938,7 +958,7 @@ class MvccTable:
                 "left_anti",
             ).count()
             if survivors == 0:
-                shutil.rmtree(os.path.join(self.data_dir, entry))
+                _remove_commit_dir(os.path.join(self.data_dir, entry))
                 removed.append(ts)
         if removed and self.manifest.exists():
             self.manifest.remove_commits(set(removed))

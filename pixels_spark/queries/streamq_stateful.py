@@ -257,6 +257,7 @@ def _md5_minhash_sql(
     order_lhs: str = "b1.doc_id",
     order_rhs: str = "b2.doc_id",
     select: str | None = None,
+    source: str = "documents",
 ) -> str:
     """Oracle restatement of functions.dedup.minhash_md5_bands: the md5
     hash family is computable in DuckDB with bit-identical results (same
@@ -292,7 +293,7 @@ def _md5_minhash_sql(
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-      FROM documents),
+      FROM {source}),
     sh AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= {n}
@@ -1427,7 +1428,7 @@ def stream_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda bdf, _bid: reg.merge_batch(bdf, "user_id")
+            lambda bdf, bid: reg.merge_batch(bdf, "user_id", batch_id=bid)
         )
         .option("checkpointLocation", os.path.join(work, "ck"))
         .trigger(availableNow=True)
@@ -1513,7 +1514,7 @@ def stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = KmvRegistry(spark, os.path.join(work, "kmv"), k=256)
     q = (
         stream.writeStream.foreachBatch(
-            lambda bdf, _bid: reg.merge_batch(bdf, "o_custkey")
+            lambda bdf, bid: reg.merge_batch(bdf, "o_custkey", batch_id=bid)
         )
         .option("checkpointLocation", os.path.join(work, "ck"))
         .trigger(availableNow=True)
@@ -1590,6 +1591,10 @@ def _maintained_hourly_counters(
     )
 
     def fold(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(state_json):
+            with open(state_json) as _f:
+                if json.load(_f).get("last_bid") == _bid:
+                    return  # at-least-once replay of this micro-batch: already folded
         h = batch_df.groupBy(
             "event_type", F.date_trunc("hour", "ts").alias("hr")
         ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -1609,7 +1614,7 @@ def _maintained_hourly_counters(
         merged.write.mode("overwrite").parquet(dest)
         tmp = state_json + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n": n, "data": dest}, f)
+            json.dump({"n": n, "data": dest, "last_bid": _bid}, f)
         os.replace(tmp, state_json)
         if st and st["data"] != dest and os.path.isdir(st["data"]):
             shutil.rmtree(st["data"], ignore_errors=True)
@@ -1679,6 +1684,10 @@ def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(state_json):
+            with open(state_json) as _f:
+                if json.load(_f).get("last_bid") == _bid:
+                    return  # at-least-once replay of this micro-batch: already folded
         head = priority_scored(
             batch_df.select("doc_id", "source", "n_chars"),
             "doc_id",
@@ -1699,7 +1708,7 @@ def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(dest)
         tmp = state_json + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n": n, "data": dest}, f)
+            json.dump({"n": n, "data": dest, "last_bid": _bid}, f)
         os.replace(tmp, state_json)
         if st and st["data"] != dest and os.path.isdir(st["data"]):
             shutil.rmtree(st["data"], ignore_errors=True)
@@ -1778,6 +1787,10 @@ def stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(state_json):
+            with open(state_json) as _f:
+                if json.load(_f).get("last_bid") == _bid:
+                    return  # at-least-once replay of this micro-batch: already folded
         parts = comoment_partials(batch_df, "vec_id", "embedding")
         if os.path.exists(state_json):
             with open(state_json) as f:
@@ -1794,7 +1807,7 @@ def stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.write.mode("overwrite").parquet(dest)
         tmp = state_json + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n": n, "data": dest}, f)
+            json.dump({"n": n, "data": dest, "last_bid": _bid}, f)
         os.replace(tmp, state_json)
         if st and st["data"] != dest and os.path.isdir(st["data"]):
             shutil.rmtree(st["data"], ignore_errors=True)
@@ -1860,6 +1873,10 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(state_json):
+            with open(state_json) as _f:
+                if json.load(_f).get("last_bid") == _bid:
+                    return  # at-least-once replay of this micro-batch: already folded
         ab = (
             batch_df.filter(F.col("event_type").isin("view", "click"))
             .groupBy(F.col("value").alias("v"))
@@ -1890,7 +1907,7 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ab.write.mode("overwrite").parquet(dest)
         tmp = state_json + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n": n, "data": dest}, f)
+            json.dump({"n": n, "data": dest, "last_bid": _bid}, f)
         os.replace(tmp, state_json)
         if st and st["data"] != dest and os.path.isdir(st["data"]):
             shutil.rmtree(st["data"], ignore_errors=True)
@@ -1986,7 +2003,7 @@ def stream_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda bdf, _bid: reg.merge_batch(bdf, "o_totalprice")
+            lambda bdf, bid: reg.merge_batch(bdf, "o_totalprice", batch_id=bid)
         )
         .option("checkpointLocation", os.path.join(work, "ck"))
         .trigger(availableNow=True)

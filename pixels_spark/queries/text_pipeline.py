@@ -290,32 +290,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact n-gram Jaccard near-dup pairs via shingle inverted index, blocked by
 # language (standard dedup blocking — near-dups across languages are not
 # meaningful and the block join keeps candidate volume sub-quadratic; oracle).
-_NGRAM_PAIRS_SQL = r"""
+def _ngram_pairs_sql(source: str = "documents") -> str:
+    """Exact language-blocked n-gram Jaccard ≥ 0.5 pair SQL over ``source``
+    (a table name or parenthesized subquery with doc_id/lang/text)."""
+    side = r"""(SELECT doc_id, lang, unnest(s) AS shingle, len(s) AS sz
+            FROM (SELECT doc_id, lang,
+                         list_distinct(list_transform(range(1, len(toks)-1),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+                  FROM (SELECT doc_id, lang,
+                               string_split_regex(lower(trim(text)), '\s+') AS toks
+                        FROM {source})
+                  WHERE len(toks) >= 3))""".format(source=source)
+    return f"""
     SELECT id_a, id_b, n_common * 1.0 / (size_a + size_b - n_common) AS jaccard
     FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.sz AS size_a, b.sz AS size_b,
              CAST(count(*) AS BIGINT) AS n_common
-      FROM (SELECT doc_id, lang, unnest(s) AS shingle, len(s) AS sz
-            FROM (SELECT doc_id, lang,
-                         list_distinct(list_transform(range(1, len(toks)-1),
-                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
-                  FROM (SELECT doc_id, lang,
-                               string_split_regex(lower(trim(text)), '\s+') AS toks
-                        FROM documents)
-                  WHERE len(toks) >= 3)) a
-      JOIN (SELECT doc_id, lang, unnest(s) AS shingle, len(s) AS sz
-            FROM (SELECT doc_id, lang,
-                         list_distinct(list_transform(range(1, len(toks)-1),
-                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
-                  FROM (SELECT doc_id, lang,
-                               string_split_regex(lower(trim(text)), '\s+') AS toks
-                        FROM documents)
-                  WHERE len(toks) >= 3)) b
+      FROM {side} a
+      JOIN {side} b
         ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4)
     WHERE n_common * 1.0 / (size_a + size_b - n_common) >= 0.5
 """
+
+
+_NGRAM_PAIRS_SQL = _ngram_pairs_sql()
 
 
 @declare(
@@ -2134,6 +2134,19 @@ _LSH_EVAL_FINAL = """
     FROM s"""
 
 
+# exact-dedup-first source for LSH evaluation: one representative (lowest
+# doc_id) per normalized-text fingerprint. Exact duplicates are found by
+# dedup_exact upstream for free; evaluating LSH on them is pointless AND
+# quadratic (k exact copies -> k^2 band-bucket pairs — the measured 6.9x
+# hot-band blowup at 5x scale, SCALE.md r7).
+_LSH_REPS_SRC = r"""(
+      SELECT d.doc_id, d.text, d.lang FROM documents d
+      JOIN (SELECT min(doc_id) AS keep_id
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) k
+        ON d.doc_id = k.keep_id)"""
+
+
 def _lsh_eval_oracle() -> str:
     from .streamq_stateful import _md5_minhash_sql
 
@@ -2147,7 +2160,7 @@ def _lsh_eval_oracle() -> str:
       JOIN documents da ON da.doc_id = c.id_a
       JOIN documents db ON db.doc_id = c.id_b
       WHERE da.lang = db.lang),
-    truth AS (SELECT id_a, id_b FROM ({_NGRAM_PAIRS_SQL}) t0),
+    truth AS (SELECT id_a, id_b FROM ({_ngram_pairs_sql(_LSH_REPS_SRC)}) t0),
     flags AS (
       SELECT (t.id_a IS NOT NULL) AS is_true,
              (c.id_a IS NOT NULL) AS is_cand
@@ -2166,7 +2179,7 @@ def _lsh_eval_oracle() -> str:
                   AS BIGINT) AS fn
       FROM flags)
     {_LSH_EVAL_FINAL}"""
-    return _md5_minhash_sql(select=tail)
+    return _md5_minhash_sql(select=tail, source=_LSH_REPS_SRC)
 
 
 @declare(
@@ -2185,15 +2198,35 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     family makes the whole evaluation — candidates included — exactly
     oracle-replayable.
 
-    Scale: candidates via band equi-join (never all-pairs), truth via the
-    prefix-filtered inverted shingle index; both pair sets are sparse
-    (near-dup density), so the full-outer join is tiny relative to the
-    corpus. Measured caveat (SCALE.md 5×): EXACT duplicates make band
-    buckets quadratic (k copies → k² candidate pairs) — run
-    ``dedup_exact`` first; LSH evaluation is for the near-dup residue."""
-    from ..functions.dedup import minhash_md5_bands, spread
+    Scale: EXACT-DEDUP-FIRST — the corpus is reduced to one representative
+    (lowest doc_id) per normalized-text fingerprint before banding OR
+    truth computation, the production composition (``dedup_exact`` finds
+    exact copies for free; LSH exists for the near-dup residue). This
+    kills the measured hot-band quadratic (SCALE.md r7: k exact copies →
+    k² band-bucket pairs → 6.9× wall at 5× data): after the fingerprint
+    distinct, every bucket member is textually distinct, so bucket width
+    is bounded by genuine near-dup density, not duplication factor.
+    Candidates via band equi-join (never all-pairs), truth via the
+    prefix-filtered inverted shingle index; both pair sets are sparse,
+    so the full-outer join is tiny relative to the corpus."""
+    from ..functions.dedup import (
+        cut_lineage,
+        exact_dedup,
+        minhash_md5_bands,
+        spread,
+    )
 
-    d = load_table(spark, sf_dir, "documents")
+    # lineage cut: the representative set feeds banding, the lang lookup,
+    # and the truth pass — materialize the fingerprint-distinct once
+    # instead of re-running the dedup scan+groupBy per consumer.
+    d = cut_lineage(
+        exact_dedup(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "lang"
+            ),
+            "text",
+        )
+    )
     bb = spread(d, "doc_id").select(
         "doc_id", F.explode(minhash_md5_bands(F.col("text"))).alias("_b")
     ).select(

@@ -329,7 +329,7 @@ def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(
             (
-                F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+                F.sum(F.col("v").cast("double").cast("decimal(28,9)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("mean_v")
         )
@@ -737,7 +737,7 @@ def vec_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
             (
-                F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+                F.sum(F.col("v").cast("double").cast("decimal(28,9)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("mean_v"),
         )

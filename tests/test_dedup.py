@@ -407,3 +407,93 @@ def test_source_overlap_counts_distinct_shared_windows(spark):
            for r in source_overlap(df, "text", "source", width=8).collect()}
     # the 12-word boilerplate yields 12-8+1 = 5 shared windows; C shares none
     assert got == {("A", "B"): 5}
+
+
+def test_prefix_ceil_is_exact_on_integer_products(spark):
+    """The PPJoin prefix bound ⌈t·|A|⌉ must match EXACT rational ceil for
+    every (threshold, size) — the double product can round up on exact
+    integers (0.07*100 = 7.000000000000001 → ceil 8), which would SHORTEN
+    the prefix and risk a missed boundary pair. The epsilon-guarded form
+    used in ngram_jaccard_pairs can only err longer, never shorter."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    # the raw hazard exists (guards the test against a future Spark that
+    # changes double formatting semantics silently)
+    raw = spark.range(1).select(
+        F.ceil(F.lit(0.07) * F.lit(100)).alias("c")
+    ).first()["c"]
+    assert raw == 8, "double-ceil hazard vanished; revisit the epsilon guard"
+
+    thresholds = [0.05, 0.07, 0.1, 0.125, 0.2, 0.25, 0.3, 0.5, 0.7, 0.8, 0.9]
+    sizes = list(range(1, 201))
+    rows = [(t, s) for t in thresholds for s in sizes]
+    df = spark.createDataFrame(rows, "t double, s bigint")
+    got = {
+        (r["t"], r["s"]): r["c"]
+        for r in df.select(
+            "t",
+            "s",
+            F.ceil(F.col("t") * F.col("s") - F.lit(1e-9)).alias("c"),
+        ).collect()
+    }
+    for t, s in rows:
+        exact = math.ceil(Fraction(str(t)) * s)
+        assert got[(t, s)] <= exact, (t, s, got[(t, s)], exact)
+        # one-sided error bound: never more than one slot longer
+        assert got[(t, s)] >= exact - 1, (t, s, got[(t, s)], exact)
+
+
+def test_adaptive_prefix_split_matches_bruteforce_all_thresholds(spark):
+    """The adaptive cold/hot split must be EXACT at every df_threshold —
+    including K=0 (pure PPJoin: every shingle hot) and K=10^9 (pure naive:
+    every shingle cold). Fuzzed against brute-force pairwise Jaccard on a
+    corpus built to have genuinely HOT shingles (a boilerplate prefix
+    shared by most docs) so the hot leg and the cold→hot rank offset are
+    actually exercised."""
+    import itertools
+    import random
+
+    from pixels_spark.functions import dedup as D
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = "the quick brown fox jumps over"  # hot shingles in most docs
+    rows = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        text = (boiler + " " + body) if i % 4 else body
+        rows.append((i, text))
+    # near-dup clusters: perturb a few docs lightly
+    for i in range(40, 52):
+        base = rows[i % 40][1]
+        words = base.split()
+        j = rng.randrange(len(words))
+        words[j] = rng.choice(vocab)
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def shingles(text, n=3):
+        toks = text.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    t = 0.5
+    want = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter and inter / len(sh[a] | sh[b]) >= t:
+            want.add((a, b))
+
+    for k in (None, 0, 1, 4, 16, 10**9):
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.ngram_jaccard_pairs(
+                docs, threshold=t, df_threshold=k
+            ).collect()
+        }
+        assert got == want, f"df_threshold={k}: {got ^ want}"

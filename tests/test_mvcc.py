@@ -941,3 +941,49 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
     with _pt.raises(ValueError):
         src.clone(str(tmp_path / "fork"))
     assert ts1 <= clone.trans.high_watermark
+
+
+def test_clone_maintenance_unlinks_symlinks_only(spark, tmp_path):
+    """compact_history / vacuum ON a shallow clone must not crash on the
+    symlinked commit dirs (shutil.rmtree raises OSError on a symlink) and
+    must remove only the clone's links — the SOURCE data stays intact
+    (ADVICE r7: clone + maintenance interaction)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pixels_spark.mvcc.table import MvccTable
+
+    src = MvccTable(spark, str(tmp_path / "src"), key_col="k")
+    src.insert(
+        spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    src.insert(
+        spark.range(50, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    src_dirs_before = sorted(os.listdir(src.data_dir))
+
+    # compact_history on a clone: consolidates into a REAL dir, unlinks links
+    c1 = src.clone(str(tmp_path / "fork1"))
+    removed = c1.compact_history()
+    assert removed, "two commits should consolidate"
+    assert sorted(os.listdir(src.data_dir)) == src_dirs_before
+    assert src.read_latest_version().count() == 100
+    assert c1.read_latest_version().count() == 100
+    # no stray tmp dir left behind
+    assert not any(e.startswith("_compact_tmp=") for e in os.listdir(c1.root))
+    # the consolidated dir is real, not a link
+    remaining = [e for e in os.listdir(c1.data_dir) if e.startswith("_commit=")]
+    assert len(remaining) == 1
+    assert not os.path.islink(os.path.join(c1.data_dir, remaining[0]))
+
+    # vacuum on a clone whose rows are all deleted: unlinks, source intact
+    c2 = src.clone(str(tmp_path / "fork2"))
+    c2.delete(spark.range(100).select(F.col("id").alias("k")))
+    dropped = c2.vacuum(retain_ts=c2.trans.high_watermark)
+    assert dropped, "fully-deleted cloned commits should be vacuumable"
+    assert sorted(os.listdir(src.data_dir)) == src_dirs_before
+    assert src.read_latest_version().count() == 100
+    assert c2.read_latest_version().count() == 0

@@ -239,3 +239,49 @@ def test_hist_registry_random_splits_equal_one_shot_build(spark, tmp_path):
             for r in hist_build(df, "x", 0.0, 100.0, 16).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_registry_merge_batch_is_idempotent_on_replayed_batch_id(
+    spark, tmp_path
+):
+    """Structured Streaming's at-least-once foreachBatch contract: after a
+    crash between sink commit and checkpoint commit, the SAME batch id is
+    re-delivered. With batch_id passed, the replayed fold must be a no-op
+    (counters not double-summed) — and the guard must survive registry
+    re-instantiation (the last-applied id lives in the state JSON)."""
+    from pixels_spark.functions.sketches import (
+        CountMinRegistry,
+        HistogramRegistry,
+        KmvRegistry,
+    )
+
+    df1 = spark.createDataFrame([("a",), ("b",), ("a",)], "k string")
+    df2 = spark.createDataFrame([("b",), ("c",)], "k string")
+
+    def snap(reg):
+        return sorted(tuple(r) for r in reg.read().collect())
+
+    reg = CountMinRegistry(spark, str(tmp_path / "cms"), depth=3, width=32)
+    reg.merge_batch(df1, "k", batch_id=0)
+    reg.merge_batch(df2, "k", batch_id=1)
+    want = snap(reg)
+    reg.merge_batch(df2, "k", batch_id=1)  # in-process replay
+    assert snap(reg) == want
+    reg = CountMinRegistry(spark, str(tmp_path / "cms"), depth=3, width=32)
+    reg.merge_batch(df2, "k", batch_id=1)  # replay after restart
+    assert snap(reg) == want
+
+    nums = spark.createDataFrame([(1.0,), (5.0,), (9.0,)], "x double")
+    hreg = HistogramRegistry(
+        spark, str(tmp_path / "hist"), lo=0.0, hi=10.0, bins=8
+    )
+    hreg.merge_batch(nums, "x", batch_id=0)
+    want_h = snap(hreg)
+    hreg.merge_batch(nums, "x", batch_id=0)
+    assert snap(hreg) == want_h
+
+    kreg = KmvRegistry(spark, str(tmp_path / "kmv"), k=16)
+    kreg.merge_batch(df1, "k", batch_id=0)
+    st0 = kreg._state()["n"]
+    kreg.merge_batch(df1, "k", batch_id=0)
+    assert kreg._state()["n"] == st0  # replay skipped, no state rewrite
