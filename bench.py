@@ -255,6 +255,7 @@ def prepare(spark, sf_dir: str, cache_root: str | None = None):
     # one-off write jobs like LOAD; the timed dec_*/struct_* queries then
     # measure the query path against the materialized layout, not the build
     from pixels_spark.queries.decimalq import money_path
+    from pixels_spark.queries.graphq import rec_model_path
     from pixels_spark.queries.streamq_stateful import mvcc_scd2
     from pixels_spark.queries.structq import ev_struct_path
     from pixels_spark.queries.vector_search import ensure_pq_index
@@ -264,6 +265,7 @@ def prepare(spark, sf_dir: str, cache_root: str | None = None):
     money_path(spark, staged_dir)
     ev_struct_path(spark, staged_dir)
     ensure_pq_index(spark, staged_dir)
+    rec_model_path(spark, staged_dir)  # recommender model build (serve split)
     mvcc_scd2(spark, staged_dir).count()  # stages the mutated MVCC table
     derived_build_sec = round(time.perf_counter() - t0, 4)
     return staged_dir, load_sec, ivf_build_sec, derived_build_sec

@@ -481,6 +481,62 @@ def minhash_md5_bands(
     )
 
 
+def minhash_md5_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    reliable: bool = False,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs on the md5 hash family: band-collision
+    candidates (``minhash_md5_bands`` — no shuffle to build, one band
+    equi-join to collide) verified with exact Jaccard over the shingle
+    arrays. Because md5 is computable in DuckDB with identical semantics,
+    the ENTIRE pair set — candidates included — is exactly restatable in
+    oracle SQL (unlike the xxhash64 fast path ``minhash_dedup_pairs``,
+    whose verified OUTPUT is engine-agnostic but whose candidate set
+    isn't replayable). Same plan shape either way: band equi-join, never
+    all-pairs; exact-verify joins back to per-doc shingle arrays."""
+    sh = cut_lineage(
+        spread(df, id_col).select(
+            F.col(id_col).alias("_vid"),
+            word_shingles(F.col(text_col), n).alias("_vsh"),
+            minhash_md5_bands(
+                F.col(text_col), n, num_hashes, rows_per_band
+            ).alias("_bands"),
+        ),
+        reliable,
+    )
+    bb = sh.select("_vid", F.explode("_bands").alias("_b")).select(
+        "_vid", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
+    )
+    cands = (
+        bb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._vid") < F.col("b._vid")),
+        )
+        .select(F.col("a._vid").alias("id_a"), F.col("b._vid").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("_vid").alias("id_a"), F.col("_vsh").alias("_sh_a"))
+    b = sh.select(F.col("_vid").alias("id_b"), F.col("_vsh").alias("_sh_b"))
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 
@@ -551,12 +607,18 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     reliable: bool = False,
+    bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
-    Band trick: split 64 bits into 4×16-bit chunks; any pair within hamming
-    ≤3 agrees exactly on ≥1 chunk (pigeonhole), so an equi-join per chunk
-    finds all of them without O(n²).
+    Band trick: split the signature into 4 equal-width chunks; any pair
+    within hamming ≤3 agrees exactly on ≥1 chunk (pigeonhole), so an
+    equi-join per chunk finds all of them without O(n²). ``bits`` /
+    ``hash_fn`` pass through to ``simhash`` — the md5-prefix family with
+    bits=32 makes the whole pair set DuckDB-replicable (the declared
+    ``dedup_simhash`` oracle); the xxhash64 64-bit default is the
+    production fast path (JVM hash, no md5 string round-trip).
 
     The signature table feeds BOTH sides of the self-join; Spark's exchange
     reuse does not fire across the differently-aliased sides, so without a
@@ -564,7 +626,12 @@ def simhash_near_pairs(
     runs twice. ``localCheckpoint`` materializes the tiny signature table
     (2 longs per doc) once; both join sides then scan the materialization —
     at 100 TB this halves the operator."""
-    sigs = cut_lineage(simhash(df, id_col, text_col), reliable)
+    assert bits % 4 == 0
+    cw = bits // 4
+    mask = (1 << cw) - 1
+    sigs = cut_lineage(
+        simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn), reliable
+    )
     chunks = sigs.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
@@ -573,8 +640,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), i * cw)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk_val"),
                     )
                     for i in range(4)

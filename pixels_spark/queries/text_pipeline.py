@@ -17,6 +17,33 @@ from ..functions import multimodal as M
 from ..functions import text as T
 from .registry import declare
 
+# Pure-string oracle constant, hoisted above every cross-module import:
+# streamq_stateful re-enters this module at decorator time (circular
+# import), so anything it pulls from here must be defined before the
+# first `from .streamq_stateful import ...` below executes.
+_PRIORITY_ORACLE = """
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(n_chars AS DOUBLE) * 4294967296.0
+               / CAST(CAST(concat('0x', substr(
+                     md5('prio1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1 AS DOUBLE) AS priority
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_chars, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+      FROM scored
+    ), tau AS (
+      SELECT max(CASE WHEN rk = 65 THEN priority END) AS t FROM ranked
+    )
+    SELECT doc_id, source, n_chars, priority,
+           greatest(CAST(n_chars AS DOUBLE), coalesce(t, 0.0)) AS est_weight
+    FROM ranked, tau
+    WHERE rk <= 64
+    ORDER BY doc_id
+    """
+
+
 _STOP_EN_SQL = "['the','a','of','and','to','in','is','that','it','for']"
 
 
@@ -330,28 +357,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.5, block_col="lang"
     ).orderBy("id_a", "id_b")
-
-
-@declare("dedup_minhash_lsh", sql=None, tags=("dedup", "minhash", "lsh"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only: xxhash64 is engine-specific; the
-    exact-Jaccard verification step makes output pairs engine-agnostic but the
-    candidate set isn't SQL-expressible — property-tested in
-    tests/test_dedup.py).
-    """
-    d = load_table(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(
-        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
-    ).orderBy("id_a", "id_b")
-
-
-@declare("dedup_simhash", sql=None, tags=("dedup", "simhash"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only — engine-specific hash)."""
-    d = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(d, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
 
 
 @declare(
@@ -995,29 +1000,6 @@ def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(
         d, ["lang"], 0.2, key_col="doc_id", salt="strat1"
     ).orderBy("doc_id")
-
-
-_PRIORITY_ORACLE = """
-    WITH scored AS (
-      SELECT doc_id, source, n_chars,
-             CAST(n_chars AS DOUBLE) * 4294967296.0
-               / CAST(CAST(concat('0x', substr(
-                     md5('prio1' || CAST(doc_id AS VARCHAR)), 1, 8))
-                   AS BIGINT) + 1 AS DOUBLE) AS priority
-      FROM documents
-    ), ranked AS (
-      SELECT doc_id, source, n_chars, priority,
-             row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
-      FROM scored
-    ), tau AS (
-      SELECT max(CASE WHEN rk = 65 THEN priority END) AS t FROM ranked
-    )
-    SELECT doc_id, source, n_chars, priority,
-           greatest(CAST(n_chars AS DOUBLE), coalesce(t, 0.0)) AS est_weight
-    FROM ranked, tau
-    WHERE rk <= 64
-    ORDER BY doc_id
-    """
 
 
 @declare(
@@ -1784,7 +1766,10 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(out, work)
 
 
-def _simhash_md5_sql(bits: int = 32) -> str:
+def _simhash_md5_core(bits: int = 32) -> str:
+    """CTE chain (toks → h → b → sig) computing the md5-family SimHash
+    signature per doc — shared by the signature oracle
+    (``dedup_simhash_md5``) and the pair oracle (``dedup_simhash``)."""
     sums = ",\n             ".join(
         f"sum(CAST((hv >> {b}) & 1 AS BIGINT)) AS s{b}" for b in range(bits)
     )
@@ -1793,8 +1778,7 @@ def _simhash_md5_sql(bits: int = 32) -> str:
         f"ELSE CAST(0 AS BIGINT) END)"
         for b in range(bits)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id,
              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
       FROM documents),
@@ -1803,10 +1787,90 @@ def _simhash_md5_sql(bits: int = 32) -> str:
           FROM toks),
     b AS (SELECT doc_id, count(*) AS n,
              {sums}
-          FROM h GROUP BY doc_id)
-    SELECT doc_id, {sig} AS simhash
-    FROM b ORDER BY doc_id
+          FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM b)"""
+
+
+def _simhash_md5_sql(bits: int = 32) -> str:
+    return f"""
+    WITH {_simhash_md5_core(bits)}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
     """
+
+
+def _minhash_pairs_oracle() -> str:
+    from .streamq_stateful import _md5_minhash_sql
+
+    tail = """
+    , cand AS (
+      SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.bh = b2.bh AND b1.doc_id < b2.doc_id)
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(sa.s, sb.s)) * 1.0
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+            / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ORDER BY id_a, id_b"""
+    return _md5_minhash_sql(select=tail)
+
+
+@declare(
+    "dedup_minhash_lsh",
+    sql=_minhash_pairs_oracle(),
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs on the md5 hash family (8 hashes ×
+    2-row bands), exact-Jaccard verified ≥ 0.5 — candidates AND output
+    both exactly oracle-replayable (DuckDB computes the identical band
+    values). The xxhash64 family (``functions.dedup.minhash_dedup_pairs``,
+    32 hashes × 8 bands) remains the documented production fast path —
+    JVM-side hashing, no md5 string round-trip — with identical plan
+    shape; its verified output is engine-agnostic but its candidate set
+    is not SQL-replayable, so the DECLARED query uses md5
+    (property-tested equivalence in tests/test_dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_md5_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+    WITH {_simhash_md5_core()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b"""
+
+
+@declare(
+    "dedup_simhash",
+    sql=_simhash_pairs_oracle(),
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) on the 32-bit md5-prefix
+    hash family — the banded pair search (4 chunks, pigeonhole-exact for
+    hamming ≤ 3) over the same signatures ``dedup_simhash_md5`` oracles
+    bit-for-bit, so the PAIR SET is exactly replayable too (the oracle
+    verifies with an all-pairs xor at fixture scale; the engine never
+    materializes all pairs). The 64-bit xxhash64 family stays the
+    documented production fast path (same banded plan, engine-local
+    hash; invariance-tested in tests/test_dedup.py)."""
+    md5_hash = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        d, "doc_id", "text", max_hamming=3, bits=32, hash_fn=md5_hash
+    ).orderBy("id_a", "id_b")
 
 
 @declare(
