@@ -143,13 +143,247 @@ def _pil_image():
         return None
 
 
+# ---------------------------------------------------------------------------
+# PNG — pure stdlib (zlib inflate) + per-row unfiltering; no PIL needed.
+# Baseline subset: 8-bit depth, color types 0/2/3/4/6, no interlace — the
+# overwhelming majority of real-world PNGs. Filters (None/Sub/Up/Average/
+# Paeth) are reversed per the PNG spec §9; CRCs are validated.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    import struct
+    import zlib
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {typ!r}")
+        yield typ, data
+        pos += 12 + length
+        if typ == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline PNG to (width, height, raw RGB bytes). Gray
+    replicates to 3 channels; palette indexes resolve through PLTE;
+    alpha is dropped (PIL ``convert("RGB")`` parity)."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    w = h = None
+    bitdepth = colortype = interlace = None
+    plte: bytes | None = None
+    idat = bytearray()
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bitdepth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bitdepth={bitdepth} interlace={interlace}: only 8-bit "
+            "non-interlaced decodes without PIL"
+        )
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
+    if n_ch is None:
+        raise ValueError(f"bad PNG color type {colortype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * n_ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    recon = bytearray(h * stride)
+    prev_off = None
+    for y in range(h):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
+        out_off = y * stride
+        if ftype == 0:  # None
+            recon[out_off : out_off + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = line[x - n_ch] if x >= n_ch else 0
+                line[x] = (line[x] + left) & 0xFF
+            recon[out_off : out_off + stride] = line
+        elif ftype == 2:  # Up
+            if prev_off is None:
+                recon[out_off : out_off + stride] = line
+            else:
+                for x in range(stride):
+                    line[x] = (line[x] + recon[prev_off + x]) & 0xFF
+                recon[out_off : out_off + stride] = line
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = recon[out_off + x - n_ch] if x >= n_ch else 0
+                up = recon[prev_off + x] if prev_off is not None else 0
+                recon[out_off + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = recon[out_off + x - n_ch] if x >= n_ch else 0
+                up = recon[prev_off + x] if prev_off is not None else 0
+                ul = (
+                    recon[prev_off + x - n_ch]
+                    if (prev_off is not None and x >= n_ch)
+                    else 0
+                )
+                recon[out_off + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev_off = out_off
+    # channel normalization to RGB
+    if colortype == 2:
+        rgb = bytes(recon)
+    elif colortype == 0:
+        rgb = bytes(b for v in recon for b in (v, v, v))
+    elif colortype == 4:
+        rgb = bytes(
+            b for i in range(0, len(recon), 2) for b in (recon[i],) * 3
+        )
+    elif colortype == 6:
+        rgb = bytes(
+            recon[i + c] for i in range(0, len(recon), 4) for c in range(3)
+        )
+    else:  # palette
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = bytes(
+            plte[3 * idx + c] for idx in recon for c in range(3)
+        )
+    return w, h, rgb
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG decode without PIL: stdlib zlib inflate + spec §9 unfiltering.
+    Same dict shape as ``decode_ppm`` so every downstream seam
+    (media_features / feature extraction) is codec-agnostic."""
+    w, h, rgb = _png_to_rgb(payload)
+    return {
+        "width": w,
+        "height": h,
+        "maxval": 255,
+        "n_pixels": w * h,
+        "mean_byte": (sum(rgb) / len(rgb)) if rgb else 0.0,
+    }
+
+
+def encode_png(
+    width: int, height: int, rgb: bytes, filters: list[int] | None = None
+) -> bytes:
+    """Minimal RGB8 PNG encoder (stdlib only). ``filters`` optionally
+    forces a per-row filter type (cycled) so fixtures exercise every
+    unfilter path — Sub/Up/Average/Paeth are APPLIED here and must be
+    exactly reversed by the decoder."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    stride = width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = rgb[y * stride : (y + 1) * stride]
+        ftype = filters[y % len(filters)] if filters else 0
+        raw.append(ftype)
+        if ftype == 0:
+            raw += row
+        elif ftype == 1:
+            raw += bytes(
+                (row[x] - (row[x - 3] if x >= 3 else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ftype == 2:
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        elif ftype == 3:
+            raw += bytes(
+                (row[x] - (((row[x - 3] if x >= 3 else 0) + prev[x]) >> 1))
+                & 0xFF
+                for x in range(stride)
+            )
+        elif ftype == 4:
+            raw += bytes(
+                (
+                    row[x]
+                    - _paeth(
+                        row[x - 3] if x >= 3 else 0,
+                        prev[x],
+                        prev[x - 3] if x >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic PNG fixture with the same pixel pattern as
+    ``synthesize_ppm`` — rows cycle through ALL five PNG filter types so
+    decode exercises every unfilter branch."""
+    rgb = bytes(
+        (x * 3 + ch + seed) % 256
+        for x in range(width * height)
+        for ch in range(3)
+    )
+    return encode_png(width, height, rgb, filters=[0, 1, 2, 3, 4])
+
+
 def decode_image(payload: bytes) -> object:
-    """Image decode seam: PPM parses natively (deterministic, no deps);
-    JPEG/PNG/anything-else routes through PIL when it is installed and
-    raises NotImplementedError otherwise — same dict shape either way, so
+    """Image decode seam: PPM and PNG parse natively (deterministic, no
+    deps — PNG via the stdlib zlib + unfilter decoder above); JPEG/
+    anything-else routes through PIL when it is installed and raises
+    NotImplementedError otherwise — same dict shape every way, so
     ``media_features`` is codec-agnostic (VERDICT r5 §Missing #2)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     Image = _pil_image()
     if Image is None:
         return decode_ppm(payload)  # raises the documented NotImplementedError
@@ -392,15 +626,19 @@ def media_features(media: DataFrame) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic mixed WAV/PPM/PVID MEDIA_SCHEMA fixture (no media libs
-    needed): ids ≡ 0 (mod 3) are PPM images with varying dims, ≡ 1 are WAVs
-    with varying sample rates, ≡ 2 are PVID videos with varying frame
-    counts."""
+    """Deterministic mixed WAV/PPM/PNG/PVID MEDIA_SCHEMA fixture (no media
+    libs needed): ids ≡ 0 (mod 3) are images — alternating PPM and REAL
+    PNG payloads (zlib-compressed, all five filter types), both decoded
+    by the pure-Python codecs — ≡ 1 are WAVs with varying sample rates,
+    ≡ 2 are PVID videos with varying frame counts."""
     rows = []
     for i in range(n):
         if i % 3 == 0:
             w, h = 4 + (i % 8), 3 + (i % 5)
-            rows.append((i, "image", synthesize_ppm(w, h, seed=i), '{"mime": "image/x-portable-pixmap"}'))
+            if (i // 3) % 2 == 1:
+                rows.append((i, "image", synthesize_png(w, h, seed=i), '{"mime": "image/png"}'))
+            else:
+                rows.append((i, "image", synthesize_ppm(w, h, seed=i), '{"mime": "image/x-portable-pixmap"}'))
         elif i % 3 == 1:
             sr = 8000 * (1 + i % 3)
             rows.append((i, "audio", synthesize_wav(sr, n_samples=sr // 10), '{"mime": "audio/wav"}'))
@@ -416,6 +654,21 @@ def resize_image(payload: bytes, factor: int) -> bytes:
     otherwise."""
     if payload[:2] == b"P6":
         return resize_ppm(payload, factor)
+    if payload[:8] == PNG_SIG:
+        # pure-Python PNG path: decode → nearest-neighbor → re-encode
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        if factor == 1:
+            return payload
+        w, h, rgb = _png_to_rgb(payload)
+        ow = max(1, (w + factor - 1) // factor)
+        oh = max(1, (h + factor - 1) // factor)
+        out = bytearray()
+        for y in range(0, h, factor):
+            row = rgb[y * w * 3 : (y + 1) * w * 3]
+            for x in range(0, w, factor):
+                out += row[x * 3 : x * 3 + 3]
+        return encode_png(ow, oh, bytes(out))
     Image = _pil_image()
     if Image is None:
         return resize_ppm(payload, factor)  # raises the documented error

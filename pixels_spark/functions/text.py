@@ -267,6 +267,41 @@ def pii_counts(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4")
     }
 
 
+def _exclusive_offsets(
+    base: DataFrame, id_col: str, bucket_width: int = 4096
+) -> DataFrame:
+    """Two-level DISTRIBUTED exclusive prefix sum of ``n_tokens`` in id
+    order → adds ``_off`` (the stat_skyline / weighted-median prefix
+    pattern): (1) bucket rows by id range (monotone in id, so (bucket,
+    id) order ≡ id order); (2) per-bucket token subtotals — a tiny
+    aggregate; (3) exclusive prefix over the O(#rows / bucket_width)
+    bucket frame (the ONLY unpartitioned window — 4096× below row count;
+    recurse a second level if even that is too wide at 100 TB) broadcast
+    back; (4) a PARTITIONED per-bucket cumsum. No global window ever
+    touches the full corpus — the old single ``Window.orderBy(id)``
+    cumsum funneled every row through one task."""
+    from pyspark.sql.window import Window
+
+    b = base.withColumn("_b", F.floor(F.col(id_col) / F.lit(bucket_width)))
+    bsum = b.groupBy("_b").agg(F.sum("n_tokens").alias("_bs"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bsum.select(
+        "_b",
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_pre"),
+    )
+    wl = Window.partitionBy("_b").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.join(F.broadcast(bpre), "_b")
+        .withColumn(
+            "_off",
+            F.col("_pre") + F.sum("n_tokens").over(wl) - F.col("n_tokens"),
+        )
+        .drop("_b", "_pre")
+    )
+
+
 def with_token_shards(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -278,25 +313,22 @@ def with_token_shards(
     ``shard = floor(tokens_before / shard_tokens)``.
 
     This is context-window budgeting for sequence packing: shards are
-    contiguous, deterministic, engine-independent (a window cumsum over a
-    total order — no RNG, no greedy state), and each holds ~shard_tokens
-    tokens. One window shuffle; at 100 TB shard WITHIN a partition key
-    (source/date) so the total order never becomes a single-partition sort.
+    contiguous, deterministic, engine-independent (an exclusive prefix
+    sum over a total order — no RNG, no greedy state), and each holds
+    ~shard_tokens tokens. The prefix sum is the two-level distributed
+    form (``_exclusive_offsets``): the only unpartitioned window runs
+    over the bucket-subtotal frame, #rows/4096 wide, never the corpus.
     """
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = token_count(F.col(text_col))
-    return df.select(
-        F.col(id_col),
-        toks.alias("n_tokens"),
-        (F.sum(toks).over(w) - toks).alias("_offset"),
-    ).withColumn(
-        "shard", F.floor(F.col("_offset") / F.lit(shard_tokens)).cast("bigint")
-    ).drop("_offset")
+    base = df.select(F.col(id_col), toks.alias("n_tokens"))
+    return (
+        _exclusive_offsets(base, id_col)
+        .withColumn(
+            "shard",
+            F.floor(F.col("_off") / F.lit(shard_tokens)).cast("bigint"),
+        )
+        .drop("_off")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -404,26 +436,22 @@ def pack_token_spans(
     ``shard_tokens`` (except the final partial shard) and every doc's
     spans partition [0, n_tokens).
 
-    Pure integer arithmetic over one window cumsum + a bounded
+    Pure integer arithmetic over one exclusive prefix sum + a bounded
     ``sequence`` fan-out (a doc of n tokens lands in at most
     n/shard_tokens + 1 shards) — deterministic, engine-independent,
-    exactly SQL-restatable. Same 100 TB note as with_token_shards: run
-    the total order within a partition key so the sort never
-    concentrates."""
-    from pyspark.sql.window import Window
-
+    exactly SQL-restatable. The prefix sum is the two-level distributed
+    form (``_exclusive_offsets``): the only unpartitioned window runs
+    over the bucket-subtotal frame, never the corpus."""
     S = F.lit(shard_tokens)
-    w = Window.orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     toks = token_count(F.col(text_col))
     # NULL text must be dropped BEFORE the cumsum: size(split(NULL)) is -1
     # under non-ANSI Spark, which would shift every later doc's offset
     # (DuckDB's window sum skips NULLs — filtering first matches it)
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        toks.alias("n_tokens"),
-        (F.sum(toks).over(w) - toks).alias("_off"),
+    base = _exclusive_offsets(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), toks.alias("n_tokens")
+        ),
+        id_col,
     ).filter(F.col("n_tokens") > 0)
     first = F.floor(F.col("_off") / S)
     last = F.floor((F.col("_off") + F.col("n_tokens") - 1) / S)

@@ -79,6 +79,57 @@ ANTI_PATTERNS = {
 }
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan line (expressions nest
+    brackets, so a depth counter, not a regex)."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window exec nodes with an EMPTY partition spec — a single task
+    sorts and frames the whole input, the one shape that cannot scale
+    out no matter how many executors exist. A ``Window`` plan line is
+    ``Window [exprs], [partitionSpec], [orderSpec]``; when unpartitioned
+    the middle group vanishes, leaving 2 groups whose second is the
+    order spec (contains ASC/DESC) — or 1 group for an unordered global
+    frame. Partitioned-but-unordered windows also print 2 groups, but
+    their second group carries no sort direction, which disambiguates.
+    ``WindowGroupLimit`` nodes (rank-pushdown, bounded by construction)
+    are not flagged."""
+    import re
+
+    plan = explain_str(df, "simple")
+    offenders = []
+    for line in plan.split("\n"):
+        if not re.search(r"\bWindow \[", line):
+            continue
+        groups = _bracket_groups(line)
+        if len(groups) >= 3:
+            continue  # explicit partition spec
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
+            continue  # partitioned, no order spec
+        offenders.append(line.strip())
+    return offenders
+
+
 def plan_anti_patterns(df: DataFrame) -> list[str]:
     """Scan a physical plan for scale anti-patterns → list of findings
     (empty = clean). BroadcastNestedLoopJoin is reported only when the
@@ -86,9 +137,14 @@ def plan_anti_patterns(df: DataFrame) -> list[str]:
     broadcast — we can't see intent in the plan string, so BNLJ is
     returned as its own finding and callers allowlist the queries whose
     BNLJ is a deliberate scalar/tiny broadcast (theta joins, scalar
-    thresholds)."""
+    thresholds). Likewise an unpartitioned (global) Window is a finding
+    unless the caller allowlists the query with the row bound that makes
+    the single-task sort safe (a global window over ≤N rows is a scalar
+    pattern, not a scale risk)."""
     plan = explain_str(df, "simple")
     found = [msg for pat, msg in ANTI_PATTERNS.items() if pat in plan]
     if "BroadcastNestedLoopJoin" in plan:
         found.append("broadcast nested-loop join (verify the broadcast side is tiny)")
+    for line in unpartitioned_windows(df):
+        found.append(f"unpartitioned global window: {line[:120]}")
     return found

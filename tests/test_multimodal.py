@@ -11,7 +11,7 @@ from pixels_spark.functions import multimodal as M
 def test_decode_stubs_raise():
     if M._pil_image() is None:
         with pytest.raises(NotImplementedError):
-            M.decode_image(b"\x89PNG")
+            M.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG needs PIL
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"RIFF")
 
@@ -171,18 +171,11 @@ def _has_pil() -> bool:
         return False
 
 
-@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed (sandbox)")
-def test_pil_route_activates_when_installed():
-    """With Pillow present, JPEG/PNG payloads decode and resize through
-    the same seam the PPM path uses (VERDICT r5 §Missing #2)."""
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (8, 6), (10, 20, 30)).save(buf, format="PNG")
-    png = buf.getvalue()
-
+def test_png_decodes_and_resizes_without_pil():
+    """Real PNG payloads decode and resize through the pure-Python codec
+    (stdlib zlib + spec §9 unfiltering) — no Pillow needed (VERDICT r7
+    task #8; this was the PIL-gated skip test)."""
+    png = M.encode_png(8, 6, bytes([10, 20, 30]) * 48)
     info = M.decode_image(png)
     assert (info["width"], info["height"]) == (8, 6)
     assert abs(info["mean_byte"] - 20.0) < 1e-9  # mean of (10,20,30)
@@ -190,13 +183,85 @@ def test_pil_route_activates_when_installed():
     half = M.resize_image(png, 2)
     info2 = M.decode_image(half)
     assert (info2["width"], info2["height"]) == (4, 3)
+    assert abs(info2["mean_byte"] - 20.0) < 1e-9
 
 
-def test_non_ppm_still_raises_without_pil():
-    """The NotImplementedError contract is unchanged when PIL is absent."""
-    if _has_pil():
-        pytest.skip("Pillow installed; the no-PIL branch is not reachable")
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG\r\n\x1a\n")
-    with pytest.raises(NotImplementedError):
-        M.resize_image(b"\x89PNG\r\n\x1a\n", 2)
+def test_png_all_filter_types_roundtrip():
+    """encode(filters cycling None/Sub/Up/Average/Paeth) → decode must be
+    the identity on the pixel bytes — every unfilter branch exercised,
+    and the synthesized fixture matches the PPM twin's stats."""
+    for w, h, seed in ((7, 5, 3), (4, 8, 0), (16, 16, 9)):
+        rgb = bytes(
+            (x * 3 + ch + seed) % 256
+            for x in range(w * h)
+            for ch in range(3)
+        )
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            png = M.encode_png(w, h, rgb, filters=filters)
+            gw, gh, got = M._png_to_rgb(png)
+            assert (gw, gh) == (w, h)
+            assert got == rgb, f"filters={filters}"
+        # decode_png and decode_ppm agree on the shared pixel pattern
+        dp = M.decode_png(M.synthesize_png(w, h, seed=seed))
+        dm = M.decode_ppm(M.synthesize_ppm(w, h, seed=seed))
+        assert dp == dm
+
+
+def test_png_gray_palette_alpha_color_types():
+    """Color types 0 (gray), 3 (palette), 4 (gray+alpha), 6 (RGBA) all
+    normalize to RGB exactly like PIL convert('RGB') would."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def png(colortype, scanlines, plte=None):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, colortype, 0, 0, 0)
+        out = M.PNG_SIG + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        out += chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+        return out
+
+    # gray 2x2: values 1,2 / 3,4 -> each replicates to RGB
+    g = png(0, b"\x00\x01\x02" + b"\x00\x03\x04")
+    assert M._png_to_rgb(g)[2] == bytes([1] * 3 + [2] * 3 + [3] * 3 + [4] * 3)
+    # gray+alpha: alpha dropped
+    ga = png(4, b"\x00\x01\xff\x02\x80" + b"\x00\x03\x00\x04\x10")
+    assert M._png_to_rgb(ga)[2] == bytes([1] * 3 + [2] * 3 + [3] * 3 + [4] * 3)
+    # RGBA: alpha dropped
+    rgba = png(
+        6,
+        b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 0])
+        + b"\x00" + bytes([7, 8, 9, 128, 10, 11, 12, 64]),
+    )
+    assert M._png_to_rgb(rgba)[2] == bytes(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+    )
+    # palette: indexes resolve through PLTE
+    plte = bytes([9, 9, 9, 1, 2, 3])
+    pal = png(3, b"\x00\x00\x01" + b"\x00\x01\x00", plte=plte)
+    assert M._png_to_rgb(pal)[2] == bytes(
+        [9, 9, 9, 1, 2, 3, 1, 2, 3, 9, 9, 9]
+    )
+
+
+def test_png_corrupt_payloads_fail_loudly():
+    png = bytearray(M.synthesize_png(4, 4, seed=1))
+    png[30] ^= 0xFF  # flip a byte inside IHDR/IDAT territory
+    with pytest.raises(ValueError):
+        M.decode_png(bytes(png))
+    with pytest.raises(ValueError):
+        M.decode_png(M.PNG_SIG + b"\x00\x00\x00\x04AAAA")
+    # JPEG still requires PIL
+    if not _has_pil():
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\xff\xd8\xff\xe0JFIF")
+        with pytest.raises(NotImplementedError):
+            M.resize_image(b"\xff\xd8\xff\xe0JFIF", 2)
