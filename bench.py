@@ -326,7 +326,56 @@ def main() -> None:
             }
         )
     )
+    write_benchlog(
+        all_runs,
+        sf=sf,
+        load_sec=load_sec,
+        ivf_build_sec=ivf_build_sec,
+        derived_build_sec=derived_build_sec,
+    )
     spark.stop()
+
+
+def write_benchlog(
+    all_runs: dict[str, list[float]],
+    sf: float,
+    load_sec: float,
+    ivf_build_sec: float,
+    derived_build_sec: float,
+    path: str | None = None,
+) -> str:
+    """Commit-able per-query bench record (VERDICT r7 task #4): every
+    headline query's best-of-3 and per-pass times as one markdown table,
+    so a per-query perf audit is a file read, not a 10-minute re-run.
+    tests/test_benchlog_md.py gates the query set against bench.HEADLINE
+    the same way QUERIES.md is render-diffed against the registry."""
+    path = path or os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCHLOG.md")
+    timings = {name: min(runs) for name, runs in all_runs.items()}
+    total = round(sum(timings.values()), 4)
+    lines = [
+        "# BENCHLOG — per-query headline timings",
+        "",
+        "Written by `bench.py` on every run (best-of-3 per query, same",
+        "numbers as the driver's BENCH json). Regenerate: `python bench.py`.",
+        "",
+        f"- sf: {sf}",
+        f"- queries: {len(timings)}",
+        f"- total_best_sec: {total}",
+        f"- load_sec: {load_sec}  ivf_build_sec: {ivf_build_sec}  "
+        f"derived_build_sec: {derived_build_sec}",
+        "",
+        "| query | best s | pass 1 | pass 2 | pass 3 |",
+        "|---|---|---|---|---|",
+    ]
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        runs = all_runs[name]
+        cells = " | ".join(f"{r:.3f}" for r in runs)
+        lines.append(f"| {name} | {timings[name]:.3f} | {cells} |")
+    lines.append(f"| **total (best)** | **{total:.3f}** | | | |")
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path
 
 
 if __name__ == "__main__":

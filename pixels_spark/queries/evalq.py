@@ -1,0 +1,393 @@
+"""Model-evaluation + feature-preparation queries — the metrics layer a
+training-data pipeline runs on scored outputs before shipping a model or
+an encoded feature table (beyond-parity per the brief: the reference
+engine has no ML-eval surface; these compose its aggregation/window
+parity into the standard eval toolkit).
+
+Every statistic is EXACT-INTEGER first (value-grain counts, bigint rank
+sums, decimal-quantized mean sums) with doubles only as one fixed IEEE
+chain at the end — the repo-wide discipline that makes each query
+bit-replayable by the DuckDB oracle.
+
+Scale notes repeat per query; the shared one: anything rank-based uses
+the two-level prefix pattern (value-grain counts → band subtotals →
+tiny band-frame prefix → band-partitioned local prefix) so no global
+window ever touches the full value set (stat_mann_whitney /
+stat_ks_test kernel; reference parity anchor: the aggregate/window
+operators of pixels-core, TypeDescription.java:218 rollup surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import declare
+
+# Binary classification fixture shared by the eval family: the model
+# score is the event value, the positive class is 'purchase', the
+# negative class is 'view' — "does spend separate buyers from browsers".
+_LAB_SQL = """
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')"""
+
+
+def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+
+
+@declare(
+    "eval_auc",
+    sql=f"""
+    WITH lab AS ({_LAB_SQL}),
+    g AS (SELECT v, CAST(sum(y) AS BIGINT) AS p,
+                 CAST(sum(1 - y) AS BIGINT) AS n
+          FROM lab GROUP BY v),
+    pre AS (
+      SELECT p, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS neg_below
+      FROM g)
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_neg,
+           CAST(sum(p * (2 * neg_below + n)) AS BIGINT) AS two_u,
+           CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
+             / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS auc
+    FROM pre
+    """,
+    tags=("eval", "auc", "ranking", "beyond-parity"),
+)
+def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-corrected ROC AUC of the score (event value) separating
+    purchases from views — the first number anyone asks of a binary
+    scorer. AUC is the Mann-Whitney statistic normalized: with per-value
+    positive/negative counts (p_v, n_v), 2U = Σ p_v·(2·neg_below(v) +
+    n_v) counts each (pos, neg) pair twice with ties at half — held as
+    one BIGINT, so AUC = 2U / (2·n_pos·n_neg) is a single IEEE division
+    and the oracle hashes bit-identically.
+
+    Scale: the oracle ranks with ONE global window (fine for DuckDB, a
+    single-task sort at 100 TB); the engine computes neg_below via the
+    two-level prefix (value-grain counts → 25-wide band subtotals →
+    prefix over the tiny band frame → band-partitioned local prefix) —
+    the stat_mann_whitney kernel, which AUC literally is."""
+    from pyspark.sql import Window
+
+    g = (
+        _labeled(spark, sf_dir)
+        .groupBy("v")
+        .agg(
+            F.sum("y").cast("bigint").alias("p"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("n"),
+        )
+        .persist()
+    )
+    b = g.withColumn("_b", F.floor(F.col("v") / F.lit(25.0)))
+    bsum = b.groupBy("_b").agg(F.sum("n").alias("_bs"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bsum.select(
+        "_b",
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_lower"),
+    )
+    win = (
+        Window.partitionBy("_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = b.join(F.broadcast(bpre), "_b").withColumn(
+        "neg_below",
+        (F.col("_lower") + F.coalesce(F.sum("n").over(win), F.lit(0))).cast(
+            "bigint"
+        ),
+    )
+    return pre.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("n").cast("bigint").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("neg_below") + F.col("n")))
+        .cast("bigint")
+        .alias("two_u"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "two_u",
+        (
+            F.col("two_u").cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+@declare(
+    "eval_calibration",
+    sql=f"""
+    WITH lab AS ({_LAB_SQL}),
+    binned AS (
+      SELECT least(CAST(floor(v / 50.0) AS BIGINT), 9) AS bin, v, y
+      FROM lab)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+             / count(*) AS mean_score,
+           CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    tags=("eval", "calibration", "beyond-parity"),
+)
+def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table: scores cut into 10 fixed-width
+    bins (50-wide over the value domain, top bin open), per bin the
+    exact count, positive count, DECIMAL-exact mean score and positive
+    rate — the curve that says whether 'a score of 300 means 80%
+    purchase likelihood' before anyone trusts thresholds. One map-side
+    binning + one 10-group aggregate; mean_score sums DECIMAL(18,6) so
+    the double is one division on both engines."""
+    lab = _labeled(spark, sf_dir)
+    binned = lab.withColumn(
+        "bin",
+        F.least(F.floor(F.col("v") / F.lit(50.0)), F.lit(9)).cast("bigint"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            (
+                F.sum(F.col("v").cast("decimal(18,6)"))
+                .cast("decimal(38,6)")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_score"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+_SWEEP_TAUS = (50.0, 100.0, 150.0, 200.0, 250.0)
+
+
+def _sweep_sql() -> str:
+    rows = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({t} AS DOUBLE) AS threshold,
+             CAST(sum(CASE WHEN y = 1 AND v >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN y = 0 AND v >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y = 1 AND v < {t} THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN y = 0 AND v < {t} THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM lab"""
+        for t in _SWEEP_TAUS
+    )
+    return f"""
+    WITH lab AS ({_LAB_SQL}),
+    m AS (
+{rows})
+    SELECT threshold, tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+           CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+           2.0 * tp / (2.0 * tp + fp + fn) AS f1
+    FROM m ORDER BY threshold
+    """
+
+
+@declare(
+    "eval_threshold_sweep",
+    sql=_sweep_sql(),
+    tags=("eval", "confusion", "beyond-parity"),
+)
+def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix sweep: TP/FP/FN/TN and precision/recall/F1 at 5
+    candidate decision thresholds — the table that picks the operating
+    point after eval_auc says the ranking is good. ONE scan: all 20
+    counters are map-side CASE sums in a single wide aggregate whose
+    1-row result explodes into per-threshold rows (the dq_checks
+    pattern); the oracle unions per-threshold aggregates, same counts.
+    F1 uses the 2tp/(2tp+fp+fn) form — no intermediate precision/recall
+    rounding on either engine."""
+    lab = _labeled(spark, sf_dir)
+    aggs = []
+    for i, t in enumerate(_SWEEP_TAUS):
+        pos = F.col("y") == 1
+        hi = F.col("v") >= F.lit(t)
+        aggs += [
+            F.sum(F.when(pos & hi, 1).otherwise(0)).cast("bigint").alias(f"_tp{i}"),
+            F.sum(F.when(~pos & hi, 1).otherwise(0)).cast("bigint").alias(f"_fp{i}"),
+            F.sum(F.when(pos & ~hi, 1).otherwise(0)).cast("bigint").alias(f"_fn{i}"),
+            F.sum(F.when(~pos & ~hi, 1).otherwise(0)).cast("bigint").alias(f"_tn{i}"),
+        ]
+    row = lab.agg(*aggs)
+    packed = [
+        F.struct(
+            F.lit(t).alias("threshold"),
+            F.col(f"_tp{i}").alias("tp"),
+            F.col(f"_fp{i}").alias("fp"),
+            F.col(f"_fn{i}").alias("fn"),
+            F.col(f"_tn{i}").alias("tn"),
+        )
+        for i, t in enumerate(_SWEEP_TAUS)
+    ]
+    m = row.select(F.explode(F.array(*packed)).alias("x")).select("x.*")
+    return m.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias(
+            "recall"
+        ),
+        (
+            2.0
+            * F.col("tp")
+            / (2.0 * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+@declare(
+    "feat_target_encode",
+    sql="""
+    WITH lab AS (
+      SELECT source,
+             CAST(CAST(concat('0x', substr(md5('te1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 5 AS BIGINT) AS fold,
+             CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y
+      FROM documents),
+    per AS (SELECT source, fold, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS pos
+            FROM lab GROUP BY source, fold),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot_n,
+                   CAST(sum(pos) AS BIGINT) AS tot_pos
+            FROM per GROUP BY source),
+    gtot AS (SELECT CAST(sum(n) AS BIGINT) AS g_n,
+                    CAST(sum(pos) AS BIGINT) AS g_pos FROM per)
+    SELECT p.source, p.fold, p.n AS n_in_fold,
+           CASE WHEN t.tot_n - p.n > 0
+                THEN CAST(t.tot_pos - p.pos AS DOUBLE) / (t.tot_n - p.n)
+                ELSE CAST(g.g_pos AS DOUBLE) / g.g_n END AS enc
+    FROM per p JOIN tot t ON t.source = p.source CROSS JOIN gtot g
+    ORDER BY p.source, p.fold
+    """,
+    tags=("feature", "target-encoding", "kfold", "beyond-parity"),
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding of ``source`` against
+    the quality label n_chars ≥ 500: each (category, fold) cell's
+    encoded value is the target mean over the category's OTHER folds —
+    enc = (tot_pos − fold_pos) / (tot_n − fold_n) — so no row's own
+    label leaks into its feature (the standard high-cardinality
+    categorical encoder for tabular training). Folds are the md5 hash
+    family (engine-independent, reproducible); the ratio is one IEEE
+    division of exact BIGINTs; a category entirely inside one fold
+    falls back to the global rate.
+
+    Scale: two aggregates on the category grain (per-(cat,fold), then
+    per-cat totals rolled up FROM the first — no second corpus scan) +
+    one broadcast-able join; the global-rate frame is 1 row. No window,
+    no skew risk beyond category cardinality itself."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("te1"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+    )
+    lab = d.select(
+        "source",
+        fold.alias("fold"),
+        F.when(F.col("n_chars") >= 500, 1).otherwise(0).alias("y"),
+    )
+    per = lab.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    ).persist()
+    tot = per.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("tot_n"),
+        F.sum("pos").cast("bigint").alias("tot_pos"),
+    )
+    glob = per.agg(
+        F.sum("n").cast("bigint").alias("g_n"),
+        F.sum("pos").cast("bigint").alias("g_pos"),
+    )
+    return (
+        per.join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "fold",
+            F.col("n").alias("n_in_fold"),
+            F.when(
+                (F.col("tot_n") - F.col("n")) > 0,
+                (F.col("tot_pos") - F.col("pos")).cast("double")
+                / (F.col("tot_n") - F.col("n")),
+            )
+            .otherwise(F.col("g_pos").cast("double") / F.col("g_n"))
+            .alias("enc"),
+        )
+        .orderBy("source", "fold")
+    )
+
+
+@declare(
+    "ts_seasonal_profile",
+    sql="""
+    WITH h AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchase
+      FROM events GROUP BY hod),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM h)
+    SELECT hod, n, n_purchase,
+           CAST(24 * n AS DOUBLE) / t AS seasonal_index,
+           CAST(n_purchase AS DOUBLE) / n AS purchase_rate
+    FROM h CROSS JOIN tot ORDER BY hod
+    """,
+    tags=("timeseries", "seasonality", "beyond-parity"),
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile: per hour slot the exact event count,
+    purchase count, seasonal index (24·n / total — 1.0 = flat) and
+    purchase rate — the decomposition table behind load forecasting and
+    anomaly baselines (is 3am traffic low because it is 3am?). One
+    map-side hour() + a 24-group aggregate; the corpus-total divisor is
+    a 1-row broadcast frame (the scalar crossJoin pattern); all ratios
+    are fixed IEEE chains from exact BIGINTs."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(F.hour("ts").cast("bigint").alias("hod")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchase"),
+    )
+    tot = h.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            "hod",
+            "n",
+            "n_purchase",
+            ((24 * F.col("n")).cast("double") / F.col("t")).alias(
+                "seasonal_index"
+            ),
+            (F.col("n_purchase").cast("double") / F.col("n")).alias(
+                "purchase_rate"
+            ),
+        )
+        .orderBy("hod")
+    )

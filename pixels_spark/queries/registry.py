@@ -56,6 +56,7 @@ def load_all_modules() -> dict[str, DeclaredQuery]:
         clickbench,
         clickbench_str,
         decimalq,
+        evalq,
         funnelq,
         graphq,
         joinq,

@@ -67,6 +67,8 @@ ALLOWLIST = {
     "stat_chi_square": "R x C contingency grid cross join (5x24, broadcast)",
     "vec_pca_top2": "1-row deflation-scalar (c1,c2) frame crossJoin",
     "ts_lttb": "1-row first-point frame crossJoin seeding the bucket fold",
+    "feat_target_encode": "1-row global-rate fallback frame crossJoin",
+    "ts_seasonal_profile": "1-row corpus-total frame crossJoin",
 }
 
 BATCH = sorted(
@@ -109,6 +111,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "(rank filter <= k seeds)",
     "win_ranking_family": "SQL window-family parity demo — global ntile IS the "
     "demonstrated semantic; partition by a key at scale",
+    "eval_auc": "exclusive prefix over value-band subtotals: O(#bands), <=256 "
+    "(the stat_mann_whitney kernel)",
 }
 
 

@@ -135,12 +135,26 @@ def run_suite(
 def main() -> None:
     """Stages (each resumable, results cached as JSON under .bench_cache):
     ``build`` → ``base`` → ``scaled`` → ``report``. Run with no args to
-    execute the next missing stage; repeat until report prints."""
+    execute the next missing stage; repeat until report prints.
+
+    ``--only q1 q2 ...`` restricts the probe to the named queries and
+    runs BOTH scales in one invocation (targeted deep-scale checks, e.g.
+    the 25× pair-generating-trio probe of VERDICT r7 task #5) — results
+    cached per (copies, query-set) so re-runs only report."""
     import json
 
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = sys.argv[1:]
+    only: list[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1 :]
+        args = args[:i]
+    copies = int(args[0]) if args else 5
     base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cache_root = os.path.join(_ROOT, ".bench_cache")
+    if only:
+        _run_only(copies, base_sf, cache_root, only)
+        return
     # NB: under fixtures/ so stage_tables' dest (cache_root/<basename>)
     # can never collide with — and rmtree — the fixture itself
     scaled_src = os.path.join(cache_root, "fixtures", f"sf0.{copies}x")
@@ -187,6 +201,57 @@ def main() -> None:
         os.replace(scaled_json + ".partial", scaled_json)
         print(f"scaled suite done: {sum(res.values()):.1f}s -> {scaled_json}")
     spark.stop()
+
+
+def _run_only(
+    copies: int, base_sf: str, cache_root: str, names: list[str]
+) -> None:
+    """Targeted both-scales probe of ``names`` at ``copies``× — one
+    timed pass per scale after a tpch_q6 warm-up, per-query results
+    cached so a killed run resumes."""
+    import hashlib
+    import json
+
+    scaled_src = os.path.join(cache_root, "fixtures", f"sf0.{copies}x")
+    key = hashlib.md5(",".join(sorted(names)).encode()).hexdigest()[:8]
+    save = os.path.join(cache_root, f"scale_only_{copies}x_{key}.json")
+    out: dict[str, dict[str, float]] = {}
+    if os.path.exists(save):
+        with open(save) as f:
+            out = json.load(f)
+    todo = [
+        (scale, n)
+        for scale in ("base", "scaled")
+        for n in names
+        if n not in out.get(scale, {})
+    ]
+    if todo:
+        registry = load_all_modules()
+        spark = local_session()
+        spark.sparkContext.setLogLevel("ERROR")
+        build_sec = make_scaled_fixture(spark, base_sf, scaled_src, copies)
+        if build_sec:
+            print(f"scaled fixture build: {build_sec}s", flush=True)
+        for scale, src in (("base", base_sf), ("scaled", scaled_src)):
+            pend = [n for n in names if n not in out.get(scale, {})]
+            if not pend:
+                continue
+            staged, *_ = bench.prepare(spark, src, cache_root)
+            bench._consume(registry["tpch_q6"].fn(spark, staged))
+            for n in pend:
+                t0 = time.time()
+                bench._consume(registry[n].fn(spark, staged))
+                out.setdefault(scale, {})[n] = round(time.time() - t0, 3)
+                print(f"  {scale} {n}: {out[scale][n]}s", flush=True)
+                spark.catalog.clearCache()
+                with open(save, "w") as f:
+                    json.dump(out, f)
+        spark.stop()
+    print(f"| query | sf0.1 s | {copies}x s | ratio |")
+    print("|---|---|---|---|")
+    for n in names:
+        b, s = out["base"][n], out["scaled"][n]
+        print(f"| {n} | {b:.2f} | {s:.2f} | {s / b:.2f}x |")
 
 
 if __name__ == "__main__":
