@@ -78,8 +78,6 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level prefix (value-grain counts → 25-wide band subtotals →
     prefix over the tiny band frame → band-partitioned local prefix) —
     the stat_mann_whitney kernel, which AUC literally is."""
-    from pyspark.sql import Window
-
     g = (
         _labeled(spark, sf_dir)
         .groupBy("v")
@@ -89,6 +87,16 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    return auc_scan(g)
+
+
+def auc_scan(g: DataFrame) -> DataFrame:
+    """The AUC scoring stage over a (v, p, n) per-value counter table —
+    factored out (like statsq.ks_scan) so the streaming twin
+    ``stream_eval_auc`` scores its MAINTAINED counter table with the
+    identical plan and shares this oracle bit-for-bit."""
+    from pyspark.sql import Window
+
     b = g.withColumn("_b", F.floor(F.col("v") / F.lit(25.0)))
     bsum = b.groupBy("_b").agg(F.sum("n").alias("_bs"))
     wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)

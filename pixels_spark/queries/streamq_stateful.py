@@ -1935,6 +1935,109 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finalize(ks_scan(counters), work)
 
 
+def _stream_auc_oracle() -> str:
+    from .evalq import eval_auc as _ea  # noqa: F401  (registry holds the sql)
+    from .registry import REGISTRY
+
+    return REGISTRY["eval_auc"].sql
+
+
+@declare(
+    "stream_eval_auc",
+    sql=_stream_auc_oracle(),
+    tags=("streaming", "eval", "auc", "linear-state", "beyond-parity"),
+)
+def stream_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model-quality monitoring: EXACT tie-corrected ROC AUC
+    maintained over an unbounded scored stream. Per micro-batch the
+    (value, pos-count, neg-count) table folds by SUM — value-grain
+    counters are LINEAR, so the maintained table equals the one-shot
+    batch build exactly and the identical scoring stage
+    (``evalq.auc_scan``: two-level band prefix → one BIGINT rank sum)
+    must hash-match ``eval_auc``'s oracle bit-for-bit. State is one row
+    per distinct score value, independent of event volume — continuous
+    "is the model still ranking buyers above browsers?" without ever
+    re-scanning history. Replay-idempotent via the last_bid guard."""
+    import json
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_auc_")
+    src = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    state_json = os.path.join(state_root, "STATE.json")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).alias("m")
+    ).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(state_json):
+            with open(state_json) as _f:
+                if json.load(_f).get("last_bid") == _bid:
+                    return  # at-least-once replay: already folded
+        g = (
+            batch_df.filter(F.col("event_type").isin("purchase", "view"))
+            .groupBy(F.col("value").alias("v"))
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).cast("bigint").alias("p"),
+                F.sum(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                ).cast("bigint").alias("n"),
+            )
+        )
+        if os.path.exists(state_json):
+            with open(state_json) as f:
+                st = json.load(f)
+            g = (
+                g.unionByName(spark.read.parquet(st["data"]))
+                .groupBy("v")
+                .agg(
+                    F.sum("p").cast("bigint").alias("p"),
+                    F.sum("n").cast("bigint").alias("n"),
+                )
+            )
+            nb = st["n"] + 1
+        else:
+            st, nb = None, 1
+        dest = os.path.join(state_root, f"counts_v={nb}")
+        g.write.mode("overwrite").parquet(dest)
+        tmp = state_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": nb, "data": dest, "last_bid": _bid}, f)
+        os.replace(tmp, state_json)
+        if st and st["data"] != dest and os.path.isdir(st["data"]):
+            shutil.rmtree(st["data"], ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_eval_auc did not finish in 600s")
+    with open(state_json) as f:
+        st = json.load(f)
+    assert st["n"] >= 2, "expected >= 2 micro-batches"
+    from .evalq import auc_scan
+
+    counters = spark.read.parquet(st["data"])
+    return _finalize(auc_scan(counters), work)
+
+
 def _stream_cusum_oracle() -> str:
     from .temporalq import _CUSUM_ORACLE
 

@@ -65,43 +65,48 @@ def make_scaled_fixture(spark, src_dir: str, dest_dir: str, copies: int) -> floa
     n = spark.sparkContext.defaultParallelism
     t0 = time.perf_counter()
     os.makedirs(dest_dir, exist_ok=True)
+    # write shard-BY-shard (append after the first) instead of unioning
+    # all copies into one plan: a 25-way union of rotation expressions
+    # over text/array columns allocates all shards' buffers in one job
+    # and GCLocker-crashed the JVM at copies=25. Per-shard jobs bound
+    # memory to one copy regardless of the copy factor.
     for t in TABLES:
         df = load_table(spark, src_dir, t)
         keys = _SHIFT_COLS.get(t)
-        if keys:
-            shards = []
-            for i in range(copies):
-                s = df
-                for k in keys:
-                    s = s.withColumn(k, (F.col(k) + F.lit(i * _OFF)).cast("bigint"))
-                if i > 0 and t == "documents":
-                    # rotate word order by i: same chars, same n_chars,
-                    # different shingles -> not a cross-shard near-dup
-                    w = F.split(F.col("text"), " ")
-                    rot = F.array_join(
-                        F.concat(
-                            F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))),
-                            F.slice(w, 1, F.least(F.lit(i), F.size(w))),
-                        ),
-                        " ",
-                    )
-                    s = s.withColumn("text", rot)
-                if i > 0 and t == "embeddings":
-                    # rotate dims by i: norm-preserving, cosine vs the
-                    # original ~ random -> not a cross-shard near-dup
-                    v = F.col("embedding")
-                    s = s.withColumn(
-                        "embedding",
-                        F.concat(
-                            F.slice(v, i + 1, F.size(v) - i), F.slice(v, 1, i)
-                        ),
-                    )
-                shards.append(s)
-            df = reduce(lambda a, b: a.unionByName(b), shards)
         parts = n if t in ("lineitem", "orders", "events") else max(4, n // 4)
-        df.repartition(parts).write.mode("overwrite").parquet(
-            os.path.join(dest_dir, f"{t}.parquet")
-        )
+        dest = os.path.join(dest_dir, f"{t}.parquet")
+        if not keys:
+            df.repartition(parts).write.mode("overwrite").parquet(dest)
+            continue
+        shard_parts = max(2, parts // copies + 1)
+        for i in range(copies):
+            s = df
+            for k in keys:
+                s = s.withColumn(k, (F.col(k) + F.lit(i * _OFF)).cast("bigint"))
+            if i > 0 and t == "documents":
+                # rotate word order by i: same chars, same n_chars,
+                # different shingles -> not a cross-shard near-dup
+                w = F.split(F.col("text"), " ")
+                rot = F.array_join(
+                    F.concat(
+                        F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))),
+                        F.slice(w, 1, F.least(F.lit(i), F.size(w))),
+                    ),
+                    " ",
+                )
+                s = s.withColumn("text", rot)
+            if i > 0 and t == "embeddings":
+                # rotate dims by i: norm-preserving, cosine vs the
+                # original ~ random -> not a cross-shard near-dup
+                v = F.col("embedding")
+                s = s.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(v, i + 1, F.size(v) - i), F.slice(v, 1, i)
+                    ),
+                )
+            mode = "overwrite" if i == 0 else "append"
+            s.repartition(shard_parts).write.mode(mode).parquet(dest)
     with open(marker, "w") as f:
         f.write(f"copies={copies} src={src_dir}")
     return round(time.perf_counter() - t0, 2)
