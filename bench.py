@@ -181,6 +181,16 @@ HEADLINE = (
     # round 7, session 6f: LTTB dashboard downsampling (exact-integer
     # triangle-area argmax fold; 24-CTE unrolled oracle)
     "ts_lttb",
+    # round 8: model-eval + feature-prep family (exact AUC via the MWU
+    # kernel, calibration bins, one-scan threshold sweep, out-of-fold
+    # target encoding, hour-of-day seasonal profile); stream_eval_auc
+    # stays out like the other stream twins (stream-replay machinery,
+    # oracle shared with eval_auc)
+    "eval_auc",
+    "eval_calibration",
+    "eval_threshold_sweep",
+    "feat_target_encode",
+    "ts_seasonal_profile",
 )
 
 

@@ -1077,7 +1077,17 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency shuffle, fanout Σ C(deg,2) bounded by the support
     threshold; the oracle's adj⋈adj restates it relationally), then an
     anti-join against the edge set and two broadcast-size degree joins;
-    the top-20 is a TakeOrderedAndProject."""
+    the top-20 is a TakeOrderedAndProject.
+
+    Skew lever (same MEASURED decision rule as graph_triangles): on a
+    power-law graph, orient wedges by the degree order
+    (``functions.graph.triangles_degree_ordered``'s orientation — total
+    wedges Σ C(outdeg,2) = O(m^1.5) on ANY degree distribution) instead
+    of the id order. On this fixture's near-uniform co-purchase graph
+    the id order measures faster (max id-out-degree 199 at sf0.1; 49M
+    id-wedges vs the 1.3B m^1.5 bound — see graph_triangles' rationale),
+    so the default stays id-ordered; flip orientation, not algorithm,
+    when the degree histogram says otherwise."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )

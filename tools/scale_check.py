@@ -41,7 +41,8 @@ from pyspark.sql import functions as F  # noqa: E402
 import bench  # noqa: E402
 from pixels_spark.catalog import TABLES, load_table  # noqa: E402
 from pixels_spark.queries import load_all_modules  # noqa: E402
-from pixels_spark.session import local_session  # noqa: E402
+from pixels_spark.session import build_session  # noqa: E402
+from pixels_spark import config as _cfg  # noqa: E402
 
 _OFF = 100_000_000
 _SHIFT_COLS = {
@@ -190,7 +191,14 @@ def main() -> None:
         return
 
     registry = load_all_modules()
-    spark = local_session()
+    spark = build_session(
+        master=f"local[{_cfg.CPUS}]",
+        # scale probes genuinely hold copies x the fixture in flight;
+        # the 1g PySpark default heap (fine for the sf0.1 bench) OOMs
+        # at 25x. A real cluster sizes executor memory to the data -
+        # the probe does the same.
+        extra_conf={"spark.driver.memory": "48g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     build_sec = make_scaled_fixture(spark, base_sf, scaled_src, copies)
     if build_sec:
@@ -232,7 +240,14 @@ def _run_only(
     ]
     if todo:
         registry = load_all_modules()
-        spark = local_session()
+        spark = build_session(
+        master=f"local[{_cfg.CPUS}]",
+        # scale probes genuinely hold copies x the fixture in flight;
+        # the 1g PySpark default heap (fine for the sf0.1 bench) OOMs
+        # at 25x. A real cluster sizes executor memory to the data -
+        # the probe does the same.
+        extra_conf={"spark.driver.memory": "48g"},
+    )
         spark.sparkContext.setLogLevel("ERROR")
         build_sec = make_scaled_fixture(spark, base_sf, scaled_src, copies)
         if build_sec:
@@ -241,7 +256,10 @@ def _run_only(
             pend = [n for n in names if n not in out.get(scale, {})]
             if not pend:
                 continue
-            staged, *_ = bench.prepare(spark, src, cache_root)
+            # stage_tables only — bench.prepare's derived/IVF prebuilds
+            # are for the full suite; a targeted probe should not pay
+            # (or OOM on) k-means over a 25x corpus its queries never read
+            staged = bench.stage_tables(spark, src, cache_root)
             bench._consume(registry["tpch_q6"].fn(spark, staged))
             for n in pend:
                 t0 = time.time()
