@@ -188,6 +188,7 @@ HEADLINE = (
     # oracle shared with eval_auc)
     "eval_auc",
     "eval_calibration",
+    "vec_near_dup_cells",
     "eval_threshold_sweep",
     "feat_target_encode",
     "ts_seasonal_profile",

@@ -294,7 +294,15 @@ def vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "dedup", "join"),
 )
 def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding-cosine near-dup pairs within label partitions (oracle)."""
+    """embedding-cosine near-dup pairs within label partitions (oracle).
+
+    Contract note (measured, SCALE.md 25×): exact-within-block is
+    QUADRATIC in block size by construction — with a fixed-cardinality
+    blocking column the candidate volume grows as (corpus/blocks)², and
+    the 25× probe measured 157× wall. The scale path is a finer blocking
+    key: ``vec_near_dup_cells`` composes label × deterministic k-means
+    cell (same exact verification), and the operator docstring states
+    the n_cells sizing rule that keeps candidates linear."""
     e = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_pairs(
         e, "vec_id", "embedding", partition_col="label", threshold=0.4
@@ -750,6 +758,64 @@ def vec_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id", "dim")
     )
+
+_ASSIGN_LBL_CTES = _ASSIGN_CTES.replace(
+    "SELECT e.vec_id, e.embedding, i.cell_id",
+    "SELECT e.vec_id, e.label, e.embedding, i.cell_id",
+).replace(
+    "SELECT vec_id, embedding, cell_id\n      FROM (SELECT vec_id, embedding, cell_id,",
+    "SELECT vec_id, label, embedding, cell_id\n"
+    "      FROM (SELECT vec_id, label, embedding, cell_id,",
+)
+
+
+@declare(
+    "vec_near_dup_cells",
+    sql=f"""
+    WITH {_ASSIGN_LBL_CTES}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cos("a.embedding", "b.embedding")} AS sim
+    FROM assigned a JOIN assigned b
+      ON a.label = b.label AND a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    tags=("vector", "dedup", "join", "clustering", "beyond-parity"),
+)
+def vec_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape embedding near-dup pairs: blocked on
+    (label × deterministic k-means cell) instead of label alone — the
+    candidate self-join is exact WITHIN each block, and the cell
+    assignment (decimal-quantized Lloyd init + cosine argmax, ties →
+    lowest cell — the vec_kmeans_round kernel) is itself exactly
+    oracle-replayable, so the whole pair set hash-matches the SQL replay.
+
+    Scale contract: with blocks of bounded occupancy the candidate
+    volume is occupancy × corpus = LINEAR. Size ``n_cells`` to the
+    corpus — n_cells ≈ corpus_rows / target_occupancy (fixture: k=8;
+    at 25× the same operator with k=64 keeps occupancy flat — measured
+    in SCALE.md §25×). Near-threshold pairs split across a cell
+    boundary are the recall trade every IVF-blocked dedup makes; raise
+    ``n_assign`` (spill assignment) or lower k for recall, exactly the
+    IVF probe trade-off."""
+    e = load_table(spark, sf_dir, "embeddings")
+    init = V.make_centroids(e, "embedding", "vec_id", n_cells=8, iterations=0)
+    assigned = V.ivf_assign(
+        e.select("vec_id", "label", "embedding"),
+        "embedding",
+        init,
+        id_col="vec_id",
+    )
+    blk = assigned.withColumn(
+        "_blk",
+        F.concat_ws(
+            "|", F.col("label").cast("string"), F.col("ivf_cell").cast("string")
+        ),
+    )
+    return D.embedding_near_dup_pairs(
+        blk, "vec_id", "embedding", partition_col="_blk", threshold=0.4
+    ).orderBy("id_a", "id_b")
+
 
 @declare(
     "vec_semdedup",

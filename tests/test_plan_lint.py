@@ -50,6 +50,7 @@ ALLOWLIST = {
     "vec_pq_probe": "1-row query-vector crossJoin",
     "vec_semdedup": "scalar threshold frame crossJoin",
     "vec_kmeans_round": "tiny centroid frame crossJoin",
+    "vec_near_dup_cells": "tiny centroid frame crossJoin (k=8 broadcast)",
     "asof_signup_error": "tiny tolerance frame",
     "ts_gap_fill": "per-key grid expansion against a tiny calendar frame",
     "tpch_q11": "scalar value-fraction threshold crossJoin (1 row)",
@@ -109,6 +110,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "keyword-overlap support-thresholded) before ranking",
     "vec_semdedup": "cluster-seed rank over vec_id: WindowGroupLimit shape "
     "(rank filter <= k seeds)",
+    "vec_near_dup_cells": "cluster-seed rank over vec_id: k-seed prefix "
+    "(rank filter <= k), the vec_kmeans_round kernel",
     "win_ranking_family": "SQL window-family parity demo — global ntile IS the "
     "demonstrated semantic; partition by a key at scale",
     "eval_auc": "exclusive prefix over value-band subtotals: O(#bands), <=256 "
