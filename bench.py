@@ -189,6 +189,8 @@ HEADLINE = (
     "eval_auc",
     "eval_calibration",
     "vec_near_dup_cells",
+    "eval_ndcg_ann",
+    "eval_avg_precision",
     "eval_threshold_sweep",
     "feat_target_encode",
     "ts_seasonal_profile",

@@ -399,3 +399,99 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hod")
     )
+
+
+@declare(
+    "eval_avg_precision",
+    sql=f"""
+    WITH lab AS ({_LAB_SQL}),
+    g AS (SELECT v, CAST(sum(y) AS BIGINT) AS p,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM lab GROUP BY v),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                   CAST(sum(c) AS BIGINT) AS n_tot FROM g),
+    pre AS (
+      SELECT p, c,
+             CAST(coalesce(sum(p) OVER (ORDER BY v DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                  AS BIGINT) AS pos_geq,
+             CAST(coalesce(sum(c) OVER (ORDER BY v DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                  AS BIGINT) AS tot_geq
+      FROM g)
+    SELECT t.n_pos,
+           CAST(t.n_tot - t.n_pos AS BIGINT) AS n_neg,
+           CAST(sum(CAST(
+                 (CAST(pre.p AS DOUBLE) * CAST(pre.pos_geq AS DOUBLE))
+               / (CAST(t.n_pos AS DOUBLE) * CAST(pre.tot_geq AS DOUBLE))
+               AS DECIMAL(28,18))) AS DOUBLE) AS avg_precision
+    FROM pre CROSS JOIN tot t
+    GROUP BY t.n_pos, t.n_tot
+    """,
+    tags=("eval", "average-precision", "ranking", "beyond-parity"),
+)
+def eval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT average precision (area under the PR curve, sklearn's
+    non-interpolated convention): AP = Σ_v ΔR_v · P_v over score grains v
+    descending, with ΔR_v = p_v / n_pos and P_v = pos≥v / total≥v — the
+    metric that, unlike AUC, punishes false positives proportionally to
+    class imbalance. Each grain's term is one fixed IEEE chain from
+    exact BIGINT counts, DECIMAL(28,18)-quantized before summing so the
+    aggregate is order-independent and the oracle hashes bit-identically.
+
+    Scale: the ≥-side cumulatives come from the same two-level band
+    prefix as eval_auc, run DESCENDING (band subtotals → tiny-frame
+    exclusive prefix → band-partitioned local prefix); no global window
+    touches the value grain."""
+    from pyspark.sql import Window
+
+    g = (
+        _labeled(spark, sf_dir)
+        .groupBy("v")
+        .agg(
+            F.sum("y").cast("bigint").alias("p"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        .persist()
+    )
+    b = g.withColumn("_b", F.floor(F.col("v") / F.lit(25.0)))
+    bsum = b.groupBy("_b").agg(
+        F.sum("p").alias("_bp"), F.sum("c").alias("_bc")
+    )
+    wb = Window.orderBy(F.desc("_b")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bpre = bsum.select(
+        "_b",
+        F.coalesce(F.sum("_bp").over(wb), F.lit(0)).cast("bigint").alias("_pp"),
+        F.coalesce(F.sum("_bc").over(wb), F.lit(0)).cast("bigint").alias("_pc"),
+    )
+    win = (
+        Window.partitionBy("_b")
+        .orderBy(F.desc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = b.join(F.broadcast(bpre), "_b").select(
+        "p",
+        "c",
+        (F.col("_pp") + F.sum("p").over(win)).cast("bigint").alias("pos_geq"),
+        (F.col("_pc") + F.sum("c").over(win)).cast("bigint").alias("tot_geq"),
+    )
+    tot = g.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("c").cast("bigint").alias("n_tot"),
+    )
+    term = (
+        (F.col("p").cast("double") * F.col("pos_geq").cast("double"))
+        / (F.col("n_pos").cast("double") * F.col("tot_geq").cast("double"))
+    ).cast("decimal(28,18)")
+    return (
+        pre.crossJoin(F.broadcast(tot))
+        .groupBy("n_pos", "n_tot")
+        .agg(F.sum(term).cast("double").alias("avg_precision"))
+        .select(
+            "n_pos",
+            (F.col("n_tot") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+            "avg_precision",
+        )
+    )

@@ -682,6 +682,111 @@ def vec_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NDCG@10 discount table: 1/log2(i+1) precomputed to 12 decimals and
+# embedded as DECIMAL literals in BOTH engines — no runtime log2, so the
+# whole metric is exact decimal arithmetic + one final division (log2
+# library rounding is not guaranteed identical across engines).
+_NDCG_DISCOUNTS = {
+    1: "1.000000000000", 2: "0.630929753571", 3: "0.500000000000",
+    4: "0.430676558073", 5: "0.386852807235", 6: "0.356207187108",
+    7: "0.333333333333", 8: "0.315464876786", 9: "0.301029995664",
+    10: "0.289064826318",
+}
+_NDCG_IDCG = "29.966109248936"  # sum((11-i) * d_i), exact decimal
+_NDCG_DISC_CASE = "CASE i " + " ".join(
+    f"WHEN {i} THEN CAST('{d}' AS DECIMAL(14,12))"
+    for i, d in _NDCG_DISCOUNTS.items()
+) + " END"
+
+
+@declare(
+    "eval_ndcg_ann",
+    sql=f"""
+    WITH {{LLOYD}},
+    {{CANDS}},
+    ann AS (
+      SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS i
+      FROM (SELECT e.vec_id, {_sql_cos("e.embedding", "qv")} AS sim
+            FROM embeddings e JOIN cands USING (vec_id) CROSS JOIN q
+            ORDER BY sim DESC, vec_id LIMIT 10) t),
+    ex AS (
+      SELECT vec_id, r FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY {_sql_cos("e.embedding", "qv")} DESC, e.vec_id) AS r
+        FROM embeddings e CROSS JOIN q) t WHERE r <= 10),
+    terms AS (
+      SELECT a.i, coalesce(11 - x.r, 0) AS rel,
+             {_NDCG_DISC_CASE} AS disc
+      FROM ann a LEFT JOIN ex x USING (vec_id))
+    SELECT CAST(7 AS BIGINT) AS qid,
+           CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(CAST(sum(rel * disc) AS DECIMAL(24,12)) AS DOUBLE) AS dcg,
+           CAST('{_NDCG_IDCG}' AS DOUBLE) AS idcg,
+           CAST(CAST(sum(rel * disc) AS DECIMAL(24,12)) AS DOUBLE)
+             / CAST('{_NDCG_IDCG}' AS DOUBLE) AS ndcg
+    FROM terms
+    """.replace("{LLOYD}", _lloyd_cte(2, 8)).replace(
+        "{CANDS}", _ivf_cands_cte(2, 2, 2, 7)
+    ),
+    tags=("eval", "ndcg", "vector", "ann", "beyond-parity"),
+)
+def eval_ndcg_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality report: NDCG@10 of the IVF probe's ranking against the
+    exact brute-force ranking for the same query — the vector-side twin
+    of ``dedup_lsh_eval`` (how much ranking quality does cell pruning
+    cost at this n_probe?). Relevance of the item at exact rank r is
+    11−r (graded, 0 outside the exact top-10); discounts 1/log2(i+1)
+    are PRECOMPUTED decimal literals shared verbatim by both engines, so
+    DCG is exact decimal arithmetic (order-independent sum) and NDCG one
+    IEEE division — no engine-dependent log2 rounding anywhere.
+
+    Scale: the exact leg is knn_brute_force (map-side similarity +
+    TakeOrderedAndProject, no corpus shuffle); the ANN leg is the
+    partition-pruned index probe; ranks attach via windows over the two
+    10-row result frames. Per-query cost is two bounded top-k jobs —
+    the shape of an offline recall/NDCG sweep over a query sample."""
+    from pyspark.sql import Window
+
+    idx_path, cents_path = ensure_ivf_index(spark, sf_dir)
+    cents = spark.read.parquet(cents_path)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    w10 = Window.orderBy(F.desc("sim"), "vec_id")
+    ann = (
+        V.ivf_probe_index(
+            spark, idx_path, "embedding", "vec_id", q, cents, k=10, n_probe=2
+        )
+        .withColumn("i", F.row_number().over(w10))
+        .select("vec_id", "i")
+    )
+    exact = (
+        V.knn_brute_force(e, "embedding", "vec_id", q, k=10)
+        .withColumn("r", F.row_number().over(w10))
+        .select("vec_id", "r")
+    )
+    terms = ann.join(exact, "vec_id", "left").select(
+        "i",
+        F.coalesce(F.lit(11) - F.col("r"), F.lit(0)).alias("rel"),
+        F.expr(_NDCG_DISC_CASE).alias("disc"),
+    )
+    dcg = F.sum(F.col("rel") * F.col("disc")).cast("decimal(24,12)")
+    idcg = F.lit(_NDCG_IDCG).cast("double")
+    return terms.agg(
+        F.lit(7).cast("bigint").alias("qid"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        dcg.cast("double").alias("dcg"),
+    ).select(
+        "qid",
+        "n_hits",
+        "dcg",
+        idcg.alias("idcg"),
+        (F.col("dcg") / idcg).alias("ndcg"),
+    )
+
+
 _KMEANS_DOT = _SQL_DOT  # ordered fold — bit-identical to F.aggregate
 
 # shared CTEs: deterministic init (k lowest-id vectors) + bit-identical

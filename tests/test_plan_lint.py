@@ -69,7 +69,9 @@ ALLOWLIST = {
     "vec_pca_top2": "1-row deflation-scalar (c1,c2) frame crossJoin",
     "ts_lttb": "1-row first-point frame crossJoin seeding the bucket fold",
     "feat_target_encode": "1-row global-rate fallback frame crossJoin",
+    "eval_avg_precision": "1-row (n_pos, n_tot) totals frame crossJoin",
     "ts_seasonal_profile": "1-row corpus-total frame crossJoin",
+    "eval_ndcg_ann": "1-row query-vector crossJoin (both ranking legs)",
 }
 
 BATCH = sorted(
@@ -116,6 +118,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "demonstrated semantic; partition by a key at scale",
     "eval_auc": "exclusive prefix over value-band subtotals: O(#bands), <=256 "
     "(the stat_mann_whitney kernel)",
+    "eval_ndcg_ann": "rank windows over the two LIMIT-10 result frames: "
+    "<=10 rows each",
+    "eval_avg_precision": "exclusive prefix over value-band subtotals: "
+    "O(#bands), <=256 (eval_auc kernel, descending)",
 }
 
 
