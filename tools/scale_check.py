@@ -131,6 +131,11 @@ def run_suite(
         t0 = time.perf_counter()
         bench._consume(registry[name].fn(spark, staged_dir))
         out[name] = round(time.perf_counter() - t0, 3)
+        # same hygiene as bench.py: several operators persist small frames
+        # inside their plans; ~95 queries of accumulated orphaned caches
+        # contaminate later timings (measured: vec_near_dup_cells 71.6 s
+        # in-suite vs 4.3 s standalone at 5×)
+        spark.catalog.clearCache()
         print(f"  {name}: {out[name]}s", flush=True)
         if save_path:
             with open(save_path, "w") as f:
