@@ -191,6 +191,8 @@ HEADLINE = (
     "vec_near_dup_cells",
     "eval_ndcg_ann",
     "eval_avg_precision",
+    "stat_mad_outliers",
+    "dq_volume_anomaly",
     "eval_threshold_sweep",
     "feat_target_encode",
     "ts_seasonal_profile",

@@ -1408,3 +1408,187 @@ def ks_scan(ab: DataFrame) -> DataFrame:
         F.expr(crit).alias("crit_05"),
         F.expr(f"{d} > {crit}").alias("reject_05"),
     )
+
+
+def _grouped_lower_median(df: DataFrame, band_width: float) -> DataFrame:
+    """Exact lower median of ``v`` per ``grp`` — min v with 2·cum(v) ≥ n —
+    via the two-level prefix (value-grain counts → band subtotals →
+    grp-partitioned exclusive band prefix → (grp, band)-partitioned local
+    window). The stat_weighted_median kernel at weight 1, factored for
+    reuse (MAD needs it twice). Returns (grp, med)."""
+    from pyspark.sql import Window
+
+    g = df.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    b = g.withColumn("_b", F.floor(F.col("v") / F.lit(band_width)))
+    bs = b.groupBy("grp", "_b").agg(F.sum("w").alias("_bs"))
+    wb = (
+        Window.partitionBy("grp")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = bs.select(
+        "grp",
+        "_b",
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_lo"),
+        F.sum("_bs").over(Window.partitionBy("grp")).cast("bigint").alias("_tw"),
+    )
+    win = (
+        Window.partitionBy("grp", "_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = b.join(F.broadcast(bpre), ["grp", "_b"]).withColumn(
+        "_cw", (F.col("_lo") + F.sum("w").over(win)).cast("bigint")
+    )
+    return (
+        cum.filter(2 * F.col("_cw") >= F.col("_tw"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("med"))
+    )
+
+
+@declare(
+    "stat_mad_outliers",
+    sql="""
+    WITH base AS (SELECT event_type AS grp, value AS v FROM events),
+    cnt AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS w FROM base GROUP BY grp, v),
+    cum AS (SELECT grp, v,
+                   sum(w) OVER (PARTITION BY grp ORDER BY v) AS cw,
+                   sum(w) OVER (PARTITION BY grp) AS tw FROM cnt),
+    med AS (SELECT grp, min(v) AS med FROM cum WHERE 2*cw >= tw GROUP BY grp),
+    dev AS (SELECT b.grp, abs(b.v - m.med) AS v
+            FROM base b JOIN med m USING (grp)),
+    dcnt AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS w FROM dev GROUP BY grp, v),
+    dcum AS (SELECT grp, v,
+                    sum(w) OVER (PARTITION BY grp ORDER BY v) AS cw,
+                    sum(w) OVER (PARTITION BY grp) AS tw FROM dcnt),
+    mad AS (SELECT grp, min(v) AS mad FROM dcum WHERE 2*cw >= tw GROUP BY grp)
+    SELECT b.grp AS event_type, m.med, d.mad,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN abs(b.v - m.med) > 3 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM base b JOIN med m USING (grp) JOIN mad d USING (grp)
+    GROUP BY b.grp, m.med, d.mad
+    ORDER BY event_type
+    """,
+    tags=("stats", "robust", "mad", "outliers", "beyond-parity"),
+)
+def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation) and the count of values beyond 3·MAD — the
+    nonparametric complement of ``stat_zscore_outliers`` (mean/std are
+    themselves dragged by the outliers they hunt; the median/MAD pair is
+    50%-breakdown robust). Both medians are EXACT lower medians (min v
+    with 2·cum ≥ n, integer compares over value-grain counts), the
+    deviation |v − med| one IEEE op, so the oracle hashes bit-identically.
+
+    Scale: the oracle's per-group cumulative windows sort whole groups;
+    the engine runs the factored two-level prefix kernel
+    (``_grouped_lower_median``) twice — value bands then deviation bands
+    — so no window partition ever holds a full group; the med/mad frames
+    are group-cardinality and broadcast into the closing aggregate."""
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), F.col("value").alias("v")
+    )
+    med = _grouped_lower_median(base, band_width=25.0)
+    dev = base.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("v") - F.col("med")).alias("v")
+    )
+    mad = _grouped_lower_median(dev, band_width=25.0).withColumnRenamed(
+        "med", "mad"
+    )
+    return (
+        base.join(F.broadcast(med), "grp")
+        .join(F.broadcast(mad), "grp")
+        .groupBy(F.col("grp").alias("event_type"), "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select("event_type", "med", "mad", "n_rows", "n_outliers")
+        .orderBy("event_type")
+    )
+
+
+_VOL_Z = """CAST(n * k - sx AS DOUBLE)
+             / (k * sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+                         / (k * (k - 1))))"""
+
+
+@declare(
+    "dq_volume_anomaly",
+    sql=f"""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day),
+    w AS (
+      SELECT event_type, day, n,
+             CAST(count(*) OVER tr AS BIGINT) AS k,
+             CAST(sum(n) OVER tr AS BIGINT) AS sx,
+             CAST(sum(n * n) OVER tr AS BIGINT) AS sxx
+      FROM d
+      WINDOW tr AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, n, k,
+           CASE WHEN k >= 2 AND k * sxx > sx * sx
+                THEN {_VOL_Z} END AS z,
+           coalesce(k >= 2 AND k * sxx > sx * sx
+                    AND abs({_VOL_Z}) > 2.0, FALSE) AS is_anomaly
+    FROM w ORDER BY event_type, day
+    """,
+    tags=("data-quality", "anomaly", "window", "beyond-parity"),
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly monitor: per (event_type, day) the row count
+    is z-scored against its OWN trailing 7-day window (mean/std from
+    exact BIGINT Σx/Σx² over the frame — the ingest-gate "did yesterday's
+    crawl drop 40%?" check, self-calibrating per stream). z is one fixed
+    IEEE chain from four integers (n, k, Σx, Σx²), NULL until the window
+    holds 2 points with variance; the flag fires at |z| > 2.
+
+    Scale: one shuffle to the (type, day) grain — O(streams × days) rows
+    — then per-stream trailing windows over the day grain (bounded
+    partitions: one row per day per stream). The whole monitor reads one
+    aggregate of the raw table; at 100 TB the day grain is ~10⁴ rows per
+    stream regardless of volume."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tr = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(tr).cast("bigint").alias("k"),
+        F.sum("n").over(tr).cast("bigint").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).over(tr).cast("bigint").alias("sxx"),
+    )
+    ok = (F.col("k") >= 2) & (F.col("k") * F.col("sxx") > F.col("sx") * F.col("sx"))
+    return w.select(
+        "event_type",
+        "day",
+        "n",
+        "k",
+        F.when(ok, F.expr(_VOL_Z)).alias("z"),
+        F.coalesce(ok & (F.abs(F.expr(_VOL_Z)) > 2.0), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("event_type", "day")

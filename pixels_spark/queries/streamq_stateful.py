@@ -2120,6 +2120,59 @@ def stream_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "mvcc_time_travel_sql",
+    sql="""
+    WITH seeded AS (
+      SELECT event_id, value FROM events WHERE event_id % 4 = 0)
+    SELECT event_id,
+           value AS value_v1,
+           CASE WHEN event_id % 12 = 0 THEN NULL
+                WHEN event_id % 8 = 0 THEN value + 100
+                ELSE value END AS value_v2
+    FROM seeded ORDER BY event_id
+    """,
+    tags=("mvcc", "time-travel", "sql", "snapshot"),
+)
+def mvcc_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL SQL end-to-end: seed an MVCC table (v1), then UPDATE
+    the %8 keys (+100) and DELETE the %12 keys — and ask ONE SQL text to
+    join the historical snapshot to the current one:
+
+        SELECT a.event_id, a.value AS value_v1, b.value AS value_v2
+        FROM t FOR TIMESTAMP AS OF <ts1> AS a
+        LEFT JOIN t AS b ON a.event_id = b.event_id
+
+    (``sql.query_at`` — the reference's per-scan transTs option as SQL;
+    the AS-OF side must show pre-update values for every seeded key, the
+    current side the update and the delete's NULLs). The oracle restates
+    the expected v1/v2 pairing from the seed relation alone."""
+    from ..mvcc.table import MvccTable
+    from ..sql import query_at
+
+    work = tempfile.mkdtemp(prefix="pxs_tt_")
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    t = MvccTable(spark, os.path.join(work, "t"), key_col="event_id")
+    ts1 = t.insert(e.filter(F.col("event_id") % 4 == 0))
+    t.update(
+        t.read_latest_version()
+        .filter(F.col("event_id") % 8 == 0)
+        .drop("_commit_ts")
+        .withColumn("value", F.col("value") + 100)
+    )
+    t.delete(e.filter(F.col("event_id") % 12 == 0).select("event_id"))
+    out = query_at(
+        spark,
+        sf_dir,
+        {"t": t},
+        f"""SELECT a.event_id, a.value AS value_v1, b.value AS value_v2
+            FROM t FOR TIMESTAMP AS OF {ts1} AS a
+            LEFT JOIN t AS b ON a.event_id = b.event_id
+            ORDER BY a.event_id""",
+    )
+    return _finalize(out, work)
+
+
+@declare(
     "mvcc_clone",
     sql="""
     WITH src AS (

@@ -177,3 +177,53 @@ def dml(spark: SparkSession, sf_dir: str, tables: dict, text: str) -> int:
         keys = spark.sql(f"SELECT {tbl.key_col} FROM {name}{where}")
         return tbl.delete(keys)
     raise ValueError(f"unsupported DML statement: {text[:80]!r}")
+
+
+# ---------------------------------------------------------------------------
+# time-travel SELECT (the reference's transTs scan option as SQL text)
+
+_ASOF_RE = _re.compile(
+    r"\b(\w+)\s+FOR\s+(?:SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+(\d+)", _re.I
+)
+
+
+def query_at(
+    spark: SparkSession, sf_dir: str, tables: dict, text: str
+) -> DataFrame:
+    """SELECT with per-table TIME TRAVEL: every ``<t> FOR TIMESTAMP AS OF
+    <ts>`` (or ``FOR SYSTEM_TIME AS OF``, the SQL:2011 spelling) in the
+    text is rewritten onto that MVCC table's snapshot at ``ts`` — the SQL
+    surface of the reference's per-scan ``transTs`` option
+    (``PixelsScanOptions`` / the Trino connector's transaction timestamp;
+    here ``MvccTable.read_latest_version(ts)`` carries the visibility
+    contract). Tables named WITHOUT the clause resolve to their current
+    snapshot; fixture views stay in scope, so travel composes with joins
+    against both (e.g. "join last week's snapshot to today's").
+
+    Mechanics: each AS-OF occurrence registers the snapshot under a
+    derived view name (``<t>__asof_<ts>``) and the clause is replaced by
+    that name — any trailing alias in the original text keeps working.
+    ``ts`` is the integer commit timestamp (the same values
+    ``insert``/``update`` return and ``read_history`` exposes); an
+    unknown table name raises KeyError, matching ``dml``'s contract."""
+    register_views(spark, sf_dir, TABLES)
+    for name, tbl in tables.items():
+        if tbl.persisted_schema() is None:
+            continue
+        tbl.read_latest_version().drop("_commit_ts").createOrReplaceTempView(
+            name
+        )
+
+    def _sub(m: "_re.Match[str]") -> str:
+        name, ts = m.group(1), int(m.group(2))
+        if name not in tables:
+            raise KeyError(
+                f"FOR TIMESTAMP AS OF on unknown MVCC table {name!r}"
+            )
+        view = f"{name}__asof_{ts}"
+        tables[name].read_latest_version(ts).drop(
+            "_commit_ts"
+        ).createOrReplaceTempView(view)
+        return view
+
+    return spark.sql(_ASOF_RE.sub(_sub, text))

@@ -74,3 +74,53 @@ def test_dml_statements_see_other_mvcc_tables(spark, sf_dir, tmp_path):
         "INSERT INTO a SELECT event_id, value FROM events WHERE event_id < 8")
     dml(spark, sf_dir, t, "INSERT INTO b SELECT event_id, value FROM a")
     assert b.read_latest_version().count() == 8
+
+
+def test_query_at_time_travel(spark, sf_dir, tmp_path):
+    """FOR TIMESTAMP AS OF resolves each MVCC table to its snapshot at
+    the given commit ts; un-suffixed names resolve to the current
+    snapshot; both spellings work; unknown tables raise KeyError."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from pixels_spark.mvcc.table import MvccTable
+    from pixels_spark.sql import query_at
+
+    t = MvccTable(spark, str(tmp_path / "t"), key_col="k")
+    ts1 = t.insert(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    t.update(
+        t.read_latest_version()
+        .filter(F.col("k") < 3)
+        .drop("_commit_ts")
+        .withColumn("v", F.col("v") + 1000)
+    )
+    # AS-OF side sees v1; bare name sees current
+    rows = query_at(
+        spark,
+        sf_dir,
+        {"t": t},
+        f"""SELECT a.k, a.v AS v1, b.v AS v2
+            FROM t FOR TIMESTAMP AS OF {ts1} AS a
+            JOIN t AS b ON a.k = b.k ORDER BY a.k""",
+    ).collect()
+    assert len(rows) == 10
+    assert all(r.v1 == r.k * 2 for r in rows)
+    assert all(r.v2 == (r.k * 2 + 1000 if r.k < 3 else r.k * 2) for r in rows)
+    # SQL:2011 spelling
+    n = query_at(
+        spark, sf_dir, {"t": t},
+        f"SELECT count(*) AS n FROM t FOR SYSTEM_TIME AS OF {ts1}",
+    ).first()["n"]
+    assert n == 10
+    # composes with fixture views
+    j = query_at(
+        spark, sf_dir, {"t": t},
+        f"""SELECT count(*) AS n FROM t FOR TIMESTAMP AS OF {ts1} s
+            JOIN region r ON s.k = r.r_regionkey""",
+    ).first()["n"]
+    assert j == 5
+    with _pt.raises(KeyError):
+        query_at(spark, sf_dir, {"t": t},
+                 f"SELECT * FROM nope FOR TIMESTAMP AS OF {ts1}")
