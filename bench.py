@@ -193,6 +193,7 @@ HEADLINE = (
     "eval_avg_precision",
     "stat_mad_outliers",
     "dq_volume_anomaly",
+    "eval_gains_table",
     "eval_threshold_sweep",
     "feat_target_encode",
     "ts_seasonal_profile",

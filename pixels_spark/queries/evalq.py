@@ -495,3 +495,95 @@ def eval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_precision",
         )
     )
+
+
+@declare(
+    "eval_gains_table",
+    sql=f"""
+    WITH lab AS ({_LAB_SQL}),
+    binned AS (
+      SELECT least(CAST(floor(v / 50.0) AS BIGINT), 9) AS bin, y FROM lab),
+    per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos
+            FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(sum(n_pos) AS BIGINT) AS tp FROM per),
+    cum AS (
+      SELECT bin, n, n_pos,
+             CAST(sum(n) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_n,
+             CAST(sum(n_pos) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_pos
+      FROM per)
+    SELECT c.bin, c.n, c.n_pos, c.cum_n, c.cum_pos,
+           CAST(c.cum_pos AS DOUBLE) / t.tp AS capture_rate,
+           (CAST(c.cum_pos AS DOUBLE) * t.tn)
+             / (CAST(c.cum_n AS DOUBLE) * t.tp) AS lift
+    FROM cum c CROSS JOIN tot t
+    ORDER BY bin DESC
+    """,
+    tags=("eval", "gains", "lift", "beyond-parity"),
+)
+def eval_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table over descending score bands: target
+    the top score bin first, then the top two, … — per prefix the exact
+    captured-positive share (gains) and the capture-per-row ratio vs
+    random targeting (lift), the "call the top 20% and get 60% of the
+    buyers" report. Uses the same fixed 50-wide score bins as
+    eval_calibration (band targeting is how campaigns actually cut);
+    counts are exact BIGINTs, the cumulative runs over the ≤10-row bin
+    frame, and both ratios are fixed IEEE chains — oracle bit-identical.
+
+    Scale: one map-side binning + a 10-group aggregate; everything after
+    is arithmetic over the 10-row frame (global window allowlisted with
+    that bound)."""
+    from pyspark.sql import Window
+
+    lab = _labeled(spark, sf_dir)
+    per = (
+        lab.withColumn(
+            "bin",
+            F.least(F.floor(F.col("v") / F.lit(50.0)), F.lit(9)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("n_pos").cast("bigint").alias("tp"),
+    )
+    wd = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wd).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(wd).cast("bigint").alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "cum_n",
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("tp")).alias(
+                "capture_rate"
+            ),
+            (
+                (F.col("cum_pos").cast("double") * F.col("tn"))
+                / (F.col("cum_n").cast("double") * F.col("tp"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("bin"))
+    )

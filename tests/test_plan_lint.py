@@ -70,6 +70,7 @@ ALLOWLIST = {
     "ts_lttb": "1-row first-point frame crossJoin seeding the bucket fold",
     "feat_target_encode": "1-row global-rate fallback frame crossJoin",
     "eval_avg_precision": "1-row (n_pos, n_tot) totals frame crossJoin",
+    "eval_gains_table": "1-row totals frame crossJoin",
     "ts_seasonal_profile": "1-row corpus-total frame crossJoin",
     "eval_ndcg_ann": "1-row query-vector crossJoin (both ranking legs)",
 }
@@ -122,6 +123,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "<=10 rows each",
     "eval_avg_precision": "exclusive prefix over value-band subtotals: "
     "O(#bands), <=256 (eval_auc kernel, descending)",
+    "eval_gains_table": "cumulative over the 10-row score-bin frame",
 }
 
 
