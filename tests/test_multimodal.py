@@ -265,3 +265,33 @@ def test_png_corrupt_payloads_fail_loudly():
             M.decode_image(b"\xff\xd8\xff\xe0JFIF")
         with pytest.raises(NotImplementedError):
             M.resize_image(b"\xff\xd8\xff\xe0JFIF", 2)
+
+
+def test_png_unsupported_shapes_raise_not_implemented():
+    """16-bit depth and interlaced PNGs are outside the pure-Python
+    baseline subset — they must raise NotImplementedError (the documented
+    PIL boundary), not mis-decode."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def png_hdr(bitdepth, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, bitdepth, 2, 0, 0, interlace)
+        return (
+            M.PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError):
+        M.decode_png(png_hdr(16, 0))
+    with pytest.raises(NotImplementedError):
+        M.decode_png(png_hdr(8, 1))
