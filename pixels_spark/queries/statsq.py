@@ -1573,6 +1573,16 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    return volume_scan(d)
+
+
+def volume_scan(d: DataFrame) -> DataFrame:
+    """The volume-anomaly scoring stage over a (event_type, day, n)
+    counter table — factored (like auc_scan / ks_scan) so the streaming
+    twin ``stream_volume_anomaly`` scores its MAINTAINED day-grain
+    counters with the identical plan and shares this oracle."""
+    from pyspark.sql import Window
+
     tr = (
         Window.partitionBy("event_type")
         .orderBy("day")

@@ -2069,6 +2069,98 @@ def _stream_hist_oracle() -> str:
     return _hist_oracle()
 
 
+def _stream_volume_oracle() -> str:
+    from .registry import REGISTRY
+    from .statsq import dq_volume_anomaly as _dv  # noqa: F401
+
+    return REGISTRY["dq_volume_anomaly"].sql
+
+
+@declare(
+    "stream_volume_anomaly",
+    sql=_stream_volume_oracle(),
+    tags=("streaming", "data-quality", "anomaly", "linear-state",
+          "beyond-parity"),
+)
+def stream_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``dq_volume_anomaly``: the per-(stream, day)
+    ingest-volume counters fold by SUM per micro-batch (linear — state
+    is one row per stream-day, independent of volume) and the identical
+    factored scoring stage (``statsq.volume_scan``: trailing 7-day
+    z-score from exact BIGINT sums) runs over the maintained table, so
+    the result shares the batch oracle bit-for-bit. The continuous
+    ingest-gate shape: "did this feed just drop 40%?" answered per
+    micro-batch without re-scanning history. Replay-idempotent via the
+    persisted batch id."""
+    import json
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_vol_")
+    src = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    state_json = os.path.join(state_root, "STATE.json")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).alias("m")
+    ).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(state_json):
+            with open(state_json) as _f:
+                if json.load(_f).get("last_bid") == _bid:
+                    return  # at-least-once replay: already folded
+        d = batch_df.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        if os.path.exists(state_json):
+            with open(state_json) as f:
+                st = json.load(f)
+            d = (
+                d.unionByName(spark.read.parquet(st["data"]))
+                .groupBy("event_type", "day")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+            nb = st["n"] + 1
+        else:
+            st, nb = None, 1
+        dest = os.path.join(state_root, f"counts_v={nb}")
+        d.write.mode("overwrite").parquet(dest)
+        tmp = state_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": nb, "data": dest, "last_bid": _bid}, f)
+        os.replace(tmp, state_json)
+        if st and st["data"] != dest and os.path.isdir(st["data"]):
+            shutil.rmtree(st["data"], ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_volume_anomaly did not finish in 600s")
+    with open(state_json) as f:
+        st = json.load(f)
+    assert st["n"] >= 2, "expected >= 2 micro-batches"
+    from .statsq import volume_scan
+
+    counters = spark.read.parquet(st["data"])
+    return _finalize(volume_scan(counters), work)
+
+
 @declare(
     "stream_sketch_histogram",
     sql=_stream_hist_oracle(),

@@ -1147,3 +1147,111 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lastp)
     )
     return out.orderBy("x")
+
+
+def _fourier_coefs() -> list[tuple[int, int, str, str]]:
+    """(k, hour, cos, sin) literals for k ∈ {1,2,3} over the 24-slot day —
+    12-decimal strings computed ONCE here and embedded verbatim in both
+    engines, so the DFT needs no runtime trig (cos/sin library rounding
+    is not guaranteed identical across engines; the literals are)."""
+    import math
+
+    out = []
+    for k in (1, 2, 3):
+        for h in range(24):
+            a = 2 * math.pi * k * h / 24
+            out.append(
+                (k, h, format(math.cos(a), ".12f"), format(math.sin(a), ".12f"))
+            )
+    return out
+
+
+def _periodogram_oracle() -> str:
+    vals = ",\n      ".join(
+        f"({k}, {h}, CAST('{c}' AS DECIMAL(14,12)), CAST('{s}' AS DECIMAL(14,12)))"
+        for k, h, c, s in _fourier_coefs()
+    )
+    return f"""
+    WITH hod AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY h),
+    coef(k, h, c, s) AS (VALUES
+      {vals}),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM hod),
+    f AS (
+      SELECT k,
+             CAST(sum(n * c) AS DECIMAL(38,12)) AS cs,
+             CAST(sum(n * s) AS DECIMAL(38,12)) AS ss
+      FROM hod JOIN coef USING (h) GROUP BY k)
+    SELECT CAST(f.k AS BIGINT) AS k,
+           CAST(24.0 / f.k AS DOUBLE) AS period_hours,
+           CAST(f.cs AS DOUBLE) AS c,
+           CAST(f.ss AS DOUBLE) AS s,
+           CAST(f.cs AS DOUBLE) * CAST(f.cs AS DOUBLE)
+             + CAST(f.ss AS DOUBLE) * CAST(f.ss AS DOUBLE) AS power,
+           2.0 * sqrt(CAST(f.cs AS DOUBLE) * CAST(f.cs AS DOUBLE)
+                      + CAST(f.ss AS DOUBLE) * CAST(f.ss AS DOUBLE))
+             / t.t AS strength
+    FROM f CROSS JOIN tot t
+    ORDER BY k
+    """
+
+
+@declare(
+    "ts_periodogram",
+    sql=_periodogram_oracle(),
+    tags=("timeseries", "spectral", "seasonality", "beyond-parity"),
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-strength periodogram: the DFT of the 24-slot
+    hour-of-day profile at the daily, half-daily, and 8-hour frequencies
+    — power and normalized strength per harmonic, the "HOW seasonal is
+    this stream?" number behind ``ts_seasonal_profile``'s "what shape".
+    Fourier coefficients Σ n_h·cos / Σ n_h·sin are EXACT: the trig values
+    are 12-decimal literals shared verbatim by both engines (no runtime
+    cos/sin — library rounding differs across engines), counts are
+    BIGINTs, products/sums decimal; power and strength are fixed IEEE
+    chains from the two decimal sums.
+
+    Scale: one shuffle to the 24-slot grain (O(1) rows at any volume),
+    a broadcast 72-row coefficient join, a 3-group aggregate. The same
+    literal-trig pattern extends to any fixed seasonal grid (day-of-week
+    7-slot, month 12-slot)."""
+    coefs = _fourier_coefs()
+    spark_coef = spark.createDataFrame(
+        [(k, h, c, s) for k, h, c, s in coefs],
+        "k int, h bigint, c string, s string",
+    ).select(
+        "k",
+        "h",
+        F.col("c").cast("decimal(14,12)").alias("c"),
+        F.col("s").cast("decimal(14,12)").alias("s"),
+    )
+    hod = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.hour("ts").cast("bigint").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = hod.agg(F.sum("n").cast("bigint").alias("t"))
+    f = (
+        hod.join(F.broadcast(spark_coef), "h")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("n") * F.col("c")).cast("decimal(38,12)").alias("cs"),
+            F.sum(F.col("n") * F.col("s")).cast("decimal(38,12)").alias("ss"),
+        )
+    )
+    cd = F.col("cs").cast("double")
+    sd = F.col("ss").cast("double")
+    return (
+        f.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            (F.lit(24.0) / F.col("k")).alias("period_hours"),
+            cd.alias("c"),
+            sd.alias("s"),
+            (cd * cd + sd * sd).alias("power"),
+            (2.0 * F.sqrt(cd * cd + sd * sd) / F.col("t")).alias("strength"),
+        )
+        .orderBy("k")
+    )

@@ -71,6 +71,7 @@ ALLOWLIST = {
     "feat_target_encode": "1-row global-rate fallback frame crossJoin",
     "eval_avg_precision": "1-row (n_pos, n_tot) totals frame crossJoin",
     "eval_gains_table": "1-row totals frame crossJoin",
+    "ts_periodogram": "1-row corpus-total frame crossJoin",
     "ts_seasonal_profile": "1-row corpus-total frame crossJoin",
     "eval_ndcg_ann": "1-row query-vector crossJoin (both ranking legs)",
 }
