@@ -1537,3 +1537,105 @@ def vec_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.pca_top2(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
     )
+
+
+@declare(
+    "vec_cluster_purity",
+    sql=f"""
+    WITH {_ASSIGN_CTES},
+    j AS (
+      SELECT a.cell_id, d.lang
+      FROM assigned a JOIN documents d ON d.doc_id = a.vec_id),
+    cl AS (SELECT cell_id, lang, CAST(count(*) AS BIGINT) AS c
+           FROM j GROUP BY cell_id, lang),
+    agg AS (
+      SELECT cell_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                  AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s
+      FROM cl GROUP BY cell_id),
+    top AS (
+      SELECT cell_id, lang AS majority_lang, c AS majority_n FROM (
+        SELECT cell_id, lang, c,
+               row_number() OVER (PARTITION BY cell_id
+                                  ORDER BY c DESC, lang) AS rn
+        FROM cl) t WHERE rn = 1)
+    SELECT CAST(a.cell_id AS BIGINT) AS cell_id, a.n, a.n_langs,
+           t.majority_lang,
+           CAST(t.majority_n AS DOUBLE) / a.n AS purity,
+           ln(CAST(a.n AS DOUBLE))
+             - CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS lang_entropy
+    FROM agg a JOIN top t USING (cell_id)
+    ORDER BY cell_id
+    """,
+    tags=("vector", "clustering", "multimodal-join", "curation",
+          "beyond-parity"),
+)
+def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL curation diagnostic: are the embedding-space k-means
+    cells coherent with the TEXT side's language labels? Per cell —
+    size, distinct languages, majority language + purity, and the exact
+    Shannon entropy of the language mix (the dq_skew_report identity:
+    ln(n) − Σ c·ln(c)/n with the Σ decimal-quantized, so the aggregate
+    is order-independent and oracle-exact). Low purity / high entropy
+    flags clusters that mix languages — embeddings disagreeing with
+    text metadata, the standard "trust the cluster assignments?" gate
+    before cluster-balanced sampling.
+
+    The 1:1 vec_id↔doc_id join is the multimodal seam: the cell comes
+    from the exactly-oracled assignment kernel (vec_kmeans_round), the
+    label from the documents table. Scale: assignment is the broadcast
+    argmax pass; the join shuffles on the shared id; everything after is
+    (cells × langs)-grain."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    init = V.make_centroids(e, "embedding", "vec_id", n_cells=8, iterations=0)
+    assigned = V.ivf_assign(
+        e.select("vec_id", "embedding"), "embedding", init, id_col="vec_id"
+    )
+    cl = (
+        assigned.select(F.col("vec_id"), F.col("ivf_cell").alias("cell_id"))
+        .join(d, F.col("vec_id") == F.col("doc_id"))
+        .groupBy("cell_id", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = cl.groupBy("cell_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.expr(
+            """sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               AS DECIMAL(38,12)))"""
+        ).alias("s"),
+    )
+    from pyspark.sql import Window
+
+    top = (
+        cl.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cell_id").orderBy(F.desc("c"), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell_id",
+            F.col("lang").alias("majority_lang"),
+            F.col("c").alias("majority_n"),
+        )
+    )
+    return (
+        agg.join(top, "cell_id")
+        .select(
+            F.col("cell_id").cast("bigint").alias("cell_id"),
+            "n",
+            "n_langs",
+            "majority_lang",
+            (F.col("majority_n").cast("double") / F.col("n")).alias("purity"),
+            F.expr(
+                """ln(CAST(n AS DOUBLE))
+                   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"""
+            ).alias("lang_entropy"),
+        )
+        .orderBy("cell_id")
+    )

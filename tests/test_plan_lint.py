@@ -51,6 +51,7 @@ ALLOWLIST = {
     "vec_semdedup": "scalar threshold frame crossJoin",
     "vec_kmeans_round": "tiny centroid frame crossJoin",
     "vec_near_dup_cells": "tiny centroid frame crossJoin (k=8 broadcast)",
+    "vec_cluster_purity": "tiny centroid frame crossJoin (k=8 broadcast)",
     "asof_signup_error": "tiny tolerance frame",
     "ts_gap_fill": "per-key grid expansion against a tiny calendar frame",
     "tpch_q11": "scalar value-fraction threshold crossJoin (1 row)",
@@ -115,6 +116,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "vec_semdedup": "cluster-seed rank over vec_id: WindowGroupLimit shape "
     "(rank filter <= k seeds)",
     "vec_near_dup_cells": "cluster-seed rank over vec_id: k-seed prefix "
+    "(rank filter <= k), the vec_kmeans_round kernel",
+    "vec_cluster_purity": "cluster-seed rank over vec_id: k-seed prefix "
     "(rank filter <= k), the vec_kmeans_round kernel",
     "win_ranking_family": "SQL window-family parity demo — global ntile IS the "
     "demonstrated semantic; partition by a key at scale",
