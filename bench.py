@@ -188,7 +188,6 @@ HEADLINE = (
     # oracle shared with eval_auc)
     "eval_auc",
     "eval_calibration",
-    "vec_near_dup_cells",
     "eval_ndcg_ann",
     "eval_avg_precision",
     "stat_mad_outliers",
@@ -352,6 +351,27 @@ def main() -> None:
     spark.stop()
 
 
+def _read_prev_benchlog(path: str) -> dict[str, float]:
+    """Parse {query: best_sec} out of an existing BENCHLOG.md (for the
+    round-over-round delta column). Missing file → empty dict."""
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        rows = re.findall(r"^\| ([a-z0-9_]+) \| (\d+\.\d{3}) \|", f.read(), re.M)
+    return {n: float(t) for n, t in rows}
+
+
+def _next_round_no(root: str) -> int:
+    """Infer the running round from the driver's committed BENCH_r{N}.json
+    files: the round being benched now is max(N)+1."""
+    ns = [
+        int(m.group(1))
+        for fn in os.listdir(root)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
 def write_benchlog(
     all_runs: dict[str, list[float]],
     sf: float,
@@ -364,8 +384,16 @@ def write_benchlog(
     headline query's best-of-3 and per-pass times as one markdown table,
     so a per-query perf audit is a file read, not a 10-minute re-run.
     tests/test_benchlog_md.py gates the query set against bench.HEADLINE
-    the same way QUERIES.md is render-diffed against the registry."""
-    path = path or os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCHLOG.md")
+    the same way QUERIES.md is render-diffed against the registry.
+
+    Round-over-round comparison (VERDICT r8 task #6): each row carries the
+    previous run's best and the ratio, and the rendered file is ALSO
+    snapshotted to ``BENCHLOG_r{N}.md`` (N inferred from the driver's
+    committed BENCH_r*.json files) so per-query history accumulates in
+    git instead of being overwritten."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = path or os.path.join(root, "BENCHLOG.md")
+    prev = _read_prev_benchlog(path)
     timings = {name: min(runs) for name, runs in all_runs.items()}
     total = round(sum(timings.values()), 4)
     lines = [
@@ -373,6 +401,8 @@ def write_benchlog(
         "",
         "Written by `bench.py` on every run (best-of-3 per query, same",
         "numbers as the driver's BENCH json). Regenerate: `python bench.py`.",
+        "`prev s`/`Δ×` compare to the best-of-3 of the previous committed",
+        "run (blank = new query).",
         "",
         f"- sf: {sf}",
         f"- queries: {len(timings)}",
@@ -380,17 +410,33 @@ def write_benchlog(
         f"- load_sec: {load_sec}  ivf_build_sec: {ivf_build_sec}  "
         f"derived_build_sec: {derived_build_sec}",
         "",
-        "| query | best s | pass 1 | pass 2 | pass 3 |",
-        "|---|---|---|---|---|",
+        "| query | best s | pass 1 | pass 2 | pass 3 | prev s | Δ× |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name in sorted(timings, key=lambda n: -timings[n]):
         runs = all_runs[name]
         cells = " | ".join(f"{r:.3f}" for r in runs)
-        lines.append(f"| {name} | {timings[name]:.3f} | {cells} |")
-    lines.append(f"| **total (best)** | **{total:.3f}** | | | |")
+        if name in prev and prev[name] > 0:
+            pcell = f"{prev[name]:.3f}"
+            dcell = f"{timings[name] / prev[name]:.2f}"
+        else:
+            pcell = dcell = ""
+        lines.append(
+            f"| {name} | {timings[name]:.3f} | {cells} | {pcell} | {dcell} |"
+        )
+    prev_total = sum(v for k, v in prev.items() if k in timings)
+    tot_prev = f"{prev_total:.3f}" if prev_total else ""
+    tot_delta = f"{total / prev_total:.2f}" if prev_total else ""
+    lines.append(
+        f"| **total (best)** | **{total:.3f}** | | | | {tot_prev} | {tot_delta} |"
+    )
     lines.append("")
+    text = "\n".join(lines)
     with open(path, "w") as f:
-        f.write("\n".join(lines))
+        f.write(text)
+    snap = os.path.join(root, f"BENCHLOG_r{_next_round_no(root)}.md")
+    with open(snap, "w") as f:
+        f.write(text)
     return path
 
 

@@ -677,7 +677,7 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
     threshold: float = 0.95,
     dim: int | None = None,
     n_planes: int = 8,
@@ -688,7 +688,9 @@ def embedding_near_dup_pairs(
 
     Blocking is MANDATORY — an unblocked self-join is O(n²) and a
     scale-killer at corpus size. With ``partition_col`` (a cluster/label/
-    IVF-cell column) the self-join is keyed on it; without one, rows are
+    IVF-cell column, or a LIST of columns for composite blocks — joined as
+    separate equi-keys, so NULLs drop rather than collide the way a
+    separator-concatenated string key would); without one, rows are
     blocked by a random-hyperplane LSH bucket (``lsh_bucket``, seeded, so
     the equi-join carries only same-bucket candidates — high-cosine pairs
     collide with high probability, raise ``n_planes`` for selectivity or
@@ -700,24 +702,26 @@ def embedding_near_dup_pairs(
     from .vector import dot, l2_norm, with_lsh_bucket
 
     src = spread(df, id_col)
+    part_cols: list[str] = []
     if partition_col:
-        src = src.withColumn("_part", F.col(partition_col))
-        blocked = True
-    elif allow_full_pairs:
-        blocked = False
-    else:
-        src = with_lsh_bucket(src, vec_col, "_part", dim, n_planes, seed)
-        blocked = True
+        names = (
+            [partition_col] if isinstance(partition_col, str) else list(partition_col)
+        )
+        for i, c in enumerate(names):
+            src = src.withColumn(f"_part{i}", F.col(c))
+            part_cols.append(f"_part{i}")
+    elif not allow_full_pairs:
+        src = with_lsh_bucket(src, vec_col, "_part0", dim, n_planes, seed)
+        part_cols.append("_part0")
 
     cols = [
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         l2_norm(F.col(vec_col)).alias("_norm"),
+        *[F.col(c) for c in part_cols],
     ]
-    if blocked:
-        cols.append(F.col("_part"))
     base = src.select(*cols)
-    on = ["_part"] if blocked else []
+    on = part_cols
     a = base.select(
         F.col("_id").alias("id_a"),
         F.col("_vec").alias("_vec_a"),

@@ -145,9 +145,12 @@ def _pil_image():
 
 # ---------------------------------------------------------------------------
 # PNG — pure stdlib (zlib inflate) + per-row unfiltering; no PIL needed.
-# Baseline subset: 8-bit depth, color types 0/2/3/4/6, no interlace — the
-# overwhelming majority of real-world PNGs. Filters (None/Sub/Up/Average/
-# Paeth) are reversed per the PNG spec §9; CRCs are validated.
+# Covers 8- and 16-bit depths, color types 0/2/3/4/6, and BOTH interlace
+# modes (none + Adam7 — each of the 7 passes is an independently filtered
+# sub-image, unfiltered then scattered onto the full grid). Filters
+# (None/Sub/Up/Average/Paeth) are reversed per the PNG spec §9; CRCs are
+# validated. 16-bit samples reduce to 8 by taking the high byte (the
+# standard 16→8 quantization). Remaining gap: 1/2/4-bit packed depths.
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -183,10 +186,71 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
+    """Reverse PNG §9 per-row filtering for one (sub-)image of ``h`` rows
+    of ``stride`` bytes with ``bpp`` bytes per pixel. ``raw`` carries
+    h*(stride+1) bytes (leading filter-type byte per row)."""
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    recon = bytearray(h * stride)
+    prev_off = None
+    for y in range(h):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
+        out_off = y * stride
+        if ftype == 0:  # None
+            recon[out_off : out_off + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + left) & 0xFF
+            recon[out_off : out_off + stride] = line
+        elif ftype == 2:  # Up
+            if prev_off is None:
+                recon[out_off : out_off + stride] = line
+            else:
+                for x in range(stride):
+                    line[x] = (line[x] + recon[prev_off + x]) & 0xFF
+                recon[out_off : out_off + stride] = line
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = recon[out_off + x - bpp] if x >= bpp else 0
+                up = recon[prev_off + x] if prev_off is not None else 0
+                recon[out_off + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = recon[out_off + x - bpp] if x >= bpp else 0
+                up = recon[prev_off + x] if prev_off is not None else 0
+                ul = (
+                    recon[prev_off + x - bpp]
+                    if (prev_off is not None and x >= bpp)
+                    else 0
+                )
+                recon[out_off + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev_off = out_off
+    return recon
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def _png_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline PNG to (width, height, raw RGB bytes). Gray
-    replicates to 3 channels; palette indexes resolve through PLTE;
-    alpha is dropped (PIL ``convert("RGB")`` parity)."""
+    """Decode a PNG (8/16-bit, interlace 0 or Adam7) to (width, height,
+    raw RGB bytes). Gray replicates to 3 channels; palette indexes resolve
+    through PLTE; alpha is dropped (PIL ``convert("RGB")`` parity);
+    16-bit samples keep the high byte."""
     import struct
     import zlib
 
@@ -207,57 +271,47 @@ def _png_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
             idat += data
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bitdepth != 8 or interlace != 0:
+    if bitdepth not in (8, 16):
         raise NotImplementedError(
-            f"PNG bitdepth={bitdepth} interlace={interlace}: only 8-bit "
-            "non-interlaced decodes without PIL"
+            f"PNG bitdepth={bitdepth}: packed 1/2/4-bit depths do not "
+            "decode without PIL"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
     if n_ch is None:
         raise ValueError(f"bad PNG color type {colortype}")
+    sample_bytes = bitdepth // 8
+    bpp = n_ch * sample_bytes
     raw = zlib.decompress(bytes(idat))
-    stride = w * n_ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    recon = bytearray(h * stride)
-    prev_off = None
-    for y in range(h):
-        row_off = y * (stride + 1)
-        ftype = raw[row_off]
-        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
-        out_off = y * stride
-        if ftype == 0:  # None
-            recon[out_off : out_off + stride] = line
-        elif ftype == 1:  # Sub
-            for x in range(stride):
-                left = line[x - n_ch] if x >= n_ch else 0
-                line[x] = (line[x] + left) & 0xFF
-            recon[out_off : out_off + stride] = line
-        elif ftype == 2:  # Up
-            if prev_off is None:
-                recon[out_off : out_off + stride] = line
-            else:
-                for x in range(stride):
-                    line[x] = (line[x] + recon[prev_off + x]) & 0xFF
-                recon[out_off : out_off + stride] = line
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = recon[out_off + x - n_ch] if x >= n_ch else 0
-                up = recon[prev_off + x] if prev_off is not None else 0
-                recon[out_off + x] = (line[x] + ((left + up) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = recon[out_off + x - n_ch] if x >= n_ch else 0
-                up = recon[prev_off + x] if prev_off is not None else 0
-                ul = (
-                    recon[prev_off + x - n_ch]
-                    if (prev_off is not None and x >= n_ch)
-                    else 0
-                )
-                recon[out_off + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        prev_off = out_off
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        recon = _unfilter(raw, h, stride, bpp)
+    else:  # Adam7: 7 independently filtered sub-images scattered onto the grid
+        recon = bytearray(h * w * bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            sub_len = ph * (pstride + 1)
+            sub = _unfilter(raw[pos : pos + sub_len], ph, pstride, bpp)
+            pos += sub_len
+            for py in range(ph):
+                y = y0 + py * dy
+                for px in range(pw):
+                    x = x0 + px * dx
+                    src = (py * pw + px) * bpp
+                    dst = (y * w + x) * bpp
+                    recon[dst : dst + bpp] = sub[src : src + bpp]
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    if sample_bytes == 2:  # 16→8: keep the high (most significant) byte
+        recon = recon[::2]
     # channel normalization to RGB
     if colortype == 2:
         rgb = bytes(recon)

@@ -1416,9 +1416,17 @@ def _grouped_lower_median(df: DataFrame, band_width: float) -> DataFrame:
     grp-partitioned exclusive band prefix → (grp, band)-partitioned local
     window). The stat_weighted_median kernel at weight 1, factored for
     reuse (MAD needs it twice). Returns (grp, med)."""
+    g = df.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    return _lower_median_from_counts(g, band_width)
+
+
+def _lower_median_from_counts(g: DataFrame, band_width: float) -> DataFrame:
+    """The `_grouped_lower_median` kernel over an ALREADY-counted
+    value-grain frame (grp, v, w) — callers that need the counts frame
+    for other aggregates too (stat_mad_outliers' closing outlier count)
+    build it once, cut lineage, and feed both consumers."""
     from pyspark.sql import Window
 
-    g = df.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     b = g.withColumn("_b", F.floor(F.col("v") / F.lit(band_width)))
     bs = b.groupBy("grp", "_b").agg(F.sum("w").alias("_bs"))
     wb = (
@@ -1483,40 +1491,55 @@ def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation |v − med| one IEEE op, so the oracle hashes bit-identically.
 
     Scale: the oracle's per-group cumulative windows sort whole groups;
-    the engine runs the factored two-level prefix kernel
-    (``_grouped_lower_median``) twice — value bands then deviation bands
-    — so no window partition ever holds a full group; the med/mad frames
-    are group-cardinality and broadcast into the closing aggregate.
+    the engine runs the factored two-level prefix kernel twice — value
+    bands then deviation bands — so no window partition ever holds a
+    full group; the med/mad frames are group-cardinality and broadcast.
 
-    Perf note (measured r8): ~4 s best-of-3 at sf0.1 — exactly two
-    chained ``stat_weighted_median``-shaped passes (~2 s each; the MAD
-    pass cannot start before the median exists, an inherent sequential
-    dependency of the statistic, not a plan flaw)."""
+    Exactly TWO events passes (VERDICT r8 task #9 closed the third): the
+    deviation value-grain counts (grp, |v−med|, w) are built once and
+    lineage-cut — the MAD pass reads them through
+    ``_lower_median_from_counts``, and the closing n_rows/n_outliers
+    fold over the SAME tiny frame (Σw and Σw·[v > 3·mad]) instead of
+    re-scanning events; the med frame is cut too, or its second consumer
+    re-runs the median job as a hidden third pass (measured: 3.9 s with
+    only dcnt cut → 2.37 s with both, best-of-3 at sf0.1; r8's
+    three-pass form was 3.2-4.0 s). The remaining two passes are
+    inherent: the MAD pass cannot start before the median exists."""
+    from ..functions.dedup import cut_lineage
+
     base = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"), F.col("value").alias("v")
     )
-    med = _grouped_lower_median(base, band_width=25.0)
-    dev = base.join(F.broadcast(med), "grp").select(
-        "grp", F.abs(F.col("v") - F.col("med")).alias("v")
+    # med is consumed twice (deviation build + final projection) across a
+    # lineage cut — cut it too, or the second consumer re-runs the whole
+    # median job as a hidden third events pass
+    med = cut_lineage(_grouped_lower_median(base, band_width=25.0))
+    dcnt = cut_lineage(
+        base.join(F.broadcast(med), "grp")
+        .select("grp", F.abs(F.col("v") - F.col("med")).alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    mad = _grouped_lower_median(dev, band_width=25.0).withColumnRenamed(
+    mad = _lower_median_from_counts(dcnt, band_width=25.0).withColumnRenamed(
         "med", "mad"
     )
     return (
-        base.join(F.broadcast(med), "grp")
-        .join(F.broadcast(mad), "grp")
-        .groupBy(F.col("grp").alias("event_type"), "med", "mad")
+        dcnt.join(F.broadcast(mad), "grp")
+        .groupBy("grp", "mad")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(
-                F.when(
-                    F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad"), 1
-                ).otherwise(0)
-            )
+            F.sum("w").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("v") > 3 * F.col("mad"), F.col("w")).otherwise(0))
             .cast("bigint")
             .alias("n_outliers"),
         )
-        .select("event_type", "med", "mad", "n_rows", "n_outliers")
+        .join(F.broadcast(med), "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "med",
+            "mad",
+            "n_rows",
+            "n_outliers",
+        )
         .orderBy("event_type")
     )
 

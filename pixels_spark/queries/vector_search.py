@@ -281,8 +281,100 @@ def vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_brute_force(e, "embedding", "vec_id", q, k=10)
 
 
+# occupancy target for auto-sized near-dup cell blocking: n_cells =
+# ceil(corpus/64) keeps ~64 vectors per (label x cell) block, so candidate
+# volume = occupancy x corpus = LINEAR regardless of corpus size. Clamped
+# to 4096 cells (beyond that, broadcast-centroid assignment cost grows and
+# a coarser occupancy is the better trade; raise the clamp with a bigger
+# driver if needed). At the sf-fixture sizes: 500 rows -> 8 cells (the
+# measured-good k from SCALE.md 25x), 2000 -> 32, 25x probe (~12.5k) -> 196.
+_NEAR_DUP_OCCUPANCY = 64
+_NEAR_DUP_MAX_CELLS = 4096
+
+# labeled assignment CTEs with AUTO-SIZED k: same deterministic kernel as
+# _ASSIGN_CTES (k lowest-id seeds, bit-identical cosine argmax, ties ->
+# lowest cell) but the seed-prefix length is computed from the corpus row
+# count instead of a literal, mirroring the Spark side's driver-side count.
+_ASSIGN_LBL_AUTO_CTES = f"""sized AS (
+      SELECT vec_id, label, embedding,
+             row_number() OVER (ORDER BY vec_id) AS seed_rn,
+             count(*) OVER () AS n_corpus
+      FROM embeddings),
+    init AS (
+      SELECT seed_rn - 1 AS cell_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM sized
+      WHERE seed_rn <= greatest(1, least({_NEAR_DUP_MAX_CELLS},
+            CAST(ceil(n_corpus / {_NEAR_DUP_OCCUPANCY}.0) AS INTEGER)))),
+    sims AS (
+      SELECT e.vec_id, e.label, e.embedding, i.cell_id,
+             {{dot_eb}} /
+             (sqrt({{dot_ee}}) * sqrt({{dot_bb}})) AS sim
+      FROM embeddings e CROSS JOIN init i),
+    assigned AS (
+      SELECT vec_id, label, embedding, cell_id
+      FROM (SELECT vec_id, label, embedding, cell_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell_id ASC) AS rn
+            FROM sims)
+      WHERE rn = 1)"""
+
+
 @declare(
     "vec_near_dup",
+    sql=f"""
+    WITH {_ASSIGN_LBL_AUTO_CTES.format(
+        dot_eb=_SQL_DOT.format(a="e.embedding", b="i.cvec"),
+        dot_ee=_SQL_DOT.format(a="e.embedding", b="e.embedding"),
+        dot_bb=_SQL_DOT.format(a="i.cvec", b="i.cvec"),
+    )}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cos("a.embedding", "b.embedding")} AS sim
+    FROM assigned a JOIN assigned b
+      ON a.label = b.label AND a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    tags=("vector", "dedup", "join", "clustering"),
+)
+def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on (label x auto-sized
+    deterministic k-means cell) — the CANONICAL near-dup query, declared
+    on the scale-safe kernel (VERDICT r8 task #1; formerly
+    ``vec_near_dup_cells``, now promoted with auto-sizing).
+
+    n_cells = clamp(ceil(corpus_rows / 64), 1, 4096) — the occupancy rule
+    that keeps candidate volume occupancy x corpus = LINEAR (measured:
+    the fixed-k form was 5.4x wall at 25x data vs 157x for label-only
+    blocking; SCALE.md §25x). The driver-side count() is the model-sizing
+    step (parquet-metadata cheap), and the SQL oracle restates the same
+    rule via a rank prefix, so the whole pair set hash-matches the replay.
+
+    The cell assignment (lowest-id Lloyd seeds + bit-identical cosine
+    argmax, ties -> lowest cell — the vec_kmeans_round kernel) is exactly
+    oracle-replayable. Near-threshold pairs split across a cell boundary
+    are the recall trade every IVF-blocked dedup makes; the exact
+    label-only reference twin is ``vec_near_dup_exact``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_cells = max(
+        1, min(_NEAR_DUP_MAX_CELLS, -(-n // _NEAR_DUP_OCCUPANCY))
+    )
+    init = V.make_centroids(e, "embedding", "vec_id", n_cells=n_cells, iterations=0)
+    assigned = V.ivf_assign(
+        e.select("vec_id", "label", "embedding"), "embedding", init, id_col="vec_id"
+    )
+    return D.embedding_near_dup_pairs(
+        assigned,
+        "vec_id",
+        "embedding",
+        partition_col=["label", "ivf_cell"],
+        threshold=0.4,
+    ).orderBy("id_a", "id_b")
+
+
+@declare(
+    "vec_near_dup_exact",
     sql=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_sql_cos("a.embedding", "b.embedding")} AS sim
@@ -293,16 +385,17 @@ def vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("vector", "dedup", "join"),
 )
-def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding-cosine near-dup pairs within label partitions (oracle).
+def vec_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-within-label near-dup pairs — the documented REFERENCE TWIN
+    of ``vec_near_dup`` (full recall within each label, no cell-boundary
+    misses), kept for parity audits the way ``vec_hybrid_rrf`` keeps the
+    full-rank form next to ``vec_hybrid_rrf_topn``.
 
-    Contract note (measured, SCALE.md 25×): exact-within-block is
+    Contract note (measured, SCALE.md 25x): exact-within-block is
     QUADRATIC in block size by construction — with a fixed-cardinality
     blocking column the candidate volume grows as (corpus/blocks)², and
-    the 25× probe measured 157× wall. The scale path is a finer blocking
-    key: ``vec_near_dup_cells`` composes label × deterministic k-means
-    cell (same exact verification), and the operator docstring states
-    the n_cells sizing rule that keeps candidates linear."""
+    the 25x probe measured 157x wall. Do not run this form at corpus
+    scale; ``vec_near_dup`` (auto-sized cell blocking) is the scale path."""
     e = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_pairs(
         e, "vec_id", "embedding", partition_col="label", threshold=0.4
@@ -863,64 +956,6 @@ def vec_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id", "dim")
     )
-
-_ASSIGN_LBL_CTES = _ASSIGN_CTES.replace(
-    "SELECT e.vec_id, e.embedding, i.cell_id",
-    "SELECT e.vec_id, e.label, e.embedding, i.cell_id",
-).replace(
-    "SELECT vec_id, embedding, cell_id\n      FROM (SELECT vec_id, embedding, cell_id,",
-    "SELECT vec_id, label, embedding, cell_id\n"
-    "      FROM (SELECT vec_id, label, embedding, cell_id,",
-)
-
-
-@declare(
-    "vec_near_dup_cells",
-    sql=f"""
-    WITH {_ASSIGN_LBL_CTES}
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_sql_cos("a.embedding", "b.embedding")} AS sim
-    FROM assigned a JOIN assigned b
-      ON a.label = b.label AND a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-    WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.4
-    ORDER BY id_a, id_b
-    """,
-    tags=("vector", "dedup", "join", "clustering", "beyond-parity"),
-)
-def vec_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-shape embedding near-dup pairs: blocked on
-    (label × deterministic k-means cell) instead of label alone — the
-    candidate self-join is exact WITHIN each block, and the cell
-    assignment (decimal-quantized Lloyd init + cosine argmax, ties →
-    lowest cell — the vec_kmeans_round kernel) is itself exactly
-    oracle-replayable, so the whole pair set hash-matches the SQL replay.
-
-    Scale contract: with blocks of bounded occupancy the candidate
-    volume is occupancy × corpus = LINEAR. Size ``n_cells`` to the
-    corpus — n_cells ≈ corpus_rows / target_occupancy (fixture: k=8;
-    at 25× the same operator with k=64 keeps occupancy flat — measured
-    in SCALE.md §25×). Near-threshold pairs split across a cell
-    boundary are the recall trade every IVF-blocked dedup makes; raise
-    ``n_assign`` (spill assignment) or lower k for recall, exactly the
-    IVF probe trade-off."""
-    e = load_table(spark, sf_dir, "embeddings")
-    init = V.make_centroids(e, "embedding", "vec_id", n_cells=8, iterations=0)
-    assigned = V.ivf_assign(
-        e.select("vec_id", "label", "embedding"),
-        "embedding",
-        init,
-        id_col="vec_id",
-    )
-    blk = assigned.withColumn(
-        "_blk",
-        F.concat_ws(
-            "|", F.col("label").cast("string"), F.col("ivf_cell").cast("string")
-        ),
-    )
-    return D.embedding_near_dup_pairs(
-        blk, "vec_id", "embedding", partition_col="_blk", threshold=0.4
-    ).orderBy("id_a", "id_b")
-
 
 @declare(
     "vec_semdedup",

@@ -267,31 +267,119 @@ def test_png_corrupt_payloads_fail_loudly():
             M.resize_image(b"\xff\xd8\xff\xe0JFIF", 2)
 
 
-def test_png_unsupported_shapes_raise_not_implemented():
-    """16-bit depth and interlaced PNGs are outside the pure-Python
-    baseline subset — they must raise NotImplementedError (the documented
-    PIL boundary), not mis-decode."""
+def _png_chunk(typ, data):
     import struct
     import zlib
 
-    def chunk(typ, data):
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
 
-    def png_hdr(bitdepth, interlace):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, bitdepth, 2, 0, 0, interlace)
-        return (
-            M.PNG_SIG
-            + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 13))
-            + chunk(b"IEND", b"")
-        )
 
+def test_png_16bit_decodes_high_byte():
+    """16-bit RGB PNGs decode without PIL (r8 VERDICT task #4): each
+    16-bit big-endian sample reduces to its high byte."""
+    import struct
+    import zlib
+
+    # 2x2 RGB, 16-bit: sample value v*256+0x7f -> high byte v
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    rows = []
+    for y in range(2):
+        row = b"\x00"  # filter None
+        for x in range(2):
+            for v in px[y * 2 + x]:
+                row += struct.pack(">H", v * 256 + 0x7F)
+        rows.append(row)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png = (
+        M.PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, rgb = M._png_to_rgb(png)
+    assert (w, h) == (2, 2)
+    assert rgb == bytes(v for p in px for v in p)
+    # 16-bit Sub filter: bpp is 6 bytes, not 3 — the filter offset must
+    # track bytes-per-pixel, not channels
+    sub_rows = []
+    for y in range(2):
+        raw = b"".join(
+            struct.pack(">H", v * 256) for v in px[y * 2] + px[y * 2 + 1]
+        )
+        line = bytearray(raw)
+        for x in range(len(line) - 1, 5, -1):
+            line[x] = (line[x] - line[x - 6]) & 0xFF
+        sub_rows.append(b"\x01" + bytes(line))
+    png_sub = (
+        M.PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(sub_rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert M._png_to_rgb(png_sub)[2] == bytes(v for p in px for v in p)
+
+
+def _adam7_interlaced_png(w, h, rgb):
+    """Re-encode an RGB8 image as an Adam7-interlaced PNG (filter-None
+    rows per pass) — the fixture generator for the interlace decoder."""
+    import struct
+    import zlib
+
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            raw.append(0)  # filter None
+            y = y0 + py * dy
+            for px_i in range(pw):
+                x = x0 + px_i * dx
+                raw += rgb[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        M.PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlace_decodes():
+    """Adam7-interlaced PNGs decode without PIL (r8 VERDICT task #4):
+    the 7 sub-images scatter back to the exact progressive-free pixels,
+    including edge shapes where late passes are empty."""
+    for w, h in [(8, 8), (9, 7), (3, 3), (1, 1), (2, 5)]:
+        rgb = bytes((x * 7 + c * 3) % 256 for x in range(w * h) for c in range(3))
+        got = M._png_to_rgb(_adam7_interlaced_png(w, h, rgb))
+        assert got == (w, h, rgb), f"{w}x{h}"
+    # decode_image routes interlaced payloads too
+    rgb = bytes(range(8 * 8 * 3 % 256)) * 0 + bytes(
+        (i * 5) % 256 for i in range(8 * 8 * 3)
+    )
+    d = M.decode_image(_adam7_interlaced_png(8, 8, rgb))
+    assert d["width"] == 8 and d["n_pixels"] == 64
+
+
+def test_png_packed_depths_still_raise():
+    """1/2/4-bit packed depths remain the documented decode boundary."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    png = (
+        M.PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x00\x01"))
+        + _png_chunk(b"IEND", b"")
+    )
     with pytest.raises(NotImplementedError):
-        M.decode_png(png_hdr(16, 0))
-    with pytest.raises(NotImplementedError):
-        M.decode_png(png_hdr(8, 1))
+        M.decode_png(png)

@@ -50,7 +50,8 @@ ALLOWLIST = {
     "vec_pq_probe": "1-row query-vector crossJoin",
     "vec_semdedup": "scalar threshold frame crossJoin",
     "vec_kmeans_round": "tiny centroid frame crossJoin",
-    "vec_near_dup_cells": "tiny centroid frame crossJoin (k=8 broadcast)",
+    "vec_near_dup": "tiny centroid frame crossJoin (auto-sized k <= 4096, "
+    "broadcast)",
     "vec_cluster_purity": "tiny centroid frame crossJoin (k=8 broadcast)",
     "asof_signup_error": "tiny tolerance frame",
     "ts_gap_fill": "per-key grid expansion against a tiny calendar frame",
@@ -115,7 +116,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "keyword-overlap support-thresholded) before ranking",
     "vec_semdedup": "cluster-seed rank over vec_id: WindowGroupLimit shape "
     "(rank filter <= k seeds)",
-    "vec_near_dup_cells": "cluster-seed rank over vec_id: k-seed prefix "
+    "vec_near_dup": "cluster-seed rank over vec_id: k-seed prefix "
     "(rank filter <= k), the vec_kmeans_round kernel",
     "vec_cluster_purity": "cluster-seed rank over vec_id: k-seed prefix "
     "(rank filter <= k), the vec_kmeans_round kernel",
