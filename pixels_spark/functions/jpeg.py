@@ -1,0 +1,518 @@
+"""Baseline JPEG (JFIF, SOF0) codec — pure Python + numpy, no PIL.
+
+The multimodal seam's image decoders were PPM and PNG (pure-Python);
+JPEG — the dominant real-world format — previously raised
+NotImplementedError without PIL (VERDICT r8 task #3). This module closes
+that: a real baseline-sequential decoder (marker parse → DQT/DHT/SOF0/
+SOS/DRI → Huffman-decoded MCUs → dequantize → inverse zigzag → float
+IDCT → chroma upsample → YCbCr→RGB) and a fixture encoder (the
+``encode_png`` precedent: tests round-trip through both directions, so
+the decoder is exercised without any media library).
+
+Supported: baseline DCT (SOF0), 8-bit, 1 or 3 components, any sampling
+factors (4:4:4 / 4:2:2 / 4:2:0 decode via replication upsample), restart
+intervals. Not supported (documented NotImplementedError): progressive
+(SOF2), arithmetic coding, 12-bit precision, CMYK (4-component).
+
+Reference surface: the reference stores media as VARBINARY and leaves
+codec work to the pipeline (``pixels-core/.../TypeDescription.java:218``
+VECTOR/multimodal north star); decode math follows ITU-T T.81 §A.3/§F.2
+and the JFIF 1.02 color transform.
+
+Scale note: this runs INSIDE ``mapInPandas`` batches (see
+``multimodal.media_features``) — per-row Python decode cost is the same
+trade the PNG path makes; the Spark-side contract (Arrow batching,
+O(batch) executor memory, error-channel rows) is unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: zigzag index -> natural (row-major) index
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT-II matrix: C[u, x] = a(u) cos((2x+1)uπ/16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = (np.sqrt(0.125) if _u == 0 else 0.5) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16
+        )
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _C.T @ block @ _C
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table from DHT (BITS[16] + HUFFVAL)."""
+
+    def __init__(self, bits: list[int], values: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            v = self.lookup.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; stops at any real marker (restart handled by caller
+    via ``sync_restart``)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # hit a marker — per spec, pad with 1-bits (the block
+                    # loop should have consumed everything; be lenient)
+                    self.pos -= 1
+                    b = 0xFF
+            self.bitbuf = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.nbits = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return
+        raise ValueError("expected JPEG restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """ITU-T T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline JPEG to (width, height, raw RGB bytes).
+    Grayscale replicates to 3 channels (PIL ``convert("RGB")`` parity)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None  # (w, h, comps) ; comps: [(cid, hs, vs, tq)]
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                        np.float64
+                    )
+                    p += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[p : p + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    p += 128
+                nat = np.empty(64)
+                nat[ZIGZAG] = tbl
+                qt[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17 : p + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG precision decodes")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK?) does not decode without PIL"
+                )
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0) "
+                "decodes without PIL"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            return _decode_scan(
+                payload, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _decode_scan(
+    data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component plane at its own sampling resolution
+    planes = {
+        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
+        for cid, hs, vs, _tq in comps
+    }
+    tables = {cs: (huff_dc[td], huff_ac[ta]) for cs, td, ta in scan}
+    br = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, hs, vs, tq in comps:
+                dc_tbl, ac_tbl = tables[cid]
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64)
+                        t = dc_tbl.decode(br)
+                        diff = _extend(br.receive(t), t)
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = ac_tbl.decode(br)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[ZIGZAG] = zz
+                        block = _idct2(coef.reshape(8, 8) * q) + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    # upsample each plane to full resolution by replication, then color
+    full = []
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        rgb = np.repeat(y[:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=2)
+    return w, h, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """JPEG decode without PIL — same dict shape as ``decode_ppm`` /
+    ``decode_png`` so every downstream seam is codec-agnostic."""
+    w, h, rgb = _jpeg_to_rgb(payload)
+    return {
+        "width": w,
+        "height": h,
+        "maxval": 255,
+        "n_pixels": w * h,
+        "mean_byte": (sum(rgb) / len(rgb)) if rgb else 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder — baseline sequential, flat quant (quality-controlled),
+# simple valid Huffman tables written into DHT (the decoder reads whatever
+# the file declares, so fixture tables need not be the Annex-K ones).
+
+# DC: all 12 categories as 4-bit codes (BITS[4] = 12). AC: all 162
+# run/size symbols as 8-bit codes (BITS[8] = 162) — canonical, valid,
+# deliberately simple.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = bytes(range(12))
+_AC_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _encode_table(bits, values):
+    code, k, out = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, length: int, code: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1-bits
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(bw, coef_zz, pred, dc_codes, ac_codes):
+    diff = int(coef_zz[0]) - pred
+    t = _category(diff)
+    bw.write(*dc_codes[t])
+    if t:
+        bw.write(t, diff if diff >= 0 else diff + (1 << t) - 1)
+    run = 0
+    last = 0
+    for k in range(63, 0, -1):
+        if coef_zz[k]:
+            last = k
+            break
+    for k in range(1, last + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_codes[0xF0])
+            run -= 16
+        s = _category(v)
+        bw.write(*ac_codes[(run << 4) | s])
+        bw.write(s, v if v >= 0 else v + (1 << s) - 1)
+        run = 0
+    if last < 63:
+        bw.write(*ac_codes[0x00])  # EOB
+    return int(coef_zz[0])
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quant: int = 4,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """Minimal baseline JFIF encoder (numpy FDCT + flat quantization).
+    ``subsample=True`` emits 4:2:0 (2×2-mean chroma downsample);
+    ``restart_interval`` (in MCUs) emits DRI + RSTn markers so the
+    decoder's restart path is testable; ``grayscale=True`` emits a
+    1-component scan (luma only). Fixture-grade by design — the decoder
+    must handle any SPEC-VALID stream, this produces one."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
+        np.float64
+    )
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    hs = vs = 2 if (subsample and not grayscale) else 1
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcux, mcuy = -(-width // mcu_w), -(-height // mcu_h)
+
+    def pad(p, ph, pw):
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+
+    y = pad(y, mcuy * mcu_h, mcux * mcu_w)
+    if subsample:
+        cbp = pad(cb, mcuy * mcu_h, mcux * mcu_w)
+        crp = pad(cr, mcuy * mcu_h, mcux * mcu_w)
+        cb = cbp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        cr = crp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cb = pad(cb, mcuy * 8, mcux * 8)
+        cr = pad(cr, mcuy * 8, mcux * 8)
+
+    q = np.full((8, 8), float(quant))
+    dc_codes = _encode_table(_DC_BITS, _DC_VALS)
+    ac_codes = _encode_table(_AC_BITS, _AC_SYMBOLS)
+
+    def block_zz(plane, y0, x0):
+        blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coef = np.rint(_fdct2(blk) / q).astype(np.int64).reshape(64)
+        return coef[ZIGZAG]  # natural order -> zigzag scan order
+
+    bw = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = {1: 0, 2: 0, 3: 0}
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = block_zz(y, (my * vs + by) * 8, (mx * hs + bx) * 8)
+                    pred[1] = _encode_block(bw, zz, pred[1], dc_codes, ac_codes)
+            if not grayscale:
+                for cid, plane in ((2, cb), (3, cr)):
+                    zz = block_zz(plane, my * 8, mx * 8)
+                    pred[cid] = _encode_block(
+                        bw, zz, pred[cid], dc_codes, ac_codes
+                    )
+            mcu_count += 1
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = q.reshape(64)[ZIGZAG]  # natural -> zigzag order for DQT
+    dqt = seg(0xDB, b"\x00" + bytes(int(v) for v in zz_q))
+    hv_y = (hs << 4) | vs
+    if grayscale:
+        sof_body = (
+            b"\x08" + struct.pack(">HH", height, width) + b"\x01"
+            + bytes([1, hv_y, 0])
+        )
+        sos_body = b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    else:
+        sof_body = (
+            b"\x08" + struct.pack(">HH", height, width) + b"\x03"
+            + bytes([1, hv_y, 0, 2, 0x11, 0, 3, 0x11, 0])
+        )
+        sos_body = b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
+    sof = seg(0xC0, sof_body)
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + _DC_VALS
+        + b"\x10" + bytes(_AC_BITS) + _AC_SYMBOLS,
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(0xDA, sos_body)
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + dht + sof + dri + sos
+        + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+def synthesize_jpeg(width: int, height: int, seed: int = 0, **kw) -> bytes:
+    """Deterministic JPEG fixture with the shared synthetic pixel
+    pattern (see ``synthesize_ppm``/``synthesize_png``)."""
+    rgb = bytes(
+        (x * 3 + ch + seed) % 256
+        for x in range(width * height)
+        for ch in range(3)
+    )
+    return encode_jpeg(width, height, rgb, **kw)

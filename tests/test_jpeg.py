@@ -1,0 +1,133 @@
+"""Baseline JPEG codec tests (VERDICT r8 task #3): the decoder is
+exercised without PIL by round-tripping through the fixture encoder —
+the encode_png/decode_png precedent — plus spec-boundary and PIL-parity
+(gated) checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pixels_spark.functions import jpeg as J
+from pixels_spark.functions import multimodal as M
+
+
+def _maxdiff(a: bytes, b: bytes) -> int:
+    return int(
+        np.abs(
+            np.frombuffer(a, np.uint8).astype(int)
+            - np.frombuffer(b, np.uint8).astype(int)
+        ).max()
+    )
+
+
+def test_solid_color_roundtrip_exact():
+    """Flat blocks are DC-only; with flat quant the round trip is exact
+    across 4:4:4, 4:2:0 and restart-interval encodings."""
+    rgb = bytes([120, 60, 200] * (16 * 16))
+    for kw in [{}, {"subsample": True}, {"restart_interval": 1}]:
+        w, h, out = J._jpeg_to_rgb(J.encode_jpeg(16, 16, rgb, **kw))
+        assert (w, h) == (16, 16)
+        assert _maxdiff(rgb, out) == 0, kw
+
+
+def test_gradient_roundtrip_within_quant_error():
+    pat = J.synthesize_jpeg(37, 23, seed=5)
+    w, h, out = J._jpeg_to_rgb(pat)
+    assert (w, h) == (37, 23)
+    ref = bytes((x * 3 + c + 5) % 256 for x in range(37 * 23) for c in range(3))
+    diff = np.abs(
+        np.frombuffer(ref, np.uint8).astype(int)
+        - np.frombuffer(out, np.uint8).astype(int)
+    )
+    assert diff.max() <= 16 and diff.mean() <= 2.0
+
+
+def test_grayscale_single_component_scan():
+    gray = bytes((x * 5) % 256 for x in range(24 * 16) for _ in range(3))
+    enc = J.encode_jpeg(24, 16, gray, grayscale=True)
+    w, h, out = J._jpeg_to_rgb(enc)
+    assert (w, h) == (24, 16)
+    assert _maxdiff(gray, out) <= 4
+    # gray replicates to identical RGB channels
+    a = np.frombuffer(out, np.uint8).reshape(-1, 3)
+    assert (a[:, 0] == a[:, 1]).all() and (a[:, 1] == a[:, 2]).all()
+
+
+def test_chroma_subsample_and_restarts_on_smooth_image():
+    rgb = bytes(
+        min(255, (x // 4 + y // 4 * 4 + c * 10))
+        for y in range(40)
+        for x in range(33)
+        for c in range(3)
+    )
+    enc = J.encode_jpeg(33, 40, rgb, subsample=True, restart_interval=2)
+    w, h, out = J._jpeg_to_rgb(enc)
+    assert (w, h) == (33, 40)
+    assert _maxdiff(rgb, out) <= 8  # 2x2 chroma mean + quant
+
+
+def test_restart_interval_matches_no_restart():
+    rgb = bytes((x * 7 + c) % 256 for x in range(32 * 16) for c in range(3))
+    plain = J._jpeg_to_rgb(J.encode_jpeg(32, 16, rgb))
+    rst = J._jpeg_to_rgb(J.encode_jpeg(32, 16, rgb, restart_interval=1))
+    assert plain == rst
+
+
+def test_unsupported_shapes_raise_not_implemented():
+    enc = J.synthesize_jpeg(8, 8)
+    sof_at = enc.find(b"\xff\xc0")
+    assert sof_at > 0
+    # progressive (SOF2)
+    prog = enc[:sof_at] + b"\xff\xc2" + enc[sof_at + 2 :]
+    with pytest.raises(NotImplementedError):
+        J._jpeg_to_rgb(prog)
+    # 12-bit precision
+    deep = bytearray(enc)
+    deep[sof_at + 4] = 12
+    with pytest.raises(NotImplementedError):
+        J._jpeg_to_rgb(bytes(deep))
+    # corrupt marker stream fails loudly
+    with pytest.raises(ValueError):
+        J._jpeg_to_rgb(b"\xff\xd8\x00\x00")
+
+
+def test_decode_image_and_resize_route_jpeg():
+    enc = J.synthesize_jpeg(10, 8, seed=3)
+    d = M.decode_image(enc)
+    assert d["width"] == 10 and d["height"] == 8 and d["n_pixels"] == 80
+    small = M.resize_image(enc, 2)
+    assert small[:2] == b"\xff\xd8"  # re-encoded in the source format
+    ds = M.decode_image(small)
+    assert (ds["width"], ds["height"]) == (5, 4)
+
+
+def test_media_features_decodes_jpeg_fixture_rows(spark):
+    media = M.synthetic_media(spark, n=36)
+    feats = M.media_features(media).collect()
+    imgs = [r for r in feats if r.kind == "image"]
+    assert imgs and all(r.err is None for r in imgs)
+    assert all(r.width and r.height for r in imgs)
+    # the fixture rotation actually contains JPEG payloads
+    payloads = {
+        bytes(r.payload)[:2] for r in media.collect() if r.kind == "image"
+    }
+    assert b"\xff" in {p[:1] for p in payloads}
+
+
+def test_pil_parity_when_available():
+    Image = M._pil_image()
+    if Image is None:
+        pytest.skip("PIL not installed in this environment")
+    import io
+
+    enc = J.synthesize_jpeg(24, 18, seed=1)
+    with Image.open(io.BytesIO(enc)) as im:
+        pil_rgb = im.convert("RGB").tobytes()
+    _, _, ours = J._jpeg_to_rgb(enc)
+    diff = np.abs(
+        np.frombuffer(pil_rgb, np.uint8).astype(int)
+        - np.frombuffer(ours, np.uint8).astype(int)
+    )
+    # libjpeg uses an integer IDCT; small per-pixel disagreement is spec-legal
+    assert diff.mean() <= 2.0 and diff.max() <= 32

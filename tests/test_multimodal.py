@@ -9,9 +9,12 @@ from pixels_spark.functions import multimodal as M
 
 
 def test_decode_stubs_raise():
+    # JPEG now decodes natively — a truncated one fails loudly instead
+    with pytest.raises(ValueError):
+        M.decode_image(b"\xff\xd8\xff\xe0JFIF")
     if M._pil_image() is None:
         with pytest.raises(NotImplementedError):
-            M.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG needs PIL
+            M.decode_image(b"GIF89a......")  # GIF still needs PIL
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"RIFF")
 
@@ -259,12 +262,11 @@ def test_png_corrupt_payloads_fail_loudly():
         M.decode_png(bytes(png))
     with pytest.raises(ValueError):
         M.decode_png(M.PNG_SIG + b"\x00\x00\x00\x04AAAA")
-    # JPEG still requires PIL
-    if not _has_pil():
-        with pytest.raises(NotImplementedError):
-            M.decode_image(b"\xff\xd8\xff\xe0JFIF")
-        with pytest.raises(NotImplementedError):
-            M.resize_image(b"\xff\xd8\xff\xe0JFIF", 2)
+    # truncated JPEG fails loudly through the native decoder (no PIL needed)
+    with pytest.raises(ValueError):
+        M.decode_image(b"\xff\xd8\xff\xe0JFIF")
+    with pytest.raises(ValueError):
+        M.resize_image(b"\xff\xd8\xff\xe0JFIF", 2)
 
 
 def _png_chunk(typ, data):
