@@ -2272,13 +2272,13 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by genuine near-dup density, not duplication factor.
     Candidates via band equi-join (never all-pairs), truth via the
     prefix-filtered inverted shingle index; both pair sets are sparse,
-    so the full-outer join is tiny relative to the corpus."""
-    from ..functions.dedup import (
-        cut_lineage,
-        exact_dedup,
-        minhash_md5_bands,
-        spread,
-    )
+    so the full-outer join is tiny relative to the corpus.
+
+    At-scale path: the truth leg (exact Jaccard) is the 25× wall
+    (SCALE.md: ~240 s at 25×, linear but constant-heavy) —
+    ``dedup_lsh_eval_sampled`` runs the same evaluation on an exact
+    stratified sample with Wilson CIs, the affordable tuning loop."""
+    from ..functions.dedup import cut_lineage, exact_dedup
 
     # lineage cut: the representative set feeds banding, the lang lookup,
     # and the truth pass — materialize the fingerprint-distinct once
@@ -2291,6 +2291,17 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
     )
+    return _lsh_eval_from_reps(d)
+
+
+def _lsh_eval_from_reps(d: DataFrame, with_ci: bool = False) -> DataFrame:
+    """Shared LSH-evaluation kernel over a representative-document frame
+    (doc_id, text, lang): md5-band candidates vs exact n-gram Jaccard
+    truth → (counts, precision, recall, f1). ``with_ci=True`` adds 95%
+    Wilson intervals and zero-denominator guards (the sampled variant's
+    contract — small strata can yield empty pair sets)."""
+    from ..functions.dedup import minhash_md5_bands, spread
+
     bb = spread(d, "doc_id").select(
         "doc_id", F.explode(minhash_md5_bands(F.col("text"))).alias("_b")
     ).select(
@@ -2358,21 +2369,158 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fn"),
     )
-    return s.select(
-        "n_truth", "n_cand", "tp", "fp", "fn",
-        F.expr("CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)").alias(
-            "precision"
-        ),
-        F.expr("CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)").alias(
-            "recall"
-        ),
-        F.expr(
-            """2.0 * (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE))
-               * (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))
-             / ((CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE))
-                + (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)))"""
-        ).alias("f1"),
+    if not with_ci:
+        return s.select(
+            "n_truth", "n_cand", "tp", "fp", "fn",
+            F.expr("CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)").alias(
+                "precision"
+            ),
+            F.expr("CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)").alias(
+                "recall"
+            ),
+            F.expr(
+                """2.0 * (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE))
+                   * (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))
+                 / ((CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE))
+                    + (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)))"""
+            ).alias("f1"),
+        )
+    cols = ["n_truth", "n_cand", "tp", "fp", "fn"]
+    exprs = [F.expr(t).alias(a) for a, t in _LSH_CI_EXPRS]
+    return s.select(*cols, *exprs)
+
+
+# dialect-shared guarded precision/recall/F1 + 95% Wilson intervals for the
+# sampled evaluation (zero-denominator-safe: a small stratum sample can
+# yield empty pair sets — NULL, not a NaN/engine-divergent division)
+_LSH_P = "CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) END"
+_LSH_R = "CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE) END"
+
+
+def _lsh_wilson(base: str, sign: str) -> str:
+    """95% Wilson score bound on tp/base (z = 1.96 as exact literals —
+    the funnel_wilson_ci kernel), NULL when base = 0."""
+    p = f"(CAST(tp AS DOUBLE) / CAST({base} AS DOUBLE))"
+    b = f"CAST({base} AS DOUBLE)"
+    return (
+        f"CASE WHEN {base} > 0 THEN "
+        f"({p} + 1.9208 / {b} {sign} 1.96 * sqrt({p} * (1.0 - {p}) / {b} "
+        f"+ 0.9604 / ({b} * {b}))) / (1.0 + 3.8416 / {b}) END"
     )
+
+
+_LSH_CI_EXPRS = [
+    ("precision", _LSH_P),
+    ("recall", _LSH_R),
+    (
+        "f1",
+        f"CASE WHEN tp > 0 THEN 2.0 * ({_LSH_P}) * ({_LSH_R}) "
+        f"/ (({_LSH_P}) + ({_LSH_R})) WHEN n_cand > 0 AND n_truth > 0 "
+        "THEN 0.0 END",
+    ),
+    ("precision_lo", _lsh_wilson("n_cand", "-")),
+    ("precision_hi", _lsh_wilson("n_cand", "+")),
+    ("recall_lo", _lsh_wilson("n_truth", "-")),
+    ("recall_hi", _lsh_wilson("n_truth", "+")),
+]
+
+_LSH_SAMPLE_FRAC = "0.5"
+
+# exact stratified sample (per-lang ceil(frac·n), md5-ordered — the
+# functions.sampling.stratified_sample_exact kernel) over the
+# representative set: the SQL twin plugs into the same band/truth CTEs
+_LSH_SAMPLED_SRC = f"""(
+      SELECT doc_id, text, lang FROM (
+        SELECT r.doc_id, r.text, r.lang,
+               row_number() OVER (
+                 PARTITION BY r.lang
+                 ORDER BY md5('lsheval' || CAST(r.doc_id AS VARCHAR)),
+                          r.doc_id) AS _rn,
+               count(*) OVER (PARTITION BY r.lang) AS _n
+        FROM {_LSH_REPS_SRC} r)
+      WHERE _rn <= ceil(_n * CAST({_LSH_SAMPLE_FRAC} AS DECIMAL(18,12))))"""
+
+
+def _lsh_eval_sampled_oracle() -> str:
+    from .streamq_stateful import _md5_minhash_sql
+
+    ci_cols = ",\n           ".join(f"{t} AS {a}" for a, t in _LSH_CI_EXPRS)
+    tail = f"""
+    , cand AS (
+      SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.bh = b2.bh AND b1.doc_id < b2.doc_id),
+    cand_l AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN documents da ON da.doc_id = c.id_a
+      JOIN documents db ON db.doc_id = c.id_b
+      WHERE da.lang = db.lang),
+    truth AS (SELECT id_a, id_b FROM ({_ngram_pairs_sql(_LSH_SAMPLED_SRC)}) t0),
+    flags AS (
+      SELECT (t.id_a IS NOT NULL) AS is_true,
+             (c.id_a IS NOT NULL) AS is_cand
+      FROM truth t FULL OUTER JOIN cand_l c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b),
+    s AS (
+      SELECT CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truth,
+             CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cand,
+             CAST(sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM flags)
+    SELECT n_truth, n_cand, tp, fp, fn,
+           {ci_cols}
+    FROM s"""
+    return _md5_minhash_sql(select=tail, source=_LSH_SAMPLED_SRC)
+
+
+@declare(
+    "dedup_lsh_eval_sampled",
+    sql=_lsh_eval_sampled_oracle(),
+    tags=("dedup", "minhash", "lsh", "evaluation", "sampling",
+          "beyond-parity"),
+)
+def dedup_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_lsh_eval`` on an EXACT stratified sample of the
+    representative set (per-lang ceil(0.5·n), md5-ordered — deterministic
+    in both engines, so the whole sampled evaluation is still exactly
+    oracle-replayable) with 95% WILSON intervals on precision and recall
+    — the affordable at-scale LSH-tuning loop (VERDICT r8 task #5).
+
+    Why sampling is sound here: both the candidate and truth pair sets
+    are computed WITHIN the sample, so precision (tp/n_cand) and recall
+    (tp/n_truth) are consistent estimators of the full-corpus ratios;
+    sampling docs at rate p keeps pairs at ~p², which is exactly the
+    cost lever — the truth leg (exact Jaccard, the measured 25× wall at
+    ~240 s) shrinks ~4× at p = 0.5. The Wilson intervals state the
+    uncertainty the sample buys: tune bands/rows until the CI is inside
+    the target band, then trust the config at full scale. Ratios and
+    bounds are NULL-guarded (a tiny stratum can yield zero pairs), so
+    degenerate fixtures stay engine-identical instead of NaN-diverging.
+    Full-corpus exact form: ``dedup_lsh_eval``."""
+    from ..functions.dedup import cut_lineage, exact_dedup
+    from ..functions.sampling import stratified_sample_exact
+
+    d = cut_lineage(
+        stratified_sample_exact(
+            exact_dedup(
+                load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text", "lang"
+                ),
+                "text",
+            ),
+            ["lang"],
+            float(_LSH_SAMPLE_FRAC),
+            "doc_id",
+            salt="lsheval",
+        )
+    )
+    return _lsh_eval_from_reps(d, with_ci=True)
 
 
 @declare(
