@@ -211,12 +211,14 @@ def ngram_jaccard_pairs(
     )
     # ceil over the DOUBLE product t·|A| can round UP on exact-integer
     # products (0.07*100 = 7.000000000000001 → ceil 8), shortening the
-    # prefix by one slot and risking a missed boundary pair. Subtracting
-    # an epsilon before ceil makes the error one-sided: the prefix can
-    # only err LONGER (a few extra candidates), never shorter (a missed
-    # pair) — recall stays exact.
+    # prefix by one slot and risking a missed boundary pair. Shrinking by
+    # a RELATIVE epsilon before ceil makes the error one-sided AT ANY
+    # SIZE (double rounding error on t·|A| is relative, ~2e-16·x — an
+    # absolute 1e-9 stops covering it once t·|A| ≳ 5e6 shingles): the
+    # prefix can only err LONGER (a few extra candidates), never shorter
+    # (a missed pair) — recall stays exact.
     prefix_len = F.col("_size") - F.ceil(
-        F.lit(threshold) * F.col("_size") - F.lit(1e-9)
+        F.lit(threshold) * F.col("_size") * F.lit(1.0 - 1e-12)
     ) + 1
     join_keys = ["_shingle"] + (["_blk"] if block_col else [])
     posts = exploded.join(freq, "_shingle")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.dedup import cut_lineage
 from .registry import declare
 
 # Binary classification fixture shared by the eval family: the model
@@ -85,9 +86,8 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("bigint").alias("p"),
             F.sum(1 - F.col("y")).cast("bigint").alias("n"),
         )
-        .persist()
     )
-    return auc_scan(g)
+    return auc_scan(cut_lineage(g))
 
 
 def auc_scan(g: DataFrame) -> DataFrame:
@@ -197,9 +197,12 @@ def _sweep_sql() -> str:
     m AS (
 {rows})
     SELECT threshold, tp, fp, fn, tn,
-           CAST(tp AS DOUBLE) / (tp + fp) AS precision,
-           CAST(tp AS DOUBLE) / (tp + fn) AS recall,
-           2.0 * tp / (2.0 * tp + fp + fn) AS f1
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN 2.0 * tp / (2.0 * tp + fp + fn) END AS f1
     FROM m ORDER BY threshold
     """
 
@@ -217,7 +220,10 @@ def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row result explodes into per-threshold rows (the dq_checks
     pattern); the oracle unions per-threshold aggregates, same counts.
     F1 uses the 2tp/(2tp+fp+fn) form — no intermediate precision/recall
-    rounding on either engine."""
+    rounding on either engine. Zero-denominator cells are NULL on BOTH
+    engines (CASE-guarded): an extreme threshold with no predicted
+    positives must not hash-diverge on Spark-NULL vs DuckDB-inf
+    (ADVICE r8)."""
     lab = _labeled(spark, sf_dir)
     aggs = []
     for i, t in enumerate(_SWEEP_TAUS):
@@ -247,16 +253,19 @@ def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "fn",
         "tn",
-        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
-            "precision"
-        ),
-        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias(
-            "recall"
-        ),
-        (
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+        ).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
             2.0
             * F.col("tp")
-            / (2.0 * F.col("tp") + F.col("fp") + F.col("fn"))
+            / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
         ).alias("f1"),
     ).orderBy("threshold")
 
@@ -323,7 +332,8 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = lab.groupBy("source", "fold").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("pos"),
-    ).persist()
+    )
+    per = cut_lineage(per)
     tot = per.groupBy("source").agg(
         F.sum("n").cast("bigint").alias("tot_n"),
         F.sum("pos").cast("bigint").alias("tot_pos"),
@@ -452,8 +462,8 @@ def eval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("bigint").alias("p"),
             F.count(F.lit(1)).cast("bigint").alias("c"),
         )
-        .persist()
     )
+    g = cut_lineage(g)
     b = g.withColumn("_b", F.floor(F.col("v") / F.lit(25.0)))
     bsum = b.groupBy("_b").agg(
         F.sum("p").alias("_bp"), F.sum("c").alias("_bc")

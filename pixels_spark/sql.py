@@ -203,9 +203,13 @@ def query_at(
     Mechanics: each AS-OF occurrence registers the snapshot under a
     derived view name (``<t>__asof_<ts>``) and the clause is replaced by
     that name — any trailing alias in the original text keeps working.
-    ``ts`` is the integer commit timestamp (the same values
-    ``insert``/``update`` return and ``read_history`` exposes); an
-    unknown table name raises KeyError, matching ``dml``'s contract."""
+    ``ts`` is the INTEGER commit timestamp (the same values
+    ``insert``/``update`` return and ``read_history`` exposes) — date/
+    timestamp literals are NOT supported and fail with a clear
+    ValueError (ADVICE r8: any 'AS OF' text the rewrite did not consume
+    is rejected up front rather than surfacing as a confusing Spark
+    parse error); an unknown table name raises KeyError, matching
+    ``dml``'s contract."""
     register_views(spark, sf_dir, TABLES)
     for name, tbl in tables.items():
         if tbl.persisted_schema() is None:
@@ -226,4 +230,12 @@ def query_at(
         ).createOrReplaceTempView(view)
         return view
 
-    return spark.sql(_ASOF_RE.sub(_sub, text))
+    rewritten = _ASOF_RE.sub(_sub, text)
+    if _re.search(r"\bAS\s+OF\b", rewritten, _re.I):
+        raise ValueError(
+            "unsupported AS OF clause: time travel takes an INTEGER commit "
+            "timestamp — '<table> FOR TIMESTAMP AS OF <int>' or "
+            "'FOR SYSTEM_TIME AS OF <int>' (date/timestamp literals are "
+            "not supported; read_history() lists valid commit timestamps)"
+        )
+    return spark.sql(rewritten)

@@ -428,7 +428,12 @@ def test_prefix_ceil_is_exact_on_integer_products(spark):
     assert raw == 8, "double-ceil hazard vanished; revisit the epsilon guard"
 
     thresholds = [0.05, 0.07, 0.1, 0.125, 0.2, 0.25, 0.3, 0.5, 0.7, 0.8, 0.9]
-    sizes = list(range(1, 201))
+    # ADVICE r8: an ABSOLUTE epsilon stops covering double rounding once
+    # t·|A| ≳ 5e6 (the error is relative, ~2e-16·x) — so the guard is
+    # now relative, and the test sweeps giant document sizes too
+    sizes = list(range(1, 201)) + [
+        10**6, 10**6 + 1, 5 * 10**6, 10**7, 10**8 + 3, 10**9
+    ]
     rows = [(t, s) for t in thresholds for s in sizes]
     df = spark.createDataFrame(rows, "t double, s bigint")
     got = {
@@ -436,7 +441,7 @@ def test_prefix_ceil_is_exact_on_integer_products(spark):
         for r in df.select(
             "t",
             "s",
-            F.ceil(F.col("t") * F.col("s") - F.lit(1e-9)).alias("c"),
+            F.ceil(F.col("t") * F.col("s") * F.lit(1.0 - 1e-12)).alias("c"),
         ).collect()
     }
     for t, s in rows:

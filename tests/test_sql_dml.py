@@ -124,3 +124,8 @@ def test_query_at_time_travel(spark, sf_dir, tmp_path):
     with _pt.raises(KeyError):
         query_at(spark, sf_dir, {"t": t},
                  f"SELECT * FROM nope FOR TIMESTAMP AS OF {ts1}")
+    # unsupported spellings (date literals) fail with a CLEAR error
+    # instead of leaking a half-rewritten query into Spark's parser
+    with _pt.raises(ValueError, match="INTEGER commit"):
+        query_at(spark, sf_dir, {"t": t},
+                 "SELECT * FROM t FOR TIMESTAMP AS OF DATE '2024-01-01'")

@@ -45,26 +45,73 @@ def main() -> int:
     print(f"{len(qs)} queries; {len(osql)} oracles; contract OK")
 
     args = sys.argv[1:]
-    names = list(osql) if args == ["--all"] else (args or SPOT)
+    sweep = args == ["--all"]
+    names = list(qs) if sweep else (args or SPOT)
     failed = []
+    results: dict[str, str] = {}
+    partial = _sweep_path() + ".partial"
+    if sweep and os.path.exists(partial):
+        import json
+
+        with open(partial) as f:
+            results = {
+                k: v for k, v in json.load(f).items() if k in set(names)
+            }
+        print(f"resuming sweep: {len(results)} done")
     from pixels_spark.queries import load_all_modules
 
     reg = load_all_modules()
     for name in names:
+        if name in results and not results[name].startswith("FAIL"):
+            continue
         if reg[name].sql is None:
             n = reg[name].fn(spark, SF).count()
-            print(f"{name}: rows-only, {n} rows")
-            continue
-        problems = compare(spark, SF, reg[name].fn, reg[name].sql)
-        print(f"{name}: {'OK' if not problems else problems}")
-        if problems:
-            failed.append(name)
+            results[name] = f"rows-only:{n}"
+            print(f"{name}: rows-only, {n} rows", flush=True)
+        else:
+            problems = compare(spark, SF, reg[name].fn, reg[name].sql)
+            results[name] = "OK" if not problems else f"FAIL:{problems}"
+            print(f"{name}: {'OK' if not problems else problems}", flush=True)
+            if problems:
+                failed.append(name)
+        if sweep:
+            import json
+
+            with open(partial, "w") as f:
+                json.dump(results, f)
     spark.stop()
+    if sweep:
+        _write_sweep_record(results)
+        if os.path.exists(partial):
+            os.remove(partial)
     if failed:
         print("FAILED:", failed)
         return 1
     print("all green")
     return 0
+
+
+def _write_sweep_record(results: dict[str, str]) -> None:
+    """Commit-able full-surface sweep record (VERDICT r8 task #8): the
+    driver samples ~50 of the declared queries per round; this file
+    records name → OK / rows-only:N / FAIL for EVERY declared query at
+    the driver's sf0.01, written on each ``--all`` run as
+    DRIVERSIM_r{N}.json (N = current round, inferred like bench.py's
+    BENCHLOG snapshots). tests/test_driversim_record.py gates coverage
+    against the live registry, the QUERIES.md render-diff discipline."""
+    import json
+
+    path = _sweep_path()
+    with open(path, "w") as f:
+        json.dump(dict(sorted(results.items())), f, indent=1)
+    print(f"wrote {path}: {len(results)} queries")
+
+
+def _sweep_path() -> str:
+    import bench
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(root, f"DRIVERSIM_r{bench._next_round_no(root)}.json")
 
 
 if __name__ == "__main__":
