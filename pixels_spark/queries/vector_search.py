@@ -281,20 +281,24 @@ def vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_brute_force(e, "embedding", "vec_id", q, k=10)
 
 
-# occupancy target for auto-sized near-dup cell blocking: n_cells =
-# ceil(corpus/64) keeps ~64 vectors per (label x cell) block, so candidate
-# volume = occupancy x corpus = LINEAR regardless of corpus size. Clamped
-# to 4096 cells (beyond that, broadcast-centroid assignment cost grows and
-# a coarser occupancy is the better trade; raise the clamp with a bigger
-# driver if needed). At the sf-fixture sizes: 500 rows -> 8 cells (the
-# measured-good k from SCALE.md 25x), 2000 -> 32, 25x probe (~12.5k) -> 196.
-_NEAR_DUP_OCCUPANCY = 64
+# auto-sizing for near-dup cell blocking: n_cells = ceil(sqrt(corpus)/2).
+# BOTH legs of the operator scale with k: the pair leg is
+# n·occupancy = n²/k (bigger k → fewer candidates) while the
+# broadcast-centroid ASSIGNMENT leg is n·k dot products (bigger k → more
+# assignment work — the r9 25× probe measured the first occupancy-constant
+# rule, k = n/64, at 31.9×: assignment alone was n²/64). k ∝ √n balances
+# them at O(n^1.5) total — measured ~4.7× wall at 25× data (SCALE.md r9).
+# Clamped to 4096 cells; past that scale plug a sub-linear assigner
+# (hierarchical coarse quantizer / ANN assignment) — the standard IVF
+# build path at 100 TB. Fixture sizes: 500 rows → 12 cells, 2000 → 23,
+# 25× probe (50k) → 112.
 _NEAR_DUP_MAX_CELLS = 4096
 
 # labeled assignment CTEs with AUTO-SIZED k: same deterministic kernel as
 # _ASSIGN_CTES (k lowest-id seeds, bit-identical cosine argmax, ties ->
 # lowest cell) but the seed-prefix length is computed from the corpus row
 # count instead of a literal, mirroring the Spark side's driver-side count.
+# sqrt of a BIGINT and /2 are exact IEEE ops — identical in both engines.
 _ASSIGN_LBL_AUTO_CTES = f"""sized AS (
       SELECT vec_id, label, embedding,
              row_number() OVER (ORDER BY vec_id) AS seed_rn,
@@ -305,7 +309,7 @@ _ASSIGN_LBL_AUTO_CTES = f"""sized AS (
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
       FROM sized
       WHERE seed_rn <= greatest(1, least({_NEAR_DUP_MAX_CELLS},
-            CAST(ceil(n_corpus / {_NEAR_DUP_OCCUPANCY}.0) AS INTEGER)))),
+            CAST(ceil(sqrt(CAST(n_corpus AS DOUBLE)) / 2.0) AS INTEGER)))),
     sims AS (
       SELECT e.vec_id, e.label, e.embedding, i.cell_id,
              {{dot_eb}} /
@@ -343,22 +347,27 @@ def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the scale-safe kernel (VERDICT r8 task #1; formerly
     ``vec_near_dup_cells``, now promoted with auto-sizing).
 
-    n_cells = clamp(ceil(corpus_rows / 64), 1, 4096) — the occupancy rule
-    that keeps candidate volume occupancy x corpus = LINEAR (measured:
-    the fixed-k form was 5.4x wall at 25x data vs 157x for label-only
-    blocking; SCALE.md §25x). The driver-side count() is the model-sizing
-    step (parquet-metadata cheap), and the SQL oracle restates the same
-    rule via a rank prefix, so the whole pair set hash-matches the replay.
+    n_cells = clamp(ceil(sqrt(corpus_rows)/2), 1, 4096) — k ∝ √n
+    balances the two legs that BOTH scale with k (pair candidates
+    n²/k vs broadcast-assignment n·k) at O(n^1.5) total. Measured
+    (SCALE.md §25x, r9): this rule ~4.7x wall at 25x data, vs 31.9x for
+    the occupancy-constant rule k = n/64 (assignment became n²/64) and
+    157x for label-only blocking. The driver-side count() is the
+    model-sizing step (parquet-metadata cheap), and the SQL oracle
+    restates the same rule via a rank prefix (sqrt + /2 are exact IEEE
+    in both engines), so the whole pair set hash-matches the replay.
 
     The cell assignment (lowest-id Lloyd seeds + bit-identical cosine
     argmax, ties -> lowest cell — the vec_kmeans_round kernel) is exactly
     oracle-replayable. Near-threshold pairs split across a cell boundary
     are the recall trade every IVF-blocked dedup makes; the exact
     label-only reference twin is ``vec_near_dup_exact``."""
+    import math
+
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
     n_cells = max(
-        1, min(_NEAR_DUP_MAX_CELLS, -(-n // _NEAR_DUP_OCCUPANCY))
+        1, min(_NEAR_DUP_MAX_CELLS, math.ceil(math.sqrt(float(n)) / 2.0))
     )
     init = V.make_centroids(e, "embedding", "vec_id", n_cells=n_cells, iterations=0)
     assigned = V.ivf_assign(

@@ -85,17 +85,29 @@ def make_scaled_fixture(spark, src_dir: str, dest_dir: str, copies: int) -> floa
             for k in keys:
                 s = s.withColumn(k, (F.col(k) + F.lit(i * _OFF)).cast("bigint"))
             if i > 0 and t == "documents":
-                # rotate word order by i: same chars, same n_chars,
-                # different shingles -> not a cross-shard near-dup
-                w = F.split(F.col("text"), " ")
-                rot = F.array_join(
-                    F.concat(
-                        F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))),
-                        F.slice(w, 1, F.least(F.lit(i), F.size(w))),
-                    ),
-                    " ",
+                # DEAL-permute word order with a per-shard stride (every
+                # stride-th word, pile by pile): same words, same n_chars,
+                # but pairwise-DISTINCT adjacencies across shards, so no
+                # cross-shard doc is a shingle near-dup. The r8 fixture
+                # ROTATED words instead — but rotations of one cyclic
+                # sequence share almost all 3-gram shingles, so all
+                # copies of a doc were genuine near-duplicates and the
+                # 25x probe measured a 625x-pair WORKLOAD, not 25x the
+                # volume (caught when dedup_ngram_jaccard read 90x at
+                # 25x; the deal fix returns it to ~linear). A deal is a
+                # true permutation for ANY length and stride (no coprime
+                # requirement), and stride i+1 gives shard i trigrams on
+                # positions (k, k+s, k+2s) — disjoint across shards
+                # except pile boundaries.
+                stride = i + 1
+                dealt = (
+                    "array_join(transform(array_sort(transform("
+                    "sequence(0, size(split(text, ' ')) - 1), "
+                    f"j -> struct(j % {stride} AS pile, "
+                    f"CAST(j / {stride} AS INT) AS pos, j AS j))), "
+                    "t -> element_at(split(text, ' '), t.j + 1)), ' ')"
                 )
-                s = s.withColumn("text", rot)
+                s = s.withColumn("text", F.expr(dealt))
             if i > 0 and t == "embeddings":
                 # rotate dims by i: norm-preserving, cosine vs the
                 # original ~ random -> not a cross-shard near-dup
