@@ -2424,7 +2424,7 @@ _LSH_CI_EXPRS = [
     ("recall_hi", _lsh_wilson("n_truth", "+")),
 ]
 
-_LSH_SAMPLE_FRAC = "0.5"
+_LSH_SAMPLE_FRAC = "0.4"
 
 # exact stratified sample (per-lang ceil(frac·n), md5-ordered — the
 # functions.sampling.stratified_sample_exact kernel) over the
@@ -2487,7 +2487,7 @@ def _lsh_eval_sampled_oracle() -> str:
 )
 def dedup_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_lsh_eval`` on an EXACT stratified sample of the
-    representative set (per-lang ceil(0.5·n), md5-ordered — deterministic
+    representative set (per-lang ceil(0.4·n), md5-ordered — deterministic
     in both engines, so the whole sampled evaluation is still exactly
     oracle-replayable) with 95% WILSON intervals on precision and recall
     — the affordable at-scale LSH-tuning loop (VERDICT r8 task #5).
@@ -2497,7 +2497,7 @@ def dedup_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tp/n_truth) are consistent estimators of the full-corpus ratios;
     sampling docs at rate p keeps pairs at ~p², which is exactly the
     cost lever — the truth leg (exact Jaccard, the measured 25× wall at
-    ~240 s) shrinks ~4× at p = 0.5. The Wilson intervals state the
+    ~240 s) shrinks ~6× at p = 0.4. The Wilson intervals state the
     uncertainty the sample buys: tune bands/rows until the CI is inside
     the target band, then trust the config at full scale. Ratios and
     bounds are NULL-guarded (a tiny stratum can yield zero pairs), so

@@ -85,29 +85,29 @@ def make_scaled_fixture(spark, src_dir: str, dest_dir: str, copies: int) -> floa
             for k in keys:
                 s = s.withColumn(k, (F.col(k) + F.lit(i * _OFF)).cast("bigint"))
             if i > 0 and t == "documents":
-                # DEAL-permute word order with a per-shard stride (every
-                # stride-th word, pile by pile): same words, same n_chars,
-                # but pairwise-DISTINCT adjacencies across shards, so no
-                # cross-shard doc is a shingle near-dup. The r8 fixture
-                # ROTATED words instead — but rotations of one cyclic
-                # sequence share almost all 3-gram shingles, so all
-                # copies of a doc were genuine near-duplicates and the
-                # 25x probe measured a 625x-pair WORKLOAD, not 25x the
-                # volume (caught when dedup_ngram_jaccard read 90x at
-                # 25x; the deal fix returns it to ~linear). A deal is a
-                # true permutation for ANY length and stride (no coprime
-                # requirement), and stride i+1 gives shard i trigrams on
-                # positions (k, k+s, k+2s) — disjoint across shards
-                # except pile boundaries.
-                stride = i + 1
-                dealt = (
+                # shard-SEEDED pseudorandom positional permutation: word
+                # j moves to rank md5('{i}:{j}') — same words, same
+                # n_chars, and the permutation is shared by every doc in
+                # the shard, so within-shard exact/near-dup structure is
+                # preserved EXACTLY while cross-shard adjacencies (and
+                # therefore 3-gram shingles) decorrelate at EVERY doc
+                # length. Two earlier derangements failed measurably:
+                # r8's per-shard ROTATION (rotations of one sequence
+                # share almost all shingles — all copies were genuine
+                # near-dups; dedup_ngram_jaccard read 90x at 25x), and a
+                # stride-deal permutation (identity on docs shorter than
+                # the stride — 19% of the corpus; candidate bound still
+                # 621x base). With the seeded shuffle the cross-shard
+                # trigram collision is ~1/n per doc (residual only on
+                # 3-4-word docs where few distinct orderings exist).
+                shuffled = (
                     "array_join(transform(array_sort(transform("
                     "sequence(0, size(split(text, ' ')) - 1), "
-                    f"j -> struct(j % {stride} AS pile, "
-                    f"CAST(j / {stride} AS INT) AS pos, j AS j))), "
+                    f"j -> struct(md5(concat('{i}:', CAST(j AS STRING))) "
+                    "AS h, j AS j))), "
                     "t -> element_at(split(text, ' '), t.j + 1)), ' ')"
                 )
-                s = s.withColumn("text", F.expr(dealt))
+                s = s.withColumn("text", F.expr(shuffled))
             if i > 0 and t == "embeddings":
                 # rotate dims by i: norm-preserving, cosine vs the
                 # original ~ random -> not a cross-shard near-dup
