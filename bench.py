@@ -181,6 +181,13 @@ HEADLINE = (
     # round 7, session 6f: LTTB dashboard downsampling (exact-integer
     # triangle-area argmax fold; 24-CTE unrolled oracle)
     "ts_lttb",
+    # round 9: vec_near_dup now names the auto-sized cell-blocked kernel
+    # (the scale-safe canonical form; SCALE.md r9). vec_near_dup_exact
+    # stays out: it is the documented quadratic reference twin kept for
+    # parity audits — benching it would advertise the form the docstring
+    # says not to run at scale. dedup_lsh_eval_sampled stays out like
+    # dedup_lsh_eval: both compose two already-benched pair-generating
+    # legs; their scale behavior is recorded in SCALE.md's 25x table.
     # round 8: model-eval + feature-prep family (exact AUC via the MWU
     # kernel, calibration bins, one-scan threshold sweep, out-of-fold
     # target encoding, hour-of-day seasonal profile); stream_eval_auc

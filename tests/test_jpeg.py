@@ -115,16 +115,28 @@ def test_media_features_decodes_jpeg_fixture_rows(spark):
     assert b"\xff" in {p[:1] for p in payloads}
 
 
-def test_pil_parity_when_available():
-    Image = M._pil_image()
-    if Image is None:
-        pytest.skip("PIL not installed in this environment")
-    import io
+def test_pil_parity_or_golden_regression():
+    """With PIL installed (a user's environment): pixel parity against
+    libjpeg. Without it (this sandbox): a golden regression pin — the
+    fixture stream and its decode are bit-stable, so codec regressions
+    still fail loudly instead of the test skipping."""
+    import hashlib
 
     enc = J.synthesize_jpeg(24, 18, seed=1)
+    _, _, ours = J._jpeg_to_rgb(enc)
+    Image = M._pil_image()
+    if Image is None:
+        assert hashlib.md5(enc).hexdigest() == (
+            "e417afaca04942bb2d28b746557be1ac"
+        ), "encoder output drifted"
+        assert hashlib.md5(ours).hexdigest() == (
+            "eff7e7a289d24105ff5308218b6ec388"
+        ), "decoder output drifted"
+        return
+    import io
+
     with Image.open(io.BytesIO(enc)) as im:
         pil_rgb = im.convert("RGB").tobytes()
-    _, _, ours = J._jpeg_to_rgb(enc)
     diff = np.abs(
         np.frombuffer(pil_rgb, np.uint8).astype(int)
         - np.frombuffer(ours, np.uint8).astype(int)
