@@ -224,14 +224,55 @@ def ngram_jaccard_pairs(
     posts = exploded.join(freq, "_shingle")
     w = Window.partitionBy("_id").orderBy("_df", "_shingle")
 
-    def _pairs(rel: DataFrame) -> DataFrame:
-        a = rel.select(F.col("_id").alias("id_a"), *join_keys)
-        b = rel.select(F.col("_id").alias("id_b"), *join_keys)
-        return (
-            a.join(b, join_keys)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+    # PPJoin residual filters on the candidate join — both EXACT
+    # (one-sided relative epsilon keeps boundary pairs), both crucial on
+    # boilerplate-saturated corpora where posting lists are long:
+    # - LENGTH: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) (J ≤ min/max).
+    # - POSITIONAL: if the pair's MINIMAL common shingle sits at rank i
+    #   in A and j in B, overlap ≤ 1 + min(|A|−i, |B|−j); J ≥ t needs
+    #   overlap ≥ t·(|A|+|B|)/(1+t). Applied per shared-prefix-shingle
+    #   row: a qualifying pair always keeps its minimal-common-shingle
+    #   row (the bound there is ≥ the true overlap), so the distinct()
+    #   over survivors loses nothing — rows dropped for OTHER shared
+    #   shingles are redundant candidate copies. Measured (SCALE.md r9):
+    #   25× saturated corpus 560 s → the filtered join; candidates
+    #   Σ df² bound unchanged but survivors collapse to near the
+    #   verified-pair volume.
+    _one_sided = F.lit(1.0 - 1e-12)
+    _len_ok = F.least(F.col("_sza"), F.col("_szb")) >= (
+        F.lit(threshold)
+        * F.greatest(F.col("_sza"), F.col("_szb"))
+        * _one_sided
+    )
+
+    def _pairs(rel: DataFrame, positional: bool) -> DataFrame:
+        a = rel.select(
+            F.col("_id").alias("id_a"),
+            F.col("_size").alias("_sza"),
+            *([F.col("_rk").alias("_rka")] if positional else []),
+            *join_keys,
         )
+        b = rel.select(
+            F.col("_id").alias("id_b"),
+            F.col("_size").alias("_szb"),
+            *([F.col("_rk").alias("_rkb")] if positional else []),
+            *join_keys,
+        )
+        out = a.join(b, join_keys).filter(
+            (F.col("id_a") < F.col("id_b")) & _len_ok
+        )
+        if positional:
+            bound = 1 + F.least(
+                F.col("_sza") - F.col("_rka"), F.col("_szb") - F.col("_rkb")
+            )
+            alpha = (
+                F.lit(threshold)
+                * (F.col("_sza") + F.col("_szb"))
+                / F.lit(1.0 + threshold)
+                * _one_sided
+            )
+            out = out.filter(bound >= alpha)
+        return out.select("id_a", "id_b")
 
     if df_threshold is None:
         # unified prefix pipeline (measured fastest on the fixture corpus;
@@ -241,7 +282,7 @@ def ngram_jaccard_pairs(
         prefix = posts.withColumn("_rk", F.row_number().over(w)).filter(
             F.col("_rk") <= prefix_len
         )
-        cands = _pairs(prefix).distinct()
+        cands = _pairs(prefix, positional=True).distinct()
     else:
         # adaptive split: the posting relation feeds both legs' both join
         # sides — materialize it once
@@ -259,7 +300,12 @@ def ngram_jaccard_pairs(
             )
             .filter(F.col("_rk") <= prefix_len)
         )
-        cands = _pairs(cold).unionByName(_pairs(hot_prefix)).distinct()
+        # cold leg has no global rank — length filter only (still exact)
+        cands = (
+            _pairs(cold, positional=False)
+            .unionByName(_pairs(hot_prefix, positional=True))
+            .distinct()
+        )
     sa = sh.select(
         F.col("_id").alias("id_a"),
         F.col("_sh").alias("_sh_a"),
