@@ -5,13 +5,14 @@ the same modeling the reference applies to VARBINARY
 (``pixels-core/.../vector/BinaryColumnVector.java``), extended with the
 Arrow-batched decode/feature-extraction pattern an LLM data pipeline needs.
 
-Decoders: WAV (RIFF/PCM), PPM (P6), PNG (8/16-bit, Adam7) and baseline
-JPEG (huffman + dequant + IDCT, see ``jpeg.py``) are parsed with
+Decoders: WAV (RIFF/PCM), PPM (P6), PNG (all spec bit depths 1/2/4/8/16,
+all color types, both interlace modes) and baseline JPEG (huffman +
+dequant + IDCT, see ``jpeg.py``) are parsed with
 PURE-PYTHON/numpy decoders — no external media libraries — so the decode
 seam exercises real branches end-to-end: ``media_features`` computes
 actual width/height/sample-rate/duration inside the ``mapInPandas``
 batches. Formats that need PIL/ffmpeg/torchaudio (progressive JPEG,
-packed-depth PNG, MP3/OGG, MP4/...) still raise NotImplementedError
+MP3/OGG, MP4/...) still raise NotImplementedError
 behind the same seam, and ``fake_feature_extractor`` remains as the
 deterministic stand-in for opaque payloads.
 
@@ -152,9 +153,24 @@ def _pil_image():
 # sub-image, unfiltered then scattered onto the full grid). Filters
 # (None/Sub/Up/Average/Paeth) are reversed per the PNG spec §9; CRCs are
 # validated. 16-bit samples reduce to 8 by taking the high byte (the
-# standard 16→8 quantization). Remaining gap: 1/2/4-bit packed depths.
+# standard 16→8 quantization). Packed 1/2/4-bit depths (gray + palette,
+# the only color types the spec allows them for) unpack MSB-first per
+# §7.2 with row-end padding bits discarded; gray samples scale to 8 bits
+# by v*255//(2^d-1) (the spec's sample-depth rescale).
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _unpack_bits(row: bytes, n: int, depth: int) -> bytes:
+    """Unpack ``n`` left-packed ``depth``-bit samples from one scanline's
+    bytes (MSB-first within each byte, PNG §7.2); trailing pad bits in the
+    final byte are ignored."""
+    out = bytearray(n)
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    for i in range(n):
+        out[i] = (row[i // per_byte] >> (8 - depth * (i % per_byte + 1))) & mask
+    return bytes(out)
 
 
 def _png_chunks(payload: bytes):
@@ -249,7 +265,7 @@ _ADAM7 = (
 
 
 def _png_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a PNG (8/16-bit, interlace 0 or Adam7) to (width, height,
+    """Decode a PNG (bit depth 1/2/4/8/16, interlace 0 or Adam7) to (width, height,
     raw RGB bytes). Gray replicates to 3 channels; palette indexes resolve
     through PLTE; alpha is dropped (PIL ``convert("RGB")`` parity);
     16-bit samples keep the high byte."""
@@ -273,19 +289,61 @@ def _png_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
             idat += data
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bitdepth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bitdepth={bitdepth}: packed 1/2/4-bit depths do not "
-            "decode without PIL"
-        )
+    if bitdepth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {bitdepth}")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
     if n_ch is None:
         raise ValueError(f"bad PNG color type {colortype}")
+    raw = zlib.decompress(bytes(idat))
+    if bitdepth < 8:  # packed depths: spec-legal only for gray/palette
+        if colortype not in (0, 3):
+            raise ValueError(
+                f"PNG bit depth {bitdepth} is invalid for color type "
+                f"{colortype}"
+            )
+        stride = (w * bitdepth + 7) // 8  # filter unit is 1 byte (§9)
+        if interlace == 0:
+            if len(raw) != h * (stride + 1):
+                raise ValueError("PNG pixel data length mismatch")
+            packed = _unfilter(raw, h, stride, 1)
+            recon = bytearray(h * w)
+            for y in range(h):
+                recon[y * w : (y + 1) * w] = _unpack_bits(
+                    packed[y * stride : (y + 1) * stride], w, bitdepth
+                )
+        else:
+            recon = bytearray(h * w)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = (pw * bitdepth + 7) // 8
+                sub_len = ph * (pstride + 1)
+                sub = _unfilter(raw[pos : pos + sub_len], ph, pstride, 1)
+                pos += sub_len
+                for py in range(ph):
+                    samples = _unpack_bits(
+                        sub[py * pstride : (py + 1) * pstride], pw, bitdepth
+                    )
+                    base = (y0 + py * dy) * w
+                    for px in range(pw):
+                        recon[base + x0 + px * dx] = samples[px]
+            if pos != len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+        if colortype == 0:
+            maxv = (1 << bitdepth) - 1
+            rgb = bytes(b for v in recon for b in ((v * 255) // maxv,) * 3)
+        else:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE")
+            rgb = bytes(plte[3 * idx + c] for idx in recon for c in range(3))
+        return w, h, rgb
     sample_bytes = bitdepth // 8
     bpp = n_ch * sample_bytes
-    raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         stride = w * bpp
         if len(raw) != h * (stride + 1):

@@ -371,17 +371,122 @@ def test_png_adam7_interlace_decodes():
     assert d["width"] == 8 and d["n_pixels"] == 64
 
 
-def test_png_packed_depths_still_raise():
-    """1/2/4-bit packed depths remain the documented decode boundary."""
+def _packed_png(w, h, depth, colortype, samples, plte=None, filters=None):
+    """Encode left-packed depth-bit samples (MSB-first, row-padded) as a
+    non-interlaced PNG; ``filters`` optionally cycles per-row filter
+    types (applied byte-wise with bpp=1, exactly what the decoder must
+    reverse)."""
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    stride = (w * depth + 7) // 8
+    prev = bytes(stride)
+    raw = bytearray()
+    for y in range(h):
+        row = bytearray(stride)
+        for x in range(w):
+            v = samples[y * w + x]
+            row[(x * depth) // 8] |= v << (8 - depth - (x * depth) % 8)
+        ftype = filters[y % len(filters)] if filters else 0
+        raw.append(ftype)
+        if ftype == 0:
+            raw += row
+        elif ftype == 1:  # Sub with bpp=1
+            raw += bytes(
+                (row[x] - (row[x - 1] if x >= 1 else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ftype == 2:  # Up
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        else:
+            raise ValueError("unsupported fixture filter")
+        prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, colortype, 0, 0, 0)
+    chunks = M.PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        chunks += _png_chunk(b"PLTE", plte)
+    return (
+        chunks
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_packed_gray_depths_decode():
+    """1/2/4-bit grayscale PNGs decode without PIL: MSB-first unpacking,
+    row-end pad bits ignored, samples rescaled v*255//(2^d-1)."""
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        w, h = 11, 3  # 11 samples/row → padded final byte at every depth
+        samples = [(x * 3 + y) % (maxv + 1) for y in range(h) for x in range(w)]
+        got = M._png_to_rgb(_packed_png(w, h, depth, 0, samples))
+        want = bytes(b for v in samples for b in ((v * 255) // maxv,) * 3)
+        assert got == (w, h, want), f"depth {depth}"
+
+
+def test_png_packed_filters_and_palette():
+    """Packed rows unfilter byte-wise (bpp=1) — Sub/Up on a 2-bit palette
+    image reverse exactly; palette indexes resolve through PLTE."""
+    w, h = 9, 4
+    samples = [(x + y) % 4 for y in range(h) for x in range(w)]
+    plte = bytes(range(12))  # 4 RGB entries: (0,1,2),(3,4,5),...
+    png = _packed_png(w, h, 2, 3, samples, plte=plte, filters=[0, 1, 2])
+    got = M._png_to_rgb(png)
+    want = bytes(plte[3 * v + c] for v in samples for c in range(3))
+    assert got == (w, h, want)
+    # decode_image routes packed payloads end-to-end
+    d = M.decode_image(png)
+    assert d["width"] == w and d["n_pixels"] == w * h
+
+
+def test_png_packed_adam7_decodes():
+    """Adam7-interlaced 1-bit PNG: each pass's scanlines are packed at the
+    PASS width (pstride = ceil(pw*depth/8)), then scattered to the grid."""
+    import struct
+    import zlib
+
+    w, h = 10, 9
+    samples = [(x ^ y) & 1 for y in range(h) for x in range(w)]
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = (pw + 7) // 8
+        for py in range(ph):
+            raw.append(0)
+            row = bytearray(pstride)
+            for px in range(pw):
+                v = samples[(y0 + py * dy) * w + (x0 + px * dx)]
+                row[px // 8] |= v << (7 - px % 8)
+            raw += row
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 1)
+    png = (
+        M.PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = M._png_to_rgb(png)
+    want = bytes(b for v in samples for b in (v * 255,) * 3)
+    assert got == (w, h, want)
+
+
+def test_png_packed_rgb_is_invalid():
+    """Packed depths with a truecolor type are spec-invalid → ValueError,
+    not a wrong decode."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
     png = (
         M.PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x00\x01"))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_png(png)
