@@ -330,6 +330,115 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment pairs: C(A→B) = |A∩B| / |A| ≥ t for
+    the smaller shingle set A inside the larger B (ties broken to the
+    smaller id). This is the excerpt/quote/sub-document detector Jaccard
+    structurally misses: a 50-shingle doc fully embedded in a 5000-shingle
+    doc has J ≈ 0.01 but C = 1.0 (cf. the reference's dedup surface and
+    Broder's containment measure).
+
+    Prefix filtering applies ONE-SIDED here (the contained candidate
+    side only): order A's shingles by (global df, shingle) and keep the
+    first |A| − ⌈t·|A|⌉ + 1 — if every common shingle avoided that
+    prefix, |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A|, contradiction. The container
+    side must join its FULL posting list (containment puts no lower
+    bound on |A∩B|/|B|), so candidate volume is Σ_s prefdf(s)·df(s) —
+    the prefix leg is what keeps hot boilerplate shingles from meeting
+    their own full postings. Residual filters, both exact with the
+    one-sided relative epsilon:
+    - ORDERING: contained side is (|A| < |B|) or (|A| = |B| ∧ id_a <
+      id_b) — subsumes the t·|A| ≤ |B| length bound for t ≤ 1.
+    - POSITIONAL (on A only): at A-rank i, |A∩B| ≤ 1 + (|A| − i) must
+      reach t·|A|; a qualifying pair keeps its minimal-common-shingle
+      row, so the distinct() over survivors loses nothing.
+    Candidates verify exactly against the per-doc shingle arrays.
+    Exactness is property-fuzzed vs brute force in tests/test_dedup.py.
+
+    Scale: same shape as ngram_jaccard_pairs — one lineage-cut shingle
+    pass, df join, one prefix window, candidate join, verify join; at
+    t = 0.8 the prefix is ~|A|/5 so the asymmetric join stays far below
+    df² even though the B side is unpruned."""
+    from pyspark.sql.window import Window
+
+    cols = [
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    ]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    sh = cut_lineage(
+        spread(df, id_col).select(*cols).withColumn("_size", F.size("_sh")),
+        reliable,
+    )
+    keep = ["_id", "_size"] + (["_blk"] if block_col else [])
+    exploded = sh.select(*keep, F.explode("_sh").alias("_shingle"))
+    freq = exploded.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
+    posts = exploded.join(freq, "_shingle")
+    prefix_len = (
+        F.col("_size")
+        - F.ceil(F.lit(threshold) * F.col("_size") * F.lit(1.0 - 1e-12))
+        + 1
+    )
+    w = Window.partitionBy("_id").orderBy("_df", "_shingle")
+    join_keys = ["_shingle"] + (["_blk"] if block_col else [])
+    a = (
+        posts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= prefix_len)
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_size").alias("_sza"),
+            F.col("_rk").alias("_rka"),
+            *join_keys,
+        )
+    )
+    b = posts.select(
+        F.col("_id").alias("id_b"), F.col("_size").alias("_szb"), *join_keys
+    )
+    ordering = (F.col("_sza") < F.col("_szb")) | (
+        (F.col("_sza") == F.col("_szb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    positional = (1 + F.col("_sza") - F.col("_rka")) >= (
+        F.lit(threshold) * F.col("_sza") * F.lit(1.0 - 1e-12)
+    )
+    cands = (
+        a.join(b, join_keys)
+        .filter(ordering & positional)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("_sh_a"),
+        F.col("_size").alias("_size_a"),
+    )
+    sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    common = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", common.cast("bigint"))
+        .withColumn(
+            "containment", F.col("n_common") / F.col("_size_a")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            "n_common",
+            "containment",
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

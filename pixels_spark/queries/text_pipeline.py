@@ -360,6 +360,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "dedup_containment",
+    sql=r"""
+    WITH side AS (
+      SELECT doc_id, lang, unnest(s) AS shingle, len(s) AS sz
+      FROM (SELECT doc_id, lang,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_distinct(list_transform(range(1, len(toks)-1),
+                             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                        ELSE [array_to_string(toks, ' ')] END AS s
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(lower(trim(text)), '\s+') AS toks
+                  FROM documents))),
+    pairs AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             a.sz AS size_a, CAST(count(*) AS BIGINT) AS n_common
+      FROM side a JOIN side b
+        ON a.shingle = b.shingle AND a.lang = b.lang
+       AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+      GROUP BY 1, 2, 3)
+    SELECT contained_id, container_id, n_common,
+           n_common * 1.0 / size_a AS containment
+    FROM pairs
+    WHERE n_common * 1.0 / size_a >= 0.8
+    ORDER BY contained_id, container_id
+    """,
+    tags=("dedup", "text", "containment", "join"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — the excerpt/sub-document detector:
+    pairs where ≥80% of the smaller doc's 3-gram shingles appear in the
+    larger doc (C(A→B) = |A∩B|/|A|), language-blocked. Jaccard
+    structurally misses these (a doc fully quoted inside one 100× its
+    size has J ≈ 0.01); training corpora drop the contained copy. The
+    engine side prefix-filters the CONTAINED candidate side only (the
+    container joins full postings — containment bounds nothing on |B|);
+    see functions/dedup.containment_pairs for the exactness argument."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, block_col="lang"
+    ).orderBy("contained_id", "container_id")
+
+
+@declare(
     "txt_bpe_tokens",
     sql=r"""
     SELECT doc_id,

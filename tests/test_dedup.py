@@ -502,3 +502,64 @@ def test_adaptive_prefix_split_matches_bruteforce_all_thresholds(spark):
             ).collect()
         }
         assert got == want, f"df_threshold={k}: {got ^ want}"
+
+
+def test_containment_pairs_matches_bruteforce(spark):
+    """containment_pairs' one-sided prefix + ordering + positional filters
+    must be EXACT: fuzzed against brute-force pairwise containment on a
+    corpus with hot boilerplate shingles AND genuine excerpt pairs (small
+    docs whose full token stream is embedded inside much larger docs —
+    the case Jaccard misses and this operator exists for)."""
+    import itertools
+    import random
+
+    from pixels_spark.functions import dedup as D
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = "the quick brown fox jumps over"
+    rows = []
+    for i in range(36):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14)))
+        text = (boiler + " " + body) if i % 4 else body
+        rows.append((i, text))
+    # excerpt pairs: small docs embedded verbatim inside large hosts
+    for i in range(36, 44):
+        src = rows[i % 12][1].split()
+        lo = rng.randrange(max(1, len(src) - 4))
+        excerpt = src[lo : lo + rng.randint(4, 7)]
+        rows.append((i, " ".join(excerpt)))
+        host = (
+            " ".join(rng.choice(vocab) for _ in range(10))
+            + " " + " ".join(excerpt) + " "
+            + " ".join(rng.choice(vocab) for _ in range(10))
+        )
+        rows.append((100 + i, host))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def shingles(text, n=3):
+        toks = text.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    for t in (0.5, 0.8, 1.0):
+        want = set()
+        for a, b in itertools.combinations(sorted(sh), 2):
+            sa, sb = sh[a], sh[b]
+            if len(sa) > len(sb) or (len(sa) == len(sb) and a > b):
+                a, b, sa, sb = b, a, sb, sa
+            inter = len(sa & sb)
+            if inter and inter / len(sa) >= t:
+                want.add((a, b))
+        got = {
+            (r.contained_id, r.container_id)
+            for r in D.containment_pairs(docs, threshold=t).collect()
+        }
+        assert got == want, f"t={t}: {got ^ want}"
+        # every reported containment value is the exact brute ratio
+        for r in D.containment_pairs(docs, threshold=t).collect():
+            sa, sb = sh[r.contained_id], sh[r.container_id]
+            assert r.n_common == len(sa & sb)
+            assert abs(r.containment - len(sa & sb) / len(sa)) < 1e-12
