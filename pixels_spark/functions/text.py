@@ -798,3 +798,86 @@ def kl_drift_by_group(
         )
     )
     return out
+
+
+# the IEEE double nearest ln(2), embedded as the SAME literal in the SQL
+# oracles — neither engine computes a runtime log for the absent-mass term
+LN2 = 0.6931471805599453
+
+
+def jsd_pairs_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two groups'
+    unsmoothed unigram distributions — the SYMMETRIC drift distance
+    matrix (JSD = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q)), bounded by ln 2.
+    Complements kl_drift_by_group (each source vs the corpus mixture)
+    with source-vs-source structure: which crawl snapshots/domains are
+    interchangeable and which are genuinely different corpora.
+
+    No smoothing is needed: tokens absent from one side contribute the
+    CLOSED FORM ½·p·ln 2 (m = p/2 there), so the whole absent mass per
+    side is ½·ln 2·(1 − Σ_common p) — an exact BIGINT count ratio. Only
+    tokens present in BOTH sides need per-token terms; those are
+    quantized to DECIMAL(18,9) before summing (order-independent, the
+    kl_drift convention), and ln 2 is a shared literal, so the final
+    assembly is one deterministic double chain the oracle replays
+    bit-for-bit. Pairs with zero shared vocabulary are omitted (their
+    JSD is exactly ln 2).
+
+    Scale: one tokenize-explode, one groupBy(group, tok), one token-key
+    self-join whose volume is Σ_tok df(tok)² with df ≤ #groups — linear
+    in vocabulary, quadratic only in GROUP count (a 190-row output for
+    20 sources). For thousands of groups, screen with kl_drift first."""
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    grp_tok = toks.groupBy("_g", "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    grp_n = (
+        grp_tok.groupBy("_g")
+        .agg(F.sum("_c").cast("bigint").alias("_N"))
+        .withColumnRenamed("_g", "_gn")
+    )
+    counts = (
+        grp_tok.join(
+            F.broadcast(grp_n), F.col("_g") == F.col("_gn")
+        ).select("_g", "_tok", "_c", "_N")
+    )
+    a = counts.select(
+        F.col("_g").alias("source_a"),
+        F.col("_tok").alias("_tok"),
+        F.col("_c").alias("_ca"),
+        F.col("_N").alias("_na"),
+    )
+    b = counts.select(
+        F.col("_g").alias("source_b"),
+        F.col("_tok").alias("_tok"),
+        F.col("_c").alias("_cb"),
+        F.col("_N").alias("_nb"),
+    )
+    j = a.join(b, "_tok").filter(F.col("source_a") < F.col("source_b"))
+    p = F.col("_ca") / F.col("_na")
+    q = F.col("_cb") / F.col("_nb")
+    term = (
+        p * F.log(p / ((p + q) / 2)) + q * F.log(q / ((p + q) / 2))
+    ) / 2
+    agg = j.select(
+        "source_a", "source_b", "_ca", "_cb", "_na", "_nb",
+        term.cast("decimal(18,9)").alias("_t"),
+    ).groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_vocab"),
+        F.sum("_t").cast("double").alias("_S"),
+        F.sum("_ca").cast("bigint").alias("_cas"),
+        F.max("_na").alias("_namax"),
+        F.sum("_cb").cast("bigint").alias("_cbs"),
+        F.max("_nb").alias("_nbmax"),
+    )
+    jsd = F.col("_S") + F.lit(0.5) * F.lit(LN2) * (
+        F.lit(2.0)
+        - F.col("_cas") / F.col("_namax")
+        - F.col("_cbs") / F.col("_nbmax")
+    )
+    return agg.select("source_a", "source_b", "n_common_vocab", jsd.alias("jsd"))

@@ -1375,6 +1375,51 @@ def txt_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "txt_jsd_pairs",
+    sql=r"""
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    gt AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY g, tok),
+    gn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM gt GROUP BY g),
+    cnt AS (SELECT gt.g, gt.tok, gt.c, gn.n FROM gt JOIN gn USING (g)),
+    j AS (
+      SELECT a.g AS source_a, b.g AS source_b,
+             a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb,
+             a.c * 1.0 / a.n AS p, b.c * 1.0 / b.n AS q
+      FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.g < b.g),
+    agg AS (
+      SELECT source_a, source_b,
+             CAST(count(*) AS BIGINT) AS n_common_vocab,
+             CAST(sum(CAST((p * ln(p / ((p + q) / 2))
+                            + q * ln(q / ((p + q) / 2))) / 2
+                           AS DECIMAL(18,9))) AS DOUBLE) AS S,
+             CAST(sum(ca) AS BIGINT) AS cas, max(na) AS namax,
+             CAST(sum(cb) AS BIGINT) AS cbs, max(nb) AS nbmax
+      FROM j GROUP BY 1, 2)
+    SELECT source_a, source_b, n_common_vocab,
+           S + 0.5 * 0.6931471805599453
+             * (2.0 - cas * 1.0 / namax - cbs * 1.0 / nbmax) AS jsd
+    FROM agg ORDER BY source_a, source_b
+    """,
+    tags=("text", "quality", "drift", "jsd", "beyond-parity"),
+)
+def txt_jsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence matrix between sources — the
+    symmetric source-vs-source drift distance (which crawl slices are
+    interchangeable corpora, which are genuinely different), bounded by
+    ln 2. Absent-token mass reduces to the closed form ½·ln2·(1 − common
+    mass), so the join touches only each pair's SHARED vocabulary; see
+    functions/text.jsd_pairs_by_group for the exactness conventions."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.jsd_pairs_by_group(d, "source", "text").orderBy(
+        "source_a", "source_b"
+    )
+
+
+@declare(
     "dedup_substring_cut",
     sql="""
     WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
