@@ -1630,3 +1630,117 @@ def volume_scan(d: DataFrame) -> DataFrame:
             "is_anomaly"
         ),
     ).orderBy("event_type", "day")
+
+
+# Benford first-digit expectation log10(1 + 1/d), precomputed to full
+# double precision and embedded as the SAME literals in both engines —
+# no runtime log10, so every χ² term is one shared IEEE chain.
+_BENFORD_P = {
+    1: "0.3010299956639812", 2: "0.17609125905568124",
+    3: "0.12493873660829992", 4: "0.09691001300805642",
+    5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " END"
+# chi-square critical value at dof = 8, alpha = 0.05 (literal, shared)
+_BENFORD_CRIT = "15.50731305586545"
+
+
+@declare(
+    "stat_benford",
+    sql=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM digits),
+    terms AS (
+      SELECT digit, n_obs, n, {_BENFORD_CASE} AS p,
+             CAST(n AS DOUBLE) * ({_BENFORD_CASE}) AS expected_n,
+             CAST(CAST((n_obs - CAST(n AS DOUBLE) * ({_BENFORD_CASE}))
+                       * (n_obs - CAST(n AS DOUBLE) * ({_BENFORD_CASE}))
+                       / (CAST(n AS DOUBLE) * ({_BENFORD_CASE}))
+                       AS DECIMAL(28,12)) AS DOUBLE) AS chi2_term
+      FROM digits CROSS JOIN tot),
+    chi AS (
+      SELECT CAST(sum(CAST(chi2_term AS DECIMAL(28,12))) AS DOUBLE) AS chi2
+      FROM terms)
+    SELECT digit, n_obs, p AS p_benford, expected_n, chi2_term,
+           chi2, (chi2 > {_BENFORD_CRIT}) AS reject_benford_05
+    FROM terms CROSS JOIN chi
+    ORDER BY digit
+    """,
+    tags=("stats", "dq", "benford", "chi-square", "beyond-parity"),
+)
+def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals — the
+    classic financial-data-quality test (fabricated or clipped amounts
+    break the log-uniform digit law). The digit comes from the BIGINT
+    cents string (never from double formatting, which differs across
+    engines); expectations log10(1+1/d) and the dof=8 critical value are
+    shared literals; each χ² term is one IEEE chain quantized to
+    DECIMAL(28,12) before the order-independent sum. NOTE: the fixture's
+    uniform-ish totals genuinely FAIL Benford (reject=true) — the test
+    reporting a real violation is the point.
+
+    Scale: one hash aggregate to ≤9 digit rows (map-side partials);
+    everything after is O(9) frame ops on the persisted digit frame —
+    the orders table is scanned once and never shuffled at its volume."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = (
+        o.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        .persist()
+    )
+    tot = digits.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p = F.expr(_BENFORD_CASE)
+    expected = F.col("n").cast("double") * p
+    term = (
+        (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected
+    )
+    terms = (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            p.alias("p_benford"),
+            expected.alias("expected_n"),
+            term.cast("decimal(28,12)").cast("double").alias("chi2_term"),
+        )
+        .persist()
+    )
+    chi = terms.agg(
+        F.sum(F.col("chi2_term").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("chi2")
+    )
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "n_obs",
+            "p_benford",
+            "expected_n",
+            "chi2_term",
+            "chi2",
+            (F.col("chi2") > F.lit(float(_BENFORD_CRIT))).alias(
+                "reject_benford_05"
+            ),
+        )
+        .orderBy("digit")
+    )
