@@ -1744,3 +1744,145 @@ def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def _grouped_r2_ranks(g: DataFrame, band_width: float) -> DataFrame:
+    """Tie-corrected DOUBLED average ranks per value: for a value-grain
+    frame (grp, v, w), r2(v) = 2·cum_before(v) + w + 1 — twice the
+    fractional average rank, held as an exact BIGINT (average ranks are
+    half-integers; the factor 2 cancels in any scale-invariant statistic).
+    Same two-level prefix as ``_lower_median_from_counts``: band
+    subtotals → grp-partitioned exclusive band prefix (tiny frame) →
+    (grp, band)-partitioned local prefix — no per-group full-value window."""
+    from pyspark.sql import Window
+
+    b = g.withColumn("_b", F.floor(F.col("v") / F.lit(band_width)))
+    bs = b.groupBy("grp", "_b").agg(F.sum("w").alias("_bs"))
+    wb = (
+        Window.partitionBy("grp")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = bs.select(
+        "grp",
+        "_b",
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_lo"),
+    )
+    win = (
+        Window.partitionBy("grp", "_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(bpre), ["grp", "_b"])
+        .select(
+            "grp",
+            "v",
+            (
+                2 * (F.col("_lo") + F.coalesce(F.sum("w").over(win), F.lit(0)))
+                + F.col("w")
+                + 1
+            )
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+
+
+@declare(
+    "stat_spearman",
+    sql="""
+    WITH base AS (SELECT l_returnflag AS grp, l_quantity AS x,
+                         l_extendedprice AS y FROM lineitem),
+    cx AS (SELECT grp, x AS v, CAST(count(*) AS BIGINT) AS w
+           FROM base GROUP BY 1, 2),
+    rx AS (SELECT grp, v,
+                  CAST(2 * (sum(w) OVER (PARTITION BY grp ORDER BY v) - w)
+                       + w + 1 AS BIGINT) AS r2 FROM cx),
+    cy AS (SELECT grp, y AS v, CAST(count(*) AS BIGINT) AS w
+           FROM base GROUP BY 1, 2),
+    ry AS (SELECT grp, v,
+                  CAST(2 * (sum(w) OVER (PARTITION BY grp ORDER BY v) - w)
+                       + w + 1 AS BIGINT) AS r2 FROM cy),
+    rr AS (SELECT b.grp, rx.r2 AS ra, ry.r2 AS rb
+           FROM base b
+           JOIN rx ON rx.grp = b.grp AND rx.v = b.x
+           JOIN ry ON ry.grp = b.grp AND ry.v = b.y),
+    s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(ra AS DECIMAL(38,0))) AS sx,
+                 sum(CAST(rb AS DECIMAL(38,0))) AS sy,
+                 sum(CAST(ra AS DECIMAL(38,0)) * rb) AS sxy,
+                 sum(CAST(ra AS DECIMAL(38,0)) * ra) AS sxx,
+                 sum(CAST(rb AS DECIMAL(38,0)) * rb) AS syy
+          FROM rr GROUP BY grp)
+    SELECT grp AS l_returnflag, n,
+           CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS spearman_rho
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("stats", "correlation", "rank", "spearman", "beyond-parity"),
+)
+def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between quantity and
+    extended price per return flag — the robust (monotone, outlier-proof)
+    complement to stat_corr_regression's Pearson r. Average ranks are
+    held DOUBLED as exact BIGINTs (r2 = 2·cum_before + ties + 1 — always
+    integral; the factor cancels in the scale-invariant ratio), so rho is
+    Pearson on exact integers: every co-moment accumulates in
+    DECIMAL(38,0) and the final value is one IEEE chain, NULL-guarded for
+    degenerate groups. Exact through ties by construction — no sampling,
+    no approximate rank. (DECIMAL(38) co-moment bound: fine to ~1e9 rows
+    per group; pre-scale or per-partition-merge beyond, cf.
+    stat_chi_square's note.)
+
+    Scale: two value-grain aggregates + the two-level prefix (never a
+    per-group full-row window), two rank joins back to the rows (value
+    keys — broadcastable at typical distinct-value counts), one closing
+    aggregate. The lineitem scan feeds three consumers, so it is
+    lineage-cut once."""
+    from ..functions.dedup import cut_lineage
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = cut_lineage(
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_quantity").alias("x"),
+            F.col("l_extendedprice").alias("y"),
+        )
+    )
+    cx = base.groupBy("grp", F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    cy = base.groupBy("grp", F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    rx = _grouped_r2_ranks(cx, band_width=10.0).withColumnsRenamed(
+        {"v": "x", "r2": "ra"}
+    )
+    ry = _grouped_r2_ranks(cy, band_width=5000.0).withColumnsRenamed(
+        {"v": "y", "r2": "rb"}
+    )
+    rr = base.join(rx, ["grp", "x"]).join(ry, ["grp", "y"])
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = rr.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("ra")).alias("sx"),
+        F.sum(dec("rb")).alias("sy"),
+        F.sum(dec("ra") * F.col("rb")).alias("sxy"),
+        F.sum(dec("ra") * F.col("ra")).alias("sxx"),
+        F.sum(dec("rb") * F.col("rb")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.when(
+        (d1 > 0) & (d2 > 0),
+        num.cast("double")
+        / F.sqrt(d1.cast("double") * d2.cast("double")),
+    )
+    return s.select(
+        F.col("grp").alias("l_returnflag"), "n", rho.alias("spearman_rho")
+    ).orderBy("l_returnflag")
