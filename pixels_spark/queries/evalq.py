@@ -90,38 +90,51 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_scan(cut_lineage(g))
 
 
-def auc_scan(g: DataFrame) -> DataFrame:
+def auc_scan(g: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
     """The AUC scoring stage over a (v, p, n) per-value counter table —
     factored out (like statsq.ks_scan) so the streaming twin
     ``stream_eval_auc`` scores its MAINTAINED counter table with the
-    identical plan and shares this oracle bit-for-bit."""
+    identical plan and shares this oracle bit-for-bit. With
+    ``group_cols`` every stage partitions by the groups as well (the
+    counter table then carries one (group, v) row per value) and the
+    output is one AUC row per group — the ``eval_group_auc`` kernel;
+    the default-None path is byte-identical to the original."""
     from pyspark.sql import Window
 
+    gc = list(group_cols or [])
     b = g.withColumn("_b", F.floor(F.col("v") / F.lit(25.0)))
-    bsum = b.groupBy("_b").agg(F.sum("n").alias("_bs"))
-    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bsum = b.groupBy(*gc, "_b").agg(F.sum("n").alias("_bs"))
+    wb = (
+        Window.partitionBy(*gc)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if gc
+        else Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
     bpre = bsum.select(
+        *gc,
         "_b",
         F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_lower"),
     )
     win = (
-        Window.partitionBy("_b")
+        Window.partitionBy(*gc, "_b")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    pre = b.join(F.broadcast(bpre), "_b").withColumn(
+    pre = b.join(F.broadcast(bpre), gc + ["_b"]).withColumn(
         "neg_below",
         (F.col("_lower") + F.coalesce(F.sum("n").over(win), F.lit(0))).cast(
             "bigint"
         ),
     )
-    return pre.agg(
+    return pre.groupBy(*gc).agg(
         F.sum("p").cast("bigint").alias("n_pos"),
         F.sum("n").cast("bigint").alias("n_neg"),
         F.sum(F.col("p") * (2 * F.col("neg_below") + F.col("n")))
         .cast("bigint")
         .alias("two_u"),
     ).select(
+        *gc,
         "n_pos",
         "n_neg",
         "two_u",
@@ -596,4 +609,71 @@ def eval_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
         .orderBy(F.desc("bin"))
+    )
+
+
+@declare(
+    "eval_group_auc",
+    sql=f"""
+    WITH lab AS (
+      SELECT user_id % 4 AS cohort, value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    g AS (SELECT cohort, v, CAST(sum(y) AS BIGINT) AS p,
+                 CAST(sum(1 - y) AS BIGINT) AS n
+          FROM lab GROUP BY cohort, v),
+    pre AS (
+      SELECT cohort, p, n,
+             CAST(coalesce(sum(n) OVER (PARTITION BY cohort ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS neg_below
+      FROM g),
+    per AS (
+      SELECT CAST(cohort AS BIGINT) AS cohort,
+             CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(n) AS BIGINT) AS n_neg,
+             CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
+               / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS auc
+      FROM pre GROUP BY cohort),
+    gap AS (SELECT max(auc) - min(auc) AS auc_gap FROM per)
+    SELECT cohort, n_pos, n_neg, auc, auc_gap
+    FROM per CROSS JOIN gap
+    ORDER BY cohort
+    """,
+    tags=("eval", "auc", "fairness", "beyond-parity"),
+)
+def eval_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort AUC fairness audit: the purchase-vs-view scorer's exact
+    tie-corrected AUC computed independently for each user cohort
+    (user_id % 4 — in production: geography, device, demographic slice),
+    plus the max−min AUC GAP — the first-order disparate-performance
+    check run before shipping any ranking model. Each cohort's AUC is the
+    same BIGINT rank-sum kernel as eval_auc (auc_scan with group_cols),
+    so the whole report is exactly oracled.
+
+    Scale: identical to eval_auc with every stage keyed by (cohort, …) —
+    value-grain counters, cohort-partitioned band prefix, one closing
+    aggregate per cohort; the 4-row gap attaches from the persisted
+    per-cohort frame (no rescan)."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = lab.groupBy("cohort", "v").agg(
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n"),
+    )
+    per = (
+        auc_scan(cut_lineage(g), group_cols=["cohort"])
+        .withColumn("cohort", F.col("cohort").cast("bigint"))
+        .drop("two_u")
+        .persist()
+    )
+    gap = per.agg((F.max("auc") - F.min("auc")).alias("auc_gap"))
+    return (
+        per.crossJoin(F.broadcast(gap))
+        .select("cohort", "n_pos", "n_neg", "auc", "auc_gap")
+        .orderBy("cohort")
     )
