@@ -1683,3 +1683,113 @@ def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+@declare(
+    "eval_mrr_int8",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+    z AS (
+      SELECT vec_id, {_SQL_DEQ.format(v="embedding")} AS deq
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+            FROM corpus)),
+    ann AS (
+      SELECT q_id, vec_id, rnk FROM (
+        SELECT q.q_id, z.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {_sql_cos("z.deq", "qv")} DESC, z.vec_id) AS rnk
+        FROM z CROSS JOIN q) t WHERE rnk <= 10),
+    ex AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {_sql_cos("c.embedding", "qv")} DESC, c.vec_id) AS r
+        FROM corpus c CROSS JOIN q) t WHERE r <= 10),
+    per AS (
+      SELECT a.q_id,
+             CAST(min(CASE WHEN x.vec_id IS NOT NULL THEN a.rnk END)
+                  AS BIGINT) AS first_hit_rank
+      FROM ann a LEFT JOIN ex x ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY a.q_id),
+    per2 AS (
+      SELECT q_id, first_hit_rank,
+             CASE WHEN first_hit_rank IS NOT NULL
+                  THEN 1.0 / first_hit_rank ELSE 0.0 END AS rr
+      FROM per),
+    m AS (SELECT CAST(sum(CAST(rr AS DECIMAL(18,12))) AS DOUBLE) / count(*)
+                 AS mrr FROM per2)
+    SELECT q_id, first_hit_rank, rr, mrr
+    FROM per2 CROSS JOIN m ORDER BY q_id
+    """,
+    tags=("eval", "mrr", "vector", "quantization", "beyond-parity"),
+)
+def eval_mrr_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of int8-quantized retrieval against exact
+    float retrieval — the standard 'does compression still find the right
+    thing FIRST' eval, batched: 8 held-out query vectors (excluded from
+    the corpus), ANN = dequantized-cosine top-10, truth = exact-cosine
+    top-10, rr = 1/rank of the first true hit (0 when the quantized list
+    misses entirely). Reciprocals of small ints are exact IEEE; MRR sums
+    them quantized to DECIMAL(18,12) (order-independent) over the 8-row
+    frame, so the whole report is exactly oracled.
+
+    Scale: both legs are batch_knn — the corpus is broadcast-scored
+    map-side with a ≤k-per-(query,partition) pool, never shuffled at its
+    own volume (functions/vector.batch_knn); the MRR attach is a 1-row
+    broadcast onto the persisted 8-row per-query frame."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.filter(F.col("vec_id") >= 8)
+    deq = corpus.select(
+        "vec_id", V.quantize_int8(F.col("embedding")).alias("_z")
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("_z.q"), lambda x: x.cast("double") * F.col("_z.scale")
+        ).alias("deq"),
+    )
+    ann = V.batch_knn(deq, "deq", "vec_id", q, k=10).select(
+        "q_id", F.col("vec_id"), F.col("rank").alias("rnk")
+    )
+    exact = (
+        V.batch_knn(corpus, "embedding", "vec_id", q, k=10)
+        .select("q_id", "vec_id")
+        .withColumn("_rel", F.lit(1))
+    )
+    per = (
+        ann.join(exact, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.min(F.when(F.col("_rel") == 1, F.col("rnk")))
+            .cast("bigint")
+            .alias("first_hit_rank")
+        )
+        .select(
+            "q_id",
+            "first_hit_rank",
+            F.when(
+                F.col("first_hit_rank").isNotNull(),
+                F.lit(1.0) / F.col("first_hit_rank"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+        )
+        .persist()
+    )
+    m = per.agg(
+        (
+            F.sum(F.col("rr").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mrr")
+    )
+    return (
+        per.crossJoin(F.broadcast(m))
+        .select("q_id", "first_hit_rank", "rr", "mrr")
+        .orderBy("q_id")
+    )
