@@ -76,11 +76,14 @@ def query_vector(df: DataFrame, id_col: str, vec_col: str, qid: int) -> DataFram
     return df.filter(F.col(id_col) == qid).select(F.col(vec_col).alias("_qvec"))
 
 
-def quantize_int8(vec: Column) -> Column:
+def quantize_int8(vec: Column, levels: float = 127.0) -> Column:
     """Symmetric int8 quantization: struct(scale double, q array<int>) with
-    ``scale = max|x|/127`` and ``q_i = floor(x_i/scale + 0.5)`` — the 4×
+    ``scale = max|x|/levels`` and ``q_i = floor(x_i/scale + 0.5)`` — the 4×
     memory reduction that makes a 100 TB embedding corpus servable from a
     quarter of the storage/cache footprint. Dequantized value = q_i·scale.
+    ``levels`` defaults to int8's 127; levels=1.0 gives TERNARY
+    quantization (q_i ∈ {−1, 0, 1}, ~1.6 bits/dim — the 16× extreme
+    compression whose retrieval loss eval_mrr_ternary measures).
 
     floor(x+0.5) instead of round(): Spark's HALF_UP and DuckDB's
     half-away-from-zero disagree on exact .5 for negatives; the floor form
@@ -91,7 +94,7 @@ def quantize_int8(vec: Column) -> Column:
         F.aggregate(
             vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
         )
-        / F.lit(127.0)
+        / F.lit(levels)
     )
     q = F.transform(
         vec,
