@@ -1255,3 +1255,123 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@declare(
+    "ts_acf",
+    sql="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s
+            FROM h GROUP BY 1),
+    c AS (SELECT h.event_type, h.hr,
+                 CAST(tot.n * h.x - tot.s AS DECIMAL(38,0)) AS cv
+          FROM h JOIN tot USING (event_type)),
+    g0 AS (SELECT event_type, sum(cv * cv) AS g0 FROM c GROUP BY 1),
+    lags AS (SELECT * FROM (VALUES (1), (2), (3), (4), (6), (12), (24))
+             AS l(k)),
+    pairs AS (
+      SELECT a.event_type, l.k,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(a.cv * b.cv) AS gk
+      FROM c a CROSS JOIN lags l
+      JOIN c b ON b.event_type = a.event_type AND b.hr = a.hr + l.k
+      GROUP BY 1, 2)
+    SELECT p.event_type, CAST(p.k AS BIGINT) AS lag, p.n_pairs,
+           CASE WHEN g0.g0 > 0
+                THEN CAST(p.gk AS DOUBLE) / CAST(g0.g0 AS DOUBLE) END AS acf
+    FROM pairs p JOIN g0 USING (event_type)
+    ORDER BY event_type, lag
+    """,
+    tags=("temporal", "timeseries", "acf", "autocorrelation",
+          "beyond-parity"),
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly per-type event series at
+    lags {1,2,3,4,6,12,24} — the time-domain twin of ts_periodogram
+    (lag 24 exposes the same daily seasonality as the 24-slot DFT, plus
+    the short-lag decay the periodogram can't show). EXACT-INTEGER: with
+    S = Σx and n hours, the centered value n·x_t − S is a bigint, so
+    n²·γ_k = Σ (n·x_t − S)(n·x_{t+k} − S) accumulates in DECIMAL(38,0)
+    and acf_k = γ_k/γ_0 is one IEEE division (the n² cancels) —
+    NULL-guarded for constant series. Lag pairs attach by INTEGER epoch
+    hour (hr + k), so missing hours drop their pairs rather than
+    silently shifting the series.
+
+    Scale: one hash aggregate to hourly grain; everything after runs on
+    the tiny per-type hourly frame (the 7-lag expansion is 7× that
+    frame, joined on (type, hr) — never the event volume)."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(3600000000))
+        .cast("bigint")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = (
+        h.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s"),
+        )
+        .withColumnRenamed("event_type", "_et")
+    )
+    from ..functions.dedup import cut_lineage
+
+    c = cut_lineage(
+        h.join(F.broadcast(tot), F.col("event_type") == F.col("_et"))
+        .select(
+            "event_type",
+            "hr",
+            (F.col("n") * F.col("x") - F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("cv"),
+        )
+    )
+    g0 = (
+        c.groupBy("event_type")
+        .agg(F.sum(F.col("cv") * F.col("cv")).alias("g0"))
+        .withColumnRenamed("event_type", "_et")
+    )
+    a = c.select(
+        "event_type",
+        "hr",
+        F.col("cv").alias("ca"),
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4, 6, 12, 24)])).alias(
+            "k"
+        ),
+    )
+    b = c.select(
+        F.col("event_type").alias("_etb"),
+        F.col("hr").alias("_hrb"),
+        F.col("cv").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("_etb") == F.col("event_type"))
+            & (F.col("_hrb") == F.col("hr") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).alias("gk"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(g0), F.col("event_type") == F.col("_et"))
+        .select(
+            "event_type",
+            F.col("k").cast("bigint").alias("lag"),
+            "n_pairs",
+            F.when(
+                F.col("g0") > 0,
+                F.col("gk").cast("double") / F.col("g0").cast("double"),
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
