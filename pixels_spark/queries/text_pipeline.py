@@ -2658,3 +2658,99 @@ def txt_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@declare(
+    "txt_bm25_topk",
+    sql=r"""
+    WITH qt AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE doc_id = 7),
+    dt AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE doc_id <> 7),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM dt GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+    tf AS (SELECT d.doc_id, d.w, CAST(count(*) AS BIGINT) AS tf
+           FROM dt d JOIN qt ON qt.w = d.w GROUP BY d.doc_id, d.w),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    terms AS (
+      SELECT tf.doc_id,
+             ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * s.n)
+                                      * 1.0 / s.sdl)) AS sc
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s)
+    SELECT doc_id,
+           CAST(sum(CAST(sc AS DECIMAL(18,9))) AS DOUBLE) AS bm25
+    FROM terms GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "search", "bm25", "ranking", "beyond-parity"),
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: doc 7's distinct tokens as the query, the
+    rest of the corpus ranked by Okapi BM25 (k1=1.2, b=0.75 — the
+    literals 2.2 = k1+1 and 0.25 = 1−b are shared verbatim), top-10 with
+    id tie-break. This is the standard keyword ranker — the principled
+    upgrade of vec_hybrid_rrf's raw-overlap leg. Every input to the IEEE
+    score chain is an exact integer or half-integer (tf, df, N, dl;
+    dl/avgdl written as (dl·N)/Σdl — one division), per-(doc,term) scores
+    quantize to DECIMAL(18,9) before the order-independent per-doc sum,
+    so the ranking is exactly oracled.
+
+    Scale: the query-term join bounds tf/df by |query terms| postings —
+    the corpus is tokenized in one map-side explode, grouped once; the
+    per-doc length frame stays at corpus grain with the TINY tf side
+    broadcast onto it (never the reverse); the top-10 is
+    TakeOrderedAndProject (no global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.explode(T.tokens(F.lower(F.col("text")))).alias("w")
+    qt = (
+        d.filter(F.col("doc_id") == 7)
+        .select(toks)
+        .distinct()
+    )
+    dt = d.filter(F.col("doc_id") != 7).select("doc_id", toks)
+    dl = dt.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("sdl"),
+    )
+    tf = (
+        dt.join(F.broadcast(qt), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    sc = (
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2
+            * (
+                0.25
+                + 0.75 * (F.col("dl") * F.col("n")) * 1.0 / F.col("sdl")
+            )
+        )
+    )
+    # tf (query-term postings) is the SMALL side — broadcast it against
+    # the corpus-grain dl frame, never the reverse (dl is one row per
+    # corpus document; broadcasting it would ship the corpus)
+    terms = (
+        F.broadcast(tf.join(F.broadcast(df_), "w"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", sc.cast("decimal(18,9)").alias("_sc"))
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.sum("_sc").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
