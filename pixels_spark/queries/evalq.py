@@ -677,3 +677,119 @@ def eval_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cohort", "n_pos", "n_neg", "auc", "auc_gap")
         .orderBy("cohort")
     )
+
+
+@declare(
+    "eval_psi",
+    sql=f"""
+    WITH lab AS (
+      SELECT user_id % 2 AS seg, value AS v
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    binned AS (
+      SELECT seg, least(CAST(floor(v / 50.0) AS BIGINT), 9) AS bin
+      FROM lab),
+    grid AS (SELECT unnest(range(0, 10)) AS bin),
+    cnt AS (
+      SELECT g.bin,
+             CAST(coalesce(sum(CASE WHEN seg = 0 THEN 1 END), 0)
+                  AS BIGINT) AS n_ref,
+             CAST(coalesce(sum(CASE WHEN seg = 1 THEN 1 END), 0)
+                  AS BIGINT) AS n_cur
+      FROM grid g LEFT JOIN binned b ON b.bin = g.bin
+      GROUP BY g.bin),
+    tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                   CAST(sum(n_cur) AS BIGINT) AS tc FROM cnt),
+    terms AS (
+      SELECT bin, n_ref, n_cur,
+             (n_ref + 0.5) / (tr + 5.0) AS p_ref,
+             (n_cur + 0.5) / (tc + 5.0) AS p_cur,
+             CAST(CAST(((n_ref + 0.5) / (tr + 5.0)
+                        - (n_cur + 0.5) / (tc + 5.0))
+                       * ln(((n_ref + 0.5) / (tr + 5.0))
+                            / ((n_cur + 0.5) / (tc + 5.0)))
+                       AS DECIMAL(18,12)) AS DOUBLE) AS psi_term
+      FROM cnt CROSS JOIN tot),
+    p AS (SELECT CAST(sum(CAST(psi_term AS DECIMAL(18,12))) AS DOUBLE)
+                 AS psi FROM terms)
+    SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term,
+           psi, (psi > 0.2) AS drifted_02
+    FROM terms CROSS JOIN p
+    ORDER BY bin
+    """,
+    tags=("eval", "drift", "psi", "monitoring", "beyond-parity"),
+)
+def eval_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two score populations (user_id
+    parity as the deterministic reference/current split — in production:
+    training week vs serving week) over the same 10 fixed bins as
+    eval_calibration — THE industry-standard 'did my model's input
+    distribution move' monitor (PSI > 0.2 = investigate). Bin masses are
+    half-Laplace smoothed ((c + 0.5)/(n + 5) — empty bins stay finite and
+    both engines compute the identical half-integer ratios); each term is
+    one IEEE chain quantized to DECIMAL(18,12) before the
+    order-independent sum; the 0-count grid is restored by a 10-row range
+    join so both populations always cover all bins.
+
+    Scale: one map-side binning + one ≤20-group aggregate; everything
+    after is O(10) frame ops — the events table is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        (F.col("user_id") % 2).alias("seg"),
+        F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    grid = spark.range(0, 10).select(F.col("id").alias("bin"))
+    # aggregate to (seg, bin) FIRST (map-side partials, <=20 rows), THEN
+    # restore empty bins against the 10-row grid — grid-joining the raw
+    # event volume would shuffle the big side onto 10 hot keys
+    seg_cnt = binned.groupBy("seg", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cnt = (
+        grid.join(F.broadcast(seg_cnt), "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("seg") == 0, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.coalesce(F.sum(F.when(F.col("seg") == 1, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+        .persist()
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)
+    terms = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            ((p_ref - p_cur) * F.log(p_ref / p_cur))
+            .cast("decimal(18,12)")
+            .cast("double")
+            .alias("psi_term"),
+        )
+        .persist()
+    )
+    p = terms.agg(
+        F.sum(F.col("psi_term").cast("decimal(18,12)"))
+        .cast("double")
+        .alias("psi")
+    )
+    return (
+        terms.crossJoin(F.broadcast(p))
+        .select(
+            "bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term",
+            "psi", (F.col("psi") > 0.2).alias("drifted_02"),
+        )
+        .orderBy("bin")
+    )

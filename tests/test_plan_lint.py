@@ -76,6 +76,13 @@ ALLOWLIST = {
     "ts_periodogram": "1-row corpus-total frame crossJoin",
     "ts_seasonal_profile": "1-row corpus-total frame crossJoin",
     "eval_ndcg_ann": "1-row query-vector crossJoin (both ranking legs)",
+    "stat_benford": "1-row totals + 1-row chi2 frame crossJoins (<=9-row "
+    "digit frame, persisted)",
+    "eval_mrr_ternary": "bounded query-set crossJoin (8 rows, both "
+    "batch_knn legs) + 1-row MRR frame onto the persisted 8-row frame",
+    "txt_bm25_topk": "1-row corpus-stats (N, sum dl) frame crossJoin",
+    "eval_group_auc": "1-row AUC-gap frame crossJoin onto the persisted "
+    "4-row per-cohort frame",
 }
 
 BATCH = sorted(
