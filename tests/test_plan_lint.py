@@ -83,6 +83,8 @@ ALLOWLIST = {
     "txt_bm25_topk": "1-row corpus-stats (N, sum dl) frame crossJoin",
     "eval_group_auc": "1-row AUC-gap frame crossJoin onto the persisted "
     "4-row per-cohort frame",
+    "eval_psi": "1-row totals + 1-row PSI frame crossJoins onto the "
+    "persisted 10-bin frame",
 }
 
 BATCH = sorted(
