@@ -679,9 +679,7 @@ def eval_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "eval_psi",
-    sql=f"""
+_PSI_SQL = f"""
     WITH lab AS (
       SELECT user_id % 2 AS seg, value AS v
       FROM events WHERE event_type IN ('purchase', 'view')),
@@ -715,7 +713,12 @@ def eval_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
            psi, (psi > 0.2) AS drifted_02
     FROM terms CROSS JOIN p
     ORDER BY bin
-    """,
+    """
+
+
+@declare(
+    "eval_psi",
+    sql=_PSI_SQL,
     tags=("eval", "drift", "psi", "monitoring", "beyond-parity"),
 )
 def eval_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,13 +742,21 @@ def eval_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bin"),
     )
-    grid = spark.range(0, 10).select(F.col("id").alias("bin"))
     # aggregate to (seg, bin) FIRST (map-side partials, <=20 rows), THEN
     # restore empty bins against the 10-row grid — grid-joining the raw
     # event volume would shuffle the big side onto 10 hot keys
     seg_cnt = binned.groupBy("seg", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    return psi_scan(spark, seg_cnt)
+
+
+def psi_scan(spark: SparkSession, seg_cnt: DataFrame) -> DataFrame:
+    """The PSI scoring stage over a (seg, bin, c) counter frame —
+    factored out (the auc_scan convention) so the streaming twin
+    ``stream_psi`` scores its MAINTAINED counter table with the identical
+    plan and shares ``_PSI_SQL`` bit-for-bit."""
+    grid = spark.range(0, 10).select(F.col("id").alias("bin"))
     cnt = (
         grid.join(F.broadcast(seg_cnt), "bin", "left")
         .groupBy("bin")

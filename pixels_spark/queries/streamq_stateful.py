@@ -2303,3 +2303,101 @@ def mvcc_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         fork.read_latest_version().drop("_commit_ts").orderBy("event_id"),
         work,
     )
+
+
+def _stream_psi_oracle() -> str:
+    from .evalq import _PSI_SQL
+
+    return _PSI_SQL
+
+
+@declare(
+    "stream_psi",
+    sql=_stream_psi_oracle(),
+    tags=("streaming", "eval", "drift", "psi", "linear-state",
+          "beyond-parity"),
+)
+def stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitoring: the population stability index
+    maintained over an unbounded scored stream. Per micro-batch the
+    (segment, bin, count) table folds by SUM — fixed-bin counters are
+    LINEAR, so the maintained table equals the one-shot batch build
+    exactly and the identical scoring stage (``evalq.psi_scan``: 10-bin
+    grid restore → smoothed masses → quantized terms) must hash-match
+    ``eval_psi``'s oracle bit-for-bit. State is ≤20 rows (2 segments ×
+    10 bins) regardless of stream volume — continuous 'did the score
+    distribution move?' without re-scanning history. Replay-idempotent
+    via the last_bid guard."""
+    import json
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_psi_")
+    src = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    state_json = os.path.join(state_root, "STATE.json")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).alias("m")
+    ).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(state_json):
+            with open(state_json) as _f:
+                if json.load(_f).get("last_bid") == _bid:
+                    return  # at-least-once replay: already folded
+        g = (
+            batch_df.filter(F.col("event_type").isin("purchase", "view"))
+            .groupBy(
+                (F.col("user_id") % 2).alias("seg"),
+                F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9))
+                .cast("bigint")
+                .alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        if os.path.exists(state_json):
+            with open(state_json) as f:
+                st = json.load(f)
+            g = (
+                g.unionByName(spark.read.parquet(st["data"]))
+                .groupBy("seg", "bin")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+            nb = st["n"] + 1
+        else:
+            st, nb = None, 1
+        dest = os.path.join(state_root, f"counts_v={nb}")
+        g.write.mode("overwrite").parquet(dest)
+        tmp = state_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": nb, "data": dest, "last_bid": _bid}, f)
+        os.replace(tmp, state_json)
+        if st and st["data"] != dest and os.path.isdir(st["data"]):
+            shutil.rmtree(st["data"], ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_psi did not finish in 600s")
+    with open(state_json) as f:
+        st = json.load(f)
+    assert st["n"] >= 2, "expected >= 2 micro-batches"
+    from .evalq import psi_scan
+
+    counters = spark.read.parquet(st["data"])
+    return _finalize(psi_scan(spark, counters), work)
