@@ -2660,10 +2660,10 @@ def txt_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "txt_bm25_topk",
-    sql=r"""
-    WITH qt AS (
+# BM25 CTE block shared by txt_bm25_topk and vec_hybrid_bm25's keyword
+# leg: query = doc 7's distinct tokens, scores exactly restated (see
+# txt_bm25_topk's docstring for the determinism argument).
+_BM25_CTES = r"""qt AS (
       SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
       FROM documents WHERE doc_id = 7),
     dt AS (
@@ -2682,10 +2682,18 @@ def txt_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
              * (tf.tf * 2.2)
              / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * s.n)
                                       * 1.0 / s.sdl)) AS sc
-      FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s)
-    SELECT doc_id,
-           CAST(sum(CAST(sc AS DECIMAL(18,9))) AS DOUBLE) AS bm25
-    FROM terms GROUP BY doc_id
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s),
+    bm25s AS (
+      SELECT doc_id,
+             CAST(sum(CAST(sc AS DECIMAL(18,9))) AS DOUBLE) AS bm25
+      FROM terms GROUP BY doc_id)"""
+
+
+@declare(
+    "txt_bm25_topk",
+    sql=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, bm25 FROM bm25s
     ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
     tags=("text", "search", "bm25", "ranking", "beyond-parity"),
@@ -2707,13 +2715,25 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast onto it (never the reverse); the top-10 is
     TakeOrderedAndProject (no global sort)."""
     d = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+def bm25_scores(d: DataFrame, query_doc: int = 7) -> DataFrame:
+    """Okapi BM25 scores (doc_id, bm25) of every corpus doc against the
+    query document's distinct tokens — factored so vec_hybrid_bm25's
+    keyword leg shares the exact scoring pipeline (and _BM25_CTES is the
+    SQL restatement both oracles embed)."""
     toks = F.explode(T.tokens(F.lower(F.col("text")))).alias("w")
     qt = (
-        d.filter(F.col("doc_id") == 7)
+        d.filter(F.col("doc_id") == query_doc)
         .select(toks)
         .distinct()
     )
-    dt = d.filter(F.col("doc_id") != 7).select("doc_id", toks)
+    dt = d.filter(F.col("doc_id") != query_doc).select("doc_id", toks)
     dl = dt.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2748,9 +2768,6 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", sc.cast("decimal(18,9)").alias("_sc"))
     )
-    return (
-        terms.groupBy("doc_id")
-        .agg(F.sum("_sc").cast("double").alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(10)
+    return terms.groupBy("doc_id").agg(
+        F.sum("_sc").cast("double").alias("bm25")
     )

@@ -1798,3 +1798,68 @@ def eval_mrr_ternary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "first_hit_rank", "rr", "mrr")
         .orderBy("q_id")
     )
+
+
+def _hybrid_bm25_oracle() -> str:
+    from .text_pipeline import _BM25_CTES
+
+    return f"""
+    WITH {_BM25_CTES},
+    kw AS (SELECT doc_id, bm25 AS score FROM bm25s
+           ORDER BY bm25 DESC, doc_id LIMIT 50),
+    kwr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+            FROM kw),
+    qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+    vr0 AS (SELECT vec_id AS doc_id,
+                   {_sql_cos("embedding", "qvec")} AS score
+            FROM embeddings, qv WHERE vec_id <> 7
+            ORDER BY score DESC, doc_id LIMIT 50),
+    vrr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b
+            FROM vr0)
+    SELECT doc_id,
+           CAST(rank_a AS BIGINT) AS bm25_rank,
+           CAST(rank_b AS BIGINT) AS vec_rank,
+           CAST(coalesce(1.0 / (60 + rank_a), 0.0)
+                + coalesce(1.0 / (60 + rank_b), 0.0) AS DOUBLE) AS rrf
+    FROM kwr FULL OUTER JOIN vrr USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@declare(
+    "vec_hybrid_bm25",
+    sql=_hybrid_bm25_oracle(),
+    tags=("vector", "text", "search", "bm25", "rrf", "beyond-parity"),
+)
+def vec_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with a PRINCIPLED keyword leg: Okapi BM25 top-50
+    (txt_bm25_topk's exact scoring kernel) fused with exact-cosine kNN
+    top-50 by Reciprocal Rank Fusion — the production RAG retrieval
+    stack (vec_hybrid_rrf's raw-overlap leg upgraded to the standard
+    lexical ranker). Both legs are BOUNDED candidate lists (TakeOrdered,
+    never a corpus-wide rank — the vec_hybrid_rrf_topn shape); ids
+    absent from one list contribute 0 (candidate-list RRF). Exactly
+    oracled end to end: BM25 scores are decimal-quantized sums, cosine
+    is the pinned left-fold, ranks/rrf are exact rational chains."""
+    from .text_pipeline import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    kw50 = (
+        bm25_scores(d)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+        .withColumnRenamed("bm25", "score")
+    )
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    vec50 = V.knn_brute_force(
+        e.filter(F.col("vec_id") != 7), "embedding", "vec_id", q, k=50
+    ).select(F.col("vec_id").alias("doc_id"), F.col("sim").alias("score"))
+    return V.rrf_fuse(kw50, vec50, "doc_id", k=10).select(
+        "doc_id",
+        F.col("rank_a").alias("bm25_rank"),
+        F.col("rank_b").alias("vec_rank"),
+        "rrf",
+    )
