@@ -85,6 +85,10 @@ ALLOWLIST = {
     "4-row per-cohort frame",
     "eval_psi": "1-row totals + 1-row PSI frame crossJoins onto the "
     "persisted 10-bin frame",
+    "vec_hybrid_bm25": "1-row query-vector + 1-row corpus-stats "
+    "crossJoins (both bounded retrieval legs)",
+    "eval_recall_sweep": "1-row query-vector + per-leg 1-row "
+    "candidate/hit frame crossJoins (6 bounded probe legs)",
 }
 
 BATCH = sorted(
