@@ -89,6 +89,8 @@ ALLOWLIST = {
     "crossJoins (both bounded retrieval legs)",
     "eval_recall_sweep": "1-row query-vector + per-leg 1-row "
     "candidate/hit frame crossJoins (6 bounded probe legs)",
+    "graph_modularity": "1-row edge-count + 1-row global-Q frame "
+    "crossJoins onto the persisted per-community frame",
 }
 
 BATCH = sorted(
