@@ -2771,3 +2771,97 @@ def bm25_scores(d: DataFrame, query_doc: int = 7) -> DataFrame:
     return terms.groupBy("doc_id").agg(
         F.sum("_sc").cast("double").alias("bm25")
     )
+
+
+@declare(
+    "txt_zipf_fit",
+    sql=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY tok),
+    ranked AS (SELECT c,
+                      row_number() OVER (ORDER BY c DESC, tok) AS r
+               FROM vocab),
+    xy AS (SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+                  CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,12)) AS y
+           FROM ranked),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(y * y) AS DOUBLE) AS syy
+          FROM xy)
+    SELECT n AS n_vocab,
+           -((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS zipf_exponent,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS log_intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s
+    """,
+    tags=("text", "corpus-stats", "zipf", "beyond-parity"),
+)
+def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram frequency table: OLS of
+    ln(freq) on ln(rank) → the Zipf exponent (natural text ≈ 1; the
+    fixture's closed ~50-word vocabulary fits a much flatter curve —
+    the diagnostic a corpus-health check reads to spot synthetic or
+    template-heavy data). Ranks are total-ordered (freq DESC, token) so
+    both engines rank identically through ties; each ln is quantized to
+    DECIMAL(18,12) and the co-moments accumulate as exact decimals
+    (order-independent), with slope/intercept/R² assembled from the
+    double-cast sums in one shared IEEE chain.
+
+    Scale: one tokenize-explode + one groupBy(token); the rank runs on
+    the count-grain two-level structure (exclusive prefix over the
+    distinct-frequency frame + per-frequency local window) — no global
+    window over the vocabulary."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cc = vocab.groupBy("c").agg(F.count(F.lit(1)).alias("w"))
+    wb = (
+        Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    higher = cc.select(
+        "c",
+        F.coalesce(F.sum("w").over(wb), F.lit(0)).cast("bigint").alias("_hi"),
+    )
+    wl = Window.partitionBy("c").orderBy("tok")
+    ranked = (
+        vocab.join(F.broadcast(higher), "c")
+        .select(
+            "c",
+            (F.col("_hi") + F.row_number().over(wl)).cast("bigint").alias("r"),
+        )
+    )
+    xy = ranked.select(
+        F.log(F.col("r").cast("double")).cast("decimal(18,12)").alias("x"),
+        F.log(F.col("c").cast("double")).cast("decimal(18,12)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        (-slope).alias("zipf_exponent"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "log_intercept"
+        ),
+        ((num * num) / (den * deny)).alias("r2"),
+    )

@@ -104,6 +104,8 @@ BATCH = sorted(
 # no valid entry here; it gets rewritten to the two-level prefix pattern
 # instead (stat_skyline / _exclusive_offsets precedent).
 GLOBAL_WINDOW_ALLOWLIST = {
+    "txt_zipf_fit": "exclusive prefix over the distinct-frequency frame: "
+    "O(#distinct token frequencies) — thousands even at corpus scale",
     "sketch_histogram": "cum over the histogram sketch: <=64 bin rows",
     "stat_ks_test": "exclusive prefix over value-band subtotals: O(#bands), <=256",
     "stat_mann_whitney": "exclusive prefix over value-band subtotals: O(#bands), <=256",
