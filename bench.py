@@ -203,6 +203,29 @@ HEADLINE = (
     "eval_threshold_sweep",
     "feat_target_encode",
     "ts_seasonal_profile",
+    # round 9, session 2: containment dedup (asymmetric prefix-filtered
+    # excerpt detector — the third pair-generating text-dedup leg),
+    # pairwise source JSD matrix (token-key self-join), BM25 lexical
+    # retrieval + hybrid BM25×vector RRF, Spearman rank correlation
+    # (two rank joins over lineitem), hourly-series ACF (7-lag epoch
+    # join), per-cohort AUC fairness, PSI drift monitor, Benford DQ
+    # audit, ternary-quantization MRR (two batch_knn legs), ANN recall
+    # tuning grid, label-prop modularity, Zipf fit. stream_psi stays
+    # out like the other stream twins (stream-replay machinery, oracle
+    # shared with eval_psi).
+    "dedup_containment",
+    "txt_jsd_pairs",
+    "txt_bm25_topk",
+    "vec_hybrid_bm25",
+    "stat_spearman",
+    "ts_acf",
+    "eval_group_auc",
+    "eval_psi",
+    "stat_benford",
+    "eval_mrr_ternary",
+    "eval_recall_sweep",
+    "graph_modularity",
+    "txt_zipf_fit",
 )
 
 
