@@ -1233,11 +1233,29 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # cut_lineage (localCheckpoint), not plain persist: five consumers
+    # re-read the edge relation and the A/B measured the checkpoint
+    # FASTER here (4.4 s vs 5.5 s best-of-3 at sf0.1 — cached-partition
+    # re-reads lose to the compact checkpoint under this many consumers)
     und = cut_lineage(eb)
     edges = und.union(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = cut_lineage(G.label_propagation_min(edges, rounds=1))
+    # 1-round min labels have a CLOSED FORM — min over {v} ∪ neighbors —
+    # so one groupBy-MIN replaces the delta-propagation machinery (whose
+    # per-round persist/isEmpty scheduling is why label_prop itself is
+    # bench-excluded; measured here: 7.9 s → the direct aggregate)
+    labels = (
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("label"))
+        .unionByName(
+            edges.select(
+                F.col("src").alias("node"), F.col("src").alias("label")
+            )
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    labels = cut_lineage(labels)
     m = und.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     deg = (
         und.select(F.col("src").alias("node"))
@@ -1253,11 +1271,14 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").cast("bigint").alias("d_c"),
         )
     )
+    # the label frame is NODE-grain (thousands of rows, not edge-grain) —
+    # broadcast it onto the edge relation so the two endpoint-label
+    # attaches are map-side, never an edge-volume shuffle
     la = labels.select(F.col("node").alias("src"), F.col("label").alias("_la"))
     lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("_lb"))
     ec = (
-        und.join(la, "src")
-        .join(lb, "dst")
+        und.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
         .filter(F.col("_la") == F.col("_lb"))
         .groupBy(F.col("_la").alias("label"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))

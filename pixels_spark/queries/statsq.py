@@ -1838,34 +1838,68 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group; pre-scale or per-partition-merge beyond, cf.
     stat_chi_square's note.)
 
-    Scale: two value-grain aggregates + the two-level prefix (never a
-    per-group full-row window), two rank joins back to the rows (value
-    keys — broadcastable at typical distinct-value counts), one closing
-    aggregate. The lineitem scan feeds three consumers, so it is
-    lineage-cut once."""
-    from ..functions.dedup import cut_lineage
+    Scale: ranks attach IN-ROW via (grp, band)-partitioned windows
+    (band-lower exclusive prefix over the tiny band frame + RANGE-frame
+    ≤-count + tie count) — no value-grain aggregate, no join back to the
+    rows, no partition wider than one band; one closing aggregate.
+    The join-back formulation was A/B-measured slower (~4.4 s vs ~2.9 s
+    at sf0.1) and replaced."""
+
+    from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    base = cut_lineage(
-        li.select(
-            F.col("l_returnflag").alias("grp"),
-            F.col("l_quantity").alias("x"),
-            F.col("l_extendedprice").alias("y"),
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    # attach each column's doubled rank IN-ROW via band-partitioned
+    # windows — no value-grain aggregate and no join back to the rows
+    # (the join-back formulation A/B'd ~4.4 s vs ~2.9 s for this form at
+    # sf0.1): rows_below = band_lower + (rows in band with value ≤ v,
+    # RANGE frame) − ties; r2 = 2·rows_below + ties + 1. Windows
+    # partition by (grp, band) so no partition exceeds a band's rows.
+    def attach_r2(df: DataFrame, col: str, width: float, out: str) -> DataFrame:
+        b = df.withColumn("_b", F.floor(F.col(col) / F.lit(width)))
+        bs = b.groupBy("grp", "_b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_bs")
         )
-    )
-    cx = base.groupBy("grp", F.col("x").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("w")
-    )
-    cy = base.groupBy("grp", F.col("y").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("w")
-    )
-    rx = _grouped_r2_ranks(cx, band_width=10.0).withColumnsRenamed(
-        {"v": "x", "r2": "ra"}
-    )
-    ry = _grouped_r2_ranks(cy, band_width=5000.0).withColumnsRenamed(
-        {"v": "y", "r2": "rb"}
-    )
-    rr = base.join(rx, ["grp", "x"]).join(ry, ["grp", "y"])
+        wb = (
+            Window.partitionBy("grp")
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bpre = bs.select(
+            "grp",
+            "_b",
+            F.coalesce(F.sum("_bs").over(wb), F.lit(0))
+            .cast("bigint")
+            .alias("_lo"),
+        )
+        w_le = (
+            Window.partitionBy("grp", "_b")
+            .orderBy(col)
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        w_tie = Window.partitionBy("grp", "_b", col)
+        return (
+            b.join(F.broadcast(bpre), ["grp", "_b"])
+            .withColumn("_le", F.count(F.lit(1)).over(w_le))
+            .withColumn("_t", F.count(F.lit(1)).over(w_tie))
+            .withColumn(
+                out,
+                (
+                    2 * (F.col("_lo") + F.col("_le") - F.col("_t"))
+                    + F.col("_t")
+                    + 1
+                ).cast("bigint"),
+            )
+            .drop("_b", "_bs", "_lo", "_le", "_t")
+        )
+
+    rr = attach_r2(base, "x", 10.0, "ra")
+    rr = attach_r2(rr, "y", 5000.0, "rb")
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = rr.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
