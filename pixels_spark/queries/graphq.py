@@ -1271,14 +1271,14 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").cast("bigint").alias("d_c"),
         )
     )
-    # the label frame is NODE-grain (thousands of rows, not edge-grain) —
-    # broadcast it onto the edge relation so the two endpoint-label
-    # attaches are map-side, never an edge-volume shuffle
+    # the label frame is NODE-grain — no broadcast HINT (billions of
+    # nodes at 100 TB would not fit; AQE broadcasts when it actually
+    # does — measured at fixture scale the hint was noise anyway)
     la = labels.select(F.col("node").alias("src"), F.col("label").alias("_la"))
     lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("_lb"))
     ec = (
-        und.join(F.broadcast(la), "src")
-        .join(F.broadcast(lb), "dst")
+        und.join(la, "src")
+        .join(lb, "dst")
         .filter(F.col("_la") == F.col("_lb"))
         .groupBy(F.col("_la").alias("label"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
@@ -1318,4 +1318,97 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tn").cast("double") / F.col("td")).alias("modularity"),
         )
         .orderBy("community")
+    )
+
+
+@declare(
+    "graph_assortativity",
+    sql="""
+    WITH eb AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS src,
+                      's' || CAST(l_suppkey AS STRING) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT src, dst FROM eb
+              UNION ALL SELECT dst AS src, src AS dst FROM eb),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    ed AS (SELECT da.d AS dx, db.d AS dy
+           FROM edges e
+           JOIN deg da ON da.node = e.src
+           JOIN deg db ON db.node = e.dst),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+                 sum(CAST(dx AS DECIMAL(38,0))) AS sx,
+                 sum(CAST(dy AS DECIMAL(38,0))) AS sy,
+                 sum(CAST(dx AS DECIMAL(38,0)) * dy) AS sxy,
+                 sum(CAST(dx AS DECIMAL(38,0)) * dx) AS sxx,
+                 sum(CAST(dy AS DECIMAL(38,0)) * dy) AS syy
+          FROM ed)
+    SELECT m2 AS n_directed_edges,
+           CASE WHEN m2 * sxx > sx * sx AND m2 * syy > sy * sy
+                THEN CAST(m2 * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+                            * CAST(m2 * syy - sy * sy AS DOUBLE))
+           END AS assortativity
+    FROM s
+    """,
+    tags=("graph", "assortativity", "degree", "beyond-parity"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer–supplier graph — Pearson
+    correlation of endpoint degrees over the (symmetrized) edge list:
+    positive = hubs link to hubs (social-network shape), negative = hubs
+    link to leaves (hub-and-spoke / bipartite infrastructure shape).
+    Complements graph_modularity: one number for 'what KIND of topology
+    is this' before any community or ranking analysis. EXACT-INTEGER:
+    degrees are counts, all five co-moments accumulate in DECIMAL(38,0)
+    over the directed edge list (each undirected edge contributes both
+    orientations — the standard estimator), and r is one NULL-guarded
+    IEEE chain.
+
+    Scale: one degree aggregate, two node-grain degree attaches onto the
+    edge list (node-grain frames — broadcastable or ordinary hash joins),
+    one closing aggregate. Nothing quadratic anywhere."""
+    from ..functions.dedup import cut_lineage
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = cut_lineage(eb)
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
+    # no broadcast HINT: the degree frame is node-grain (fine to
+    # broadcast at fixture scale, but billions of nodes at 100 TB) —
+    # AQE picks broadcast when it actually fits
+    ed = edges.join(da, "src").join(db, "dst")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum(dec("dx")).alias("sx"),
+        F.sum(dec("dy")).alias("sy"),
+        F.sum(dec("dx") * F.col("dy")).alias("sxy"),
+        F.sum(dec("dx") * F.col("dx")).alias("sxx"),
+        F.sum(dec("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("m2").alias("n_directed_edges"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")),
+        ).alias("assortativity"),
     )
