@@ -804,3 +804,124 @@ def psi_scan(spark: SparkSession, seg_cnt: DataFrame) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@declare(
+    "eval_brier",
+    sql=f"""
+    WITH lab AS (
+      SELECT least(value / 500.0, 1.0) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(y) AS BIGINT) AS pk,
+             CAST(sum(CAST(p AS DECIMAL(18,12))) AS DOUBLE) AS sp,
+             CAST(sum(CAST((p - y) * (p - y) AS DECIMAL(18,12))) AS DOUBLE)
+               AS sq
+      FROM lab GROUP BY bin),
+    tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+                   CAST(sum(pk) AS BIGINT) AS npos FROM bins),
+    terms AS (
+      SELECT nk, sq,
+             CAST(CAST(nk * (sp / nk - CAST(pk AS DOUBLE) / nk)
+                       * (sp / nk - CAST(pk AS DOUBLE) / nk)
+                       AS DECIMAL(18,12)) AS DOUBLE) AS rel_t,
+             CAST(CAST(nk * (CAST(pk AS DOUBLE) / nk
+                             - CAST(npos AS DOUBLE) / n)
+                       * (CAST(pk AS DOUBLE) / nk
+                          - CAST(npos AS DOUBLE) / n)
+                       AS DECIMAL(18,12)) AS DOUBLE) AS res_t
+      FROM bins CROSS JOIN tot)
+    SELECT t.n,
+           CAST(sum(CAST(sq AS DECIMAL(18,12))) AS DOUBLE) / t.n AS brier,
+           CAST(sum(CAST(rel_t AS DECIMAL(18,12))) AS DOUBLE) / t.n
+             AS reliability,
+           CAST(sum(CAST(res_t AS DECIMAL(18,12))) AS DOUBLE) / t.n
+             AS resolution,
+           (CAST(t.npos AS DOUBLE) / t.n)
+             * (1.0 - CAST(t.npos AS DOUBLE) / t.n) AS uncertainty
+    FROM terms CROSS JOIN tot t GROUP BY t.n, t.npos
+    """,
+    tags=("eval", "brier", "calibration", "beyond-parity"),
+)
+def eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the purchase-probability proxy (score/500, capped)
+    with the Murphy decomposition over the 10 calibration bins:
+    reliability (calibration error — lower better), resolution
+    (discrimination — higher better), uncertainty (the ȳ(1−ȳ) floor).
+    The full probabilistic-forecast report card in one row (binned
+    decomposition: Brier = REL − RES + UNC up to within-bin score
+    variance). ONE event scan: the bin aggregate carries n_k, Σy_k, Σp
+    and Σ(p−y)² (each decimal-quantized pre-sum), so every output
+    assembles from the 10-row frame with shared IEEE chains.
+
+    Scale: one map-side projection + one 10-group hash aggregate;
+    everything after is O(10) frame ops."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    bins = (
+        lab.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum("y").cast("bigint").alias("pk"),
+            F.sum(F.col("p").cast("decimal(18,12)"))
+            .cast("double")
+            .alias("sp"),
+            F.sum(
+                ((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).cast(
+                    "decimal(18,12)"
+                )
+            )
+            .cast("double")
+            .alias("sq"),
+        )
+        .persist()
+    )
+    tot = bins.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("pk").cast("bigint").alias("npos"),
+    )
+    pbar = F.col("sp") / F.col("nk")
+    ybar_k = F.col("pk").cast("double") / F.col("nk")
+    ybar = F.col("npos").cast("double") / F.col("n")
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "npos",
+        "sq",
+        (F.col("nk") * (pbar - ybar_k) * (pbar - ybar_k))
+        .cast("decimal(18,12)")
+        .cast("double")
+        .alias("rel_t"),
+        (F.col("nk") * (ybar_k - ybar) * (ybar_k - ybar))
+        .cast("decimal(18,12)")
+        .cast("double")
+        .alias("res_t"),
+    )
+    return terms.groupBy("n", "npos").agg(
+        (
+            F.sum(F.col("sq").cast("decimal(18,12)")).cast("double")
+            / F.col("n")
+        ).alias("brier"),
+        (
+            F.sum(F.col("rel_t").cast("decimal(18,12)")).cast("double")
+            / F.col("n")
+        ).alias("reliability"),
+        (
+            F.sum(F.col("res_t").cast("decimal(18,12)")).cast("double")
+            / F.col("n")
+        ).alias("resolution"),
+    ).select(
+        "n",
+        "brier",
+        "reliability",
+        "resolution",
+        (ybar * (F.lit(1.0) - ybar)).alias("uncertainty"),
+    )
