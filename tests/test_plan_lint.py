@@ -91,6 +91,8 @@ ALLOWLIST = {
     "candidate/hit frame crossJoins (6 bounded probe legs)",
     "graph_modularity": "1-row edge-count + 1-row global-Q frame "
     "crossJoins onto the persisted per-community frame",
+    "eval_brier": "1-row totals frame crossJoin onto the persisted "
+    "10-bin frame",
 }
 
 BATCH = sorted(
