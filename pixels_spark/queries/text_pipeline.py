@@ -359,10 +359,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@declare(
-    "dedup_containment",
-    sql=r"""
-    WITH side AS (
+_CONTAINMENT_CTES = r"""side AS (
       SELECT doc_id, lang, unnest(s) AS shingle, len(s) AS sz
       FROM (SELECT doc_id, lang,
                    CASE WHEN len(toks) >= 3
@@ -378,12 +375,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM side a JOIN side b
         ON a.shingle = b.shingle AND a.lang = b.lang
        AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
-      GROUP BY 1, 2, 3)
-    SELECT contained_id, container_id, n_common,
-           n_common * 1.0 / size_a AS containment
-    FROM pairs
-    WHERE n_common * 1.0 / size_a >= 0.8
-    ORDER BY contained_id, container_id
+      GROUP BY 1, 2, 3),
+    cpairs AS (
+      SELECT contained_id, container_id, n_common,
+             n_common * 1.0 / size_a AS containment
+      FROM pairs
+      WHERE n_common * 1.0 / size_a >= 0.8)"""
+
+
+@declare(
+    "dedup_containment",
+    sql=f"""
+    WITH {_CONTAINMENT_CTES}
+    SELECT contained_id, container_id, n_common, containment
+    FROM cpairs ORDER BY contained_id, container_id
     """,
     tags=("dedup", "text", "containment", "join"),
 )
@@ -2864,4 +2869,45 @@ def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_intercept"
         ),
         ((num * num) / (den * deny)).alias("r2"),
+    )
+
+
+@declare(
+    "dedup_containment_keep",
+    sql=f"""
+    WITH {_CONTAINMENT_CTES},
+    drop AS (SELECT contained_id,
+                    min(container_id) AS container_id
+             FROM cpairs GROUP BY contained_id)
+    SELECT d.doc_id,
+           (drop.contained_id IS NOT NULL) AS is_contained,
+           drop.container_id
+    FROM documents d LEFT JOIN drop ON drop.contained_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "text", "containment", "curation"),
+)
+def dedup_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE form of containment dedup: every document flagged
+    contained-in-a-larger-doc (≥80% of its shingles embedded; smallest
+    container id reported for audit) — the keep/drop decision a curation
+    pipeline applies after dedup_containment finds the pairs (the
+    dedup_canonical precedent for near-dup clusters). Same kernel, one
+    extra min-aggregate + a doc-grain left join."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, block_col="lang"
+    )
+    drop = pairs.groupBy("contained_id").agg(
+        F.min("container_id").alias("container_id")
+    )
+    return (
+        d.select("doc_id")
+        .join(drop, d["doc_id"] == drop["contained_id"], "left")
+        .select(
+            "doc_id",
+            F.col("contained_id").isNotNull().alias("is_contained"),
+            "container_id",
+        )
+        .orderBy("doc_id")
     )
