@@ -226,6 +226,12 @@ HEADLINE = (
     "eval_recall_sweep",
     "graph_modularity",
     "txt_zipf_fit",
+    # round 9, session 2 wave 3: degree assortativity (one co-moment
+    # aggregate over the edge list) and the Brier/Murphy report card.
+    # dedup_containment_keep stays out like dedup_lsh_eval: it composes
+    # the already-benched containment pair leg plus one tiny aggregate.
+    "graph_assortativity",
+    "eval_brier",
 )
 
 
