@@ -1920,3 +1920,107 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("grp").alias("l_returnflag"), "n", rho.alias("spearman_rho")
     ).orderBy("l_returnflag")
+
+
+@declare(
+    "stat_gini",
+    sql="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk,
+             o.o_custkey AS ck,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT nk, cents,
+             row_number() OVER (PARTITION BY nk
+                                ORDER BY cents, ck) AS r
+      FROM rev),
+    s AS (
+      SELECT nk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS tot,
+             sum(CAST(r AS DECIMAL(38,0)) * cents) AS rx
+      FROM ranked GROUP BY nk)
+    SELECT n_name AS nation, n AS n_customers, tot AS total_cents,
+           CASE WHEN tot > 0 AND n > 1
+                THEN CAST(2 * rx - (n + 1) * CAST(tot AS DECIMAL(38,0))
+                          AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+           END AS gini
+    FROM s JOIN nation ON n_nationkey = nk
+    ORDER BY nation
+    """,
+    tags=("stats", "gini", "concentration", "beyond-parity"),
+)
+def stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per nation —
+    the inequality/concentration measure behind 'is our revenue
+    dangerously top-heavy here?' (0 = uniform, →1 = one whale). Computed
+    from the rank form G = (2·Σ rᵢxᵢ − (n+1)·Σx)/(n·Σx) with a TOTAL
+    order (cents, custkey — revenue held as exact BIGINT cents), so the
+    rank-weighted sum accumulates in DECIMAL(38,0) and the coefficient
+    is one NULL-guarded IEEE division.
+
+    Scale: revenue aggregates to customer grain first; ranks attach via
+    the in-row two-level structure (stat_spearman's band machinery:
+    exclusive band prefix over the tiny (nation, band) frame +
+    band-partitioned local row_number) — no per-nation full-customer
+    window; the oracle uses the plain per-nation window (single-task
+    fine for DuckDB)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .join(c, F.col("ck") == F.col("c_custkey"))
+        .select(F.col("c_nationkey").alias("nk"), "ck", "cents")
+    )
+    b = rev.withColumn("_b", F.floor(F.col("cents") / F.lit(5000000.0)))
+    bs = b.groupBy("nk", "_b").agg(F.count(F.lit(1)).cast("bigint").alias("_bs"))
+    wb = (
+        Window.partitionBy("nk")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = bs.select(
+        "nk",
+        "_b",
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_lo"),
+    )
+    wl = Window.partitionBy("nk", "_b").orderBy("cents", "ck")
+    ranked = b.join(F.broadcast(bpre), ["nk", "_b"]).select(
+        "nk",
+        "cents",
+        (F.col("_lo") + F.row_number().over(wl)).cast("bigint").alias("r"),
+    )
+    s = ranked.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("cents")).alias("rx"),
+    )
+    gini = F.when(
+        (F.col("tot") > 0) & (F.col("n") > 1),
+        (
+            2 * F.col("rx")
+            - (F.col("n") + 1) * F.col("tot").cast("decimal(38,0)")
+        ).cast("double")
+        / (F.col("n").cast("double") * F.col("tot").cast("double")),
+    )
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("nk"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_customers"),
+            F.col("tot").alias("total_cents"),
+            gini.alias("gini"),
+        )
+        .orderBy("nation")
+    )
