@@ -59,8 +59,10 @@ def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(sum(p) AS BIGINT) AS n_pos,
            CAST(sum(n) AS BIGINT) AS n_neg,
            CAST(sum(p * (2 * neg_below + n)) AS BIGINT) AS two_u,
-           CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
-             / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS auc
+           CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+             CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
+               / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+           END AS auc
     FROM pre
     """,
     tags=("eval", "auc", "ranking", "beyond-parity"),
@@ -138,9 +140,15 @@ def auc_scan(g: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
         "n_pos",
         "n_neg",
         "two_u",
-        (
+        # Degenerate slice (no positives or no negatives) → AUC is
+        # undefined; an unguarded 0/0 yields Spark NULL but DuckDB
+        # (ieee_floating_point_ops) NaN/Inf — guard identically in every
+        # SQL oracle (ADVICE r9; same hazard as eval_threshold_sweep's
+        # r8 fix). Per-cohort slicing makes this reachable in practice.
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.col("two_u").cast("double")
-            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
         ).alias("auc"),
     )
 
@@ -632,8 +640,10 @@ def eval_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(cohort AS BIGINT) AS cohort,
              CAST(sum(p) AS BIGINT) AS n_pos,
              CAST(sum(n) AS BIGINT) AS n_neg,
-             CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
-               / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS auc
+             CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+               CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
+                 / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+             END AS auc
       FROM pre GROUP BY cohort),
     gap AS (SELECT max(auc) - min(auc) AS auc_gap FROM per)
     SELECT cohort, n_pos, n_neg, auc, auc_gap

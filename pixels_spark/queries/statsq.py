@@ -1746,18 +1746,26 @@ def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _grouped_r2_ranks(g: DataFrame, band_width: float) -> DataFrame:
-    """Tie-corrected DOUBLED average ranks per value: for a value-grain
-    frame (grp, v, w), r2(v) = 2·cum_before(v) + w + 1 — twice the
-    fractional average rank, held as an exact BIGINT (average ranks are
-    half-integers; the factor 2 cancels in any scale-invariant statistic).
-    Same two-level prefix as ``_lower_median_from_counts``: band
-    subtotals → grp-partitioned exclusive band prefix (tiny frame) →
-    (grp, band)-partitioned local prefix — no per-group full-value window."""
+def _attach_r2_ranks(
+    df: DataFrame, col: str, width: float, out: str
+) -> DataFrame:
+    """Attach a column's tie-corrected DOUBLED average rank IN-ROW:
+    r2 = 2·rows_below + ties + 1 — twice the fractional average rank,
+    held as an exact BIGINT (average ranks are half-integers; the factor
+    2 cancels in any scale-invariant statistic). rows_below = band_lower
+    (grp-partitioned exclusive prefix over the tiny band frame) +
+    (rows in band ≤ value via a RANGE frame) − ties; windows partition
+    by (grp, band) so no partition exceeds one band's rows, and there is
+    no value-grain aggregate or join back to the rows. This is THE
+    kernel ``stat_spearman`` executes (the unit test targets it too —
+    ADVICE r9 retired a parallel value-grain variant that only the test
+    used)."""
     from pyspark.sql import Window
 
-    b = g.withColumn("_b", F.floor(F.col("v") / F.lit(band_width)))
-    bs = b.groupBy("grp", "_b").agg(F.sum("w").alias("_bs"))
+    b = df.withColumn("_b", F.floor(F.col(col) / F.lit(width)))
+    bs = b.groupBy("grp", "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_bs")
+    )
     wb = (
         Window.partitionBy("grp")
         .orderBy("_b")
@@ -1766,26 +1774,29 @@ def _grouped_r2_ranks(g: DataFrame, band_width: float) -> DataFrame:
     bpre = bs.select(
         "grp",
         "_b",
-        F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_lo"),
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("_lo"),
     )
-    win = (
+    w_le = (
         Window.partitionBy("grp", "_b")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(col)
+        .rangeBetween(Window.unboundedPreceding, 0)
     )
+    w_tie = Window.partitionBy("grp", "_b", col)
     return (
         b.join(F.broadcast(bpre), ["grp", "_b"])
-        .select(
-            "grp",
-            "v",
+        .withColumn("_le", F.count(F.lit(1)).over(w_le))
+        .withColumn("_t", F.count(F.lit(1)).over(w_tie))
+        .withColumn(
+            out,
             (
-                2 * (F.col("_lo") + F.coalesce(F.sum("w").over(win), F.lit(0)))
-                + F.col("w")
+                2 * (F.col("_lo") + F.col("_le") - F.col("_t"))
+                + F.col("_t")
                 + 1
-            )
-            .cast("bigint")
-            .alias("r2"),
+            ).cast("bigint"),
         )
+        .drop("_b", "_bs", "_lo", "_le", "_t")
     )
 
 
@@ -1845,8 +1856,6 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join-back formulation was A/B-measured slower (~4.4 s vs ~2.9 s
     at sf0.1) and replaced."""
 
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         F.col("l_returnflag").alias("grp"),
@@ -1854,52 +1863,11 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("y"),
     )
 
-    # attach each column's doubled rank IN-ROW via band-partitioned
-    # windows — no value-grain aggregate and no join back to the rows
-    # (the join-back formulation A/B'd ~4.4 s vs ~2.9 s for this form at
-    # sf0.1): rows_below = band_lower + (rows in band with value ≤ v,
-    # RANGE frame) − ties; r2 = 2·rows_below + ties + 1. Windows
-    # partition by (grp, band) so no partition exceeds a band's rows.
-    def attach_r2(df: DataFrame, col: str, width: float, out: str) -> DataFrame:
-        b = df.withColumn("_b", F.floor(F.col(col) / F.lit(width)))
-        bs = b.groupBy("grp", "_b").agg(
-            F.count(F.lit(1)).cast("bigint").alias("_bs")
-        )
-        wb = (
-            Window.partitionBy("grp")
-            .orderBy("_b")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        bpre = bs.select(
-            "grp",
-            "_b",
-            F.coalesce(F.sum("_bs").over(wb), F.lit(0))
-            .cast("bigint")
-            .alias("_lo"),
-        )
-        w_le = (
-            Window.partitionBy("grp", "_b")
-            .orderBy(col)
-            .rangeBetween(Window.unboundedPreceding, 0)
-        )
-        w_tie = Window.partitionBy("grp", "_b", col)
-        return (
-            b.join(F.broadcast(bpre), ["grp", "_b"])
-            .withColumn("_le", F.count(F.lit(1)).over(w_le))
-            .withColumn("_t", F.count(F.lit(1)).over(w_tie))
-            .withColumn(
-                out,
-                (
-                    2 * (F.col("_lo") + F.col("_le") - F.col("_t"))
-                    + F.col("_t")
-                    + 1
-                ).cast("bigint"),
-            )
-            .drop("_b", "_bs", "_lo", "_le", "_t")
-        )
-
-    rr = attach_r2(base, "x", 10.0, "ra")
-    rr = attach_r2(rr, "y", 5000.0, "rb")
+    # attach each column's doubled rank IN-ROW via the shared
+    # band-partitioned kernel (_attach_r2_ranks — the join-back
+    # formulation A/B'd ~4.4 s vs ~2.9 s for this form at sf0.1)
+    rr = _attach_r2_ranks(base, "x", 10.0, "ra")
+    rr = _attach_r2_ranks(rr, "y", 5000.0, "rb")
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = rr.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -2716,8 +2716,10 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the query-term join bounds tf/df by |query terms| postings —
     the corpus is tokenized in one map-side explode, grouped once; the
-    per-doc length frame stays at corpus grain with the TINY tf side
-    broadcast onto it (never the reverse); the top-10 is
+    per-doc length frame stays at corpus grain; only the bounded
+    query-term frames (qt, df_, 1-row stats) carry broadcast hints —
+    tf's grain is (matching doc × query term), which can exceed the doc
+    grain, so the tf⋈dl join is AQE-sized; the top-10 is
     TakeOrderedAndProject (no global sort)."""
     d = load_table(spark, sf_dir, "documents")
     return (
@@ -2764,11 +2766,14 @@ def bm25_scores(d: DataFrame, query_doc: int = 7) -> DataFrame:
             )
         )
     )
-    # tf (query-term postings) is the SMALL side — broadcast it against
-    # the corpus-grain dl frame, never the reverse (dl is one row per
-    # corpus document; broadcasting it would ship the corpus)
+    # Only the genuinely bounded frames carry broadcast hints: qt
+    # (|query terms| rows), df_ (one row per query term), stats (1 row).
+    # tf is one row per (matching doc, query term) — for common query
+    # terms that EXCEEDS the doc-grain dl frame, so forcing it broadcast
+    # would overflow the driver at larger corpora (ADVICE r9); the
+    # tf⋈dl join is left unhinted for AQE to size at runtime.
     terms = (
-        F.broadcast(tf.join(F.broadcast(df_), "w"))
+        tf.join(F.broadcast(df_), "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", sc.cast("decimal(18,9)").alias("_sc"))

@@ -109,19 +109,22 @@ def test_single_scan_queries_plan(spark, sf_dir):
 
 
 def test_spearman_r2_ranks_exact_with_ties(spark):
-    """The doubled-average-rank kernel must equal the textbook tie-average
+    """The doubled-average-rank kernel — the SAME _attach_r2_ranks that
+    stat_spearman executes (ADVICE r9: the test previously validated a
+    parallel value-grain variant) — must equal the textbook tie-average
     ranks exactly, and the assembled rho must match a hand-computed
     Pearson-on-ranks on a small example with heavy ties."""
-    from pixels_spark.queries.statsq import _grouped_r2_ranks
+    from pixels_spark.queries.statsq import _attach_r2_ranks
     import pyspark.sql.functions as F
 
     # values: [5, 5, 7, 9, 9, 9] → avg ranks [1.5, 1.5, 3, 5, 5, 5]
-    rows = [("g", 5.0, 2), ("g", 7.0, 1), ("g", 9.0, 3)]
-    g = spark.createDataFrame(rows, "grp string, v double, w bigint")
+    rows = [("g", v) for v in (5.0, 5.0, 7.0, 9.0, 9.0, 9.0)]
+    df0 = spark.createDataFrame(rows, "grp string, v double")
     got = {
-        r.v: r.r2 for r in _grouped_r2_ranks(g, band_width=2.0).collect()
+        (r.v, r.r2)
+        for r in _attach_r2_ranks(df0, "v", 2.0, "r2").collect()
     }
-    assert got == {5.0: 3, 7.0: 6, 9.0: 10}  # 2x the average ranks
+    assert got == {(5.0, 3), (7.0, 6), (9.0, 10)}  # 2x the average ranks
 
     # full rho on hand-checkable data: y strictly reverses x → rho = -1
     import math
@@ -129,15 +132,8 @@ def test_spearman_r2_ranks_exact_with_ties(spark):
     xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
     data = [("a", x, 7.0 - x) for x in xs]
     df = spark.createDataFrame(data, "grp string, x double, y double")
-    cx = df.groupBy("grp", F.col("x").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("w")
-    )
-    cy = df.groupBy("grp", F.col("y").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("w")
-    )
-    rx = _grouped_r2_ranks(cx, 2.0).withColumnsRenamed({"v": "x", "r2": "ra"})
-    ry = _grouped_r2_ranks(cy, 2.0).withColumnsRenamed({"v": "y", "r2": "rb"})
-    rr = df.join(rx, ["grp", "x"]).join(ry, ["grp", "y"])
+    rr = _attach_r2_ranks(df, "x", 2.0, "ra")
+    rr = _attach_r2_ranks(rr, "y", 2.0, "rb")
     s = rr.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("ra").alias("sx"), F.sum("rb").alias("sy"),
