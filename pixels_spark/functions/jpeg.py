@@ -1,18 +1,24 @@
-"""Baseline JPEG (JFIF, SOF0) codec — pure Python + numpy, no PIL.
+"""JPEG (JFIF, SOF0 baseline + SOF2 progressive) codec — pure Python +
+numpy, no PIL.
 
 The multimodal seam's image decoders were PPM and PNG (pure-Python);
 JPEG — the dominant real-world format — previously raised
-NotImplementedError without PIL (VERDICT r8 task #3). This module closes
-that: a real baseline-sequential decoder (marker parse → DQT/DHT/SOF0/
-SOS/DRI → Huffman-decoded MCUs → dequantize → inverse zigzag → float
-IDCT → chroma upsample → YCbCr→RGB) and a fixture encoder (the
-``encode_png`` precedent: tests round-trip through both directions, so
-the decoder is exercised without any media library).
+NotImplementedError without PIL (VERDICT r8 task #3 added baseline,
+r9 task #2 added progressive). Architecture: every scan decodes into a
+per-component zigzag coefficient store; dequantize → inverse zigzag →
+IDCT → chroma upsample → YCbCr→RGB happen once at EOI. Baseline is the
+degenerate single full-band scan of that model, so both frame types
+share one decode path. The fixture encoder (the ``encode_png``
+precedent) emits both frame types, including a full progressive scan
+script (spectral selection + successive approximation), so tests
+round-trip through both directions without any media library.
 
-Supported: baseline DCT (SOF0), 8-bit, 1 or 3 components, any sampling
-factors (4:4:4 / 4:2:2 / 4:2:0 decode via replication upsample), restart
-intervals. Not supported (documented NotImplementedError): progressive
-(SOF2), arithmetic coding, 12-bit precision, CMYK (4-component).
+Supported: baseline DCT (SOF0/1) and progressive DCT (SOF2: spectral
+selection, successive approximation, EOB runs), 8-bit, 1 or 3
+components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 decode via
+replication upsample), restart intervals. Not supported (documented
+NotImplementedError): arithmetic coding, lossless (SOF3), hierarchical,
+12-bit precision, CMYK (4-component).
 
 Reference surface: the reference stores media as VARBINARY and leaves
 codec work to the pipeline (``pixels-core/.../TypeDescription.java:218``
@@ -140,14 +146,22 @@ def _extend(v: int, t: int) -> int:
 
 
 def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JPEG to (width, height, raw RGB bytes).
-    Grayscale replicates to 3 channels (PIL ``convert("RGB")`` parity)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to
+    (width, height, raw RGB bytes). Grayscale replicates to 3 channels
+    (PIL ``convert("RGB")`` parity).
+
+    Both frame types share one path: every scan decodes into a per-
+    component ZIGZAG-order coefficient store (baseline is simply the
+    single full-band Ss=0..Se=63 Ah=Al=0 scan), and dequantize/IDCT/
+    upsample/color happen once at EOI — exactly T.81's model, where
+    progressive scans successively refine the same coefficient arrays."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None  # (w, h, comps) ; comps: [(cid, hs, vs, tq)]
+    coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag order
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -189,7 +203,7 @@ def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
                 vals = seg[p + 17 : p + 17 + nv]
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision decodes")
@@ -202,11 +216,19 @@ def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coefs = {
+                cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                for cid, hs, vs, _tq in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0) "
-                "decodes without PIL"
+                f"JPEG SOF{marker - 0xC0}: only baseline (SOF0/1) and "
+                "progressive (SOF2) decode without PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -218,74 +240,203 @@ def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            return _decode_scan(
-                payload, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_scan_into(
+                payload, pos + seglen, frame, scan,
+                (ss, se, ahal >> 4, ahal & 0x0F),
+                coefs, huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += seglen
-    raise ValueError("JPEG missing SOS scan")
+    if frame is None or not coefs:
+        raise ValueError("JPEG missing SOS scan")
+    return _coefs_to_rgb(frame, coefs, qt)
 
 
-def _decode_scan(
-    data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+def _decode_dc_first(br, dc_tbl, zz, pred_box, al):
+    t = dc_tbl.decode(br)
+    diff = _extend(br.receive(t), t)
+    pred_box[0] += diff
+    zz[0] = pred_box[0] << al
+
+
+def _decode_ac_first(br, ac_tbl, zz, ss, se, al, eobrun):
+    """T.81 §G.1.2.2 (degenerates to §F.2.2 baseline AC when ss=1, se=63,
+    al=0: an EOB symbol sets eobrun = 1-1 = 0). Returns the new eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_tbl.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.receive(r)
+            return eobrun - 1  # current block is one of them
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        zz[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(br, ac_tbl, zz, ss, se, al, eobrun):
+    """T.81 §G.1.2.3 successive-approximation AC refinement: each known-
+    nonzero coefficient traversed reads one correction bit; runs count
+    only zero-history positions; EOB runs carry the tail's correction
+    bits. Returns the new eobrun."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_tbl.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # ZRL: skip 16 zero-history positions (correcting en route)
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement magnitude must be 1"
+                    )
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit() and not (zz[k] & p1):
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bit() and not (zz[k] & p1):
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_into(
+    data, pos, frame, scan, params, coefs, huff_dc, huff_ac, restart_interval
 ):
+    """Decode one scan's entropy-coded data into the zigzag coefficient
+    store; returns the stream position of the next marker."""
     w, h, comps = frame
+    ss, se, ah, al = params
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # per-component plane at its own sampling resolution
-    planes = {
-        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
-        for cid, hs, vs, _tq in comps
-    }
-    tables = {cs: (huff_dc[td], huff_ac[ta]) for cs, td, ta in scan}
+    by_id = {cid: (cid, hs, vs, tq) for cid, hs, vs, tq in comps}
+    dc_of = {cs: huff_dc.get(td) for cs, td, _ta in scan}
+    ac_of = {cs: huff_ac.get(ta) for cs, _td, ta in scan}
     br = _BitReader(data, pos)
-    pred = {cid: 0 for cid, *_ in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart()
-                pred = {cid: 0 for cid, *_ in comps}
-            for cid, hs, vs, tq in comps:
-                dc_tbl, ac_tbl = tables[cid]
-                q = qt[tq]
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64)
-                        t = dc_tbl.decode(br)
-                        diff = _extend(br.receive(t), t)
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = ac_tbl.decode(br)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _extend(br.receive(s), s)
-                            k += 1
-                        coef = np.zeros(64)
-                        coef[ZIGZAG] = zz
-                        block = _idct2(coef.reshape(8, 8) * q) + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
-    # upsample each plane to full resolution by replication, then color
+    pred = {cid: [0] for cid, *_ in comps}
+    eobrun = 0
+    unit = 0  # restart counter: MCUs (interleaved) or blocks (single-comp)
+
+    def maybe_restart():
+        nonlocal pred, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.sync_restart()
+            pred = {cid: [0] for cid, *_ in comps}
+            eobrun = 0
+
+    def decode_block(cs, zz):
+        nonlocal eobrun
+        if ss == 0:
+            if ah == 0:
+                _decode_dc_first(br, dc_of[cs], zz, pred[cs], al)
+                if se > 0:  # baseline: full-band scan continues with AC
+                    eobrun = _decode_ac_first(
+                        br, ac_of[cs], zz, 1, se, al, eobrun
+                    )
+            else:  # DC refinement: one raw bit per block
+                if br.read_bit():
+                    zz[0] |= 1 << al
+        elif ah == 0:
+            eobrun = _decode_ac_first(br, ac_of[cs], zz, ss, se, al, eobrun)
+        else:
+            eobrun = _decode_ac_refine(br, ac_of[cs], zz, ss, se, al, eobrun)
+
+    if len(scan) > 1:  # interleaved: MCU order across the scan's components
+        order = [by_id[cs] for cs, *_ in scan]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for cid, hs, vs, _tq in order:
+                    arr = coefs[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            decode_block(
+                                cid, arr[my * vs + by, mx * hs + bx]
+                            )
+                unit += 1
+    else:  # single-component scan: raster over the component's own blocks
+        cid, hs, vs, _tq = by_id[scan[0][0]]
+        comp_w = -(-(w * hs) // hmax)  # ceil(w*hs/hmax): T.81 A.1.1
+        comp_h = -(-(h * vs) // vmax)
+        nbx = -(-comp_w // 8)
+        nby = -(-comp_h // 8)
+        arr = coefs[cid]
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart()
+                decode_block(cid, arr[by, bx])
+                unit += 1
+
+    # advance past any trailing bits/RSTn to the next marker
+    p = br.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return p
+
+
+def _coefs_to_rgb(frame, coefs, qt):
+    """Dequantize + inverse-zigzag + IDCT every stored block (vectorized),
+    upsample by replication, color-convert — the shared finish for both
+    baseline and progressive frames."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
-    for cid, hs, vs, _tq in comps:
-        p = planes[cid]
+    for cid, hs, vs, tq in comps:
+        zz = coefs[cid].astype(np.float64)  # (by, bx, 64) zigzag
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz
+        nby, nbx = nat.shape[:2]
+        blocks = nat.reshape(nby, nbx, 8, 8) * qt[tq]
+        # batched IDCT: C.T @ B @ C over every block
+        px = np.einsum("ab,ijbc,cd->ijad", _C.T, blocks, _C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         if hs != hmax or vs != vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         y = np.clip(full[0], 0, 255)
         rgb = np.repeat(y[:, :, None], 3, axis=2)
@@ -325,6 +476,16 @@ _AC_SYMBOLS = bytes(
     [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+
+# Progressive AC table additionally needs the EOBn symbols (r<<4, r=1..14)
+# for EOB-run lengths 2..32767 — 176 8-bit codes, still canonical-valid
+# (baseline keeps the original table so its bitstreams stay bit-stable).
+_AC_SYMBOLS_PROG = bytes(
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
 
 
 def _encode_table(bits, values):
@@ -399,6 +560,107 @@ def _encode_block(bw, coef_zz, pred, dc_codes, ac_codes):
     return int(coef_zz[0])
 
 
+def _enc_dc_first(bw, zz, pred: int, al: int, dc_codes) -> int:
+    """Encode one block's DC at precision Al (arithmetic shift — T.81
+    G.1.2.1 point transform for DC); returns the new predictor."""
+    v = int(zz[0]) >> al
+    diff = v - pred
+    t = _category(diff)
+    bw.write(*dc_codes[t])
+    if t:
+        bw.write(t, diff if diff >= 0 else diff + (1 << t) - 1)
+    return v
+
+
+def _flush_eobrun(bw, eobrun: int, ac_codes, pending=None) -> int:
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        bw.write(*ac_codes[r << 4])
+        if r:
+            bw.write(r, eobrun - (1 << r))
+    if pending:
+        for b in pending:
+            bw.write(1, b)
+        pending.clear()
+    return 0
+
+
+def _enc_ac_first_scan(bw, blocks, ss, se, al, ac_codes) -> None:
+    """First AC scan of a band at precision Al (truncate-toward-zero
+    point transform — T.81 G.1.2.2), with cross-block EOB runs."""
+    eobrun = 0
+    for zz in blocks:
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            av = abs(v) >> al
+            if av == 0:
+                run += 1
+                continue
+            eobrun = _flush_eobrun(bw, eobrun, ac_codes)
+            while run > 15:
+                bw.write(*ac_codes[0xF0])
+                run -= 16
+            sv = av if v >= 0 else -av
+            s = _category(sv)
+            bw.write(*ac_codes[(run << 4) | s])
+            bw.write(s, sv if sv >= 0 else sv + (1 << s) - 1)
+            run = 0
+        if run:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, eobrun, ac_codes)
+    _flush_eobrun(bw, eobrun, ac_codes)
+
+
+def _enc_ac_refine_scan(bw, blocks, ss, se, al, ac_codes) -> None:
+    """Successive-approximation AC refinement scan (T.81 G.1.2.3):
+    newly-significant coefficients emit (run|1)+sign with runs counting
+    zero-history positions only; known-nonzero coefficients contribute
+    correction bits buffered until the next emitted symbol (incl. the
+    EOB run covering a block's tail)."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding the open EOB run
+    for zz in blocks:
+        av = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob_pos = 0  # index AFTER the last newly-significant coefficient
+        for i, a in enumerate(av):
+            if a == 1:
+                eob_pos = i + 1
+        run = 0
+        bits: list[int] = []  # correction bits since the last symbol
+        for i in range(eob_pos):
+            a = av[i]
+            if a == 0:
+                run += 1
+                continue
+            # ZRL check precedes buffering this position's own bit, so a
+            # ZRL's buffered bits lie within its 16-zero span (G.1.2.3)
+            while run > 15:
+                eobrun = _flush_eobrun(bw, eobrun, ac_codes, pending)
+                bw.write(*ac_codes[0xF0])
+                run -= 16
+                for b in bits:
+                    bw.write(1, b)
+                bits = []
+            if a > 1:
+                bits.append(a & 1)
+                continue
+            eobrun = _flush_eobrun(bw, eobrun, ac_codes, pending)
+            bw.write(*ac_codes[(run << 4) | 1])
+            bw.write(1, 1 if int(zz[ss + i]) > 0 else 0)
+            for b in bits:
+                bw.write(1, b)
+            bits = []
+            run = 0
+        if eob_pos <= se - ss:  # block tail exists → folds into the EOB run
+            eobrun += 1
+            pending.extend(a & 1 for a in av[eob_pos:] if a > 1)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, eobrun, ac_codes, pending)
+    _flush_eobrun(bw, eobrun, ac_codes, pending)
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -407,13 +669,18 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     grayscale: bool = False,
+    progressive: bool = False,
 ) -> bytes:
     """Minimal baseline JFIF encoder (numpy FDCT + flat quantization).
     ``subsample=True`` emits 4:2:0 (2×2-mean chroma downsample);
     ``restart_interval`` (in MCUs) emits DRI + RSTn markers so the
     decoder's restart path is testable; ``grayscale=True`` emits a
-    1-component scan (luma only). Fixture-grade by design — the decoder
-    must handle any SPEC-VALID stream, this produces one."""
+    1-component scan (luma only); ``progressive=True`` emits SOF2 with
+    a full spectral-selection + successive-approximation scan script
+    (DC first Al=1 → per-band AC first Al=1 → DC refine → per-band AC
+    refine), exercising every progressive decode path. Fixture-grade by
+    design — the decoder must handle any SPEC-VALID stream, this
+    produces one."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length != width*height*3")
     a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
@@ -442,6 +709,14 @@ def encode_jpeg(
         cr = pad(cr, mcuy * 8, mcux * 8)
 
     q = np.full((8, 8), float(quant))
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "progressive fixture encoder does not emit restart markers"
+            )
+        return _encode_progressive(
+            width, height, y, cb, cr, q, hs, vs, mcux, mcuy, grayscale
+        )
     dc_codes = _encode_table(_DC_BITS, _DC_VALS)
     ac_codes = _encode_table(_AC_BITS, _AC_SYMBOLS)
 
@@ -504,6 +779,118 @@ def encode_jpeg(
     return (
         b"\xff\xd8" + app0 + dqt + dht + sof + dri + sos
         + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+def _encode_progressive(
+    width, height, y, cb, cr, q, hs, vs, mcux, mcuy, grayscale
+):
+    """SOF2 scan script: interleaved DC first (Al=1) → per-component
+    AC first over bands 1-5 and 6-63 (Al=1) → interleaved DC refine →
+    per-component AC refine per band (Ah=1, Al=0). Covers spectral
+    selection, successive approximation, EOB runs, and both interleaved
+    and single-component scan geometries."""
+    dc_codes = _encode_table(_DC_BITS, _DC_VALS)
+    ac_codes = _encode_table(_AC_BITS_PROG, _AC_SYMBOLS_PROG)
+
+    def blocks_of(plane):
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.rint(_fdct2(blk) / q).astype(np.int64).reshape(64)
+                arr[by, bx] = coef[ZIGZAG]
+        return arr
+
+    comps = [(1, blocks_of(y), hs, vs)]
+    if not grayscale:
+        comps += [(2, blocks_of(cb), 1, 1), (3, blocks_of(cr), 1, 1)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(cids, ss, se, ah, al):
+        body = bytes([len(cids)])
+        for cid in cids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, arr, chs, cvs in comps:
+                    for by in range(cvs):
+                        for bx in range(chs):
+                            yield cid, arr[my * cvs + by, mx * chs + bx]
+
+    def used_blocks(arr, chs, cvs):
+        # non-interleaved scans cover only the component's own block grid
+        # (T.81 A.1.1), which can be narrower than the padded MCU grid
+        comp_w = -(-(width * chs) // hmax)
+        comp_h = -(-(height * cvs) // vmax)
+        nbx = -(-comp_w // 8)
+        nby = -(-comp_h // 8)
+        return [arr[by, bx] for by in range(nby) for bx in range(nbx)]
+
+    out = bytearray()
+    all_cids = [cid for cid, *_ in comps]
+    bands = [(1, 5), (6, 63)]
+
+    bw = _BitWriter()
+    pred = {cid: 0 for cid in all_cids}
+    for cid, zz in mcu_blocks():
+        pred[cid] = _enc_dc_first(bw, zz, pred[cid], 1, dc_codes)
+    bw.flush()
+    out += sos(all_cids, 0, 0, 0, 1) + bytes(bw.out)
+
+    for cid, arr, chs, cvs in comps:
+        blks = used_blocks(arr, chs, cvs)
+        for ss, se in bands:
+            bw = _BitWriter()
+            _enc_ac_first_scan(bw, blks, ss, se, 1, ac_codes)
+            bw.flush()
+            out += sos([cid], ss, se, 0, 1) + bytes(bw.out)
+
+    bw = _BitWriter()
+    for _cid, zz in mcu_blocks():
+        bw.write(1, int(zz[0]) & 1)  # Al=0 refinement bit of the DC
+    bw.flush()
+    out += sos(all_cids, 0, 0, 1, 0) + bytes(bw.out)
+
+    for cid, arr, chs, cvs in comps:
+        blks = used_blocks(arr, chs, cvs)
+        for ss, se in bands:
+            bw = _BitWriter()
+            _enc_ac_refine_scan(bw, blks, ss, se, 0, ac_codes)
+            bw.flush()
+            out += sos([cid], ss, se, 1, 0) + bytes(bw.out)
+
+    zz_q = q.reshape(64)[ZIGZAG]
+    dqt = seg(0xDB, b"\x00" + bytes(int(v) for v in zz_q))
+    hv_y = (hs << 4) | vs
+    if grayscale:
+        sof_body = (
+            b"\x08" + struct.pack(">HH", height, width) + b"\x01"
+            + bytes([1, hv_y, 0])
+        )
+    else:
+        sof_body = (
+            b"\x08" + struct.pack(">HH", height, width) + b"\x03"
+            + bytes([1, hv_y, 0, 2, 0x11, 0, 3, 0x11, 0])
+        )
+    sof = seg(0xC2, sof_body)
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + _DC_VALS
+        + b"\x10" + bytes(_AC_BITS_PROG) + _AC_SYMBOLS_PROG,
+    )
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + dht + sof + bytes(out) + b"\xff\xd9"
     )
 
 

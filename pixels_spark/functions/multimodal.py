@@ -6,13 +6,14 @@ the same modeling the reference applies to VARBINARY
 Arrow-batched decode/feature-extraction pattern an LLM data pipeline needs.
 
 Decoders: WAV (RIFF/PCM), PPM (P6), PNG (all spec bit depths 1/2/4/8/16,
-all color types, both interlace modes) and baseline JPEG (huffman +
-dequant + IDCT, see ``jpeg.py``) are parsed with
+all color types, both interlace modes) and JPEG — baseline AND
+progressive SOF2 (huffman + dequant + IDCT, see ``jpeg.py``) — are
+parsed with
 PURE-PYTHON/numpy decoders — no external media libraries — so the decode
 seam exercises real branches end-to-end: ``media_features`` computes
 actual width/height/sample-rate/duration inside the ``mapInPandas``
-batches. Formats that need PIL/ffmpeg/torchaudio (progressive JPEG,
-MP3/OGG, MP4/...) still raise NotImplementedError
+batches. Formats that need PIL/ffmpeg/torchaudio (MP3/OGG, MP4/...)
+still raise NotImplementedError
 behind the same seam, and ``fake_feature_extractor`` remains as the
 deterministic stand-in for opaque payloads.
 
@@ -748,20 +749,23 @@ def media_features(media: DataFrame) -> DataFrame:
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic mixed WAV/PPM/PNG/JPEG/PVID MEDIA_SCHEMA fixture (no
     media libs needed): ids ≡ 0 (mod 3) are images — rotating PPM, REAL
-    PNG (zlib-compressed, all five filter types) and REAL baseline JPEG
-    (huffman + IDCT) payloads, all decoded by the pure-Python codecs —
-    ≡ 1 are WAVs with varying sample rates, ≡ 2 are PVID videos with
-    varying frame counts."""
+    PNG (zlib-compressed, all five filter types), REAL baseline JPEG
+    (huffman + IDCT) and REAL progressive JPEG (SOF2, spectral selection
+    + successive approximation) payloads, all decoded by the pure-Python
+    codecs — ≡ 1 are WAVs with varying sample rates, ≡ 2 are PVID videos
+    with varying frame counts."""
     from .jpeg import synthesize_jpeg
 
     rows = []
     for i in range(n):
         if i % 3 == 0:
             w, h = 4 + (i % 8), 3 + (i % 5)
-            if (i // 3) % 3 == 1:
+            if (i // 3) % 4 == 1:
                 rows.append((i, "image", synthesize_png(w, h, seed=i), '{"mime": "image/png"}'))
-            elif (i // 3) % 3 == 2:
+            elif (i // 3) % 4 == 2:
                 rows.append((i, "image", synthesize_jpeg(w, h, seed=i), '{"mime": "image/jpeg"}'))
+            elif (i // 3) % 4 == 3:
+                rows.append((i, "image", synthesize_jpeg(w, h, seed=i, progressive=True), '{"mime": "image/jpeg"}'))
             else:
                 rows.append((i, "image", synthesize_ppm(w, h, seed=i), '{"mime": "image/x-portable-pixmap"}'))
         elif i % 3 == 1:

@@ -1100,7 +1100,9 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-factor instead: the persisted neighbor-list frame now
     serves both the wedge expansion and the degree projection
     (``size(ps)``), removing the second aggregation over the 2|E|
-    adjacency (measured 3.08 → 2.66 s at sf0.1 best-of-3)."""
+    adjacency (measured STANDALONE 3.08 → 2.66 s at sf0.1 best-of-3;
+    the full-bench in-run number sits ~0.3-0.5 s higher from cold-cache
+    and scheduling overhead — see BENCHLOG)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )

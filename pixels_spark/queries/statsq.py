@@ -1501,9 +1501,12 @@ def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_lower_median_from_counts``, and the closing n_rows/n_outliers
     fold over the SAME tiny frame (Σw and Σw·[v > 3·mad]) instead of
     re-scanning events; the med frame is cut too, or its second consumer
-    re-runs the median job as a hidden third pass (measured: 3.9 s with
-    only dcnt cut → 2.37 s with both, best-of-3 at sf0.1; r8's
-    three-pass form was 3.2-4.0 s). The remaining two passes are
+    re-runs the median job as a hidden third pass (measured STANDALONE,
+    warm session at sf0.1 best-of-3: 3.9 s with only dcnt cut → 2.37 s
+    with both; r8's three-pass form was 3.2-4.0 s standalone. In the
+    full bench run the same query reads ~3.3-3.5 s — cold-cache and
+    cross-query scheduling overhead; the r8→r9 in-bench delta is ~1.0×,
+    the win being the removed third scan). The remaining two passes are
     inherent: the MAD pass cannot start before the median exists."""
     from ..functions.dedup import cut_lineage
 
@@ -1854,7 +1857,8 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤-count + tie count) — no value-grain aggregate, no join back to the
     rows, no partition wider than one band; one closing aggregate.
     The join-back formulation was A/B-measured slower (~4.4 s vs ~2.9 s
-    at sf0.1) and replaced."""
+    STANDALONE warm at sf0.1; in-bench the query reads ~3.5-4.4 s —
+    context per BENCHLOG) and replaced."""
 
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(

@@ -428,11 +428,31 @@ def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@declare("mm_features", sql=None, tags=("multimodal", "pandas_udf"))
+@declare(
+    "mm_features",
+    sql="""
+    WITH b AS (
+      SELECT doc_id AS media_id, 'image' AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(coalesce(list_sum(list_transform(
+                    string_split(text, ''), x -> ascii(x))), 0)
+                  % 2147483648 AS BIGINT) AS checksum
+      FROM documents)
+    SELECT media_id, kind, n_bytes, checksum,
+           CASE WHEN n_bytes > 0
+                THEN CAST(checksum AS DOUBLE) / n_bytes
+                ELSE 0.0 END AS feat_mean
+    FROM b ORDER BY media_id
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal plumbing: binary payload → Arrow-batched feature extraction
-    (rows-only: mapInPandas has no SQL equivalent; decode itself is stubbed —
-    see functions/multimodal.py).
+    via mapInPandas (functions/multimodal.extract_features). Fully oracled
+    (VERDICT r9 task #6): the payload is the documents text as UTF-8 bytes
+    and the corpus is ASCII, so DuckDB restates the extractor's exact byte
+    math — n_bytes = octet_length, checksum = per-char codepoint sum mod
+    2^31, feat_mean = checksum/n in one IEEE division.
     """
     d = load_table(spark, sf_dir, "documents")
     feats = M.extract_features(M.documents_as_media(d))
