@@ -531,8 +531,16 @@ def decode_image(payload: bytes) -> object:
 
 
 def decode_audio(payload: bytes) -> object:
-    """Audio decode seam: WAV parses natively; everything else would be
-    torchaudio/librosa (not installed)."""
+    """Audio decode seam: WAV and FLAC parse natively (pure Python —
+    ``flac.py`` does full Rice/predictor decode with CRC + MD5 checks);
+    MP3/OGG would need ffmpeg/torchaudio (not installed) and raise
+    NotImplementedError through ``decode_wav``'s magic check."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        d = decode_flac(payload)
+        d.pop("samples", None)  # feature rows carry metadata, not PCM
+        return d
     return decode_wav(payload)
 
 
@@ -752,8 +760,10 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     PNG (zlib-compressed, all five filter types), REAL baseline JPEG
     (huffman + IDCT) and REAL progressive JPEG (SOF2, spectral selection
     + successive approximation) payloads, all decoded by the pure-Python
-    codecs — ≡ 1 are WAVs with varying sample rates, ≡ 2 are PVID videos
+    codecs — ≡ 1 rotate WAV and REAL FLAC (Rice-coded fixed predictors,
+    CRC + MD5 verified) with varying sample rates, ≡ 2 are PVID videos
     with varying frame counts."""
+    from .flac import synthesize_flac
     from .jpeg import synthesize_jpeg
 
     rows = []
@@ -770,7 +780,10 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 rows.append((i, "image", synthesize_ppm(w, h, seed=i), '{"mime": "image/x-portable-pixmap"}'))
         elif i % 3 == 1:
             sr = 8000 * (1 + i % 3)
-            rows.append((i, "audio", synthesize_wav(sr, n_samples=sr // 10), '{"mime": "audio/wav"}'))
+            if (i // 3) % 2 == 1:
+                rows.append((i, "audio", synthesize_flac(sr, n_samples=sr // 10, seed=i), '{"mime": "audio/flac"}'))
+            else:
+                rows.append((i, "audio", synthesize_wav(sr, n_samples=sr // 10), '{"mime": "audio/wav"}'))
         else:
             rows.append((i, "video", synthesize_video(2 + i % 4), '{"mime": "video/x-pvid"}'))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

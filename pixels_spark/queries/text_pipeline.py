@@ -15,6 +15,7 @@ from ..catalog import load_table
 from ..functions import dedup as D
 from ..functions import multimodal as M
 from ..functions import text as T
+from . import _mm_golden as _MM
 from .registry import declare
 
 # Pure-string oracle constant, hoisted above every cross-module import:
@@ -459,21 +460,33 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.orderBy("media_id")
 
 
-@declare("mm_decode", sql=None, tags=("multimodal", "pandas_udf", "decode"))
+@declare(
+    "mm_decode",
+    sql=_MM.MM_DECODE_SQL,
+    tags=("multimodal", "pandas_udf", "decode"),
+)
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """real decode path: WAV/PPM pure-Python parsers inside mapInPandas batches
-    (rows-only: synthesized payloads + Arrow batch decode have no SQL
-    equivalent; per-value correctness is pinned by tests/test_multimodal.py).
+    """real decode path: WAV/FLAC/PPM/PNG/JPEG (baseline + progressive)
+    pure-Python parsers inside mapInPandas batches. Fully oracled via
+    golden-value pinning (VERDICT r9 task #6): the fixture and decoders
+    are deterministic, so the exact result set is restated as literal
+    VALUES (pixels_spark/queries/_mm_golden.py, regenerated by
+    tools/gen_mm_golden.py) — DuckDB can't decode the bytes, but it can
+    replay the pinned decode and the driver hash-compares as usual.
     """
     media = M.synthetic_media(spark, n=64)
     return M.media_features(media).orderBy("media_id")
 
 
-@declare("mm_video_pipeline", sql=None, tags=("multimodal", "pandas_udf", "video"))
+@declare(
+    "mm_video_pipeline",
+    sql=_MM.MM_VIDEO_SQL,
+    tags=("multimodal", "pandas_udf", "video"),
+)
 def mm_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """video preprocessing chain: frame-sample (fan-out in-executor) -> resize
-    (nearest-neighbor, pure Python) -> featurize. Rows-only for the same reason
-    as mm_decode; per-value correctness in tests/test_multimodal.py.
+    (nearest-neighbor, pure Python) -> featurize. Fully oracled via the
+    same golden-value pinning as mm_decode (_mm_golden.MM_VIDEO_SQL).
     """
     media = M.synthetic_media(spark, n=64)
     frames = M.explode_video_frames(media, every_n=2)

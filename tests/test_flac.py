@@ -1,0 +1,105 @@
+"""FLAC codec tests (VERDICT r9 task #3): sample-exact round trips
+through the fixture encoder across subframe types, stereo decorrelation
+modes, Rice partitioning and escape partitions — plus integrity-check
+and seam-routing coverage. The decoder verifies CRC-8/CRC-16/MD5
+itself, so every green round trip is an end-to-end integrity proof."""
+
+from __future__ import annotations
+
+import pytest
+
+from pixels_spark.functions import flac as FL
+from pixels_spark.functions import multimodal as M
+
+
+def _expected(n, channels, bps, seed):
+    lim = 1 << (bps - 1)
+    return [
+        [
+            max(-lim, min(lim - 1, ((i * (7 + 3 * c) + seed * 13) % 2048) - 1024))
+            for i in range(n)
+        ]
+        for c in range(channels)
+    ]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"channels": 2},
+        {"channels": 2, "stereo_mode": "left_side"},
+        {"channels": 2, "stereo_mode": "right_side"},
+        {"channels": 2, "stereo_mode": "mid_side"},
+        {"n_samples": 5000, "block_size": 1024},  # multi-frame
+        {"n_samples": 777, "block_size": 192},  # short last frame
+        {"bps": 8, "n_samples": 500},
+        {"bps": 24, "n_samples": 500},
+        {"partition_order": 2},
+        {"force_escape": True},
+        {
+            "channels": 2,
+            "stereo_mode": "mid_side",
+            "partition_order": 2,
+            "n_samples": 4096,
+            "block_size": 2048,
+        },
+    ],
+)
+def test_roundtrip_sample_exact(kw):
+    payload = FL.synthesize_flac(**kw)
+    d = FL.decode_flac(payload)
+    n = kw.get("n_samples", 1600)
+    ch = kw.get("channels", 1)
+    bps = kw.get("bps", 16)
+    assert d["samples"] == _expected(n, ch, bps, kw.get("seed", 0))
+    assert (d["n_samples"], d["channels"], d["bits"]) == (n, ch, bps)
+    assert d["duration_s"] == pytest.approx(n / 16000)
+
+
+def test_constant_and_verbatim_subframes():
+    # constant channel → CONSTANT subframe; the ramp channel uses FIXED
+    payload = FL.encode_flac([[42] * 256, list(range(-128, 128))], bps=16)
+    d = FL.decode_flac(payload)
+    assert d["samples"] == [[42] * 256, list(range(-128, 128))]
+
+
+def test_corruption_fails_loudly():
+    payload = bytearray(FL.synthesize_flac(n_samples=256, block_size=256))
+    with pytest.raises(ValueError):
+        FL.decode_flac(b"RIFF" + bytes(payload[4:]))
+    # flip a bit inside the frame body → CRC-16 (or MD5) must catch it
+    bad = bytearray(payload)
+    bad[-10] ^= 0x40
+    with pytest.raises(ValueError):
+        FL.decode_flac(bytes(bad))
+    # corrupt the frame header → CRC-8 must catch it
+    hdr_at = len(payload) - 1
+    sync_at = payload.index(b"\xff\xf8")
+    bad = bytearray(payload)
+    bad[sync_at + 4] ^= 0x01  # inside the header, before its CRC byte
+    with pytest.raises(ValueError):
+        FL.decode_flac(bytes(bad))
+    assert hdr_at  # silence lints
+
+
+def test_decode_audio_routes_flac_and_wav():
+    fl = M.decode_audio(FL.synthesize_flac(8000, n_samples=800))
+    assert fl["sample_rate"] == 8000 and fl["n_samples"] == 800
+    assert "samples" not in fl  # feature rows carry metadata only
+    wv = M.decode_audio(M.synthesize_wav(16000, n_samples=1600))
+    assert wv["sample_rate"] == 16000
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"ID3\x04...mp3 frames")  # MP3 still needs ffmpeg
+
+
+def test_media_features_decodes_flac_fixture_rows(spark):
+    media = M.synthetic_media(spark, n=48)
+    feats = {r.media_id: r for r in M.media_features(media).collect()}
+    auds = [r for r in feats.values() if r.kind == "audio"]
+    assert auds and all(r.err is None for r in auds)
+    assert all(r.sample_rate and r.duration_s for r in auds)
+    # the rotation really contains FLAC payloads
+    payloads = [bytes(r.payload) for r in media.collect() if r.kind == "audio"]
+    assert any(p[:4] == b"fLaC" for p in payloads)
+    assert any(p[:4] == b"RIFF" for p in payloads)
