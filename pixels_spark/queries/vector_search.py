@@ -1933,11 +1933,20 @@ def eval_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared Lloyd centroids replay in SQL; rank ties break on vec_id;
     recall is one division.
 
-    Scale: each leg is bounded by the probed cells' candidates (the
-    assign-2 legs read the stored partition-pruned index; the assign-1
-    legs re-assign on the fly — a one-pass offline-eval cost by design);
-    the exact leg is one map-side brute-force pass. The 6 result rows
-    are 1-row frames unioned — no corpus-scale shuffle anywhere."""
+    Scale: ONE plan, not six sequential legs (VERDICT r9 task #4 — the
+    cost was measured to be Spark job count, not data). The probed-cell
+    sets are NESTED (probe-1 ⊆ probe-2 ⊆ probe-4), so each candidate
+    carries its best cell's probe rank; exploding the tiny (1,2,4) grid
+    and filtering min_rank ≤ n_probe reproduces every leg's candidate
+    set exactly, a 6-partition window ranks all legs at once, and one
+    closing aggregate emits the 6 rows. Similarity is computed once per
+    (assign-mode, candidate) instead of once per leg; everything stays
+    bounded by the probed cells' candidates; the exact leg is one
+    map-side brute-force pass joined as a 10-row broadcast flag.
+    Measured STANDALONE warm at sf0.1 best-of-3: 2.6 s vs 4.6 s for the
+    6-leg form it replaced (in-bench context per BENCHLOG)."""
+    from pyspark.sql import Window
+
     idx_path, cents_path = ensure_ivf_index(spark, sf_dir)
     cents = spark.read.parquet(cents_path)
     e = load_table(spark, sf_dir, "embeddings")
@@ -1946,52 +1955,77 @@ def eval_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         V.knn_brute_force(e, "embedding", "vec_id", q, k=10)
         .select("vec_id")
+        .withColumn("_hit", F.lit(1))
         .persist()
+    )
+    probed4 = probed_cells(spark, cents_path, qvec, n_probe=4)
+    pr = spark.createDataFrame(
+        [(int(c), i + 1) for i, c in enumerate(probed4)],
+        "ivf_cell long, cell_rank int",
     )
     assigned1 = V.ivf_assign(
         e.select("vec_id", "embedding"), "embedding", cents,
         id_col="vec_id", n_assign=1,
-    ).persist()
-    legs = []
-    for na in (1, 2):
-        for np_ in (1, 2, 4):
-            probed = probed_cells(spark, cents_path, qvec, n_probe=np_)
-            if na == 1:
-                cand_rel = assigned1.filter(F.col("ivf_cell").isin(probed))
-                ann = V.knn_brute_force(
-                    cand_rel, "embedding", "vec_id", q, k=10
-                ).select("vec_id")
-                cand_n = cand_rel.agg(
-                    F.count_distinct("vec_id")
-                    .cast("bigint")
-                    .alias("n_candidates")
-                )
-            else:
-                cand_rel = spark.read.parquet(idx_path).filter(
-                    F.col("ivf_cell").isin(probed)
-                )
-                ann = V.ivf_probe_index(
-                    spark, idx_path, "embedding", "vec_id", q, cents,
-                    k=10, n_probe=np_,
-                ).select("vec_id")
-                cand_n = cand_rel.agg(
-                    F.count_distinct("vec_id")
-                    .cast("bigint")
-                    .alias("n_candidates")
-                )
-            hits = ann.join(exact, "vec_id", "left_semi").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    idx = spark.read.parquet(idx_path)
+    cand = (
+        assigned1.select(
+            F.lit(1).alias("n_assign"), "vec_id", "embedding",
+            F.col("ivf_cell").cast("long").alias("ivf_cell"),
+        )
+        .unionByName(
+            idx.select(
+                F.lit(2).alias("n_assign"), "vec_id", "embedding",
+                F.col("ivf_cell").cast("long").alias("ivf_cell"),
             )
-            legs.append(
-                cand_n.crossJoin(F.broadcast(hits)).select(
-                    F.lit(na).cast("bigint").alias("n_assign"),
-                    F.lit(np_).cast("bigint").alias("n_probe"),
-                    "n_candidates",
-                    "n_hits",
-                    (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
-                )
+        )
+        .join(F.broadcast(pr), "ivf_cell")
+        # spill-assigned duplicates collapse here (ivf_probe's dedup),
+        # keeping the best (lowest) probe rank each vector is visible at
+        .groupBy("n_assign", "vec_id")
+        .agg(
+            F.min("cell_rank").alias("min_rank"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    qn = q.select("_qvec", V.l2_norm(F.col("_qvec")).alias("_qnorm"))
+    scored = cand.crossJoin(F.broadcast(qn)).select(
+        "n_assign",
+        "vec_id",
+        "min_rank",
+        (
+            V.dot(F.col("embedding"), F.col("_qvec"))
+            / (V.l2_norm(F.col("embedding")) * F.col("_qnorm"))
+        ).alias("sim"),
+    )
+    grid = scored.select(
+        "*",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("n_probe"),
+    ).filter(F.col("min_rank") <= F.col("n_probe"))
+    w = Window.partitionBy("n_assign", "n_probe").orderBy(
+        F.desc("sim"), "vec_id"
+    )
+    ranked = grid.withColumn("rk", F.row_number().over(w)).join(
+        F.broadcast(exact), "vec_id", "left"
+    )
+    return (
+        ranked.groupBy("n_assign", "n_probe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(
+                F.when(
+                    (F.col("rk") <= 10) & F.col("_hit").isNotNull(), 1
+                ).otherwise(0)
             )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out.orderBy("n_assign", "n_probe")
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            F.col("n_assign").cast("bigint").alias("n_assign"),
+            F.col("n_probe").cast("bigint").alias("n_probe"),
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+        )
+        .orderBy("n_assign", "n_probe")
+    )
