@@ -1996,3 +1996,119 @@ def stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@declare(
+    "stat_trimmed_mean",
+    sql="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS w
+      FROM orders GROUP BY 1, 2),
+    c AS (
+      SELECT grp, cents, w,
+             CAST(coalesce(sum(w) OVER (PARTITION BY grp ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum
+      FROM g),
+    nf AS (SELECT grp, CAST(sum(w) AS BIGINT) AS n FROM g GROUP BY grp),
+    t AS (
+      SELECT c.grp, c.cents, nf.n,
+             CAST(floor(nf.n / 10.0) AS BIGINT) AS lo,
+             greatest(0, least(c.cum + c.w, nf.n - CAST(floor(nf.n / 10.0) AS BIGINT))
+                         - greatest(c.cum, CAST(floor(nf.n / 10.0) AS BIGINT))) AS k
+      FROM c JOIN nf ON c.grp = nf.grp),
+    s AS (
+      SELECT grp, n, lo,
+             CAST(sum(k * cents) AS DECIMAL(38,0)) AS tsum,
+             CAST(sum(k) AS BIGINT) AS tn
+      FROM t GROUP BY grp, n, lo)
+    SELECT grp AS o_orderpriority, n AS n_orders, tn AS n_kept,
+           CAST(tsum AS DOUBLE) / tn AS trimmed_mean_cents
+    FROM s ORDER BY o_orderpriority
+    """,
+    tags=("stats", "robust", "beyond-parity"),
+)
+def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided TRIMMED mean of order value per priority class —
+    the robust location estimate (drop the cheapest and priciest decile
+    by COUNT, average the middle 80%) that whale orders cannot drag the
+    way they drag AVG. Trimming is rank-exact over value-grain counts:
+    with cum = rows strictly below a value, a value row contributes
+    k = max(0, min(cum+w, n−lo) − max(cum, lo)) rows to the kept band
+    [lo, n−lo) where lo = floor(n/10) — boundary values contribute
+    PARTIALLY, exactly as rank-trimming prescribes, and ties are handled
+    without any per-row ranking. Sum is exact BIGINT cents → DECIMAL;
+    the mean is one IEEE division, so the report hashes bit-identically.
+
+    Scale: the oracle's per-group cumulative window sorts whole groups
+    (fine for DuckDB); the engine runs the two-level band prefix
+    (value-grain counts → 50k$-band subtotals → grp-partitioned
+    exclusive band prefix over the tiny band frame → (grp, band)-local
+    prefix) — the stat_weighted_median kernel — so no window partition
+    ever holds a full group."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    b = g.withColumn("_b", F.floor(F.col("cents") / F.lit(5_000_000.0)))
+    bs = b.groupBy("grp", "_b").agg(F.sum("w").alias("_bs"))
+    wb = (
+        Window.partitionBy("grp")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = bs.select(
+        "grp",
+        "_b",
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_lo"),
+    )
+    wl = (
+        Window.partitionBy("grp", "_b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        b.join(F.broadcast(bpre), ["grp", "_b"])
+        .withColumn(
+            "cum",
+            (
+                F.col("_lo") + F.coalesce(F.sum("w").over(wl), F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    nf = g.groupBy("grp").agg(F.sum("w").cast("bigint").alias("n"))
+    lo = F.floor(F.col("n") / F.lit(10.0)).cast("bigint")
+    t = c.join(F.broadcast(nf), "grp").select(
+        "grp",
+        "cents",
+        "n",
+        lo.alias("lo"),
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("cum") + F.col("w"), F.col("n") - lo)
+            - F.greatest(F.col("cum"), lo),
+        ).alias("k"),
+    )
+    return (
+        t.groupBy("grp", "n", "lo")
+        .agg(
+            F.sum(F.col("k") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("tsum"),
+            F.sum("k").cast("bigint").alias("tn"),
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            F.col("n").alias("n_orders"),
+            F.col("tn").alias("n_kept"),
+            (F.col("tsum").cast("double") / F.col("tn")).alias(
+                "trimmed_mean_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1375,3 +1375,195 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+_DAILY_REV_CTE = """dly AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS rev
+      FROM events GROUP BY 1)"""
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-index → exact DECIMAL daily revenue (the shared base of the
+    robust-trend pair ts_theil_sen / ts_mann_kendall). Day indices count
+    from the fixture's 2024-01-01 epoch; the grain is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("rev")
+    )
+
+
+@declare(
+    "ts_theil_sen",
+    sql=f"""
+    WITH {_DAILY_REV_CTE},
+    slopes AS (
+      SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.d - a.d) AS slope
+      FROM dly a JOIN dly b ON a.d < b.d),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM slopes),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dly),
+    r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM slopes)
+    SELECT n_days, n_pairs, slope AS theil_sen_slope
+    FROM r CROSS JOIN np CROSS JOIN nd
+    WHERE rn = CAST(ceil(n_pairs / 2.0) AS BIGINT)
+    """,
+    tags=("timeseries", "trend", "robust", "beyond-parity"),
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of daily revenue — the ROBUST trend estimator
+    (median of all pairwise slopes; breakdown point 29%) that a single
+    outlier day cannot drag the way it drags ts_trend_forecast's OLS
+    line. Slopes are one IEEE division of exact DECIMAL revenue deltas
+    by integer day gaps; the estimate is the lower median (rank
+    ceil(n/2) by slope value), so the result is exactly oracled.
+
+    Scale: the base is the calendar-bounded day grain; the pair frame is
+    O(#days²) — 435 rows at the fixture's 30 days, ~5M/decade, built by
+    a broadcast theta self-join of the tiny day frame. The global rank
+    window covers only that bounded slope frame (switch to the
+    stat_weighted_median band kernel beyond a decade of days)."""
+    d = _daily_rev(spark, sf_dir)
+    a = d.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = d.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    slopes = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        (
+            (F.col("rb") - F.col("ra")).cast("double")
+            / (F.col("db") - F.col("da"))
+        ).alias("slope")
+    )
+    np_ = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    w = Window.orderBy("slope")
+    return (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("rn")
+            == F.ceil(F.col("n_pairs") / F.lit(2.0)).cast("bigint")
+        )
+        .select("n_days", "n_pairs", F.col("slope").alias("theil_sen_slope"))
+    )
+
+
+@declare(
+    "ts_mann_kendall",
+    sql=f"""
+    WITH {_DAILY_REV_CTE},
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM dly a JOIN dly b ON a.d < b.d),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dly),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+             AS tsum
+      FROM (SELECT count(*) AS t FROM dly GROUP BY rev
+            HAVING count(*) > 1) g),
+    v AS (
+      SELECT n, s_stat,
+             CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0 AS var_s
+      FROM s CROSS JOIN nn CROSS JOIN ties)
+    SELECT n AS n_days, s_stat, var_s,
+           CASE WHEN var_s <= 0 THEN 0.0
+                WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                ELSE 0.0 END AS z,
+           CASE WHEN var_s > 0 AND (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s) > 1.96
+                     AND s_stat > 0 THEN 'increasing'
+                WHEN var_s > 0 AND (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s) < -1.96
+                     AND s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM v
+    """,
+    tags=("timeseries", "trend", "robust", "beyond-parity"),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST on daily revenue — the nonparametric
+    'is there a monotone trend at all?' significance check that pairs
+    with ts_theil_sen's magnitude (the standard duo for series with
+    outliers or non-normal noise). S = Σ sign(rev_j − rev_i) over i<j is
+    an exact BIGINT (DECIMAL compares); Var(S) carries the full tie
+    correction as exact integers with one /18.0; Z applies the
+    continuity correction and classifies at ±1.96 (95%).
+
+    Scale: same O(#days²) broadcast theta self-join over the
+    calendar-bounded day grain as ts_theil_sen; everything downstream is
+    1-row scalar frames."""
+    d = _daily_rev(spark, sf_dir)
+    a = d.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = d.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    s = a.join(F.broadcast(b), F.col("da") < F.col("db")).agg(
+        F.sum(
+            F.when(F.col("rb") > F.col("ra"), 1)
+            .when(F.col("rb") < F.col("ra"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        d.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "s_stat",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tsum")
+                ).cast("double")
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    zpos = (F.col("s_stat").cast("double") - 1.0) / F.sqrt(F.col("var_s"))
+    zneg = (F.col("s_stat").cast("double") + 1.0) / F.sqrt(F.col("var_s"))
+    z = (
+        F.when(F.col("var_s") <= 0, 0.0)
+        .when(F.col("s_stat") > 0, zpos)
+        .when(F.col("s_stat") < 0, zneg)
+        .otherwise(0.0)
+    )
+    trend = (
+        F.when(
+            (F.col("var_s") > 0) & (zpos > 1.96) & (F.col("s_stat") > 0),
+            "increasing",
+        )
+        .when(
+            (F.col("var_s") > 0) & (zneg < -1.96) & (F.col("s_stat") < 0),
+            "decreasing",
+        )
+        .otherwise("no_trend")
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var_s",
+        z.alias("z"),
+        trend.alias("trend"),
+    )

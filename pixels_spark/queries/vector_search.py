@@ -2029,3 +2029,122 @@ def eval_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_assign", "n_probe")
     )
+
+
+@declare(
+    "eval_rbo",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    z AS (
+      SELECT vec_id,
+             {_SQL_DEQ.format(v="embedding")} AS deq
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+            FROM embeddings)),
+    appr AS (
+      SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rb
+      FROM (SELECT z.vec_id, {_sql_cos("deq", "qv")} AS sim
+            FROM z, q ORDER BY sim DESC, vec_id LIMIT 10) t),
+    ex AS (
+      SELECT vec_id, r AS ra FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY {_sql_cos("e.embedding", "qv")} DESC, e.vec_id) AS r
+        FROM embeddings e CROSS JOIN q) t WHERE r <= 10),
+    m AS (SELECT greatest(ra, rb) AS m FROM appr JOIN ex USING (vec_id)),
+    grid AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS depth),
+    x AS (
+      SELECT depth,
+             CAST(coalesce(sum(CASE WHEN m <= depth THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS overlap
+      FROM grid LEFT JOIN m ON true GROUP BY depth),
+    t AS (
+      SELECT depth, overlap,
+             CAST(overlap AS DOUBLE) / depth AS agreement,
+             CAST(overlap AS DOUBLE) * round(power(9, depth - 1))
+               / round(power(10, depth - 1)) / depth * 0.1 AS term
+      FROM x)
+    SELECT depth, overlap, agreement,
+           sum(term) OVER (ORDER BY depth
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rbo_min
+    FROM t ORDER BY depth
+    """,
+    tags=("eval", "rbo", "ranking", "vector", "quantization", "beyond-parity"),
+)
+def eval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al., p=0.9, depth 10) between the
+    int8-quantized retrieval ranking and the exact float ranking — the
+    top-weighted agreement measure that says WHERE two rankers diverge,
+    where eval_mrr_ternary only says whether the single best item moved
+    and eval_recall_sweep only counts set membership. Per depth d:
+    overlap X_d = |exact@d ∩ int8@d| (via each shared item's
+    max(rank_a, rank_b) — it joins the overlap at that depth), agreement
+    X_d/d, and the truncated RBO_min prefix Σ(1−p)·p^(d−1)·X_d/d. The
+    weights p^(d−1) = 9^(d−1)/10^(d−1) are exact doubles for d ≤ 10
+    (both engines round the exact power), so every term is one fixed
+    IEEE chain and the running sum accumulates in depth order —
+    hash-identical by construction.
+
+    Scale: both rankings are LIMIT-10 frames (map-side top-k, no corpus
+    shuffle); the depth grid is 10 rows crossed with the ≤10-row overlap
+    frame. Per-query cost is two bounded top-k jobs, the eval_ndcg_ann
+    shape."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    w10 = Window.orderBy(F.desc("sim"), "vec_id")
+    appr = (
+        V.knn_int8(e, "embedding", "vec_id", q, k=10)
+        .withColumn("rb", F.row_number().over(w10))
+        .select("vec_id", "rb")
+    )
+    exact = (
+        V.knn_brute_force(e, "embedding", "vec_id", q, k=10)
+        .withColumn("ra", F.row_number().over(w10))
+        .select("vec_id", "ra")
+    )
+    m = appr.join(exact, "vec_id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    grid = spark.range(1, 11).select(F.col("id").cast("bigint").alias("depth"))
+    x = (
+        grid.join(F.broadcast(m), F.lit(True), "left")
+        .groupBy("depth")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("m") <= F.col("depth"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("overlap")
+        )
+    )
+    term = (
+        F.col("overlap").cast("double")
+        * F.round(F.pow(F.lit(9.0), F.col("depth") - 1))
+        / F.round(F.pow(F.lit(10.0), F.col("depth") - 1))
+        / F.col("depth")
+        * F.lit(0.1)
+    )
+    wd = Window.orderBy("depth").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        x.select(
+            "depth",
+            "overlap",
+            (F.col("overlap").cast("double") / F.col("depth")).alias(
+                "agreement"
+            ),
+            term.alias("term"),
+        )
+        .select(
+            "depth",
+            "overlap",
+            "agreement",
+            F.sum("term").over(wd).alias("rbo_min"),
+        )
+        .orderBy("depth")
+    )

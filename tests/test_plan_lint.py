@@ -25,6 +25,12 @@ _SKIP_PREFIXES = ("stream_", "mvcc_", "sql_dml", "mm_")
 # name -> why its BroadcastNestedLoopJoin / pattern is deliberate
 ALLOWLIST = {
     "join_cross_theta": "theta join: tiny broadcast side by construction",
+    "ts_theil_sen": "theta self-join of the calendar-bounded day frame "
+    "(O(#days²) pairs — 435 at 30 days) + scalar count frames",
+    "ts_mann_kendall": "theta self-join of the calendar-bounded day frame "
+    "(O(#days²) pairs) + 1-row scalar frames",
+    "eval_rbo": "1-row query-vector crossJoin; 10-row depth grid × "
+    "≤10-row overlap frame",
     "cb_approx_distinct": "scalar tolerance frame crossJoin (1 row)",
     "cb_approx_quantile": "scalar sketch frame crossJoin (1 row)",
     "range_price_bands": "interval probe against a tiny bands frame",
@@ -143,6 +149,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "demonstrated semantic; partition by a key at scale",
     "eval_auc": "exclusive prefix over value-band subtotals: O(#bands), <=256 "
     "(the stat_mann_whitney kernel)",
+    "ts_theil_sen": "lower-median rank over the O(#days²) slope frame — "
+    "435 rows at 30 days, ~5M/decade; band-kernel beyond",
+    "eval_rbo": "rank windows over the two LIMIT-10 result frames + "
+    "cumulative over the 10-row depth grid",
     "eval_ndcg_ann": "rank windows over the two LIMIT-10 result frames: "
     "<=10 rows each",
     "eval_avg_precision": "exclusive prefix over value-band subtotals: "

@@ -125,6 +125,135 @@ def make_scaled_fixture(spark, src_dir: str, dest_dir: str, copies: int) -> floa
     return round(time.perf_counter() - t0, 2)
 
 
+# join/agg tier probed under Zipf keys (VERDICT r9 task #5): the queries
+# whose shuffles key on events.user_id or lineitem.l_partkey — the two
+# columns the skew fixture reweights
+SKEW_PROBE = [
+    "tpch_q9_ps",
+    "graph_triangles",
+    "graph_link_predict",
+    "graph_modularity",
+    "rec_item_sim",
+    "rec_assoc_rules",
+    "win_sessionize",
+    "funnel_signup_click_purchase",
+    "cb_window_funnel",
+]
+
+
+def make_skewed_fixture(spark, scaled_src: str, dest_dir: str) -> float:
+    """Zipf-reweight the scaled fixture's join keys IN PLACE of the
+    uniform ones: every 25×/5× probe so far ran on near-uniform synthetic
+    keys, but real 100 TB joins die on Zipf keys. Each events row redraws
+    its user_id and each lineitem row its l_partkey from a Zipf(1)
+    distribution over the SAME per-shard key domain (id = floor(N^u) with
+    u uniform from a row-seeded md5 — P(id ≤ x) = ln x/ln N, density
+    ∝ 1/id), so the head key collects ~1/ln N of ALL rows (~14% of events
+    per shard, ~10% of lineitems) while volume, schema and referential
+    integrity (partkeys stay within the shard's part table) are
+    unchanged. Comparing the probe tier on uniform-vs-skewed at EQUAL
+    volume isolates the skew penalty from the volume penalty."""
+    marker = os.path.join(dest_dir, "_SCALED")
+    if os.path.exists(marker):
+        return 0.0
+    t0 = time.perf_counter()
+    os.makedirs(dest_dir, exist_ok=True)
+    n = spark.sparkContext.defaultParallelism
+
+    def zipf_key(key_col: str, seed_col, n_keys: int):
+        u = (
+            F.conv(F.substring(F.md5(seed_col), 1, 15), 16, 10).cast("double")
+            / F.lit(float(1 << 60))
+        )
+        shard = (F.floor(F.col(key_col) / _OFF) * _OFF).cast("bigint")
+        return (shard + F.floor(F.pow(F.lit(float(n_keys)), u))).cast("bigint")
+
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(scaled_src, f"{t}.parquet"))
+        if t == "events":
+            n_users = int(
+                df.agg(F.max(F.col("user_id") % _OFF)).first()[0]
+            ) + 1
+            df = df.withColumn(
+                "user_id",
+                zipf_key("user_id", F.col("event_id").cast("string"), n_users),
+            )
+        elif t == "lineitem":
+            n_parts = int(
+                df.agg(F.max(F.col("l_partkey") % _OFF)).first()[0]
+            ) + 1
+            seed = F.concat_ws(
+                "#", F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+            df = df.withColumn(
+                "l_partkey", zipf_key("l_partkey", seed, n_parts)
+            )
+        parts = n if t in ("lineitem", "orders", "events") else max(4, n // 4)
+        df.repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(dest_dir, f"{t}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write(f"skewed from {scaled_src}")
+    return round(time.perf_counter() - t0, 2)
+
+
+def _run_skew(copies: int, base_sf: str, cache_root: str, names: list[str]) -> None:
+    """Uniform-vs-Zipf probe at equal (copies×) volume; per-query results
+    cached so a killed run resumes. Ratio >> 1 = the query's shuffle
+    keels over on skewed keys."""
+    import hashlib
+    import json
+
+    scaled_src = os.path.join(cache_root, "fixtures", f"sf0.{copies}x")
+    skew_src = os.path.join(cache_root, "fixtures", f"sf0.{copies}x_skew")
+    key = hashlib.md5(",".join(sorted(names)).encode()).hexdigest()[:8]
+    save = os.path.join(cache_root, f"scale_skew_{copies}x_{key}.json")
+    out: dict[str, dict[str, float]] = {}
+    if os.path.exists(save):
+        with open(save) as f:
+            out = json.load(f)
+    todo = [
+        (scale, n)
+        for scale in ("uniform", "zipf")
+        for n in names
+        if n not in out.get(scale, {})
+    ]
+    if todo:
+        registry = load_all_modules()
+        spark = build_session(
+            master=f"local[{_cfg.CPUS}]",
+            extra_conf={"spark.driver.memory": "48g"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        build_sec = make_scaled_fixture(spark, base_sf, scaled_src, copies)
+        if build_sec:
+            print(f"scaled fixture build: {build_sec}s", flush=True)
+        build_sec = make_skewed_fixture(spark, scaled_src, skew_src)
+        if build_sec:
+            print(f"skewed fixture build: {build_sec}s", flush=True)
+        for scale, src in (("uniform", scaled_src), ("zipf", skew_src)):
+            pend = [n for n in names if n not in out.get(scale, {})]
+            if not pend:
+                continue
+            staged = bench.stage_tables(spark, src, cache_root)
+            bench._consume(registry["tpch_q6"].fn(spark, staged))
+            for n in pend:
+                t0 = time.time()
+                bench._consume(registry[n].fn(spark, staged))
+                out.setdefault(scale, {})[n] = round(time.time() - t0, 3)
+                print(f"  {scale} {n}: {out[scale][n]}s", flush=True)
+                spark.catalog.clearCache()
+                with open(save, "w") as f:
+                    json.dump(out, f)
+        spark.stop()
+    print(f"| query | uniform {copies}x s | zipf {copies}x s | ratio |")
+    print("|---|---|---|---|")
+    for n in names:
+        b, s = out["uniform"][n], out["zipf"][n]
+        print(f"| {n} | {b:.2f} | {s:.2f} | {s / b:.2f}x |")
+
+
 def run_suite(
     spark, registry, staged_dir: str, save_path: str | None = None
 ) -> dict[str, float]:
@@ -168,6 +297,9 @@ def main() -> None:
 
     args = sys.argv[1:]
     only: list[str] | None = None
+    skew = "--skew" in args
+    if skew:
+        args.remove("--skew")
     if "--only" in args:
         i = args.index("--only")
         only = args[i + 1 :]
@@ -175,6 +307,9 @@ def main() -> None:
     copies = int(args[0]) if args else 5
     base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cache_root = os.path.join(_ROOT, ".bench_cache")
+    if skew:
+        _run_skew(copies, base_sf, cache_root, only or SKEW_PROBE)
+        return
     if only:
         _run_only(copies, base_sf, cache_root, only)
         return
