@@ -232,6 +232,14 @@ HEADLINE = (
     # the already-benched containment pair leg plus one tiny aggregate.
     "graph_assortativity",
     "eval_brier",
+    # round 10: robust-trend pair (theta self-join over the bounded day
+    # grain), rank-exact trimmed mean (two-level band prefix), and RBO
+    # ranking agreement (two bounded top-k jobs). ts_mann_kendall stays
+    # out: it shares ts_theil_sen's pair-join shape and base frame, so
+    # benching both would time the same plan twice.
+    "ts_theil_sen",
+    "stat_trimmed_mean",
+    "eval_rbo",
 )
 
 
