@@ -14,11 +14,12 @@ script (spectral selection + successive approximation), so tests
 round-trip through both directions without any media library.
 
 Supported: baseline DCT (SOF0/1) and progressive DCT (SOF2: spectral
-selection, successive approximation, EOB runs), 8-bit, 1 or 3
-components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 decode via
-replication upsample), restart intervals. Not supported (documented
-NotImplementedError): arithmetic coding, lossless (SOF3), hierarchical,
-12-bit precision, CMYK (4-component).
+selection, successive approximation, EOB runs), 8- AND 12-bit sample
+precision (12-bit reduces to 8-bit RGB by dropping the extra bits — the
+PNG 16-bit high-byte precedent), 1 or 3 components, any sampling
+factors (4:4:4 / 4:2:2 / 4:2:0 decode via replication upsample),
+restart intervals. Not supported (documented NotImplementedError):
+arithmetic coding, lossless (SOF3), hierarchical, CMYK (4-component).
 
 Reference surface: the reference stores media as VARBINARY and leaves
 codec work to the pipeline (``pixels-core/.../TypeDescription.java:218``
@@ -205,8 +206,10 @@ def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
                 p += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG precision decodes")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    "only 8- and 12-bit JPEG precision decode"
+                )
             if nc not in (1, 3):
                 raise NotImplementedError(
                     f"{nc}-component JPEG (CMYK?) does not decode without PIL"
@@ -215,7 +218,7 @@ def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (w, h, comps)
+            frame = (w, h, comps, prec)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = -(-w // (8 * hmax))
@@ -339,7 +342,7 @@ def _decode_scan_into(
 ):
     """Decode one scan's entropy-coded data into the zigzag coefficient
     store; returns the stream position of the next marker."""
-    w, h, comps = frame
+    w, h, comps = frame[:3]
     ss, se, ah, al = params
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -418,8 +421,12 @@ def _decode_scan_into(
 def _coefs_to_rgb(frame, coefs, qt):
     """Dequantize + inverse-zigzag + IDCT every stored block (vectorized),
     upsample by replication, color-convert — the shared finish for both
-    baseline and progressive frames."""
-    w, h, comps = frame
+    baseline and progressive frames. 12-bit frames run the same math at
+    the 0..4095 range (level shift 2048) and reduce to 8-bit RGB by
+    dropping the 4 extra bits — the PNG 16-bit high-byte precedent."""
+    w, h, comps, prec = frame
+    mid = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     full = []
@@ -430,7 +437,7 @@ def _coefs_to_rgb(frame, coefs, qt):
         nby, nbx = nat.shape[:2]
         blocks = nat.reshape(nby, nbx, 8, 8) * qt[tq]
         # batched IDCT: C.T @ B @ C over every block
-        px = np.einsum("ab,ijbc,cd->ijad", _C.T, blocks, _C) + 128.0
+        px = np.einsum("ab,ijbc,cd->ijad", _C.T, blocks, _C) + mid
         plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         if hs != hmax or vs != vmax:
             plane = np.repeat(
@@ -438,15 +445,18 @@ def _coefs_to_rgb(frame, coefs, qt):
             )
         full.append(plane[:h, :w])
     if len(full) == 1:
-        y = np.clip(full[0], 0, 255)
+        y = np.clip(full[0], 0, maxv)
         rgb = np.repeat(y[:, :, None], 3, axis=2)
     else:
-        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        y, cb, cr = full[0], full[1] - mid, full[2] - mid
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
         rgb = np.stack([r, g, b], axis=2)
-    return w, h, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+    out = np.clip(np.rint(rgb), 0, maxv).astype(np.int64)
+    if prec > 8:
+        out >>= prec - 8
+    return w, h, out.astype(np.uint8).tobytes()
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -486,6 +496,35 @@ _AC_SYMBOLS_PROG = bytes(
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 _AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+
+# 12-bit precision needs wider code alphabets: DC categories to 15
+# (diff range ±4095) and AC sizes to 14 (T.81 table F.2) — 226 baseline
+# / 240 progressive 8-bit codes, still canonical-valid (< 255).
+_DC_BITS12 = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS12 = bytes(range(16))
+_AC_SYMBOLS12 = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_AC_BITS12 = [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_SYMBOLS12_PROG = bytes(
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_AC_BITS12_PROG = [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _fixture_tables(precision: int, progressive: bool):
+    """(dc_bits, dc_vals, ac_bits, ac_syms) for the fixture encoders —
+    the 8-bit baseline alphabet is unchanged so its bitstreams (and the
+    golden pins on them) stay bit-stable."""
+    if precision == 8:
+        if progressive:
+            return _DC_BITS, _DC_VALS, _AC_BITS_PROG, _AC_SYMBOLS_PROG
+        return _DC_BITS, _DC_VALS, _AC_BITS, _AC_SYMBOLS
+    if progressive:
+        return _DC_BITS12, _DC_VALS12, _AC_BITS12_PROG, _AC_SYMBOLS12_PROG
+    return _DC_BITS12, _DC_VALS12, _AC_BITS12, _AC_SYMBOLS12
 
 
 def _encode_table(bits, values):
@@ -670,6 +709,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     grayscale: bool = False,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Minimal baseline JFIF encoder (numpy FDCT + flat quantization).
     ``subsample=True`` emits 4:2:0 (2×2-mean chroma downsample);
@@ -678,11 +718,15 @@ def encode_jpeg(
     1-component scan (luma only); ``progressive=True`` emits SOF2 with
     a full spectral-selection + successive-approximation scan script
     (DC first Al=1 → per-band AC first Al=1 → DC refine → per-band AC
-    refine), exercising every progressive decode path. Fixture-grade by
-    design — the decoder must handle any SPEC-VALID stream, this
-    produces one."""
+    refine), exercising every progressive decode path;
+    ``precision=12`` scales the 8-bit input to the 0..4095 sample range
+    (×16, level shift 2048) with the wider Huffman alphabets 12-bit
+    streams need. Fixture-grade by design — the decoder must handle any
+    SPEC-VALID stream, this produces one."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length != width*height*3")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
         np.float64
     )
@@ -690,6 +734,11 @@ def encode_jpeg(
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if precision == 12:
+        # ×16 scales the whole YCbCr transform linearly: 16·cb8 =
+        # 2048 + 16·(chroma part) — exactly the 12-bit representation
+        y, cb, cr = y * 16.0, cb * 16.0, cr * 16.0
+    mid = float(1 << (precision - 1))
 
     hs = vs = 2 if (subsample and not grayscale) else 1
     mcu_w, mcu_h = 8 * hs, 8 * vs
@@ -715,13 +764,15 @@ def encode_jpeg(
                 "progressive fixture encoder does not emit restart markers"
             )
         return _encode_progressive(
-            width, height, y, cb, cr, q, hs, vs, mcux, mcuy, grayscale
+            width, height, y, cb, cr, q, hs, vs, mcux, mcuy, grayscale,
+            precision,
         )
-    dc_codes = _encode_table(_DC_BITS, _DC_VALS)
-    ac_codes = _encode_table(_AC_BITS, _AC_SYMBOLS)
+    dc_bits, dc_vals, ac_bits, ac_syms = _fixture_tables(precision, False)
+    dc_codes = _encode_table(dc_bits, dc_vals)
+    ac_codes = _encode_table(ac_bits, ac_syms)
 
     def block_zz(plane, y0, x0):
-        blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        blk = plane[y0 : y0 + 8, x0 : x0 + 8] - mid
         coef = np.rint(_fdct2(blk) / q).astype(np.int64).reshape(64)
         return coef[ZIGZAG]  # natural order -> zigzag scan order
 
@@ -757,21 +808,21 @@ def encode_jpeg(
     hv_y = (hs << 4) | vs
     if grayscale:
         sof_body = (
-            b"\x08" + struct.pack(">HH", height, width) + b"\x01"
+            bytes([precision]) + struct.pack(">HH", height, width) + b"\x01"
             + bytes([1, hv_y, 0])
         )
         sos_body = b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00"
     else:
         sof_body = (
-            b"\x08" + struct.pack(">HH", height, width) + b"\x03"
+            bytes([precision]) + struct.pack(">HH", height, width) + b"\x03"
             + bytes([1, hv_y, 0, 2, 0x11, 0, 3, 0x11, 0])
         )
         sos_body = b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
     sof = seg(0xC0, sof_body)
     dht = seg(
         0xC4,
-        b"\x00" + bytes(_DC_BITS) + _DC_VALS
-        + b"\x10" + bytes(_AC_BITS) + _AC_SYMBOLS,
+        b"\x00" + bytes(dc_bits) + dc_vals
+        + b"\x10" + bytes(ac_bits) + ac_syms,
     )
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = seg(0xDA, sos_body)
@@ -783,22 +834,25 @@ def encode_jpeg(
 
 
 def _encode_progressive(
-    width, height, y, cb, cr, q, hs, vs, mcux, mcuy, grayscale
+    width, height, y, cb, cr, q, hs, vs, mcux, mcuy, grayscale,
+    precision=8,
 ):
     """SOF2 scan script: interleaved DC first (Al=1) → per-component
     AC first over bands 1-5 and 6-63 (Al=1) → interleaved DC refine →
     per-component AC refine per band (Ah=1, Al=0). Covers spectral
     selection, successive approximation, EOB runs, and both interleaved
     and single-component scan geometries."""
-    dc_codes = _encode_table(_DC_BITS, _DC_VALS)
-    ac_codes = _encode_table(_AC_BITS_PROG, _AC_SYMBOLS_PROG)
+    dc_bits, dc_vals, ac_bits, ac_syms = _fixture_tables(precision, True)
+    dc_codes = _encode_table(dc_bits, dc_vals)
+    ac_codes = _encode_table(ac_bits, ac_syms)
+    mid = float(1 << (precision - 1))
 
     def blocks_of(plane):
         nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
         arr = np.zeros((nby, nbx, 64), dtype=np.int64)
         for by in range(nby):
             for bx in range(nbx):
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - mid
                 coef = np.rint(_fdct2(blk) / q).astype(np.int64).reshape(64)
                 arr[by, bx] = coef[ZIGZAG]
         return arr
@@ -874,19 +928,19 @@ def _encode_progressive(
     hv_y = (hs << 4) | vs
     if grayscale:
         sof_body = (
-            b"\x08" + struct.pack(">HH", height, width) + b"\x01"
+            bytes([precision]) + struct.pack(">HH", height, width) + b"\x01"
             + bytes([1, hv_y, 0])
         )
     else:
         sof_body = (
-            b"\x08" + struct.pack(">HH", height, width) + b"\x03"
+            bytes([precision]) + struct.pack(">HH", height, width) + b"\x03"
             + bytes([1, hv_y, 0, 2, 0x11, 0, 3, 0x11, 0])
         )
     sof = seg(0xC2, sof_body)
     dht = seg(
         0xC4,
-        b"\x00" + bytes(_DC_BITS) + _DC_VALS
-        + b"\x10" + bytes(_AC_BITS_PROG) + _AC_SYMBOLS_PROG,
+        b"\x00" + bytes(dc_bits) + dc_vals
+        + b"\x10" + bytes(ac_bits) + ac_syms,
     )
     app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     return (

@@ -758,8 +758,9 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic mixed WAV/PPM/PNG/JPEG/PVID MEDIA_SCHEMA fixture (no
     media libs needed): ids ≡ 0 (mod 3) are images — rotating PPM, REAL
     PNG (zlib-compressed, all five filter types), REAL baseline JPEG
-    (huffman + IDCT) and REAL progressive JPEG (SOF2, spectral selection
-    + successive approximation) payloads, all decoded by the pure-Python
+    (huffman + IDCT), REAL progressive JPEG (SOF2, spectral selection
+    + successive approximation) and REAL 12-bit JPEG payloads, all
+    decoded by the pure-Python
     codecs — ≡ 1 rotate WAV and REAL FLAC (Rice-coded fixed predictors,
     CRC + MD5 verified) with varying sample rates, ≡ 2 are PVID videos
     with varying frame counts."""
@@ -770,12 +771,14 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     for i in range(n):
         if i % 3 == 0:
             w, h = 4 + (i % 8), 3 + (i % 5)
-            if (i // 3) % 4 == 1:
+            if (i // 3) % 5 == 1:
                 rows.append((i, "image", synthesize_png(w, h, seed=i), '{"mime": "image/png"}'))
-            elif (i // 3) % 4 == 2:
+            elif (i // 3) % 5 == 2:
                 rows.append((i, "image", synthesize_jpeg(w, h, seed=i), '{"mime": "image/jpeg"}'))
-            elif (i // 3) % 4 == 3:
+            elif (i // 3) % 5 == 3:
                 rows.append((i, "image", synthesize_jpeg(w, h, seed=i, progressive=True), '{"mime": "image/jpeg"}'))
+            elif (i // 3) % 5 == 4:
+                rows.append((i, "image", synthesize_jpeg(w, h, seed=i, precision=12), '{"mime": "image/jpeg"}'))
             else:
                 rows.append((i, "image", synthesize_ppm(w, h, seed=i), '{"mime": "image/x-portable-pixmap"}'))
         elif i % 3 == 1:

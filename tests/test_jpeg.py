@@ -82,14 +82,42 @@ def test_unsupported_shapes_raise_not_implemented():
     lossless = enc[:sof_at] + b"\xff\xc3" + enc[sof_at + 2 :]
     with pytest.raises(NotImplementedError):
         J._jpeg_to_rgb(lossless)
-    # 12-bit precision
+    # 16-bit precision is not a JPEG thing at all
     deep = bytearray(enc)
-    deep[sof_at + 4] = 12
+    deep[sof_at + 4] = 16
     with pytest.raises(NotImplementedError):
         J._jpeg_to_rgb(bytes(deep))
     # corrupt marker stream fails loudly
     with pytest.raises(ValueError):
         J._jpeg_to_rgb(b"\xff\xd8\x00\x00")
+
+
+def test_12bit_precision_decodes():
+    """12-bit sample precision (the medical/scientific JPEG variant):
+    the fixture encoder scales the source to 0..4095 (×16, level shift
+    2048, wider Huffman alphabets); the decoder runs the same coefficient
+    path at the 12-bit range and reduces to 8-bit RGB by dropping the
+    extra bits — round trip lands within ±1 of the source (tighter than
+    8-bit: coefficients are 16× larger against the same flat quant).
+    Covers baseline, grayscale, 4:2:0 and progressive 12-bit."""
+    cases = [
+        (16, 16, bytes([120, 60, 200] * 256), {}, 0),
+        (37, 23, bytes((x * 3 + c + 5) % 256
+                       for x in range(37 * 23) for c in range(3)), {}, 1),
+        (24, 16, bytes((x * 5) % 256 for x in range(24 * 16)
+                       for _ in range(3)), {"grayscale": True}, 1),
+        (33, 40, bytes(min(255, (x // 4 + y // 4 * 4 + c * 10))
+                       for y in range(40) for x in range(33)
+                       for c in range(3)), {"subsample": True}, 1),
+        (37, 23, bytes((x * 3 + c + 5) % 256
+                       for x in range(37 * 23) for c in range(3)),
+         {"progressive": True}, 1),
+    ]
+    for w, h, rgb, kw, tol in cases:
+        enc = J.encode_jpeg(w, h, rgb, precision=12, **kw)
+        dw, dh, out = J._jpeg_to_rgb(enc)
+        assert (dw, dh) == (w, h)
+        assert _maxdiff(rgb, out) <= tol, kw
 
 
 def test_progressive_decode_identical_to_baseline():
