@@ -16,10 +16,12 @@ round-trip through both directions without any media library.
 Supported: baseline DCT (SOF0/1) and progressive DCT (SOF2: spectral
 selection, successive approximation, EOB runs), 8- AND 12-bit sample
 precision (12-bit reduces to 8-bit RGB by dropping the extra bits — the
-PNG 16-bit high-byte precedent), 1 or 3 components, any sampling
+PNG 16-bit high-byte precedent), 1/3/4 components (4-component =
+Adobe CMYK and YCCK via the APP14 transform marker), any sampling
 factors (4:4:4 / 4:2:2 / 4:2:0 decode via replication upsample),
 restart intervals. Not supported (documented NotImplementedError):
-arithmetic coding, lossless (SOF3), hierarchical, CMYK (4-component).
+arithmetic coding, lossless (SOF3), hierarchical, 4-component streams
+without an Adobe APP14 marker.
 
 Reference surface: the reference stores media as VARBINARY and leaves
 codec work to the pipeline (``pixels-core/.../TypeDescription.java:218``
@@ -164,6 +166,7 @@ def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
     frame = None  # (w, h, comps) ; comps: [(cid, hs, vs, tq)]
     coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) zigzag order
     restart_interval = 0
+    adobe_transform = None  # APP14: 0=CMYK-direct, 1=YCbCr, 2=YCCK
     pos = 2
     n = len(payload)
     while pos + 4 <= n:
@@ -210,9 +213,9 @@ def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
                 raise NotImplementedError(
                     "only 8- and 12-bit JPEG precision decode"
                 )
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{nc}-component JPEG (CMYK?) does not decode without PIL"
+                    f"{nc}-component JPEG does not decode without PIL"
                 )
             comps = []
             for i in range(nc):
@@ -235,6 +238,8 @@ def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -254,7 +259,7 @@ def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
         pos += seglen
     if frame is None or not coefs:
         raise ValueError("JPEG missing SOS scan")
-    return _coefs_to_rgb(frame, coefs, qt)
+    return _coefs_to_rgb(frame, coefs, qt, adobe_transform)
 
 
 def _decode_dc_first(br, dc_tbl, zz, pred_box, al):
@@ -418,12 +423,15 @@ def _decode_scan_into(
     return p
 
 
-def _coefs_to_rgb(frame, coefs, qt):
+def _coefs_to_rgb(frame, coefs, qt, adobe_transform=None):
     """Dequantize + inverse-zigzag + IDCT every stored block (vectorized),
     upsample by replication, color-convert — the shared finish for both
     baseline and progressive frames. 12-bit frames run the same math at
     the 0..4095 range (level shift 2048) and reduce to 8-bit RGB by
-    dropping the 4 extra bits — the PNG 16-bit high-byte precedent."""
+    dropping the 4 extra bits — the PNG 16-bit high-byte precedent.
+    4-component frames follow the Adobe APP14 convention (values stored
+    inverted): transform 2 = YCCK (YCbCr→inverted-CMY first), else
+    direct CMYK; RGB = channel·K/max — PIL's quick CMYK merge."""
     w, h, comps, prec = frame
     mid = float(1 << (prec - 1))
     maxv = (1 << prec) - 1
@@ -447,6 +455,23 @@ def _coefs_to_rgb(frame, coefs, qt):
     if len(full) == 1:
         y = np.clip(full[0], 0, maxv)
         rgb = np.repeat(y[:, :, None], 3, axis=2)
+    elif len(full) == 4:
+        if adobe_transform is None:
+            raise NotImplementedError(
+                "4-component JPEG without an Adobe APP14 marker"
+            )
+        if adobe_transform == 2:  # YCCK
+            y, cb, cr = full[0], full[1] - mid, full[2] - mid
+            c = y + 1.402 * cr
+            m = y - 0.344136 * cb - 0.714136 * cr
+            ye = y + 1.772 * cb
+        else:  # CMYK stored directly
+            c, m, ye = full[0], full[1], full[2]
+        k = np.clip(full[3], 0, maxv)
+        r = np.clip(c, 0, maxv) * k / maxv
+        g = np.clip(m, 0, maxv) * k / maxv
+        b = np.clip(ye, 0, maxv) * k / maxv
+        rgb = np.stack([r, g, b], axis=2)
     else:
         y, cb, cr = full[0], full[1] - mid, full[2] - mid
         r = y + 1.402 * cr
@@ -710,6 +735,7 @@ def encode_jpeg(
     grayscale: bool = False,
     progressive: bool = False,
     precision: int = 8,
+    cmyk: str | None = None,
 ) -> bytes:
     """Minimal baseline JFIF encoder (numpy FDCT + flat quantization).
     ``subsample=True`` emits 4:2:0 (2×2-mean chroma downsample);
@@ -727,6 +753,17 @@ def encode_jpeg(
         raise ValueError("rgb length != width*height*3")
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
+    if cmyk is not None:
+        # ``cmyk='cmyk'`` stores the Adobe-inverted channels directly
+        # (C=R, M=G, Y=B, K=255 i.e. no black ink — decodes back to the
+        # source RGB); ``'ycck'`` routes them through the YCbCr
+        # transform first (Adobe transform 2). Baseline 4:4:4 8-bit.
+        if cmyk not in ("cmyk", "ycck"):
+            raise ValueError("cmyk must be None, 'cmyk' or 'ycck'")
+        if progressive or subsample or grayscale or precision != 8:
+            raise ValueError(
+                "cmyk fixture encoder is baseline 4:4:4 8-bit only"
+            )
     a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
         np.float64
     )
@@ -776,8 +813,24 @@ def encode_jpeg(
         coef = np.rint(_fdct2(blk) / q).astype(np.int64).reshape(64)
         return coef[ZIGZAG]  # natural order -> zigzag scan order
 
+    if cmyk is not None:
+        kpl = pad(np.full((height, width), 255.0), mcuy * 8, mcux * 8)
+        if cmyk == "cmyk":
+            comp_list = [
+                (1, pad(r, mcuy * 8, mcux * 8), 1, 1),
+                (2, pad(g, mcuy * 8, mcux * 8), 1, 1),
+                (3, pad(b, mcuy * 8, mcux * 8), 1, 1),
+                (4, kpl, 1, 1),
+            ]
+        else:  # ycck: the YCbCr planes of the inverted-CMY channels
+            comp_list = [(1, y, 1, 1), (2, cb, 1, 1), (3, cr, 1, 1), (4, kpl, 1, 1)]
+    elif grayscale:
+        comp_list = [(1, y, hs, vs)]
+    else:
+        comp_list = [(1, y, hs, vs), (2, cb, 1, 1), (3, cr, 1, 1)]
+
     bw = _BitWriter()
-    pred = {1: 0, 2: 0, 3: 0}
+    pred = {cid: 0 for cid, *_ in comp_list}
     mcu_count = 0
     rst = 0
     for my in range(mcuy):
@@ -786,17 +839,16 @@ def encode_jpeg(
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
                 rst += 1
-                pred = {1: 0, 2: 0, 3: 0}
-            for by in range(vs):
-                for bx in range(hs):
-                    zz = block_zz(y, (my * vs + by) * 8, (mx * hs + bx) * 8)
-                    pred[1] = _encode_block(bw, zz, pred[1], dc_codes, ac_codes)
-            if not grayscale:
-                for cid, plane in ((2, cb), (3, cr)):
-                    zz = block_zz(plane, my * 8, mx * 8)
-                    pred[cid] = _encode_block(
-                        bw, zz, pred[cid], dc_codes, ac_codes
-                    )
+                pred = {cid: 0 for cid, *_ in comp_list}
+            for cid, plane, chs, cvs in comp_list:
+                for by in range(cvs):
+                    for bx in range(chs):
+                        zz = block_zz(
+                            plane, (my * cvs + by) * 8, (mx * chs + bx) * 8
+                        )
+                        pred[cid] = _encode_block(
+                            bw, zz, pred[cid], dc_codes, ac_codes
+                        )
             mcu_count += 1
     bw.flush()
 
@@ -805,19 +857,21 @@ def encode_jpeg(
 
     zz_q = q.reshape(64)[ZIGZAG]  # natural -> zigzag order for DQT
     dqt = seg(0xDB, b"\x00" + bytes(int(v) for v in zz_q))
-    hv_y = (hs << 4) | vs
-    if grayscale:
-        sof_body = (
-            bytes([precision]) + struct.pack(">HH", height, width) + b"\x01"
-            + bytes([1, hv_y, 0])
+    nc = len(comp_list)
+    sof_body = (
+        bytes([precision])
+        + struct.pack(">HH", height, width)
+        + bytes([nc])
+        + b"".join(
+            bytes([cid, (chs << 4) | cvs, 0])
+            for cid, _p, chs, cvs in comp_list
         )
-        sos_body = b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00"
-    else:
-        sof_body = (
-            bytes([precision]) + struct.pack(">HH", height, width) + b"\x03"
-            + bytes([1, hv_y, 0, 2, 0x11, 0, 3, 0x11, 0])
-        )
-        sos_body = b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
+    )
+    sos_body = (
+        bytes([nc])
+        + b"".join(bytes([cid, 0x00]) for cid, *_ in comp_list)
+        + b"\x00\x3f\x00"
+    )
     sof = seg(0xC0, sof_body)
     dht = seg(
         0xC4,
@@ -827,8 +881,17 @@ def encode_jpeg(
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = seg(0xDA, sos_body)
     app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    app14 = (
+        seg(
+            0xEE,
+            b"Adobe\x00\x64\x00\x00\x00\x00"
+            + bytes([0 if cmyk == "cmyk" else 2]),
+        )
+        if cmyk
+        else b""
+    )
     return (
-        b"\xff\xd8" + app0 + dqt + dht + sof + dri + sos
+        b"\xff\xd8" + app0 + app14 + dqt + dht + sof + dri + sos
         + bytes(bw.out) + b"\xff\xd9"
     )
 

@@ -166,6 +166,30 @@ def test_progressive_restart_rejected_by_fixture_encoder():
         J.encode_jpeg(8, 8, bytes(192), progressive=True, restart_interval=2)
 
 
+def test_cmyk_and_ycck_decode():
+    """4-component Adobe JPEGs: direct CMYK (transform 0) and YCCK
+    (transform 2). The fixture stores the inverted channels with K=255
+    (no black ink), so the decode RGB = channel·K/255 lands back on the
+    source within quant error; flat blocks are exact. A 4-component
+    stream WITHOUT the Adobe APP14 marker stays NotImplementedError
+    (the convention is unknowable without it)."""
+    rgb = bytes((x * 3 + c + 5) % 256 for x in range(37 * 23) for c in range(3))
+    flat = bytes([120, 60, 200] * 256)
+    for mode in ("cmyk", "ycck"):
+        enc = J.encode_jpeg(37, 23, rgb, cmyk=mode)
+        w, h, out = J._jpeg_to_rgb(enc)
+        assert (w, h) == (37, 23)
+        assert _maxdiff(rgb, out) <= 8, mode
+        assert _maxdiff(flat, J._jpeg_to_rgb(J.encode_jpeg(16, 16, flat, cmyk=mode))[2]) == 0
+    enc = J.encode_jpeg(8, 8, bytes(192), cmyk="cmyk")
+    at = enc.find(b"\xff\xee")
+    assert at > 0
+    with pytest.raises(NotImplementedError):
+        J._jpeg_to_rgb(enc[:at] + enc[at + 16 :])  # APP14 stripped
+    with pytest.raises(ValueError):
+        J.encode_jpeg(8, 8, bytes(192), cmyk="ycck", subsample=True)
+
+
 def test_decode_image_and_resize_route_jpeg():
     enc = J.synthesize_jpeg(10, 8, seed=3)
     d = M.decode_image(enc)
