@@ -935,3 +935,168 @@ def eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resolution",
         (ybar * (F.lit(1.0) - ybar)).alias("uncertainty"),
     )
+
+
+@declare(
+    "eval_ece",
+    sql=f"""
+    WITH lab AS ({_LAB_SQL}),
+    binned AS (
+      SELECT least(CAST(floor(v / 50.0) AS BIGINT), 9) AS bin, v, y
+      FROM lab),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(CAST(v AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sv
+      FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM bins),
+    terms AS (
+      SELECT nt,
+             CAST(abs(CAST(n_pos AS DOUBLE) / n
+                      - CAST(sv AS DOUBLE) / n / 500.0) * n / nt
+                  AS DECIMAL(28,18)) AS term
+      FROM bins CROSS JOIN tot)
+    SELECT CAST(max(nt) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(CAST(sum(term) AS DECIMAL(38,18)) AS DOUBLE) AS ece
+    FROM terms
+    """,
+    tags=("eval", "calibration", "ece", "beyond-parity"),
+)
+def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error — the single number the
+    eval_calibration reliability TABLE rolls up to: Σ (n_b/N)·|pos_rate_b
+    − p̂_b| over the same 10 fixed-width score bins, with the predicted
+    probability p̂ = mean_score/500 (the linear map of the 0..500 score
+    domain — stated, not hidden). Per-bin terms are fixed IEEE chains
+    off exact counts and DECIMAL score sums, quantized to DECIMAL(28,18)
+    before the order-independent sum (the eval_avg_precision
+    convention), so the scalar hashes bit-identically.
+
+    Scale: one map-side binning + a 10-row aggregate + a 1-row total —
+    nothing is corpus-grain after the first fold."""
+    lab = _labeled(spark, sf_dir)
+    bins = (
+        lab.withColumn(
+            "bin",
+            F.least(F.floor(F.col("v") / F.lit(50.0)), F.lit(9)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(F.col("v").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("sv"),
+        )
+    )
+    tot = bins.agg(F.sum("n").cast("bigint").alias("nt"))
+    term = (
+        F.abs(
+            F.col("n_pos").cast("double") / F.col("n")
+            - F.col("sv").cast("double") / F.col("n") / F.lit(500.0)
+        )
+        * F.col("n")
+        / F.col("nt")
+    ).cast("decimal(28,18)")
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select("nt", term.alias("term"))
+        .agg(
+            F.max("nt").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("term").cast("decimal(38,18)").cast("double").alias("ece"),
+        )
+    )
+
+
+@declare(
+    "eval_cohens_kappa",
+    sql=r"""
+    WITH f AS (
+      SELECT CASE WHEN CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) >= 50 THEN 1 ELSE 0 END AS a,
+             CASE WHEN 100 * CAST(len(list_filter(
+                        string_split_regex(lower(text), '\s+'),
+                        t -> list_contains(
+                          ['the','a','of','and','to','in','is','that','it','for'],
+                          t))) AS BIGINT)
+                     >= 6 * CAST(len(string_split_regex(trim(text), '\s+'))
+                                 AS BIGINT)
+                  THEN 1 ELSE 0 END AS b
+      FROM documents),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS na,
+             CAST(sum(b) AS BIGINT) AS nb,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM f)
+    SELECT n, na AS n_rater_a, nb AS n_rater_b, n11 AS n_both,
+           n00 AS n_neither,
+           CAST(n11 + n00 AS DOUBLE) / n AS p_observed,
+           CAST(na * nb + (n - na) * (n - nb) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n) AS p_expected,
+           CASE WHEN na * nb + (n - na) * (n - nb) < n * n THEN
+             (CAST(n11 + n00 AS DOUBLE) / n
+              - CAST(na * nb + (n - na) * (n - nb) AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n))
+             / (1.0 - CAST(na * nb + (n - na) * (n - nb) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * n))
+           END AS kappa
+    FROM c
+    """,
+    tags=("eval", "agreement", "kappa", "text", "beyond-parity"),
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two corpus quality raters — chance-corrected
+    agreement, the number that says whether a cheap heuristic actually
+    AGREES with another beyond what base rates force. Rater A keeps docs
+    with ≥ 50 tokens; rater B keeps docs with stopword ratio ≥ 6%
+    (compared as 100·n_stop ≥ 6·n_tokens — an exact integer predicate,
+    no float-threshold hazard between engines). κ = (p_o − p_e)/(1 −
+    p_e) from exact BIGINT cell counts; NULL when p_e = 1 (degenerate
+    marginals).
+
+    Scale: one corpus scan folding to a 1-row contingency summary —
+    map-side CASE sums, no shuffle beyond the final fold."""
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.lower(F.col("text")))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*T.STOPWORDS["en"]))
+    ).cast("bigint")
+    n_tok = T.token_count(F.col("text"))
+    f = d.select(
+        F.when(n_tok >= 50, 1).otherwise(0).alias("a"),
+        F.when(100 * n_stop >= 6 * n_tok, 1).otherwise(0).alias("b"),
+    )
+    c = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    pe_num = F.col("na") * F.col("nb") + (F.col("n") - F.col("na")) * (
+        F.col("n") - F.col("nb")
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = pe_num.cast("double") / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        "n",
+        F.col("na").alias("n_rater_a"),
+        F.col("nb").alias("n_rater_b"),
+        F.col("n11").alias("n_both"),
+        F.col("n00").alias("n_neither"),
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        F.when(pe_num < F.col("n") * F.col("n"), (po - pe) / (1.0 - pe)).alias(
+            "kappa"
+        ),
+    )

@@ -24,8 +24,14 @@ def test_oracle_match(spark, sf_dir, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_dir, name):
-    q = REGISTRY[name]
-    df = q.fn(spark, sf_dir)
-    assert df.count() >= 0
+# As of r10 every declared query is oracled, so this class is empty —
+# the guard avoids pytest's skipped placeholder for an empty
+# parametrize; the test resurrects automatically if a rows-only query
+# is ever declared again.
+if ROWS_ONLY:
+
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_runs(spark, sf_dir, name):
+        q = REGISTRY[name]
+        df = q.fn(spark, sf_dir)
+        assert df.count() >= 0
