@@ -31,6 +31,8 @@ ALLOWLIST = {
     "(O(#days²) pairs) + 1-row scalar frames",
     "eval_rbo": "1-row query-vector crossJoin; 10-row depth grid × "
     "≤10-row overlap frame",
+    "eval_ece": "scalar total-count frame crossJoin (1 row) onto the "
+    "10-bin calibration frame",
     "cb_approx_distinct": "scalar tolerance frame crossJoin (1 row)",
     "cb_approx_quantile": "scalar sketch frame crossJoin (1 row)",
     "range_price_bands": "interval probe against a tiny bands frame",
