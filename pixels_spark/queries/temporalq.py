@@ -1567,3 +1567,131 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         trend.alias("trend"),
     )
+
+
+@declare(
+    "ts_kendall_tau",
+    sql="""
+    WITH dly AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS rev,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    p AS (
+      SELECT CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END
+             * CASE WHEN b.cnt > a.cnt THEN 1
+                    WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS s
+      FROM dly a JOIN dly b ON a.d < b.d),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+             CAST(count(*) AS BIGINT) AS n0
+      FROM p),
+    t1 AS (SELECT CAST(coalesce(sum(t * (t - 1) / 2), 0) AS BIGINT) AS n1
+           FROM (SELECT count(*) AS t FROM dly GROUP BY rev
+                 HAVING count(*) > 1) g),
+    t2 AS (SELECT CAST(coalesce(sum(t * (t - 1) / 2), 0) AS BIGINT) AS n2
+           FROM (SELECT count(*) AS t FROM dly GROUP BY cnt
+                 HAVING count(*) > 1) g),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dly)
+    SELECT n_days, n0 AS n_pairs, nc AS concordant, nd AS discordant,
+           n1 AS ties_rev, n2 AS ties_cnt,
+           CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0 THEN
+             CAST(nc - nd AS DOUBLE)
+               / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+           END AS tau_b
+    FROM agg CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN nn
+    """,
+    tags=("timeseries", "trend", "robust", "correlation", "beyond-parity"),
+)
+def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily revenue and daily event count —
+    'do volume and spend actually move together?' as a rank statistic
+    that outliers cannot drag (the robust complement to stat_corr's
+    Pearson, closing the trend trio with ts_theil_sen/ts_mann_kendall).
+    Concordant/discordant pairs are exact integer sign products over
+    the day-pair frame; tau-b carries both per-variable tie corrections
+    (n1, n2 as exact pair counts); the statistic is one fixed IEEE
+    chain, NULL when a variable is fully tied.
+
+    Scale: the same O(#days²) broadcast theta self-join over the
+    calendar-bounded day grain as ts_theil_sen; everything downstream
+    is 1-row scalar frames — no window anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    dly = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    a = dly.select(
+        F.col("d").alias("da"), F.col("rev").alias("ra"), F.col("cnt").alias("ca")
+    )
+    b = dly.select(
+        F.col("d").alias("db"), F.col("rev").alias("rb"), F.col("cnt").alias("cb")
+    )
+    s = (
+        F.when(F.col("rb") > F.col("ra"), 1)
+        .when(F.col("rb") < F.col("ra"), -1)
+        .otherwise(0)
+        * F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+    )
+    agg = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .select(s.alias("s"))
+        .agg(
+            F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nc"),
+            F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nd"),
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+        )
+    )
+
+    def tie_pairs(col: str, out: str) -> DataFrame:
+        return (
+            dly.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("t") * (F.col("t") - 1) / 2), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    nn = dly.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    out = (
+        agg.crossJoin(F.broadcast(tie_pairs("rev", "n1")))
+        .crossJoin(F.broadcast(tie_pairs("cnt", "n2")))
+        .crossJoin(F.broadcast(nn))
+    )
+    tau = F.when(
+        ((F.col("n0") - F.col("n1")) > 0) & ((F.col("n0") - F.col("n2")) > 0),
+        (F.col("nc") - F.col("nd")).cast("double")
+        / F.sqrt(
+            (F.col("n0") - F.col("n1")).cast("double")
+            * (F.col("n0") - F.col("n2")).cast("double")
+        ),
+    )
+    return out.select(
+        "n_days",
+        F.col("n0").alias("n_pairs"),
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        F.col("n1").alias("ties_rev"),
+        F.col("n2").alias("ties_cnt"),
+        tau.alias("tau_b"),
+    )

@@ -29,6 +29,8 @@ ALLOWLIST = {
     "(O(#days²) pairs — 435 at 30 days) + scalar count frames",
     "ts_mann_kendall": "theta self-join of the calendar-bounded day frame "
     "(O(#days²) pairs) + 1-row scalar frames",
+    "ts_kendall_tau": "theta self-join of the calendar-bounded day frame "
+    "(O(#days²) pairs) + 1-row scalar frames",
     "eval_rbo": "1-row query-vector crossJoin; 10-row depth grid × "
     "≤10-row overlap frame",
     "eval_ece": "scalar total-count frame crossJoin (1 row) onto the "
