@@ -992,6 +992,16 @@ def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sv"),
         )
     )
+    return ece_scan(bins)
+
+
+def ece_scan(bins: DataFrame) -> DataFrame:
+    """The ECE scoring stage over a (bin, n, n_pos, sv) counter table —
+    factored (the auc_scan / psi_scan / ks_scan convention) so the
+    streaming twin ``stream_eval_ece`` scores its MAINTAINED counter
+    table with the identical plan and shares this oracle bit-for-bit
+    (bin counters and decimal score sums are LINEAR, so the maintained
+    table equals the one-shot batch build exactly)."""
     tot = bins.agg(F.sum("n").cast("bigint").alias("nt"))
     term = (
         F.abs(

@@ -2401,3 +2401,114 @@ def stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counters = spark.read.parquet(st["data"])
     return _finalize(psi_scan(spark, counters), work)
+
+
+def _stream_ece_oracle() -> str:
+    from .evalq import eval_ece as _ee  # noqa: F401  (registry holds the sql)
+    from .registry import REGISTRY
+
+    return REGISTRY["eval_ece"].sql
+
+
+@declare(
+    "stream_eval_ece",
+    sql=_stream_ece_oracle(),
+    tags=("streaming", "eval", "calibration", "ece", "linear-state",
+          "beyond-parity"),
+)
+def stream_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming calibration monitoring: Expected Calibration Error
+    maintained over an unbounded scored stream. Per micro-batch the
+    (bin, n, n_pos, score-sum) table folds by SUM — fixed-bin counters
+    and DECIMAL score sums are LINEAR, so the maintained table equals
+    the one-shot batch build exactly and the identical scoring stage
+    (``evalq.ece_scan``) must hash-match ``eval_ece``'s oracle
+    bit-for-bit. State is ≤10 rows regardless of stream volume —
+    continuous 'is the model still calibrated?' without re-scanning
+    history. Replay-idempotent via the last_bid guard."""
+    import json
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_ece_")
+    src = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    state_json = os.path.join(state_root, "STATE.json")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).alias("m")
+    ).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(state_json):
+            with open(state_json) as _f:
+                if json.load(_f).get("last_bid") == _bid:
+                    return  # at-least-once replay: already folded
+        g = (
+            batch_df.filter(F.col("event_type").isin("purchase", "view"))
+            .groupBy(
+                F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9))
+                .cast("bigint")
+                .alias("bin")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_pos"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(38,6)")
+                .alias("sv"),
+            )
+        )
+        if os.path.exists(state_json):
+            with open(state_json) as f:
+                st = json.load(f)
+            g = (
+                g.unionByName(spark.read.parquet(st["data"]))
+                .groupBy("bin")
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.sum("n_pos").cast("bigint").alias("n_pos"),
+                    F.sum("sv").cast("decimal(38,6)").alias("sv"),
+                )
+            )
+            nb = st["n"] + 1
+        else:
+            st, nb = None, 1
+        dest = os.path.join(state_root, f"counts_v={nb}")
+        g.write.mode("overwrite").parquet(dest)
+        tmp = state_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": nb, "data": dest, "last_bid": _bid}, f)
+        os.replace(tmp, state_json)
+        if st and st["data"] != dest and os.path.isdir(st["data"]):
+            shutil.rmtree(st["data"], ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_eval_ece did not finish in 600s")
+    with open(state_json) as f:
+        st = json.load(f)
+    assert st["n"] >= 2, "expected >= 2 micro-batches"
+    from .evalq import ece_scan
+
+    counters = spark.read.parquet(st["data"])
+    return _finalize(ece_scan(counters), work)
