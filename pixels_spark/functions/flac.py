@@ -276,7 +276,15 @@ def decode_flac(payload: bytes) -> dict:
 
     channels: list[list[int]] = [[] for _ in range(nch)]
     ns = 0
-    while ns < total and pos < len(payload):
+    # STREAMINFO total_samples == 0 means "unknown length" (RFC 9639
+    # §8.2): decode frames to end-of-payload, stopping when the next
+    # bytes are not a valid frame sync (0b11111111111110 + reserved 0),
+    # instead of silently returning zero samples (ADVICE r10 #1).
+    while (ns < total or total == 0) and pos + 2 <= len(payload):
+        if total == 0 and not (
+            payload[pos] == 0xFF and (payload[pos + 1] & 0xFE) == 0xF8
+        ):
+            break
         fstart = pos
         br = _Bits(payload, pos)
         sync = br.read(14)
@@ -471,8 +479,11 @@ def encode_flac(
 
     out = bytearray(b"fLaC")
     si = bytearray()
-    last_bs = n % block_size or block_size
-    si += struct.pack(">HH", min(block_size, last_bs), block_size)
+    # RFC 9639 §8.2: min/max blocksize EXCLUDE the last (possibly
+    # partial) block and must be >= 16 — a fixed-blocksize stream
+    # stamps block_size for both (ADVICE r10 #2; previously stamped the
+    # last block's size as min, spec-invalid for non-multiple lengths).
+    si += struct.pack(">HH", block_size, block_size)
     si += b"\x00\x00\x00" * 2  # min/max frame size unknown
     si.append((sample_rate >> 12) & 0xFF)
     si.append((sample_rate >> 4) & 0xFF)

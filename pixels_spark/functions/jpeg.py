@@ -239,6 +239,8 @@ def _jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            if len(seg) < 12:
+                raise ValueError("JPEG APP14 Adobe segment truncated")
             adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:

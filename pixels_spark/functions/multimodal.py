@@ -26,6 +26,7 @@ evenly regardless of per-file media size skew.
 
 from __future__ import annotations
 
+import struct as _struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -42,6 +43,18 @@ from pyspark.sql.types import (
 
 if TYPE_CHECKING:
     import pandas as pd
+
+# One bad payload must yield an err row / pass-through, never fail the
+# whole Spark task: truncated or corrupt bytes can also surface as
+# IndexError / struct.error from out-of-bounds segment reads inside the
+# pure-Python decoders, not just the typed decode errors (ADVICE r10 #3).
+DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    KeyError,
+    IndexError,
+    _struct.error,
+)
 
 # media row: opaque payload + typed metadata (mime, width/height or
 # sample-rate live inside `meta` as JSON to stay schema-stable across kinds)
@@ -746,7 +759,7 @@ def media_features(media: DataFrame) -> DataFrame:
                     row["sample_rate"] = d.get("sample_rate")
                     row["duration_s"] = d.get("duration_s")
                     row["n_frames"] = d.get("n_frames")
-                except (NotImplementedError, ValueError, KeyError) as e:
+                except DECODE_ERRORS as e:
                     row["err"] = f"{type(e).__name__}: {e}"
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
@@ -861,7 +874,7 @@ def resize_images(media: DataFrame, factor: int) -> DataFrame:
                 if kind == "image":
                     try:
                         payloads.append(resize_image(bytes(payload), factor))
-                    except (NotImplementedError, ValueError):
+                    except DECODE_ERRORS:
                         payloads.append(bytes(payload))  # undecodable: pass through
                 else:
                     payloads.append(bytes(payload))
@@ -893,7 +906,7 @@ def explode_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                     continue
                 try:
                     frames = sample_video_frames(bytes(payload), every_n)
-                except (NotImplementedError, ValueError):
+                except DECODE_ERRORS:
                     continue
                 for j, fr in enumerate(frames):
                     rows.append(

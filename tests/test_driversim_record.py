@@ -30,6 +30,22 @@ def test_driversim_record_fresh_and_green():
     path = os.path.join(_ROOT, f"DRIVERSIM_r{n}.json")
     if not os.path.exists(path):
         path = os.path.join(_ROOT, f"DRIVERSIM_r{n - 1}.json")
+        # ADVICE r10 #4: the r{N-1} fallback must not admit a sweep
+        # older than the query surface it claims to cover — require the
+        # record to be at least as new as every query module (a git
+        # checkout stamps identical mtimes, so == passes; any post-sweep
+        # edit to a query module forces a re-sweep).
+        if os.path.exists(path):
+            qdir = os.path.join(_ROOT, "pixels_spark", "queries")
+            newest_src = max(
+                os.path.getmtime(os.path.join(qdir, f))
+                for f in os.listdir(qdir)
+                if f.endswith(".py")
+            )
+            assert os.path.getmtime(path) >= newest_src, (
+                f"{os.path.basename(path)} predates a query-module edit "
+                "— re-run `python tools/driver_sim.py --all`"
+            )
     assert os.path.exists(path), (
         f"DRIVERSIM_r{n}.json (or r{n - 1}) missing — run "
         "`python tools/driver_sim.py --all`"

@@ -103,3 +103,28 @@ def test_media_features_decodes_flac_fixture_rows(spark):
     payloads = [bytes(r.payload) for r in media.collect() if r.kind == "audio"]
     assert any(p[:4] == b"fLaC" for p in payloads)
     assert any(p[:4] == b"RIFF" for p in payloads)
+
+
+def test_unknown_length_stream_decodes_to_eof():
+    # RFC 9639: STREAMINFO total_samples == 0 means "unknown length";
+    # the decoder must decode frames to end-of-payload, not return 0
+    # samples (ADVICE r10 #1). Zero the 36-bit total field in place:
+    # payload = fLaC(4) + block hdr(4) + STREAMINFO, total at si[13]
+    # low nibble + si[14:18].
+    payload = bytearray(FL.synthesize_flac(n_samples=1600, block_size=512))
+    payload[8 + 13] &= 0xF0
+    payload[8 + 14 : 8 + 18] = b"\x00\x00\x00\x00"
+    d = FL.decode_flac(bytes(payload))
+    assert d["n_samples"] == 1600
+    assert d["samples"] == _expected(1600, 1, 16, 0)
+    assert d["duration_s"] == pytest.approx(0.1)
+
+
+def test_streaminfo_min_blocksize_excludes_last_block():
+    # RFC 9639: min/max blocksize exclude the final partial block and
+    # must be >= 16 — a fixed-blocksize stream stamps block_size for
+    # both even when n % block_size != 0 (ADVICE r10 #2).
+    payload = FL.synthesize_flac(n_samples=777, block_size=192)
+    assert payload[8:10] == payload[10:12] == (192).to_bytes(2, "big")
+    d = FL.decode_flac(payload)
+    assert d["n_samples"] == 777

@@ -490,3 +490,39 @@ def test_png_packed_rgb_is_invalid():
     )
     with pytest.raises(ValueError):
         M.decode_png(png)
+
+
+def test_truncated_payloads_become_err_rows_not_task_failures(spark):
+    """Malformed bytes that raise IndexError/struct.error inside a decoder
+    (out-of-bounds segment reads) must land in the err channel like the
+    typed decode errors do (ADVICE r10 #3)."""
+    from pixels_spark.functions import flac as FL
+    from pixels_spark.functions import jpeg as J
+
+    # truncated Adobe APP14 (length-checked → ValueError, not IndexError)
+    app14 = bytes.fromhex("ffd8") + b"\xff\xee\x00\x07Adobe" + bytes.fromhex("ffd9")
+    with pytest.raises(ValueError, match="APP14"):
+        J.decode_jpeg(app14)
+    # byte-truncated FLAC metadata / JPEG segments raise whatever the
+    # index math hits; the seam must convert ALL of them to err rows
+    flac = FL.synthesize_flac(n_samples=256, block_size=256)
+    jpg = next(
+        bytes(r.payload)
+        for r in M.synthetic_media(spark, n=3).collect()
+        if r.kind == "image"
+    )
+    bad = spark.createDataFrame(
+        [
+            (1, "audio", flac[:20], "{}"),   # mid-STREAMINFO cut
+            (2, "image", app14, "{}"),
+            (3, "image", jpg[: len(jpg) // 2], "{}"),
+            (4, "audio", flac, "{}"),        # control: still decodes
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in M.media_features(bad).collect()}
+    assert len(feats) == 4
+    assert feats[1].err is not None
+    assert feats[2].err is not None
+    assert feats[3].err is not None
+    assert feats[4].err is None and feats[4].sample_rate == 16000
