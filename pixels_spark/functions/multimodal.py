@@ -631,12 +631,26 @@ def synthesize_video(n_frames: int, width: int = 8, height: int = 6) -> bytes:
 
 
 def decode_video(payload: bytes) -> dict:
-    """Header-level video metadata: frame count + first-frame dimensions."""
+    """Header-level video metadata: frame count + first-frame dimensions.
+    MP4 payloads route to the ISO BMFF box walk (``mp4.parse_mp4_meta``,
+    VERDICT r10 task #2) — metadata + per-frame byte ranges, no frame
+    decode; other real containers (AVI/MKV) still need ffmpeg."""
     import struct
 
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from pixels_spark.functions.mp4 import parse_mp4_meta
+
+        m = parse_mp4_meta(payload)
+        return {
+            "n_frames": m["n_frames"],
+            "width": m.get("width", 0),
+            "height": m.get("height", 0),
+            "duration_s": m["duration_s"],
+        }
     if payload[:4] != VIDEO_MAGIC:
         raise NotImplementedError(
-            "only the PVID fixture container demuxes without ffmpeg — not installed"
+            "only PVID and MP4 (metadata tier) demux without ffmpeg — "
+            "not installed"
         )
     (n_frames,) = struct.unpack_from("<I", payload, 4)
     first = next(iter_video_frames(payload), None)

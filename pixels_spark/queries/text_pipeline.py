@@ -494,6 +494,30 @@ def mm_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "mm_mp4_meta",
+    sql=_MM.MM_MP4_SQL,
+    tags=("multimodal", "pandas_udf", "video"),
+)
+def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 (ISO BMFF) metadata demux (VERDICT r10 task #2): pure box
+    arithmetic over ftyp/moov/trak/stbl — codec fourcc, track timescale,
+    frame count, duration, dims, chunk layout and exact per-frame byte
+    ranges from the stsc/stco/stsz expansion (ISO/IEC 14496-12 §8.7.4) —
+    inside Arrow mapInPandas batches; frame DECODE stays behind the
+    documented H.264 boundary. The fixture rotates frame counts / fps /
+    timescales / codec ids and ends with a truncated payload so the err
+    channel is value-pinned too. Oracled by golden-value pinning
+    (_mm_golden.MM_MP4_SQL), same convention as mm_decode. Reference:
+    multimodal north star via VECTOR type,
+    pixels-core/.../TypeDescription.java:218.
+    """
+    from pixels_spark.functions import mp4 as MP
+
+    media = MP.synthetic_mp4_media(spark, n=12)
+    return MP.mp4_meta(media).orderBy("media_id")
+
+
+@declare(
     "txt_corpus_clean",
     sql=rf"""
     SELECT lang,

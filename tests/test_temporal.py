@@ -364,3 +364,54 @@ def test_asof_nearest_picks_closer_side_ties_backward(spark, quotes, trades):
         direction="nearest", how="inner",
     )
     assert sorted(r["tid"] for r in inner.collect()) == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_guarded: the long-horizon pair budget (VERDICT r10 task #3)
+
+
+def _exact_theil_sen(days, revs):
+    slopes = sorted(
+        (revs[j] - revs[i]) / (days[j] - days[i])
+        for i in range(len(days))
+        for j in range(i + 1, len(days))
+    )
+    return slopes[-(-len(slopes) // 2) - 1]  # lower median, rank ceil(n/2)
+
+
+def test_theil_sen_guard_under_budget_is_exact(spark):
+    from pixels_spark.queries.temporalq import theil_sen_guarded
+
+    days = list(range(50))
+    revs = [2.5 * d + ((d * 37) % 11 - 5) for d in days]
+    daily = spark.createDataFrame(
+        [(d, float(r)) for d, r in zip(days, revs)], "d bigint, rev double"
+    )
+    row = theil_sen_guarded(daily, max_pairs=500_000).collect()[0]
+    assert (row.n_days, row.n_pairs) == (50, 50 * 49 // 2)
+    assert row.theil_sen_slope == pytest.approx(
+        _exact_theil_sen(days, revs), abs=1e-12
+    )
+
+
+def test_theil_sen_guard_bins_a_2000_day_span(spark):
+    """A multi-year window must NOT build the ~2M-pair frame: past the
+    budget the estimator switches to k time bins with C(k,2) <= max_pairs,
+    keeping the work bound calendar-invariant while staying outlier-robust
+    and slope-accurate on a linear-plus-noise series."""
+    from pixels_spark.queries.temporalq import theil_sen_guarded
+
+    days = list(range(2000))
+    revs = [
+        3.5 * d + ((d * 37) % 13 - 6)  # deterministic bounded noise
+        + (10_000.0 if d % 500 == 250 else 0.0)  # 4 gross outlier days
+        for d in days
+    ]
+    daily = spark.createDataFrame(
+        [(d, float(r)) for d, r in zip(days, revs)], "d bigint, rev double"
+    )
+    row = theil_sen_guarded(daily, max_pairs=5000).collect()[0]
+    assert row.n_days == 2000
+    assert row.n_pairs <= 5000  # C(k,2) within budget, NOT C(2000,2)
+    assert row.n_pairs >= 4000  # and k wasn't needlessly small
+    assert row.theil_sen_slope == pytest.approx(3.5, rel=0.01)

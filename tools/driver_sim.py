@@ -7,6 +7,12 @@ compares a set of queries at sf0.01. Usage:
     python tools/driver_sim.py                 # entry + contract + 8 spot queries
     python tools/driver_sim.py q1 q2 ...       # specific queries
     python tools/driver_sim.py --all           # every oracled query (slow)
+    python tools/driver_sim.py --sample 50 --seed 11 [--exclude F.json]
+        # rotated random N-query audit (VERDICT r10 task #1): seeded
+        # sample of the declared registry, optionally excluding the keys
+        # of a prior CORRECTNESS_r{N}.json so the rotation targets
+        # queries the driver has never checked; writes
+        # DRIVERSIM_rotated_r{N}_seed{S}.json
 """
 
 from __future__ import annotations
@@ -46,7 +52,26 @@ def main() -> int:
 
     args = sys.argv[1:]
     sweep = args == ["--all"]
-    names = list(qs) if sweep else (args or SPOT)
+    sample_n = seed = None
+    exclude: set[str] = set()
+    if "--sample" in args:
+        import json
+        import random
+
+        i = args.index("--sample")
+        sample_n = int(args[i + 1])
+        seed = int(args[args.index("--seed") + 1]) if "--seed" in args else 0
+        if "--exclude" in args:
+            with open(args[args.index("--exclude") + 1]) as f:
+                exclude = set(json.load(f))
+        pool = sorted(set(qs) - exclude)
+        names = random.Random(seed).sample(pool, min(sample_n, len(pool)))
+        print(
+            f"rotated sample: {len(names)} of {len(pool)} "
+            f"(seed={seed}, excluded={len(exclude)})"
+        )
+    else:
+        names = list(qs) if sweep else (args or SPOT)
     failed = []
     results: dict[str, str] = {}
     partial = _sweep_path() + ".partial"
@@ -84,6 +109,19 @@ def main() -> int:
         _write_sweep_record(results)
         if os.path.exists(partial):
             os.remove(partial)
+    elif sample_n is not None:
+        import json
+
+        import bench
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(
+            root,
+            f"DRIVERSIM_rotated_r{bench._next_round_no(root)}_seed{seed}.json",
+        )
+        with open(path, "w") as f:
+            json.dump(dict(sorted(results.items())), f, indent=1)
+        print(f"wrote {path}: {len(results)} queries")
     if failed:
         print("FAILED:", failed)
         return 1
