@@ -240,6 +240,15 @@ HEADLINE = (
     "ts_theil_sen",
     "stat_trimmed_mean",
     "eval_rbo",
+    # round 11: value-grain cross-entropy (ln pair per distinct score),
+    # Walsh-pair robust location (theta self-join, theil_sen's shape on
+    # a DIFFERENT frame — kept because the pair count differs: i<=j),
+    # and whole-graph transitivity (triangle reuse + node-grain means).
+    # eval_matthews_corr / stat_welch_t stay out: single map-side
+    # aggregates to <=2 rows — they would time fixed cost, not a plan.
+    "eval_log_loss",
+    "stat_hodges_lehmann",
+    "graph_transitivity",
 )
 
 
@@ -447,6 +456,18 @@ def write_benchlog(
         "numbers as the driver's BENCH json). Regenerate: `python bench.py`.",
         "`prev s`/`Δ×` compare to the best-of-3 of the previous committed",
         "run (blank = new query).",
+        "",
+        "Fixed-cost attribution (VERDICT r10 task #5, measured by",
+        "`tools/bench_overhead.py` r11): a compute-free marker query",
+        "through the same noop sink costs 30-80 ms and stays FLAT across",
+        "all 115 queries of a pass (fit slope ~0 us/query) — there is NO",
+        "session-age overhead growth (no listener/state accumulation).",
+        "Expected drift per round is therefore: +[query's compute +",
+        "~0.05-0.08 s fixed] per ADDED headline query, plus shared-host",
+        "noise that best-of-3 bounds at roughly +-5% on the comparable",
+        "total (sub-second queries swing hardest: fixed cost is ~10% of",
+        "their time). A comparable-total ratio above ~1.15x of the prior",
+        "round is a real regression; below that, read per-query Δ×.",
         "",
         f"- sf: {sf}",
         f"- queries: {len(timings)}",

@@ -1110,3 +1110,149 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kappa"
         ),
     )
+
+
+@declare(
+    "eval_log_loss",
+    sql="""
+    WITH lab AS (
+      SELECT least(greatest(value / 500.0, 0.000001), 0.999999) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    g AS (
+      SELECT p, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM lab GROUP BY p),
+    terms AS (
+      SELECT pos, neg,
+             CAST(-(pos * ln(p) + neg * ln(1.0 - p)) AS DECIMAL(28,12))
+               AS t
+      FROM g)
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(sum(t) AS DOUBLE) / (sum(pos) + sum(neg)) AS log_loss
+    FROM terms
+    """,
+    tags=("eval", "log-loss", "calibration", "beyond-parity"),
+)
+def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (log loss) of the purchase-probability proxy
+    (score/500, clipped to [1e-6, 1-1e-6] per the sklearn convention so
+    a confidently-wrong row costs ln(1e6), not infinity) — the proper
+    scoring rule that, unlike Brier, punishes overconfidence
+    exponentially. Terms are computed at the VALUE GRAIN (one ln pair
+    per distinct score: pos·(-ln p) + neg·(-ln(1-p))), each quantized to
+    DECIMAL(28,12) before the order-independent decimal sum — the
+    eval_brier discipline, so the oracle hashes bit-identically.
+
+    Scale: one hash aggregate to the score grain (map-side partials),
+    then O(#grains) math; the events table is never shuffled at row
+    grain."""
+    lab = _labeled(spark, sf_dir).select(
+        F.least(
+            F.greatest(F.col("v") / 500.0, F.lit(0.000001)),
+            F.lit(0.999999),
+        ).alias("p"),
+        "y",
+    )
+    g = lab.groupBy("p").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    )
+    t = g.select(
+        "pos",
+        "neg",
+        (
+            -(
+                F.col("pos") * F.log(F.col("p"))
+                + F.col("neg") * F.log(1.0 - F.col("p"))
+            )
+        )
+        .cast("decimal(28,12)")
+        .alias("t"),
+    )
+    return t.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        (
+            F.sum("t").cast("double")
+            / (F.sum("pos") + F.sum("neg"))
+        ).alias("log_loss"),
+    )
+
+
+@declare(
+    "eval_matthews_corr",
+    sql="""
+    WITH lab AS (
+      SELECT CASE WHEN value >= 250.0 THEN 1 ELSE 0 END AS yhat,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    c AS (
+      SELECT CAST(sum(y * yhat) AS BIGINT) AS tp,
+             CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
+             CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
+             CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+      FROM lab)
+    SELECT tp, fp, fn, tn,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy,
+           CASE WHEN (tp+fp) * (tp+fn) * (tn+fp) * (tn+fn) > 0 THEN
+             (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt(CAST((tp+fp) AS DOUBLE) * (tp+fn) * (tn+fp) * (tn+fn))
+           END AS mcc
+    FROM c
+    """,
+    tags=("eval", "mcc", "classification", "beyond-parity"),
+)
+def eval_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient at the fixed decision threshold
+    score >= 250 (mid-scale of the 0-500 proxy) — the single-number
+    confusion summary that stays honest under class imbalance where
+    accuracy saturates (a 95%-negative corpus scores ~0.95 accuracy on
+    the trivial rejector; MCC ~0). Confusion counts are exact BIGINTs
+    from one aggregate; MCC is one fixed IEEE chain with the zero-margin
+    guard (any empty row/column of the confusion matrix -> NULL, the
+    sklearn undefined case).
+
+    Scale: a single map-side-partial aggregate over the label scan —
+    no shuffle at row grain, no window."""
+    lab = _labeled(spark, sf_dir).select(
+        F.when(F.col("v") >= 250.0, 1).otherwise(0).alias("yhat"), "y"
+    )
+    c = lab.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("bigint").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    prod = (
+        (F.col("tp") + F.col("fp"))
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
+        ).alias("accuracy"),
+        F.when(
+            prod > 0,
+            (
+                F.col("tp").cast("double") * F.col("tn")
+                - F.col("fp").cast("double") * F.col("fn")
+            )
+            / F.sqrt(
+                (F.col("tp") + F.col("fp")).cast("double")
+                * (F.col("tp") + F.col("fn"))
+                * (F.col("tn") + F.col("fp"))
+                * (F.col("tn") + F.col("fn"))
+            ),
+        ).alias("mcc"),
+    )

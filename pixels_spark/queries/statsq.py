@@ -2112,3 +2112,111 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@declare(
+    "stat_welch_t",
+    sql="""
+    WITH lab AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DECIMAL(38,6)) AS sv,
+             CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DECIMAL(38,12))
+               AS svv
+      FROM lab GROUP BY grp),
+    m AS (
+      SELECT grp, n,
+             CAST(sv AS DOUBLE) / n AS mean,
+             (CAST(svv AS DOUBLE)
+              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+             / (n - 1) AS var
+      FROM s),
+    w AS (
+      SELECT a.n AS n1, b.n AS n2, a.mean AS m1, b.mean AS m2,
+             a.var AS v1, b.var AS v2,
+             a.var / a.n + b.var / b.n AS se2
+      FROM m a JOIN m b ON a.grp = 1 AND b.grp = 0)
+    SELECT n1, n2, m1 AS mean_purchase, m2 AS mean_view,
+           m1 - m2 AS mean_diff,
+           (m1 - m2) / sqrt(se2) AS t_stat,
+           se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                        + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS welch_df
+    FROM w
+    """,
+    tags=("stats", "hypothesis-test", "welch-t", "beyond-parity"),
+)
+def stat_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: does purchase spend differ from
+    view spend in mean? The parametric complement to stat_mann_whitney
+    (rank-based) — Welch's form drops Student's equal-variance
+    assumption, the robust default (scipy's equal_var=False). The
+    per-group moment sums are EXACT: values quantize to DECIMAL(18,6),
+    squares to DECIMAL(38,12), both summed as decimals (order-
+    independent, map-side partials); mean, sample variance (the
+    numerically-stable sum-of-squares-minus-square-of-sum form over
+    exact decimal sums, NOT a streaming float recurrence), t, and the
+    Welch–Satterthwaite df are one fixed IEEE chain at the end, so the
+    oracle hashes bit-identically.
+
+    Scale: one hash aggregate to 2 group rows — no shuffle at row
+    grain, no window; the same shape at any SF."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    s = lab.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(38,6)").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)")
+        .alias("svv"),
+    )
+    m = s.select(
+        "grp",
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double")
+                * F.col("sv").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n1"), F.col("mean").alias("m1"),
+        F.col("var").alias("v1"),
+    )
+    b = m.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n2"), F.col("mean").alias("m2"),
+        F.col("var").alias("v2"),
+    )
+    w = a.crossJoin(F.broadcast(b)).withColumn(
+        "se2", F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.col("m1").alias("mean_purchase"),
+        F.col("m2").alias("mean_view"),
+        (F.col("m1") - F.col("m2")).alias("mean_diff"),
+        ((F.col("m1") - F.col("m2")) / F.sqrt(F.col("se2"))).alias("t_stat"),
+        (
+            F.col("se2")
+            * F.col("se2")
+            / (
+                (F.col("v1") / F.col("n1"))
+                * (F.col("v1") / F.col("n1"))
+                / (F.col("n1") - 1)
+                + (F.col("v2") / F.col("n2"))
+                * (F.col("v2") / F.col("n2"))
+                / (F.col("n2") - 1)
+            )
+        ).alias("welch_df"),
+    )

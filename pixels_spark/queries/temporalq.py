@@ -1752,3 +1752,100 @@ def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("ties_cnt"),
         tau.alias("tau_b"),
     )
+
+
+@declare(
+    "stat_hodges_lehmann",
+    sql=f"""
+    WITH {_DAILY_REV_CTE},
+    walsh AS (
+      SELECT (CAST(a.rev AS DOUBLE) + CAST(b.rev AS DOUBLE)) / 2.0 AS w
+      FROM dly a JOIN dly b ON a.d <= b.d),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM walsh),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dly),
+    r AS (SELECT w, row_number() OVER (ORDER BY w) AS rn FROM walsh)
+    SELECT n_days, n_pairs, w AS hodges_lehmann
+    FROM r CROSS JOIN np CROSS JOIN nd
+    WHERE rn = CAST(ceil(n_pairs / 2.0) AS BIGINT)
+    """,
+    tags=("stats", "robust", "location", "beyond-parity"),
+)
+def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann location estimate of daily revenue — the lower
+    median of all Walsh averages (rev_i + rev_j)/2 over day pairs i <= j
+    (i = j included, the one-sample HL convention) — the estimator dual
+    to the Wilcoxon signed-rank test: 29% breakdown like the median, but
+    ~95% Gaussian efficiency where the plain median loses a third.
+    Completes the robust family next to ts_theil_sen (robust slope) and
+    stat_trimmed_mean (robust mean). Averages are one IEEE chain from
+    exact DECIMAL day revenues; the estimate is the exactly-oracled
+    lower median (rank ceil(n/2)).
+
+    Scale: same bound as ts_theil_sen — the Walsh frame is O(#days²)
+    over the calendar-bounded day grain (465 pairs at 30 days), built by
+    a broadcast theta self-join; past a pair budget, bin first exactly as
+    ``theil_sen_guarded`` does (the binned-median reduction applies to
+    Walsh averages unchanged)."""
+    d = _daily_rev(spark, sf_dir)
+    a = d.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = d.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    walsh = a.join(F.broadcast(b), F.col("da") <= F.col("db")).select(
+        (
+            (F.col("ra").cast("double") + F.col("rb").cast("double")) / 2.0
+        ).alias("w")
+    )
+    np_ = walsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    w = Window.orderBy("w")
+    return (
+        walsh.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("rn")
+            == F.ceil(F.col("n_pairs") / F.lit(2.0)).cast("bigint")
+        )
+        .select("n_days", "n_pairs", F.col("w").alias("hodges_lehmann"))
+    )
+
+
+@declare(
+    "ts_theil_sen_binned",
+    sql=f"""
+    WITH {_DAILY_REV_CTE},
+    bounds AS (SELECT min(d) AS lo, max(d) - min(d) + 1 AS span FROM dly),
+    binned AS (
+      SELECT CAST(floor((dly.d - bounds.lo) * 8 / bounds.span) AS BIGINT)
+               AS bin,
+             quantile_cont(CAST(dly.d AS DOUBLE), 0.5) AS d,
+             quantile_cont(CAST(dly.rev AS DOUBLE), 0.5) AS rev
+      FROM dly CROSS JOIN bounds GROUP BY 1),
+    slopes AS (
+      SELECT (b.rev - a.rev) / (b.d - a.d) AS slope
+      FROM binned a JOIN binned b ON a.d < b.d),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM slopes),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dly),
+    r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM slopes)
+    SELECT n_days, n_pairs, slope AS theil_sen_slope
+    FROM r CROSS JOIN np CROSS JOIN nd
+    WHERE rn = CAST(ceil(n_pairs / 2.0) AS BIGINT)
+    """,
+    tags=("timeseries", "trend", "robust", "binned", "beyond-parity"),
+)
+def ts_theil_sen_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BINNED branch of ``theil_sen_guarded``, driver-oracled: with
+    max_pairs=28 the 30-day fixture exceeds the budget (435 > 28), so
+    the estimator takes the long-horizon path — k=8 time bins (largest k
+    with C(k,2) <= 28), per-bin exact interpolated medians of day and
+    revenue (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both the
+    linear-interpolation-at-(n-1)q definition), pairwise slopes over the
+    8 bin points, lower median. The oracle restates the binning
+    arithmetic exactly (floor((d-lo)·k/span) on the same integer day
+    grain), so the scale-path code — not just the exact path — is
+    value-hash-checked every round. ts_theil_sen keeps the exact
+    all-pairs result at this window; this query exists to pin the
+    fallback's semantics.
+
+    Scale: the entire point — work is C(k,2) <= max_pairs REGARDLESS of
+    calendar span; the bin aggregate is one groupBy over the day grain."""
+    return theil_sen_guarded(_daily_rev(spark, sf_dir), max_pairs=28)

@@ -31,6 +31,11 @@ ALLOWLIST = {
     "(O(#days²) pairs) + 1-row scalar frames",
     "ts_kendall_tau": "theta self-join of the calendar-bounded day frame "
     "(O(#days²) pairs) + 1-row scalar frames",
+    "stat_hodges_lehmann": "theta self-join of the calendar-bounded day "
+    "frame (O(#days²) Walsh pairs — 465 at 30 days) + 1-row scalar frames",
+    "ts_theil_sen_binned": "theta self-join of the k=8 bin-median frame "
+    "(C(8,2)=28 pairs — the pair-budget bound itself) + scalar frames",
+    "stat_welch_t": "2-group moment frame crossJoin (1 row each side)",
     "eval_rbo": "1-row query-vector crossJoin; 10-row depth grid × "
     "≤10-row overlap frame",
     "eval_ece": "scalar total-count frame crossJoin (1 row) onto the "
@@ -155,6 +160,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "(the stat_mann_whitney kernel)",
     "ts_theil_sen": "lower-median rank over the O(#days²) slope frame — "
     "435 rows at 30 days, ~5M/decade; band-kernel beyond",
+    "stat_hodges_lehmann": "lower-median rank over the O(#days²) Walsh "
+    "frame — 465 rows at 30 days; theil_sen_guarded binning beyond",
+    "ts_theil_sen_binned": "lower-median rank over the <=28-row binned "
+    "slope frame (the pair budget is the bound)",
     "eval_rbo": "rank windows over the two LIMIT-10 result frames + "
     "cumulative over the 10-row depth grid",
     "eval_ndcg_ann": "rank windows over the two LIMIT-10 result frames: "
