@@ -249,6 +249,11 @@ HEADLINE = (
     "eval_log_loss",
     "stat_hodges_lehmann",
     "graph_transitivity",
+    # round 11 wave 2: Poisson bootstrap (32x in-executor explode +
+    # map-side weighted partials — the one new plan shape of the wave;
+    # the stream_eval_log_loss twin stays out like every streaming twin:
+    # its cost is micro-batch machinery, not a batch plan)
+    "stat_bootstrap_ci",
 )
 
 

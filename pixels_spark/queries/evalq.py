@@ -1159,6 +1159,18 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("pos"),
         F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
     )
+    return log_loss_scan(g)
+
+
+def log_loss_scan(g: DataFrame) -> DataFrame:
+    """The log-loss scoring stage over a (p, pos, neg) score-grain
+    counter table — factored (the auc/psi/ks/ece _scan convention) so
+    the streaming twin ``stream_eval_log_loss`` scores its MAINTAINED
+    counter table with the identical plan and shares this oracle
+    bit-for-bit (grain counts are LINEAR — they fold by SUM across
+    micro-batches — and the ln terms are computed from the folded
+    counters at scoring time, so the maintained table equals the
+    one-shot batch build exactly)."""
     t = g.select(
         "pos",
         "neg",

@@ -2220,3 +2220,124 @@ def stat_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+# Poisson(1) CDF as 60-bit hex thresholds (15 md5 hex chars): a row's
+# bootstrap weight in replicate b = #{k : md5_prefix >= TH[k]} — the
+# inverse-CDF draw with the repo's RNG-free md5 uniform, restated as a
+# pure STRING comparison (md5 hex is lexicographically ordered by its
+# numeric value), so both engines compute the identical weight without
+# any hex->int conversion. Truncated at weight 9 (P ~ 1e-7 per draw).
+_POIS1_HEX = (
+    "5e2d58d8b3bce00", "bc5ab1b16779c00", "eb715e1dc158300",
+    "fb23979734a2580", "ff1025f59174e00", "ffd90f3ba405600",
+    "fffa8b71fc72c80", "ffff540c0914b00", "ffffed1f4aa8f00",
+)
+_B_REPS = 32
+
+
+def _pois_weight_sql(h: str) -> str:
+    return " + ".join(f"(CASE WHEN {h} >= '{t}' THEN 1 ELSE 0 END)"
+                      for t in _POIS1_HEX)
+
+
+@declare(
+    "stat_bootstrap_ci",
+    sql=f"""
+    WITH lab AS (
+      SELECT event_id, CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE event_type = 'purchase'),
+    reps AS (
+      SELECT lab.v, r.b,
+             {_pois_weight_sql("substring(md5(CAST(lab.event_id AS VARCHAR) "
+                               "|| ':' || CAST(r.b AS VARCHAR)), 1, 15)")} AS w
+      FROM lab CROSS JOIN (SELECT CAST(range AS BIGINT) AS b
+                           FROM range({_B_REPS})) r),
+    rmeans AS (
+      SELECT b, CAST(sum(w * v) AS DOUBLE) / sum(w) AS m
+      FROM reps GROUP BY b HAVING sum(w) > 0),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) / count(*) AS mean FROM lab)
+    SELECT base.n, CAST({_B_REPS} AS BIGINT) AS n_replicates, base.mean,
+           quantile_cont(rmeans.m, 0.025) AS ci_lo,
+           quantile_cont(rmeans.m, 0.975) AS ci_hi
+    FROM rmeans CROSS JOIN base
+    GROUP BY base.n, base.mean
+    """,
+    tags=("stats", "bootstrap", "confidence-interval", "beyond-parity"),
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean purchase value — THE bootstrap
+    that scales: classical resampling needs n draws per replicate
+    coordinated globally, but Poisson(1) weights are drawn per (row,
+    replicate) independently (the sum of weights concentrates at n), so
+    every replicate is one weighted mean computed map-side in a single
+    pass. Weights are RNG-free: the md5(event_id:b) 60-bit prefix is the
+    uniform draw, inverted through the Poisson(1) CDF as a string
+    comparison against 9 hex thresholds — deterministic, replayable, and
+    dialect-shared verbatim. Replicate means (32) feed the percentile
+    CI (exact interpolated quantiles, Spark percentile ≡ DuckDB
+    quantile_cont at the same (n-1)q definition).
+
+    Scale: rows × 32 replicates expand INSIDE the executor (explode of
+    a literal sequence — no shuffle at expanded grain; map-side partial
+    aggregation folds each replicate's weighted sum before the 32-group
+    exchange). State after the fold is 32 rows. At 100 TB the expansion
+    factor is the only knob: B=32 keeps the pass at 32× map work, zero
+    extra scans; the weight-column (un-exploded, B aggregates in one
+    projection) variant trades plan width for fanout if 32× map volume
+    ever binds."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    reps = lab.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "v",
+        "b",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("event_id").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ).alias("h"),
+    )
+    w = None
+    for t in _POIS1_HEX:
+        term = F.when(F.col("h") >= F.lit(t), 1).otherwise(0)
+        w = term if w is None else w + term
+    rmeans = (
+        reps.select("v", "b", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("v")).cast("double") / F.sum("w")).alias(
+                "m"
+            ),
+            F.sum("w").alias("_tw"),
+        )
+        .filter(F.col("_tw") > 0)
+        .select("b", "m")
+    )
+    base = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean"),
+    )
+    return (
+        rmeans.crossJoin(F.broadcast(base))
+        .groupBy("n", "mean")
+        .agg(
+            F.lit(_B_REPS).cast("bigint").alias("n_replicates"),
+            F.expr("percentile(m, 0.025)").alias("ci_lo"),
+            F.expr("percentile(m, 0.975)").alias("ci_hi"),
+        )
+        .select("n", "n_replicates", "mean", "ci_lo", "ci_hi")
+    )

@@ -2512,3 +2512,112 @@ def stream_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counters = spark.read.parquet(st["data"])
     return _finalize(ece_scan(counters), work)
+
+
+def _stream_log_loss_oracle() -> str:
+    from .evalq import eval_log_loss as _ell  # noqa: F401 (registry holds sql)
+    from .registry import REGISTRY
+
+    return REGISTRY["eval_log_loss"].sql
+
+
+@declare(
+    "stream_eval_log_loss",
+    sql=_stream_log_loss_oracle(),
+    tags=("streaming", "eval", "log-loss", "linear-state", "beyond-parity"),
+)
+def stream_eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cross-entropy monitoring: log loss maintained over an
+    unbounded scored stream. Per micro-batch the (p, pos, neg)
+    score-grain counter table folds by SUM (the stream_ks_drift
+    value-grain-counter convention — counts are LINEAR), and the ln
+    terms are computed from the folded counters at scoring time by the
+    identical factored stage (``evalq.log_loss_scan``), so the result
+    hash-matches ``eval_log_loss``'s oracle bit-for-bit. State is
+    O(#distinct clipped scores) — the score GRAIN, not the row count
+    (and naturally bounded for any quantized/bucketed model output);
+    continuous 'is the model drifting confidently wrong?' without
+    re-scanning history. Replay-idempotent via the last_bid guard."""
+    import json
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="pxs_stream_logloss_")
+    src = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    state_json = os.path.join(state_root, "STATE.json")
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).alias("m")
+    ).first()["m"]
+    _write_slices(
+        [e.filter(F.col("event_id") <= half), e.filter(F.col("event_id") > half)],
+        src,
+    )
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(state_json):
+            with open(state_json) as _f:
+                if json.load(_f).get("last_bid") == _bid:
+                    return  # at-least-once replay: already folded
+        g = (
+            batch_df.filter(F.col("event_type").isin("purchase", "view"))
+            .select(
+                F.least(
+                    F.greatest(F.col("value") / 500.0, F.lit(0.000001)),
+                    F.lit(0.999999),
+                ).alias("p"),
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .alias("y"),
+            )
+            .groupBy("p")
+            .agg(
+                F.sum("y").cast("bigint").alias("pos"),
+                F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+            )
+        )
+        if os.path.exists(state_json):
+            with open(state_json) as f:
+                st = json.load(f)
+            g = (
+                g.unionByName(spark.read.parquet(st["data"]))
+                .groupBy("p")
+                .agg(
+                    F.sum("pos").cast("bigint").alias("pos"),
+                    F.sum("neg").cast("bigint").alias("neg"),
+                )
+            )
+            nb = st["n"] + 1
+        else:
+            st, nb = None, 1
+        dest = os.path.join(state_root, f"counts_v={nb}")
+        g.write.mode("overwrite").parquet(dest)
+        tmp = state_json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": nb, "data": dest, "last_bid": _bid}, f)
+        os.replace(tmp, state_json)
+        if st and st["data"] != dest and os.path.isdir(st["data"]):
+            shutil.rmtree(st["data"], ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_eval_log_loss did not finish in 600s")
+    with open(state_json) as f:
+        st = json.load(f)
+    assert st["n"] >= 2, "expected >= 2 micro-batches"
+    from .evalq import log_loss_scan
+
+    counters = spark.read.parquet(st["data"])
+    return _finalize(log_loss_scan(counters), work)

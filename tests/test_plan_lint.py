@@ -36,6 +36,8 @@ ALLOWLIST = {
     "ts_theil_sen_binned": "theta self-join of the k=8 bin-median frame "
     "(C(8,2)=28 pairs — the pair-budget bound itself) + scalar frames",
     "stat_welch_t": "2-group moment frame crossJoin (1 row each side)",
+    "stat_bootstrap_ci": "scalar base-mean frame crossJoin (1 row) onto "
+    "the 32-row replicate-mean frame",
     "eval_rbo": "1-row query-vector crossJoin; 10-row depth grid × "
     "≤10-row overlap frame",
     "eval_ece": "scalar total-count frame crossJoin (1 row) onto the "
