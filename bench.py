@@ -252,7 +252,12 @@ HEADLINE = (
     # round 11 wave 2: Poisson bootstrap (32x in-executor explode +
     # map-side weighted partials — the one new plan shape of the wave;
     # the stream_eval_log_loss twin stays out like every streaming twin:
-    # its cost is micro-batch machinery, not a batch plan)
+    # its cost is micro-batch machinery, not a batch plan).
+    # stat_permutation_test stays out: it shares stat_bootstrap_ci's
+    # explode-32 shape (the ts_mann_kendall one-per-shape rule); vec_mmr
+    # stays out: past the knn scan already benched as vec_knn its cost
+    # is 5 fixed-overhead jobs over <=16-row frames, which would time
+    # the scheduler, not a plan.
     "stat_bootstrap_ci",
 )
 

@@ -2341,3 +2341,155 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "n_replicates", "mean", "ci_lo", "ci_hi")
     )
+
+
+@declare(
+    "stat_permutation_test",
+    sql=f"""
+    WITH lab AS (
+      SELECT event_id, CAST(value AS DECIMAL(18,6)) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n1 FROM lab),
+    obs AS (
+      SELECT CAST(sum(v * y) AS DOUBLE) / sum(y)
+             - CAST(sum(v * (1 - y)) AS DOUBLE) / sum(1 - y) AS d
+      FROM lab),
+    reps AS (
+      SELECT r.b, lab.v,
+             CASE WHEN CAST(CAST(concat('0x', substr(md5(
+                      CAST(lab.event_id AS VARCHAR) || ':p:'
+                      || CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT)
+                    AS DECIMAL(38,0)) * tot.n
+                  < CAST(tot.n1 AS DECIMAL(38,0)) * 4294967296
+             THEN 1 ELSE 0 END AS g
+      FROM lab CROSS JOIN tot
+           CROSS JOIN (SELECT CAST(range AS BIGINT) AS b
+                       FROM range({_B_REPS})) r),
+    rdiff AS (
+      SELECT b, CAST(sum(v * g) AS DOUBLE) / sum(g)
+                - CAST(sum(v * (1 - g)) AS DOUBLE) / sum(1 - g) AS d
+      FROM reps GROUP BY b
+      HAVING sum(g) > 0 AND sum(1 - g) > 0)
+    SELECT tot.n, tot.n1 AS n_purchase, obs.d AS obs_diff,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           CAST(sum(CASE WHEN abs(rdiff.d) >= abs(obs.d)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST(1 + sum(CASE WHEN abs(rdiff.d) >= abs(obs.d)
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+             / (1 + count(*)) AS p_value
+    FROM rdiff CROSS JOIN tot CROSS JOIN obs
+    GROUP BY tot.n, tot.n1, obs.d
+    """,
+    tags=("stats", "hypothesis-test", "permutation", "beyond-parity"),
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (approximate permutation) test for the purchase-vs-
+    view mean-spend difference — the assumption-free complement to
+    stat_welch_t (no normality, no variance model: under H0 the labels
+    are exchangeable, so the observed diff is compared to the diff
+    distribution under 32 random relabelings). Relabelings are RNG-free:
+    replicate b assigns a row to the pseudo-purchase group iff its md5
+    32-bit prefix · n < n1 · 2^32 — EXACT integer comparison (DECIMAL
+    multiplies, no float threshold), the group-kfold md5 convention, so
+    both engines draw identical labels and the two-sided add-one p-value
+    (1 + #extreme)/(1 + B) replays exactly. Replicates that degenerate
+    to one empty group are excluded by the HAVING on both engines.
+
+    Scale: rows × 32 expand INSIDE the executor (explode of a literal
+    sequence — the stat_bootstrap_ci shape); map-side partials fold each
+    replicate's decimal sums before the 32-group exchange; state after
+    the fold is 32 rows."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    tot = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n1"),
+    )
+    obs = lab.agg(
+        (
+            F.sum(F.col("v") * F.col("y")).cast("double") / F.sum("y")
+            - F.sum(F.col("v") * (1 - F.col("y"))).cast("double")
+            / F.sum(1 - F.col("y"))
+        ).alias("d")
+    )
+    val = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("event_id").cast("string"),
+                    F.lit("p"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    reps = (
+        lab.crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "event_id",
+            "n",
+            "n1",
+            F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
+        )
+        .select(
+            "b",
+            "v",
+            F.when(
+                val.cast("decimal(38,0)") * F.col("n")
+                < F.col("n1").cast("decimal(38,0)") * F.lit(4294967296),
+                1,
+            )
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    rdiff = (
+        reps.groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("g")).cast("double") / F.sum("g")
+                - F.sum(F.col("v") * (1 - F.col("g"))).cast("double")
+                / F.sum(1 - F.col("g"))
+            ).alias("d"),
+            F.sum("g").alias("_ng"),
+            F.sum(1 - F.col("g")).alias("_nn"),
+        )
+        .filter((F.col("_ng") > 0) & (F.col("_nn") > 0))
+        .select("b", "d")
+    )
+    return (
+        rdiff.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(obs.select(F.col("d").alias("_od"))))
+        .groupBy("n", "n1", "_od")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+            F.sum(
+                F.when(F.abs(F.col("d")) >= F.abs(F.col("_od")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            "n",
+            F.col("n1").alias("n_purchase"),
+            F.col("_od").alias("obs_diff"),
+            "n_replicates",
+            "n_extreme",
+            (
+                (1 + F.col("n_extreme")).cast("double")
+                / (1 + F.col("n_replicates"))
+            ).alias("p_value"),
+        )
+    )

@@ -2148,3 +2148,133 @@ def eval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+def _mmr_oracle(k: int = 5, c: int = 16, qid: int = 7) -> str:
+    """Unrolled greedy-MMR CTEs (the pagerank/kcore unroll convention):
+    step i joins the remaining candidates against the union of the i-1
+    prior selections, takes max pairwise cosine, scores
+    0.7·rel − 0.3·maxsim, and argmaxes with the (score DESC, vec_id)
+    tie order. Every cosine is the ordered-fold _sql_cos, bit-identical
+    to the Spark side."""
+    parts = [
+        f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+    cand AS (SELECT vec_id, embedding,
+                    {_sql_cos("embedding", "qv")} AS rel
+             FROM embeddings, q ORDER BY rel DESC, vec_id LIMIT {c}),
+    s1 AS (SELECT vec_id, embedding, rel, rel AS score
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""
+    ]
+    for i in range(2, k + 1):
+        selu = " UNION ALL ".join(
+            f"SELECT vec_id, embedding FROM s{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+    selu{i - 1} AS ({selu}),
+    rem{i} AS (SELECT * FROM cand
+               WHERE vec_id NOT IN (SELECT vec_id FROM selu{i - 1})),
+    ms{i} AS (SELECT r.vec_id,
+                     max({_sql_cos("r.embedding", "s.embedding")}) AS ms
+              FROM rem{i} r CROSS JOIN selu{i - 1} s GROUP BY r.vec_id),
+    s{i} AS (SELECT r.vec_id, r.embedding, r.rel,
+                    0.7 * r.rel - 0.3 * m.ms AS score
+             FROM rem{i} r JOIN ms{i} m ON m.vec_id = r.vec_id
+             ORDER BY score DESC, r.vec_id LIMIT 1)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rnk, vec_id, rel, score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\n    SELECT rnk, vec_id, rel, score FROM ({finals}) ORDER BY rnk")
+    return "".join(parts)
+
+
+@declare(
+    "vec_mmr",
+    sql=_mmr_oracle(),
+    tags=("vector", "mmr", "diversity", "reranking", "beyond-parity"),
+)
+def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity stage every RAG/retrieval serving path runs
+    after kNN: from the top-16 cosine candidates, greedily select 5
+    maximizing 0.7·relevance − 0.3·max-similarity-to-already-selected,
+    so near-duplicate passages don't crowd the context window. The
+    greedy chain is built ENTIRELY in-plan: each step is a bounded
+    (≤16-row) frame joined against the union of prior one-row argmax
+    frames — no driver-side loop state, one job at the end; ties break
+    (score DESC, vec_id), so the sequence is deterministic and the
+    unrolled-CTE oracle (_mmr_oracle, the pagerank convention) replays
+    it exactly.
+
+    Scale: candidate generation is the knn plan (broadcast 1-row query,
+    map-side cosine, TakeOrdered top-16 — no corpus shuffle); everything
+    after operates on ≤16 rows regardless of corpus size. k and the
+    candidate budget are the only knobs."""
+    lam = 0.7
+    e = load_table(spark, sf_dir, "embeddings")
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    qn = q.select("_qvec", V.l2_norm(F.col("_qvec")).alias("_qn"))
+    cand = (
+        e.select("vec_id", "embedding", V.l2_norm(F.col("embedding")).alias("_vn"))
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            "embedding",
+            (
+                V.dot(F.col("embedding"), F.col("_qvec"))
+                / (F.col("_vn") * F.col("_qn"))
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(16)
+        .persist()
+    )
+    picks = [
+        cand.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "embedding", "rel", F.col("rel").alias("score"))
+    ]
+    for _i in range(2, 6):
+        selu = picks[0].select("vec_id", "embedding")
+        for p in picks[1:]:
+            selu = selu.unionByName(p.select("vec_id", "embedding"))
+        rem = cand.join(
+            F.broadcast(selu.select("vec_id")), "vec_id", "left_anti"
+        )
+        ms = (
+            rem.crossJoin(
+                F.broadcast(
+                    selu.select(
+                        F.col("vec_id").alias("_sid"),
+                        F.col("embedding").alias("_semb"),
+                    )
+                )
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max(V.cosine(F.col("embedding"), F.col("_semb"))).alias("ms")
+            )
+        )
+        picks.append(
+            rem.join(F.broadcast(ms), "vec_id")
+            .select(
+                "vec_id",
+                "embedding",
+                "rel",
+                (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("ms")).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+    out = None
+    for i, p in enumerate(picks, 1):
+        row = p.select(
+            F.lit(i).cast("bigint").alias("rnk"), "vec_id", "rel", "score"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rnk")

@@ -38,6 +38,8 @@ ALLOWLIST = {
     "stat_welch_t": "2-group moment frame crossJoin (1 row each side)",
     "stat_bootstrap_ci": "scalar base-mean frame crossJoin (1 row) onto "
     "the 32-row replicate-mean frame",
+    "stat_permutation_test": "scalar total/observed frames crossJoin "
+    "(1 row each) onto the row scan and the 32-row replicate frame",
     "eval_rbo": "1-row query-vector crossJoin; 10-row depth grid × "
     "≤10-row overlap frame",
     "eval_ece": "scalar total-count frame crossJoin (1 row) onto the "
@@ -57,6 +59,8 @@ ALLOWLIST = {
     "txt_boilerplate": "scalar doc-count frame crossJoin (1 row)",
     "txt_heavy_hitters": "scalar row-count frame crossJoin (1 row)",
     "vec_knn": "1-row query-vector crossJoin",
+    "vec_mmr": "1-row query-vector crossJoin + greedy-step joins over "
+    "the <=16-row candidate frame (<=4-row selected side)",
     "vec_knn_int8": "1-row query-vector crossJoin",
     "vec_knn_pq": "1-row query-vector crossJoin",
     "vec_batch_knn": "bounded query-set crossJoin (16 rows, broadcast)",

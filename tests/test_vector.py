@@ -660,3 +660,53 @@ def test_pca_top2_recovers_both_directions_orthogonal(spark):
     assert abs(float(v1 @ eigvecs[:, -1])) > 0.99
     assert abs(float(v2 @ eigvecs[:, -2])) > 0.99
     assert abs(float(v1 @ v2)) < 0.05  # near-orthogonal (3-round v1 residual)
+
+
+def test_mmr_matches_independent_greedy_replay(spark, sf_dir):
+    """Replay the greedy MMR selection independently in Python over the
+    collected top-16 candidates (floats, same 0.7/0.3 weights, same
+    (score DESC, vec_id) tie order) and assert the declared query picks
+    the identical sequence — an implementation-independent check of the
+    greedy chain, valid on ANY fixture geometry (at sf0.001 the top-5 is
+    already diverse, so a set-difference assertion would be vacuous)."""
+    import math as _m
+
+    from pixels_spark.queries.vector_search import vec_mmr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = V.query_vector(e, "vec_id", "embedding", qid=7)
+    qv = q.collect()[0]._qvec
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (_m.sqrt(sum(x * x for x in a)) * _m.sqrt(sum(y * y for y in b)))
+
+    cand = sorted(
+        (
+            (cos(r.embedding, qv), r.vec_id, list(r.embedding))
+            for r in e.collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:16]
+    sel = [cand[0]]
+    rest = cand[1:]
+    while len(sel) < 5:
+        scored = sorted(
+            (
+                (
+                    0.7 * rel - 0.3 * max(cos(emb, s[2]) for s in sel),
+                    vid,
+                    (rel, vid, emb),
+                )
+                for rel, vid, emb in rest
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        sel.append(scored[0][2])
+        rest = [c for c in rest if c[1] != scored[0][1]]
+    expect = [vid for _rel, vid, _e in sel]
+
+    rows = vec_mmr(spark, sf_dir).collect()
+    assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+    assert [r.vec_id for r in rows] == expect
+    assert rows[0].score == pytest.approx(rows[0].rel)
