@@ -1783,10 +1783,58 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same bound as ts_theil_sen — the Walsh frame is O(#days²)
     over the calendar-bounded day grain (465 pairs at 30 days), built by
-    a broadcast theta self-join; past a pair budget, bin first exactly as
-    ``theil_sen_guarded`` does (the binned-median reduction applies to
-    Walsh averages unchanged)."""
-    d = _daily_rev(spark, sf_dir)
+    a broadcast theta self-join; past the 500k-pair budget
+    ``hodges_lehmann_guarded`` bins first exactly as theil_sen_guarded
+    does (the binned-median reduction applies to Walsh averages
+    unchanged — 2000-day unit test in tests/test_temporal.py)."""
+    return hodges_lehmann_guarded(_daily_rev(spark, sf_dir))
+
+
+def hodges_lehmann_guarded(
+    daily: DataFrame,
+    max_pairs: int = 500_000,
+    d_col: str = "d",
+    rev_col: str = "rev",
+) -> DataFrame:
+    """Hodges–Lehmann with the theil_sen_guarded pair budget: past
+    ``max_pairs`` the day range splits into the largest k time bins with
+    C(k+1,2) <= max_pairs (i <= j INCLUDES the diagonal, so the Walsh
+    pair count over k points is C(k+1,2), one more row per point than
+    the slope frame) and each bin reduces to its (median day, median
+    value) point before the Walsh expansion — work bounded by max_pairs
+    on ANY calendar span. The under-budget path is bit-identical to the
+    unguarded estimator, so the 30-day oracle is unchanged."""
+    daily = daily.persist()
+    n_days = daily.count()
+    if n_days * (n_days + 1) // 2 > max_pairs:
+        k = 1
+        while (k + 1) * (k + 2) // 2 <= max_pairs:
+            k += 1
+        lo, hi = daily.agg(
+            F.min(d_col).alias("lo"), F.max(d_col).alias("hi")
+        ).collect()[0]
+        span = int(hi) - int(lo) + 1
+        base = (
+            daily.withColumn(
+                "bin",
+                F.floor(
+                    (F.col(d_col) - F.lit(int(lo))) * k / F.lit(span)
+                ).cast("bigint"),
+            )
+            .groupBy("bin")
+            .agg(
+                F.expr(f"percentile({d_col}, 0.5)").alias("d"),
+                F.expr(
+                    f"percentile(CAST({rev_col} AS DOUBLE), 0.5)"
+                ).alias("rev"),
+            )
+            .select("d", "rev")
+        )
+    else:
+        base = daily.select(
+            F.col(d_col).alias("d"), F.col(rev_col).alias("rev")
+        )
+    d = base
     a = d.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = d.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
     walsh = a.join(F.broadcast(b), F.col("da") <= F.col("db")).select(
@@ -1795,7 +1843,7 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     )
     np_ = walsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     w = Window.orderBy("w")
     return (
         walsh.withColumn("rn", F.row_number().over(w))
@@ -1849,3 +1897,139 @@ def ts_theil_sen_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the entire point — work is C(k,2) <= max_pairs REGARDLESS of
     calendar span; the bin aggregate is one groupBy over the day grain."""
     return theil_sen_guarded(_daily_rev(spark, sf_dir), max_pairs=28)
+
+
+@declare(
+    "ts_ljung_box",
+    sql="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s
+            FROM h GROUP BY 1),
+    c AS (SELECT h.event_type, h.hr,
+                 CAST(tot.n * h.x - tot.s AS DECIMAL(38,0)) AS cv
+          FROM h JOIN tot USING (event_type)),
+    g0 AS (SELECT event_type, sum(cv * cv) AS g0 FROM c GROUP BY 1),
+    lags AS (SELECT CAST(range AS BIGINT) + 1 AS k FROM range(12)),
+    gk AS (
+      SELECT a.event_type, l.k, sum(a.cv * b.cv) AS gk
+      FROM c a CROSS JOIN lags l
+      JOIN c b ON b.event_type = a.event_type AND b.hr = a.hr + l.k
+      GROUP BY 1, 2),
+    terms AS (
+      SELECT gk.event_type, t.n,
+             CAST((CAST(gk.gk AS DOUBLE) / CAST(g0.g0 AS DOUBLE))
+                  * (CAST(gk.gk AS DOUBLE) / CAST(g0.g0 AS DOUBLE))
+                  / (t.n - gk.k) AS DECIMAL(28,18)) AS term
+      FROM gk JOIN g0 USING (event_type) JOIN tot t USING (event_type)
+      WHERE g0.g0 > 0),
+    q AS (
+      SELECT event_type, max(n) AS n_hours,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(max(n) AS DOUBLE) * (max(n) + 2)
+               * CAST(CAST(sum(term) AS DECIMAL(38,18)) AS DOUBLE) AS q_stat
+      FROM terms GROUP BY event_type)
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, m, q_stat,
+           q_stat > 21.02606981748307 AS reject_white_noise
+    FROM q ORDER BY event_type
+    """,
+    tags=("temporal", "timeseries", "ljung-box", "hypothesis-test",
+          "beyond-parity"),
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per event type: is the hourly count
+    series white noise, or is there autocorrelation structure worth
+    modeling? Q = n(n+2)·Σ_{k=1..12} ρ_k²/(n−k) over consecutive lags
+    1..12, compared to the χ²(12) 95% critical value (21.026..., a
+    shared literal — no χ² CDF needed for the decision). ρ_k comes from
+    ts_acf's EXACT-INTEGER kernel (centered value n·x_t − S is a bigint;
+    γ accumulates in DECIMAL(38,0); the n² cancels in the ratio); each
+    ρ_k²/(n−k) term quantizes to DECIMAL(28,18) before the order-
+    independent decimal sum. Pairs attach by integer epoch hour, so
+    missing hours drop their pairs (stated; the textbook form assumes a
+    complete series).
+
+    Scale: identical bounds to ts_acf — one hash aggregate to the
+    hourly grain, then a 12× expansion of the tiny per-type hourly
+    frame; nothing downstream is event-volume."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(3600000000))
+        .cast("bigint")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = (
+        h.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s"),
+        )
+        .withColumnRenamed("event_type", "_et")
+    )
+    from ..functions.dedup import cut_lineage
+
+    c = cut_lineage(
+        h.join(F.broadcast(tot), F.col("event_type") == F.col("_et")).select(
+            "event_type",
+            "hr",
+            (F.col("n") * F.col("x") - F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("cv"),
+        )
+    )
+    g0 = c.groupBy("event_type").agg(F.sum(F.col("cv") * F.col("cv")).alias("g0"))
+    b = c.select(
+        F.col("event_type").alias("_bet"),
+        F.col("hr").alias("_bhr"),
+        F.col("cv").alias("_bcv"),
+    )
+    gk = (
+        c.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(12))))
+        .withColumn("k", F.col("k").cast("bigint"))
+        .join(
+            b,
+            (F.col("_bet") == F.col("event_type"))
+            & (F.col("_bhr") == F.col("hr") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(F.sum(F.col("cv") * F.col("_bcv")).alias("gk"))
+    )
+    nt = tot.select(
+        F.col("_et").alias("event_type"), F.col("n")
+    )
+    rho = (F.col("gk").cast("double") / F.col("g0").cast("double"))
+    terms = (
+        gk.join(g0, "event_type")
+        .join(F.broadcast(nt), "event_type")
+        .filter(F.col("g0") > 0)
+        .select(
+            "event_type",
+            "n",
+            (rho * rho / (F.col("n") - F.col("k")))
+            .cast("decimal(28,18)")
+            .alias("term"),
+        )
+    )
+    q = terms.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_hours"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        (
+            F.max("n").cast("double")
+            * (F.max("n") + 2)
+            * F.sum("term").cast("decimal(38,18)").cast("double")
+        ).alias("q_stat"),
+    )
+    return q.select(
+        "event_type",
+        "n_hours",
+        "m",
+        "q_stat",
+        (F.col("q_stat") > F.lit(21.02606981748307)).alias(
+            "reject_white_noise"
+        ),
+    ).orderBy("event_type")

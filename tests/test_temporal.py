@@ -415,3 +415,45 @@ def test_theil_sen_guard_bins_a_2000_day_span(spark):
     assert row.n_pairs <= 5000  # C(k,2) within budget, NOT C(2000,2)
     assert row.n_pairs >= 4000  # and k wasn't needlessly small
     assert row.theil_sen_slope == pytest.approx(3.5, rel=0.01)
+
+
+def test_hodges_lehmann_guard_bins_a_2000_day_span(spark):
+    """Same budget contract as theil_sen_guarded, Walsh form: past
+    max_pairs the estimator runs over k bin-median points with
+    C(k+1,2) <= budget, stays location-accurate on a shifted series and
+    robust to gross outlier days; n_days still reports the DAY count."""
+    from pixels_spark.queries.temporalq import hodges_lehmann_guarded
+
+    days = list(range(2000))
+    revs = [
+        100.0 + ((d * 37) % 13 - 6)
+        + (50_000.0 if d % 500 == 250 else 0.0)  # 4 gross outliers
+        for d in days
+    ]
+    daily = spark.createDataFrame(
+        [(d, float(r)) for d, r in zip(days, revs)], "d bigint, rev double"
+    )
+    row = hodges_lehmann_guarded(daily, max_pairs=5000).collect()[0]
+    assert row.n_days == 2000
+    assert 4000 <= row.n_pairs <= 5000  # C(k+1,2) within budget
+    assert row.hodges_lehmann == pytest.approx(100.0, abs=2.0)
+
+
+def test_hodges_lehmann_guard_under_budget_is_exact(spark):
+    from pixels_spark.queries.temporalq import hodges_lehmann_guarded
+
+    days = list(range(40))
+    revs = [5.0 + ((d * 11) % 7) for d in days]
+    daily = spark.createDataFrame(
+        [(d, float(r)) for d, r in zip(days, revs)], "d bigint, rev double"
+    )
+    walsh = sorted(
+        (revs[i] + revs[j]) / 2.0
+        for i in range(40)
+        for j in range(i, 40)
+    )
+    row = hodges_lehmann_guarded(daily, max_pairs=500_000).collect()[0]
+    assert (row.n_days, row.n_pairs) == (40, 40 * 41 // 2)
+    assert row.hodges_lehmann == pytest.approx(
+        walsh[-(-len(walsh) // 2) - 1], abs=1e-12
+    )
