@@ -2351,25 +2351,29 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
       FROM events WHERE event_type IN ('purchase', 'view')),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(y) AS BIGINT) AS n1 FROM lab),
+                   CAST(sum(y) AS BIGINT) AS n1,
+                   CAST((CAST(sum(y) AS BIGINT) * 4294967296 - 1)
+                        // CAST(count(*) AS BIGINT) AS BIGINT) AS thr
+            FROM lab),
     obs AS (
       SELECT CAST(sum(v * y) AS DOUBLE) / sum(y)
              - CAST(sum(v * (1 - y)) AS DOUBLE) / sum(1 - y) AS d
       FROM lab),
     reps AS (
       SELECT r.b, lab.v,
-             CASE WHEN CAST(CAST(concat('0x', substr(md5(
+             CASE WHEN CAST(concat('0x', substr(md5(
                       CAST(lab.event_id AS VARCHAR) || ':p:'
                       || CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT)
-                    AS DECIMAL(38,0)) * tot.n
-                  < CAST(tot.n1 AS DECIMAL(38,0)) * 4294967296
+                  <= tot.thr
              THEN 1 ELSE 0 END AS g
       FROM lab CROSS JOIN tot
            CROSS JOIN (SELECT CAST(range AS BIGINT) AS b
                        FROM range({_B_REPS})) r),
     rdiff AS (
-      SELECT b, CAST(sum(v * g) AS DOUBLE) / sum(g)
-                - CAST(sum(v * (1 - g)) AS DOUBLE) / sum(1 - g) AS d
+      SELECT b,
+             CAST(sum(CASE WHEN g = 1 THEN v END) AS DOUBLE) / sum(g)
+             - CAST(sum(CASE WHEN g = 0 THEN v END) AS DOUBLE)
+               / sum(1 - g) AS d
       FROM reps GROUP BY b
       HAVING sum(g) > 0 AND sum(1 - g) > 0)
     SELECT tot.n, tot.n1 AS n_purchase, obs.d AS obs_diff,
@@ -2391,16 +2395,23 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exchangeable, so the observed diff is compared to the diff
     distribution under 32 random relabelings). Relabelings are RNG-free:
     replicate b assigns a row to the pseudo-purchase group iff its md5
-    32-bit prefix · n < n1 · 2^32 — EXACT integer comparison (DECIMAL
-    multiplies, no float threshold), the group-kfold md5 convention, so
-    both engines draw identical labels and the two-sided add-one p-value
-    (1 + #extreme)/(1 + B) replays exactly. Replicates that degenerate
-    to one empty group are excluded by the HAVING on both engines.
+    32-bit prefix <= thr, with thr = ⌊(n1·2^32 − 1)/n⌋ computed ONCE in
+    the 1-row tot frame by exact bigint floor division (equivalent to
+    val·n < n1·2^32 for every val; valid for n1 < 2^31 positive rows —
+    past that, restore the per-row DECIMAL cross-multiply) — the
+    group-kfold md5 convention, so both engines draw identical labels
+    and the two-sided add-one p-value (1 + #extreme)/(1 + B) replays
+    exactly. Replicates that degenerate to one empty group are excluded
+    by the HAVING on both engines.
 
     Scale: rows × 32 expand INSIDE the executor (explode of a literal
-    sequence — the stat_bootstrap_ci shape); map-side partials fold each
-    replicate's decimal sums before the 32-group exchange; state after
-    the fold is 32 rows."""
+    sequence — the stat_bootstrap_ci shape) AFTER a repartition that
+    bounds per-task explode volume; the per-row hot path is one md5 +
+    one bigint compare (the 25× probe read the original per-row DECIMAL
+    multiply + decimal-product sums at 28-60× wall with 3× run-to-run
+    swings — integer compare + CASE-gated decimal sums cut the per-row
+    constant); map-side partials fold each replicate's decimal sums
+    before the 32-group exchange; state after the fold is 32 rows."""
     e = load_table(spark, sf_dir, "events")
     lab = e.filter(F.col("event_type").isin("purchase", "view")).select(
         "event_id",
@@ -2410,6 +2421,9 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = lab.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n1"),
+    ).withColumn(
+        "thr",
+        F.expr("(n1 * 4294967296 - 1) div n").cast("bigint"),
     )
     obs = lab.agg(
         (
@@ -2434,33 +2448,36 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
+    # Bound per-task explode volume: the 32× row inflation happens AFTER
+    # partitioning, so input partitions sized for normal scans become
+    # 32×-oversized exploded stages (GC cliff measured at 25× volume:
+    # 59.9× wall; with this repartition the stage is linear again). The
+    # slim (event_id, v) projection is what shuffles — cheap at any SF —
+    # and 8× defaultParallelism keeps each exploded task ~1/8 of a
+    # normal partition's row budget.
+    n_parts = spark.sparkContext.defaultParallelism * 8
     reps = (
-        lab.crossJoin(F.broadcast(tot))
+        lab.repartition(n_parts)
+        .crossJoin(F.broadcast(tot))
         .select(
             "v",
             "event_id",
-            "n",
-            "n1",
+            "thr",
             F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
         )
         .select(
             "b",
             "v",
-            F.when(
-                val.cast("decimal(38,0)") * F.col("n")
-                < F.col("n1").cast("decimal(38,0)") * F.lit(4294967296),
-                1,
-            )
-            .otherwise(0)
-            .alias("g"),
+            F.when(val <= F.col("thr"), 1).otherwise(0).alias("g"),
         )
     )
     rdiff = (
         reps.groupBy("b")
         .agg(
             (
-                F.sum(F.col("v") * F.col("g")).cast("double") / F.sum("g")
-                - F.sum(F.col("v") * (1 - F.col("g"))).cast("double")
+                F.sum(F.when(F.col("g") == 1, F.col("v"))).cast("double")
+                / F.sum("g")
+                - F.sum(F.when(F.col("g") == 0, F.col("v"))).cast("double")
                 / F.sum(1 - F.col("g"))
             ).alias("d"),
             F.sum("g").alias("_ng"),
