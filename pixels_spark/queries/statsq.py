@@ -2292,7 +2292,12 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = e.filter(F.col("event_type") == "purchase").select(
         "event_id", F.col("value").cast("decimal(18,6)").alias("v")
     )
-    reps = lab.select(
+    # bound per-task explode volume (the stat_permutation_test rule):
+    # 32x inflation happens after partitioning, so pre-spread the slim
+    # projection before the explode
+    reps = lab.repartition(
+        spark.sparkContext.defaultParallelism * 8
+    ).select(
         "v",
         F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
         "event_id",
