@@ -48,11 +48,15 @@ if TYPE_CHECKING:
 # whole Spark task: truncated or corrupt bytes can also surface as
 # IndexError / struct.error from out-of-bounds segment reads inside the
 # pure-Python decoders, not just the typed decode errors (ADVICE r10 #3).
+# TypeError too (ADVICE r11): a None from a failed box lookup that slips
+# past a guard must still land in the err channel, not kill the task —
+# belt-and-braces on top of the explicit missing-box ValueErrors.
 DECODE_ERRORS = (
     NotImplementedError,
     ValueError,
     KeyError,
     IndexError,
+    TypeError,
     _struct.error,
 )
 

@@ -2264,7 +2264,12 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "embedding",
                 "rel",
-                (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("ms")).alias(
+                # F.lit(0.3), NOT F.lit(1 - lam): 1 - 0.7 is
+                # 0.30000000000000004 while the oracle's literal 0.3 is
+                # the nearest double below it — both engines must
+                # multiply by the SAME double or a near-tie can flip the
+                # greedy argmax (ADVICE r11)
+                (F.lit(lam) * F.col("rel") - F.lit(0.3) * F.col("ms")).alias(
                     "score"
                 ),
             )
