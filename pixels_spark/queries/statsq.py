@@ -2236,6 +2236,38 @@ _POIS1_HEX = (
 _B_REPS = 32
 
 
+def _explode_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    fanout: int,
+    rows_per_task: int = 250_000,
+) -> int:
+    """Pre-explode partition count sized to the DATA, not a constant
+    (VERDICT r11 #1): the input row estimate comes free from the parquet
+    footer (``storage/stats.footer_min_max_count`` — zero data read, no
+    Spark job), times the explode fanout, over a per-task exploded-row
+    budget. Floor = defaultParallelism (tiny inputs still use the full
+    cluster width); cap = 8× (the old static value: correct at 25×
+    volume where the GC cliff was measured, but at sf0.1 a fixed
+    256-way shuffle of a 20k-row frame was 3× wall in pure scheduling
+    overhead). Footer-less storage falls back to the static cap — the
+    conservative end, never the under-partitioned one."""
+    import os
+
+    from pixels_spark.storage.stats import footer_min_max_count
+
+    dp = spark.sparkContext.defaultParallelism
+    try:
+        n = footer_min_max_count(
+            os.path.join(sf_dir, f"{table}.parquet"), ["event_id"]
+        )["event_id"]["count"]
+    except Exception:
+        return dp * 8
+    want = -(-(n * fanout) // rows_per_task)
+    return max(dp, min(dp * 8, want))
+
+
 def _pois_weight_sql(h: str) -> str:
     return " + ".join(f"(CASE WHEN {h} >= '{t}' THEN 1 ELSE 0 END)"
                       for t in _POIS1_HEX)
@@ -2294,9 +2326,9 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bound per-task explode volume (the stat_permutation_test rule):
     # 32x inflation happens after partitioning, so pre-spread the slim
-    # projection before the explode
+    # projection before the explode — width adaptive to footer row count
     reps = lab.repartition(
-        spark.sparkContext.defaultParallelism * 8
+        _explode_parts(spark, sf_dir, "events", _B_REPS)
     ).select(
         "v",
         F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
@@ -2458,9 +2490,9 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32×-oversized exploded stages (GC cliff measured at 25× volume:
     # 59.9× wall; with this repartition the stage is linear again). The
     # slim (event_id, v) projection is what shuffles — cheap at any SF —
-    # and 8× defaultParallelism keeps each exploded task ~1/8 of a
-    # normal partition's row budget.
-    n_parts = spark.sparkContext.defaultParallelism * 8
+    # with width adaptive to the footer row count (VERDICT r11 #1: the
+    # static 8×-defaultParallelism was scheduling-bound at sf0.1).
+    n_parts = _explode_parts(spark, sf_dir, "events", _B_REPS)
     reps = (
         lab.repartition(n_parts)
         .crossJoin(F.broadcast(tot))
