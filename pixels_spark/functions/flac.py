@@ -204,10 +204,14 @@ def _read_residuals(br: _Bits, blocksize: int, order: int) -> list[int]:
     return res
 
 
-def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
+def _decode_subframe(
+    br: _Bits, blocksize: int, bps: int, types: list | None = None
+) -> list[int]:
     if br.read(1):
         raise ValueError("bad FLAC subframe padding bit")
     st = br.read(6)
+    if types is not None:
+        types.append(st)
     wasted = 0
     if br.read(1):  # wasted-bits flag: unary count-1 follows
         wasted = br.read_unary() + 1
@@ -275,6 +279,7 @@ def decode_flac(payload: bytes) -> dict:
     sr, nch, bps, total, md5 = info
 
     channels: list[list[int]] = [[] for _ in range(nch)]
+    sub_types: list[int] = []  # raw 6-bit subframe type codes seen
     ns = 0
     # STREAMINFO total_samples == 0 means "unknown length" (RFC 9639
     # §8.2): decode frames to end-of-payload, stopping when the next
@@ -324,19 +329,20 @@ def decode_flac(payload: bytes) -> dict:
 
         if ca <= 7:
             subs = [
-                _decode_subframe(br, blocksize, fbps) for _ in range(ca + 1)
+                _decode_subframe(br, blocksize, fbps, sub_types)
+                for _ in range(ca + 1)
             ]
         elif ca == 8:  # left/side
-            left = _decode_subframe(br, blocksize, fbps)
-            side = _decode_subframe(br, blocksize, fbps + 1)
+            left = _decode_subframe(br, blocksize, fbps, sub_types)
+            side = _decode_subframe(br, blocksize, fbps + 1, sub_types)
             subs = [left, [l - s for l, s in zip(left, side)]]
         elif ca == 9:  # right/side
-            side = _decode_subframe(br, blocksize, fbps + 1)
-            right = _decode_subframe(br, blocksize, fbps)
+            side = _decode_subframe(br, blocksize, fbps + 1, sub_types)
+            right = _decode_subframe(br, blocksize, fbps, sub_types)
             subs = [[r + s for r, s in zip(right, side)], right]
         elif ca == 10:  # mid/side
-            mid = _decode_subframe(br, blocksize, fbps)
-            side = _decode_subframe(br, blocksize, fbps + 1)
+            mid = _decode_subframe(br, blocksize, fbps, sub_types)
+            side = _decode_subframe(br, blocksize, fbps + 1, sub_types)
             subs = [[], []]
             for m, s in zip(mid, side):
                 m = (m << 1) | (s & 1)
@@ -376,6 +382,17 @@ def decode_flac(payload: bytes) -> dict:
         "n_samples": ns,
         "duration_s": (ns / sr) if sr else 0.0,
         "samples": channels,
+        # decoded subframe kinds, e.g. {"CONSTANT", "FIXED2", "LPC8"} —
+        # lets tests prove which decode branch actually ran
+        "subframe_types": sorted(
+            {
+                "CONSTANT" if st == 0
+                else "VERBATIM" if st == 1
+                else f"FIXED{st - 8}" if 8 <= st <= 12
+                else f"LPC{(st & 31) + 1}"
+                for st in sub_types
+            }
+        ),
     }
 
 
@@ -396,9 +413,89 @@ def _best_rice_param(res: list[int], pbits: int) -> tuple[int, int]:
     return bestp, best
 
 
+def _write_residuals(
+    bw: _BitsW, res: list[int], n: int, order: int, partition_order: int,
+    force_escape: bool,
+) -> None:
+    po = partition_order
+    while po and (n % (1 << po) or (n >> po) <= order):
+        po -= 1
+    bw.write(2, 0)  # 4-bit Rice parameters
+    bw.write(4, po)
+    idx = 0
+    for p in range(1 << po):
+        count = (n >> po) - (order if p == 0 else 0)
+        part = res[idx : idx + count]
+        idx += count
+        if force_escape:
+            width = max(
+                (abs(v).bit_length() + 1 for v in part), default=1
+            )
+            bw.write(4, 0b1111)
+            bw.write(5, width)
+            for v in part:
+                bw.write(width, v)
+        else:
+            param, _ = _best_rice_param(part, 4)
+            bw.write(4, param)
+            for v in part:
+                _rice_write(bw, v, param)
+
+
+def _lpc_analyze(
+    samples: list[int], order: int, prec: int = 12
+) -> tuple[list[int], int] | None:
+    """Quantized-coefficient LPC (RFC 9639 §9.2.4 / VERDICT r10 task
+    #7): autocorrelation → Levinson–Durbin → quantize to ``prec``-bit
+    signed coefficients with a shared right-shift, exactly the form the
+    decode branch applies (pred = Σqcoef·prev >> shift). Returns None
+    when the signal is degenerate (zero energy / unstable recursion) —
+    caller falls back to a fixed predictor."""
+    n = len(samples)
+    ac = [
+        float(sum(samples[i] * samples[i + lag] for i in range(n - lag)))
+        for lag in range(order + 1)
+    ]
+    if ac[0] == 0.0:
+        return None
+    err = ac[0]
+    lpc = [0.0] * order
+    for i in range(order):
+        acc = ac[i + 1]
+        for j in range(i):
+            acc -= lpc[j] * ac[i - j]
+        k = acc / err
+        for j in range(i // 2):
+            t = lpc[j]
+            lpc[j] = t - k * lpc[i - 1 - j]
+            lpc[i - 1 - j] -= k * t
+        if i & 1:
+            lpc[i // 2] -= k * lpc[i // 2]
+        lpc[i] = k
+        err *= 1.0 - k * k
+        if err <= 0.0:
+            return None
+    cmax = max(abs(c) for c in lpc)
+    if cmax == 0.0:
+        return None
+    # shift so the largest coefficient uses the full prec-1 magnitude:
+    # cmax = m·2^e (frexp, 0.5 <= m < 1) → cmax·2^(prec-1-e) < 2^(prec-1)
+    import math
+
+    _m, e = math.frexp(cmax)
+    shift = max(0, min(15, prec - 1 - e))
+    lim = 1 << (prec - 1)
+    q = [
+        max(-lim, min(lim - 1, round(c * (1 << shift)))) for c in lpc
+    ]
+    if all(v == 0 for v in q):
+        return None
+    return q, shift
+
+
 def _encode_subframe(
     bw: _BitsW, samples: list[int], bps: int, partition_order: int,
-    force_escape: bool,
+    force_escape: bool, lpc_order: int = 0,
 ) -> None:
     n = len(samples)
     if all(v == samples[0] for v in samples):
@@ -407,6 +504,31 @@ def _encode_subframe(
         bw.write(1, 0)
         bw.write(bps, samples[0])
         return
+    if lpc_order and n > lpc_order:
+        got = _lpc_analyze(samples, lpc_order)
+        if got is not None:
+            q, shift = got
+            prec = 12
+            order = lpc_order
+            res = [
+                samples[i]
+                - (
+                    sum(q[j] * samples[i - j - 1] for j in range(order))
+                    >> shift
+                )
+                for i in range(order, n)
+            ]
+            bw.write(1, 0)
+            bw.write(6, 32 + (order - 1))  # LPC
+            bw.write(1, 0)  # no wasted bits
+            for v in samples[:order]:
+                bw.write(bps, v)
+            bw.write(4, prec - 1)
+            bw.write(5, shift)  # non-negative, fits signed 5-bit
+            for c in q:
+                bw.write(prec, c)
+            _write_residuals(bw, res, n, order, partition_order, force_escape)
+            return
     # pick the fixed predictor order with the smallest residual energy
     best_order, best_res, best_cost = 0, samples, None
     for order, coef in _FIXED_COEF.items():
@@ -426,29 +548,7 @@ def _encode_subframe(
     bw.write(1, 0)  # no wasted bits
     for v in samples[:order]:
         bw.write(bps, v)
-    po = partition_order
-    while po and (n % (1 << po) or (n >> po) <= order):
-        po -= 1
-    bw.write(2, 0)  # 4-bit Rice parameters
-    bw.write(4, po)
-    idx = 0
-    for p in range(1 << po):
-        count = (n >> po) - (order if p == 0 else 0)
-        part = best_res[idx : idx + count]
-        idx += count
-        if force_escape:
-            width = max(
-                (abs(v).bit_length() + 1 for v in part), default=1
-            )
-            bw.write(4, 0b1111)
-            bw.write(5, width)
-            for v in part:
-                bw.write(width, v)
-        else:
-            param, _ = _best_rice_param(part, 4)
-            bw.write(4, param)
-            for v in part:
-                _rice_write(bw, v, param)
+    _write_residuals(bw, best_res, n, order, partition_order, force_escape)
 
 
 def encode_flac(
@@ -459,11 +559,14 @@ def encode_flac(
     stereo_mode: str = "independent",
     partition_order: int = 0,
     force_escape: bool = False,
+    lpc_order: int = 0,
 ) -> bytes:
-    """Fixture FLAC encoder: fixed predictors + Rice coding, optional
-    partitioned residuals, escape partitions and (for 2 channels) the
-    left_side / right_side / mid_side decorrelation modes. Stamps the
-    spec MD5 so the decoder's integrity check is end-to-end."""
+    """Fixture FLAC encoder: fixed OR quantized-coefficient LPC
+    predictors (``lpc_order`` > 0 → Levinson–Durbin analysis, RFC 9639
+    §9.2.4; VERDICT r10 task #7) + Rice coding, optional partitioned
+    residuals, escape partitions and (for 2 channels) the left_side /
+    right_side / mid_side decorrelation modes. Stamps the spec MD5 so
+    the decoder's integrity check is end-to-end."""
     nch = len(samples)
     n = len(samples[0])
     if any(len(c) != n for c in samples):
@@ -522,20 +625,20 @@ def encode_flac(
 
         if stereo_mode == "independent":
             for c in range(nch):
-                _encode_subframe(bw, blk[c], bps, partition_order, force_escape)
+                _encode_subframe(bw, blk[c], bps, partition_order, force_escape, lpc_order)
         else:
             left, right = blk
             side = [l - r for l, r in zip(left, right)]
             if stereo_mode == "left_side":
-                _encode_subframe(bw, left, bps, partition_order, force_escape)
-                _encode_subframe(bw, side, bps + 1, partition_order, force_escape)
+                _encode_subframe(bw, left, bps, partition_order, force_escape, lpc_order)
+                _encode_subframe(bw, side, bps + 1, partition_order, force_escape, lpc_order)
             elif stereo_mode == "right_side":
-                _encode_subframe(bw, side, bps + 1, partition_order, force_escape)
-                _encode_subframe(bw, right, bps, partition_order, force_escape)
+                _encode_subframe(bw, side, bps + 1, partition_order, force_escape, lpc_order)
+                _encode_subframe(bw, right, bps, partition_order, force_escape, lpc_order)
             else:  # mid_side
                 mid = [(l + r) >> 1 for l, r in zip(left, right)]
-                _encode_subframe(bw, mid, bps, partition_order, force_escape)
-                _encode_subframe(bw, side, bps + 1, partition_order, force_escape)
+                _encode_subframe(bw, mid, bps, partition_order, force_escape, lpc_order)
+                _encode_subframe(bw, side, bps + 1, partition_order, force_escape, lpc_order)
         bw.align()
         body = bytes(bw.out)
         bw.write(16, _crc16(body))

@@ -815,7 +815,11 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         elif i % 3 == 1:
             sr = 8000 * (1 + i % 3)
             if (i // 3) % 2 == 1:
-                rows.append((i, "audio", synthesize_flac(sr, n_samples=sr // 10, seed=i), '{"mime": "audio/flac"}'))
+                # every other FLAC row encodes with quantized-coefficient
+                # LPC (r10 task #7) so the seam's golden oracle covers
+                # the LPC decode branch, not just fixed predictors
+                lpc = 8 if (i // 3) % 4 == 3 else 0
+                rows.append((i, "audio", synthesize_flac(sr, n_samples=sr // 10, seed=i, lpc_order=lpc), '{"mime": "audio/flac"}'))
             else:
                 rows.append((i, "audio", synthesize_wav(sr, n_samples=sr // 10), '{"mime": "audio/wav"}'))
         else:
