@@ -259,6 +259,11 @@ HEADLINE = (
     # is 5 fixed-overhead jobs over <=16-row frames, which would time
     # the scheduler, not a plan.
     "stat_bootstrap_ci",
+    # round 12 additions stay out by the same rules: stat_kruskal_wallis
+    # shares stat_mann_whitney's two-level-prefix shape; stat_bh_fdr /
+    # ts_changepoint fold to day grain in one map-side aggregate and then
+    # operate on O(#days) rows (fixed cost, not a plan); mm_mp3_meta /
+    # mm_ogg_meta run on synthetic fixtures, not sf-scaled tables.
 )
 
 

@@ -384,15 +384,24 @@ class MvccTable:
             raise ValueError(f"when_matched={when_matched!r}")
         if when_not_matched not in ("insert", "ignore"):
             raise ValueError(f"when_not_matched={when_not_matched!r}")
-        existing = self.read_latest_version().select(self.key_col)
+        if self.persisted_schema() is None:
+            # never-written target (found by the r12 model fuzz): the
+            # empty read has no columns to join on — every source key is
+            # unmatched (MERGE bootstraps the table) and there is no
+            # target to full-sync against
+            existing = None
+            matched = source.limit(0)
+            unmatched = source
+        else:
+            existing = self.read_latest_version().select(self.key_col)
+            matched = source.join(existing, self.key_col, "left_semi")
+            unmatched = source.join(existing, self.key_col, "left_anti")
         src_keys = source.select(self.key_col)
-        matched = source.join(existing, self.key_col, "left_semi")
-        unmatched = source.join(existing, self.key_col, "left_anti")
 
         del_keys = None
         if when_matched in ("update", "delete"):
             del_keys = matched.select(self.key_col)
-        if delete_unmatched_target:
+        if delete_unmatched_target and existing is not None:
             gone = existing.join(src_keys, self.key_col, "left_anti")
             del_keys = gone if del_keys is None else del_keys.unionByName(gone)
 
@@ -604,6 +613,11 @@ class MvccTable:
         itself is still full-width absent a key index; the shuffles —
         the expensive part at scale — are not)."""
         visible = self.read(snapshot_ts)
+        if self.persisted_schema() is None:
+            # never-written table (r12 model fuzz): zero rows and no key
+            # column to fold or filter — latest-of-nothing is the empty
+            # read itself, not an analysis error
+            return visible
         if keys is not None:
             kname = keys.columns[0]
             visible = visible.join(
@@ -933,7 +947,9 @@ class MvccTable:
         import shutil
 
         dels = self._deletes()
-        if dels is None:
+        if dels is None or not os.path.isdir(self.data_dir):
+            # delete-only table (tombstones but never a data commit, r12
+            # model fuzz): nothing to GC
             return []
         removed: list[int] = []
         d = (
@@ -974,6 +990,10 @@ class MvccTable:
         partition-column + min/max pruning over the full layout."""
         if snapshot_ts is None:
             snapshot_ts = self.trans.high_watermark
+        if self.persisted_schema() is None:
+            # never-written table (r12 model fuzz): no key column exists
+            # yet, so there is nothing a point lookup could match
+            return self.read(snapshot_ts)
         if not (self.indexed and self.manifest.exists()):
             return self.read_latest_version(snapshot_ts).filter(
                 F.col(self.key_col) == key

@@ -2547,3 +2547,282 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+_KW_H = """(((12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))
+   * (CAST(two_r1 AS DOUBLE) * CAST(two_r1 AS DOUBLE)
+        / (4.0 * CAST(n1 AS DOUBLE))
+      + CAST(two_r2 AS DOUBLE) * CAST(two_r2 AS DOUBLE)
+        / (4.0 * CAST(n2 AS DOUBLE))
+      + CAST(two_r3 AS DOUBLE) * CAST(two_r3 AS DOUBLE)
+        / (4.0 * CAST(n3 AS DOUBLE)))
+   - 3.0 * CAST(n + 1 AS DOUBLE))
+  / (1.0 - CAST(tie_t AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n AS DOUBLE))))"""
+
+
+@declare(
+    "stat_kruskal_wallis",
+    sql=f"""
+    WITH pv AS (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c3,
+             CAST(count(*) AS BIGINT) AS t
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY value
+    ), pre AS (
+      SELECT v, c1, c2, c3, t,
+             CAST(coalesce(sum(t) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS less
+      FROM pv
+    ), s AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c3) AS BIGINT) AS n3,
+             CAST(sum(c1 * (2 * less + t + 1)) AS BIGINT) AS two_r1,
+             CAST(sum(c2 * (2 * less + t + 1)) AS BIGINT) AS two_r2,
+             CAST(sum(c3 * (2 * less + t + 1)) AS BIGINT) AS two_r3,
+             CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_t
+      FROM pre
+    )
+    SELECT n1, n2, n3, two_r1, two_r2, two_r3, n, tie_t, {_KW_H} AS h
+    FROM s
+    """,
+    tags=("stats", "hypothesis-test", "rank-sum", "k-sample",
+          "beyond-parity"),
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across the view / click / purchase value
+    distributions — the k-sample extension of stat_mann_whitney (did ANY
+    of k corpus slices drift, one test instead of k² pairwise). The rank
+    sums are held exact: average tied rank = less + (t+1)/2, so
+    2·R_g = Σ c_g(v)·(2·less(v) + t(v) + 1) stays BIGINT; H with the
+    tie-correction divisor 1 − Σ(t³−t)/(n³−n) is one fixed chain of IEEE
+    ops from those integers (dialect-shared text), so the oracle matches
+    exactly.
+
+    Scale: identical plan shape to stat_mann_whitney — per-value counts
+    (ONE events shuffle), then the two-level prefix sum (tiny bucket
+    frame broadcast + bucket-partitioned window) instead of the oracle's
+    single global window; the closing aggregate is map-side. 2·R_g is
+    O(n²) in the worst case — past ~2³¹ rows per group, pre-bucket
+    values (the MWU tie_t caveat) before the BIGINT form overflows."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("event_type", F.col("value").alias("v"))
+    )
+    pv = e.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c3"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    ).persist()
+    b = pv.withColumn("_b", F.floor(F.col("v") / F.lit(25.0)))
+    bsum = b.groupBy("_b").agg(F.sum("t").alias("_bs"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bsum.select(
+        "_b",
+        F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_lower"),
+    )
+    win = (
+        Window.partitionBy("_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = b.join(F.broadcast(bpre), "_b").withColumn(
+        "less",
+        (F.col("_lower") + F.coalesce(F.sum("t").over(win), F.lit(0))).cast(
+            "bigint"
+        ),
+    )
+    rank2 = 2 * F.col("less") + F.col("t") + 1
+    s = pre.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum("c3").cast("bigint").alias("n3"),
+        F.sum(F.col("c1") * rank2).cast("bigint").alias("two_r1"),
+        F.sum(F.col("c2") * rank2).cast("bigint").alias("two_r2"),
+        F.sum(F.col("c3") * rank2).cast("bigint").alias("two_r3"),
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    return s.select(
+        "n1", "n2", "n3", "two_r1", "two_r2", "two_r3", "n", "tie_t",
+        F.expr(_KW_H).alias("h"),
+    )
+
+
+# Welch z from decimal sums (the _dsum order-independence pattern):
+# var_g = (ss_g - s_g^2/n_g) / (n_g - 1), z = (m1 - m2)/sqrt(v1/n1+v2/n2)
+_BH_Z = """((s1 / CAST(cn1 AS DOUBLE) - s2 / CAST(cn2 AS DOUBLE))
+  / sqrt(((ss1 - s1 * s1 / CAST(cn1 AS DOUBLE)) / CAST(cn1 - 1 AS DOUBLE))
+           / CAST(cn1 AS DOUBLE)
+         + ((ss2 - s2 * s2 / CAST(cn2 AS DOUBLE)) / CAST(cn2 - 1 AS DOUBLE))
+           / CAST(cn2 AS DOUBLE)))"""
+# two-sided normal p = 1 - erf(|z|/sqrt(2)) via Abramowitz-Stegun 7.1.26
+# (|err| < 1.5e-7); the SAME expression text runs on both engines, so
+# the approximation is bit-identical — the _MWU_Z convention
+_BH_T = "(1.0 / (1.0 + 0.3275911 * abs(z) / sqrt(2.0)))"
+_BH_P = """((((((1.061405429 * _t - 1.453152027) * _t + 1.421413741) * _t
+   - 0.284496736) * _t + 0.254829592) * _t) * exp(-(z * z) / 2.0))"""
+
+
+@declare(
+    "stat_bh_fdr",
+    sql=f"""
+    WITH day_sums AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS cn1,
+             CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS BIGINT) AS cn2,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s1,
+             CAST(sum(CASE WHEN event_type = 'view'
+                      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s2,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,12))
+                      END) AS DOUBLE) AS ss1,
+             CAST(sum(CASE WHEN event_type = 'view'
+                      THEN CAST(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,12))
+                      END) AS DOUBLE) AS ss2
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY CAST(ts AS DATE)
+      HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 2
+         AND count(CASE WHEN event_type = 'view' THEN 1 END) >= 2
+    ), zs AS (
+      SELECT day, cn1, cn2, {_BH_Z} AS z FROM day_sums
+    ), ps AS (
+      SELECT day, z, {_BH_P} AS p
+      FROM (SELECT day, z, {_BH_T} AS _t FROM zs) tt
+    ), ranked AS (
+      SELECT day, z, p,
+             CAST(row_number() OVER (ORDER BY p, day) AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM ps
+    ), qv AS (
+      SELECT day, z, p, rnk, m,
+             min(p * CAST(m AS DOUBLE) / CAST(rnk AS DOUBLE)) OVER (
+               ORDER BY rnk DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS q_value
+      FROM ranked
+    ), kstar AS (
+      SELECT coalesce(max(CASE WHEN p <= 0.10 * CAST(rnk AS DOUBLE)
+                                    / CAST(m AS DOUBLE)
+                               THEN rnk END), 0) AS k
+      FROM ranked
+    )
+    SELECT day, z, p, rnk, least(q_value, 1.0) AS q_value,
+           rnk <= k AS rejected
+    FROM qv CROSS JOIN kstar
+    ORDER BY rnk
+    """,
+    tags=("stats", "hypothesis-test", "fdr", "multiple-testing",
+          "beyond-parity"),
+)
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of tests — per day,
+    a Welch z between purchase and view values, then the step-up
+    procedure at q = 0.10 plus monotone adjusted q-values. This is the
+    multiple-testing layer every drift dashboard needs: 30 daily tests
+    at p<0.05 expect 1.5 false alarms; BH caps the expected false
+    discovery RATE instead. The per-day sums are order-independent
+    DECIMAL (the _dsum pattern); z and the two-sided normal p
+    (Abramowitz-Stegun erf, |err|<1.5e-7) are fixed dialect-shared IEEE
+    chains, so the oracle replays exactly.
+
+    Scale: the events scan folds to day grain with ONE map-side-partial
+    aggregate; every window (rank, suffix-min q-value, k*) runs on the
+    bounded family frame (#days rows) — the global windows are
+    allowlisted by construction, never data-sized."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    is1 = F.col("event_type") == "purchase"
+    day_sums = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.when(is1, 1)).cast("bigint").alias("cn1"),
+            F.count(F.when(~is1, 1)).cast("bigint").alias("cn2"),
+            F.sum(F.when(is1, dv)).cast("double").alias("s1"),
+            F.sum(F.when(~is1, dv)).cast("double").alias("s2"),
+            F.sum(F.when(is1, (dv * dv).cast("decimal(28,12)")))
+            .cast("double")
+            .alias("ss1"),
+            F.sum(F.when(~is1, (dv * dv).cast("decimal(28,12)")))
+            .cast("double")
+            .alias("ss2"),
+        )
+        .filter((F.col("cn1") >= 2) & (F.col("cn2") >= 2))
+    )
+    zs = day_sums.select("day", "cn1", "cn2", F.expr(_BH_Z).alias("z"))
+    ps = zs.select("day", "z", F.expr(_BH_T).alias("_t")).select(
+        "day", "z", F.expr(_BH_P).alias("p")
+    )
+    wall = Window.orderBy("p", "day")
+    ranked = ps.select(
+        "day",
+        "z",
+        "p",
+        F.row_number().over(wall).cast("bigint").alias("rnk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("m"),
+    ).persist()
+    wq = Window.orderBy(F.col("rnk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    qv = ranked.withColumn(
+        "q_value",
+        F.min(F.col("p") * F.col("m").cast("double") / F.col("rnk").cast("double")).over(wq),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p")
+                    <= 0.10 * F.col("rnk").cast("double") / F.col("m").cast("double"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("k")
+    )
+    return (
+        qv.crossJoin(F.broadcast(kstar))
+        .select(
+            "day",
+            "z",
+            "p",
+            "rnk",
+            F.least(F.col("q_value"), F.lit(1.0)).alias("q_value"),
+            (F.col("rnk") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("rnk")
+    )

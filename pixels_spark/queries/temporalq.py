@@ -2033,3 +2033,87 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_white_noise"
         ),
     ).orderBy("event_type")
+
+
+_CPT_GAIN = """(CAST(k AS DOUBLE)
+   * (s1 / CAST(k AS DOUBLE) - s / CAST(n AS DOUBLE))
+   * (s1 / CAST(k AS DOUBLE) - s / CAST(n AS DOUBLE))
+ + CAST(n - k AS DOUBLE)
+   * ((s - s1) / CAST(n - k AS DOUBLE) - s / CAST(n AS DOUBLE))
+   * ((s - s1) / CAST(n - k AS DOUBLE) - s / CAST(n AS DOUBLE)))"""
+
+
+@declare(
+    "ts_changepoint",
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY CAST(ts AS DATE)
+    ), pre AS (
+      SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+             sum(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             sum(x) OVER () AS s
+      FROM daily
+    ), gains AS (
+      SELECT day AS split_day, k AS n_left, n - k AS n_right,
+             s1 / CAST(k AS DOUBLE) AS mean_left,
+             (s - s1) / CAST(n - k AS DOUBLE) AS mean_right,
+             {_CPT_GAIN} AS gain
+      FROM pre WHERE k < n
+    )
+    SELECT split_day, n_left, n_right, mean_left, mean_right, gain
+    FROM gains
+    ORDER BY gain DESC, split_day
+    LIMIT 1
+    """,
+    tags=("temporal", "changepoint", "drift", "beyond-parity"),
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single mean-shift changepoint over the daily purchase-revenue
+    series — binary segmentation's first split (maximize the
+    between-segment sum of squares n1(m1-m)^2 + n2(m2-m)^2, equivalent
+    to minimizing within-segment SSE): the "did the corpus change on
+    some day, and which?" primitive behind drift triage; run recursively
+    on each side for multiple changepoints. Daily sums are
+    order-independent DECIMAL (the _dsum pattern); the gain is one fixed
+    dialect-shared IEEE chain over (k, n, s1, s), so the oracle replays
+    exactly, and the (gain DESC, day) argmax is deterministic.
+
+    Scale: the events scan folds to day grain with one map-side-partial
+    aggregate; the prefix/total windows and the 1-row TakeOrdered argmax
+    run on the bounded day frame (O(#days) — 3.7k rows/decade),
+    allowlisted by construction."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x")
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    pre = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k"),
+        F.sum("x").over(wcum).alias("s1"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("x").over(wall).alias("s"),
+    )
+    gains = pre.filter(F.col("k") < F.col("n")).select(
+        F.col("day").alias("split_day"),
+        F.col("k").alias("n_left"),
+        (F.col("n") - F.col("k")).alias("n_right"),
+        (F.col("s1") / F.col("k").cast("double")).alias("mean_left"),
+        (
+            (F.col("s") - F.col("s1"))
+            / (F.col("n") - F.col("k")).cast("double")
+        ).alias("mean_right"),
+        F.expr(_CPT_GAIN).alias("gain"),
+    )
+    return gains.orderBy(F.col("gain").desc(), "split_day").limit(1)

@@ -36,6 +36,8 @@ ALLOWLIST = {
     "ts_theil_sen_binned": "theta self-join of the k=8 bin-median frame "
     "(C(8,2)=28 pairs — the pair-budget bound itself) + scalar frames",
     "stat_welch_t": "2-group moment frame crossJoin (1 row each side)",
+    "stat_bh_fdr": "scalar k* threshold frame crossJoin (1 row) onto the "
+    "day-grain family frame (O(#days))",
     "stat_bootstrap_ci": "scalar base-mean frame crossJoin (1 row) onto "
     "the 32-row replicate-mean frame",
     "stat_permutation_test": "scalar total/observed frames crossJoin "
@@ -132,9 +134,17 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "sketch_histogram": "cum over the histogram sketch: <=64 bin rows",
     "stat_ks_test": "exclusive prefix over value-band subtotals: O(#bands), <=256",
     "stat_mann_whitney": "exclusive prefix over value-band subtotals: O(#bands), <=256",
+    "stat_kruskal_wallis": "exclusive prefix over value-band subtotals: "
+    "O(#bands), <=256 (the stat_mann_whitney two-level pattern)",
+    "stat_bh_fdr": "rank / count / suffix-min q-value windows over the "
+    "day-grain FAMILY of tests: O(#days) rows by construction — the "
+    "events scan folds to day grain in one map-side-partial aggregate "
+    "before any window",
     "stat_skyline": "prefix-max over price-bucket subtotals: O(#buckets) ~ price_range/100",
     "ts_active_intervals": "cum over the day grain: O(#days) — 3.7k rows/decade",
     "ts_cumulative_users": "cum over the day grain: O(#days) — 3.7k rows/decade",
+    "ts_changepoint": "prefix/total windows + 1-row argmax over the day "
+    "grain: O(#days) — 3.7k rows/decade",
     "ts_lttb": "bucket folds over the hourly series: O(#hours), decimated to 26 points",
     "txt_bpe_train": "rank over the LIMIT-10 merge-candidate frame: <=10 rows/round",
     "txt_pack_spans": "exclusive prefix over id-bucket subtotals: O(#docs/4096)",
