@@ -2826,3 +2826,162 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+_ANOVA_F = """((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)))"""
+
+
+@declare(
+    "stat_anova_f",
+    sql=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sg,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS ssg
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(sg) AS s
+      FROM g
+    ), parts AS (
+      SELECT max(n) AS n, max(k) AS k,
+             sum(sg * sg / CAST(ng AS DOUBLE)) - max(s * s) / CAST(max(n) AS DOUBLE) AS ssb,
+             sum(ssg) - sum(sg * sg / CAST(ng AS DOUBLE)) AS ssw
+      FROM g CROSS JOIN tot
+    )
+    SELECT n, k, ssb, ssw, {_ANOVA_F} AS f
+    FROM parts
+    """,
+    tags=("stats", "hypothesis-test", "anova", "beyond-parity"),
+)
+def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the view / click / purchase value groups —
+    the parametric sibling of stat_kruskal_wallis (mean drift across k
+    corpus slices in one test). Between/within sums of squares come from
+    per-group order-independent DECIMAL sums only (ssb = Σ s_g²/n_g −
+    S²/N, ssw = Σ ss_g − Σ s_g²/n_g — no per-row deviations), so the
+    whole statistic is one map-side aggregate to k rows plus a fixed
+    dialect-shared IEEE chain; the oracle replays exactly.
+
+    Scale: ONE events scan folding to k=3 group rows with map-side
+    partials; everything after is O(k). Nothing shuffles at data volume."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(dv).cast("double").alias("sg"),
+        F.sum((dv * dv).cast("decimal(28,12)")).cast("double").alias("ssg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sg").alias("s"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        (
+            F.sum(F.col("sg") * F.col("sg") / F.col("ng").cast("double"))
+            - F.max(F.col("s") * F.col("s")) / F.max("n").cast("double")
+        ).alias("ssb"),
+        (
+            F.sum("ssg")
+            - F.sum(F.col("sg") * F.col("sg") / F.col("ng").cast("double"))
+        ).alias("ssw"),
+    )
+    return parts.select("n", "k", "ssb", "ssw", F.expr(_ANOVA_F).alias("f"))
+
+
+@declare(
+    "stat_levene",
+    sql=f"""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS md
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type,
+             CAST(abs(CAST(e.value AS DECIMAL(18,6))
+                      - CAST(m.md AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS z
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      WHERE e.event_type IN ('view', 'click', 'purchase')
+    ), g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(z) AS DOUBLE) AS sg,
+             CAST(sum(CAST(z * z AS DECIMAL(28,12))) AS DOUBLE) AS ssg
+      FROM dev GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(sg) AS s
+      FROM g
+    ), parts AS (
+      SELECT max(n) AS n, max(k) AS k,
+             sum(sg * sg / CAST(ng AS DOUBLE)) - max(s * s) / CAST(max(n) AS DOUBLE) AS ssb,
+             sum(ssg) - sum(sg * sg / CAST(ng AS DOUBLE)) AS ssw
+      FROM g CROSS JOIN tot
+    )
+    SELECT n, k, ssb, ssw, {_ANOVA_F} AS w
+    FROM parts
+    """,
+    tags=("stats", "hypothesis-test", "variance", "beyond-parity"),
+)
+def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe Levene test (variance homogeneity across the
+    view / click / purchase groups): one-way ANOVA on the absolute
+    deviations from each GROUP MEDIAN — robust to non-normality, the
+    form every stats package defaults to. Group medians are exact
+    interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont);
+    deviations are DECIMAL-quantized before summing so both engines fold
+    identical values in any order; the F chain is the shared
+    stat_anova_f text.
+
+    Scale: two events scans (median pass, deviation pass) + a broadcast
+    of the k=3 median frame; the deviation aggregate is map-side to k
+    rows. The median pass is the cost — at extreme scale swap in the
+    approx-percentile sketch (cb_approx_quantile machinery) and accept
+    the documented tolerance."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("md")
+    )
+    z = F.abs(
+        F.col("value").cast("decimal(18,6)") - F.col("md").cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", z.alias("z")
+    )
+    g = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("z").cast("double").alias("sg"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("ssg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sg").alias("s"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        (
+            F.sum(F.col("sg") * F.col("sg") / F.col("ng").cast("double"))
+            - F.max(F.col("s") * F.col("s")) / F.max("n").cast("double")
+        ).alias("ssb"),
+        (
+            F.sum("ssg")
+            - F.sum(F.col("sg") * F.col("sg") / F.col("ng").cast("double"))
+        ).alias("ssw"),
+    )
+    return parts.select("n", "k", "ssb", "ssw", F.expr(_ANOVA_F).alias("w"))

@@ -2117,3 +2117,80 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CPT_GAIN).alias("gain"),
     )
     return gains.orderBy(F.col("gain").desc(), "split_day").limit(1)
+
+
+@declare(
+    "ts_stl_decompose",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY CAST(ts AS DATE)
+    ), tr AS (
+      SELECT day, x,
+             CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+             avg(x) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      FROM daily
+    ), se AS (
+      SELECT day, x, dow, trend,
+             avg(x - trend) OVER (PARTITION BY dow) AS s_raw,
+             avg(x - trend) OVER () AS s_center
+      FROM tr
+    )
+    SELECT day, x, trend,
+           s_raw - s_center AS seasonal,
+           x - trend - (s_raw - s_center) AS remainder
+    FROM se
+    ORDER BY day
+    """,
+    tags=("temporal", "decomposition", "seasonal", "beyond-parity"),
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the daily purchase-revenue
+    series: trend = centered 7-day moving average (edge-shrunk window,
+    identical semantics both engines), seasonal = day-of-week mean of
+    the detrended series re-centered to sum ~0, remainder = the rest —
+    the classic triage view (is the anomaly trend, weekday pattern, or
+    residual?) behind every corpus-volume dashboard. Daily sums are
+    order-independent DECIMAL; every later op is avg/subtract over the
+    day frame, so the oracle replays exactly (day-of-week normalized to
+    Spark's 1=Sunday convention on the DuckDB side).
+
+    Scale: the events scan folds to day grain with one map-side-partial
+    aggregate; all windows run on the bounded O(#days) frame —
+    allowlisted by construction."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x")
+    )
+    wma = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "x",
+        F.dayofweek("day").cast("bigint").alias("dow"),
+        F.avg("x").over(wma).alias("trend"),
+    )
+    se = tr.select(
+        "day",
+        "x",
+        "trend",
+        F.avg(F.col("x") - F.col("trend"))
+        .over(Window.partitionBy("dow"))
+        .alias("s_raw"),
+        F.avg(F.col("x") - F.col("trend"))
+        .over(Window.partitionBy())
+        .alias("s_center"),
+    )
+    return se.select(
+        "day",
+        "x",
+        "trend",
+        (F.col("s_raw") - F.col("s_center")).alias("seasonal"),
+        (
+            F.col("x") - F.col("trend") - (F.col("s_raw") - F.col("s_center"))
+        ).alias("remainder"),
+    ).orderBy("day")

@@ -36,6 +36,10 @@ ALLOWLIST = {
     "ts_theil_sen_binned": "theta self-join of the k=8 bin-median frame "
     "(C(8,2)=28 pairs — the pair-budget bound itself) + scalar frames",
     "stat_welch_t": "2-group moment frame crossJoin (1 row each side)",
+    "stat_anova_f": "1-row grand-total frame crossJoin onto the k=3 "
+    "group-moment frame",
+    "stat_levene": "1-row grand-total frame crossJoin onto the k=3 "
+    "deviation-moment frame",
     "stat_bh_fdr": "scalar k* threshold frame crossJoin (1 row) onto the "
     "day-grain family frame (O(#days))",
     "stat_bootstrap_ci": "scalar base-mean frame crossJoin (1 row) onto "
@@ -145,6 +149,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "ts_cumulative_users": "cum over the day grain: O(#days) — 3.7k rows/decade",
     "ts_changepoint": "prefix/total windows + 1-row argmax over the day "
     "grain: O(#days) — 3.7k rows/decade",
+    "ts_stl_decompose": "moving-average / dow-mean / centering windows "
+    "over the day grain: O(#days) — 3.7k rows/decade",
     "ts_lttb": "bucket folds over the hourly series: O(#hours), decimated to 26 points",
     "txt_bpe_train": "rank over the LIMIT-10 merge-candidate frame: <=10 rows/round",
     "txt_pack_spans": "exclusive prefix over id-bucket subtotals: O(#docs/4096)",
