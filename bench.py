@@ -264,6 +264,9 @@ HEADLINE = (
     # ts_changepoint fold to day grain in one map-side aggregate and then
     # operate on O(#days) rows (fixed cost, not a plan); mm_mp3_meta /
     # mm_ogg_meta run on synthetic fixtures, not sf-scaled tables.
+    # vec_kmeanspp_seed is k TakeOrdered corpus scans (vec_knn's shape
+    # xk); dq_referential_integrity is left-join count shapes already
+    # timed by the tpch joins; rec_coverage composes rec_user_topk.
 )
 
 

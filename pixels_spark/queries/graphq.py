@@ -768,9 +768,7 @@ def rec_model_path(spark: SparkSession, sf_dir: str) -> str:
     return os.path.join(dest, "rec_sym.parquet")
 
 
-@declare(
-    "rec_user_topk",
-    sql="""
+_REC_TOPK_SQL = """
     WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
           FROM baskets GROUP BY l_partkey),
@@ -809,7 +807,12 @@ def rec_model_path(spark: SparkSession, sf_dir: str) -> str:
            CAST(cand AS BIGINT) AS item, score, n_paths,
            CAST(rnk AS INT) AS rnk
     FROM ranked WHERE rnk <= 3 ORDER BY custkey, rnk
-    """,
+    """
+
+
+@declare(
+    "rec_user_topk",
+    sql=_REC_TOPK_SQL,
     tags=("recommender", "topk", "similarity", "beyond-parity"),
 )
 def rec_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1564,4 +1567,70 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c").cast("decimal(28,12)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_clustering"),
+    )
+
+
+@declare(
+    "rec_coverage",
+    sql=f"""
+    WITH topk AS ({_REC_TOPK_SQL}),
+    ic AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt
+           FROM topk GROUP BY item),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_recs,
+                   CAST(count(*) AS BIGINT) AS n_rec_items
+            FROM ic),
+    cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM part),
+    t10 AS (SELECT CAST(sum(cnt) AS BIGINT) AS top10
+            FROM (SELECT cnt FROM ic ORDER BY cnt DESC, item LIMIT 10) s)
+    SELECT n_recs, n_rec_items, n_catalog,
+           CAST(n_rec_items AS DOUBLE) / CAST(n_catalog AS DOUBLE)
+             AS coverage,
+           CAST(top10 AS DOUBLE) / CAST(n_recs AS DOUBLE) AS top10_share
+    FROM tot CROSS JOIN cat CROSS JOIN t10
+    """,
+    tags=("recommender", "eval", "coverage", "beyond-parity"),
+)
+def rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-coverage / concentration audit of the serving top-3 lists
+    (the aggregate-diversity metrics a recommender dashboard tracks next
+    to accuracy: how much of the catalog ever gets recommended, and how
+    concentrated the recommendations are in the 10 hottest items).
+    Composes the rec_user_topk serving path (same stored model), folds
+    it to item grain, and reports distinct-item coverage vs the part
+    catalog plus the top-10 item share.
+
+    Scale: everything after the serving query is item-grain (one
+    map-side aggregate), a 10-row TakeOrdered, and 1-row scalar frames
+    crossJoined — bounded by construction."""
+    topk = rec_user_topk(spark, sf_dir)
+    ic = topk.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).persist()
+    tot = ic.agg(
+        F.sum("cnt").cast("bigint").alias("n_recs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rec_items"),
+    )
+    cat = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_catalog")
+    )
+    t10 = (
+        ic.orderBy(F.col("cnt").desc(), "item")
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("top10"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(t10))
+        .select(
+            "n_recs",
+            "n_rec_items",
+            "n_catalog",
+            (
+                F.col("n_rec_items").cast("double")
+                / F.col("n_catalog").cast("double")
+            ).alias("coverage"),
+            (
+                F.col("top10").cast("double") / F.col("n_recs").cast("double")
+            ).alias("top10_share"),
+        )
     )

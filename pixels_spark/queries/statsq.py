@@ -2985,3 +2985,101 @@ def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ssw"),
     )
     return parts.select("n", "k", "ssb", "ssw", F.expr(_ANOVA_F).alias("w"))
+
+
+@declare(
+    "dq_referential_integrity",
+    sql="""
+    SELECT fk_edge, n_rows, n_orphans,
+           CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) AS orphan_rate
+    FROM (
+      SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey -> part',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey -> supplier',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ) edges
+    ORDER BY fk_edge
+    """,
+    tags=("data-quality", "referential-integrity", "beyond-parity"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the schema —
+    row counts and orphan counts per edge (the constraint check a lake
+    without enforced FKs runs after every load; completes the dq_ family
+    next to skew/volume/profile). Each edge is one left join counted
+    map-side into a 1-row frame.
+
+    Scale: the four fact-side edges shuffle on their natural join keys
+    exactly once each; the dimension sides (part/supplier/customer/
+    nation) broadcast at any realistic scale (AQE picks it; nation is
+    25 rows). Nothing re-scans: each edge reads its two tables once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name, left, lk, right, rk):
+        j = left.join(right, left[lk] == right[rk], "left")
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(right[rk].isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+
+    edges = (
+        edge("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(
+            edge("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey")
+        )
+        .unionByName(
+            edge(
+                "lineitem.l_suppkey -> supplier", li, "l_suppkey", s, "s_suppkey"
+            )
+        )
+        .unionByName(
+            edge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey")
+        )
+        .unionByName(
+            edge(
+                "customer.c_nationkey -> nation", c, "c_nationkey", n,
+                "n_nationkey",
+            )
+        )
+    )
+    return edges.select(
+        "fk_edge",
+        "n_rows",
+        "n_orphans",
+        (
+            F.col("n_orphans").cast("double") / F.col("n_rows").cast("double")
+        ).alias("orphan_rate"),
+    ).orderBy("fk_edge")

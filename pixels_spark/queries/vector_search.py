@@ -2283,3 +2283,115 @@ def vec_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("rnk")
+
+
+def _kmeanspp_oracle(k: int = 4, d: int = 64) -> str:
+    """Unrolled farthest-first CTEs (the _mmr_oracle convention): seed 1
+    is the max-norm vector; step i argmaxes the MIN squared L2 distance
+    to the i-1 prior seeds with (d2 DESC, vec_id) tie order. Every
+    distance is the ordered-fold _sql_l2, bit-identical to the Spark
+    F.aggregate(zip_with) fold."""
+    norm2 = _SQL_DOT.format(a="embedding", b="embedding")
+    parts = [
+        f"""
+    WITH s1 AS (SELECT vec_id, embedding, {norm2} AS score
+                FROM embeddings ORDER BY score DESC, vec_id LIMIT 1)"""
+    ]
+    for i in range(2, k + 1):
+        selu = " UNION ALL ".join(
+            f"SELECT vec_id, embedding FROM s{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+    selu{i - 1} AS ({selu}),
+    s{i} AS (SELECT r.vec_id, r.embedding,
+                    min({_sql_l2("r.embedding", "s.embedding", d)}) AS score
+             FROM embeddings r CROSS JOIN selu{i - 1} s
+             WHERE r.vec_id NOT IN (SELECT vec_id FROM selu{i - 1})
+             GROUP BY r.vec_id, r.embedding
+             ORDER BY score DESC, r.vec_id LIMIT 1)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rnk, vec_id, score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(
+        f"\n    SELECT rnk, vec_id, score FROM ({finals}) ORDER BY rnk"
+    )
+    return "".join(parts)
+
+
+@declare(
+    "vec_kmeanspp_seed",
+    sql=_kmeanspp_oracle(),
+    tags=("vector", "kmeans", "seeding", "clustering", "beyond-parity"),
+)
+def vec_kmeanspp_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic farthest-first k-means seeding (Gonzalez k-center
+    2-approx — the RNG-free counterpart of k-means++ a reproducible
+    pipeline wants before vec_kmeans_round): seed 1 = max-norm vector;
+    each next seed maximizes the minimum squared L2 distance to the
+    seeds chosen so far, ties broken (score DESC, vec_id) so the
+    sequence is deterministic and the unrolled-CTE oracle replays it
+    exactly. ``score`` is the seed's selection objective (norm² for
+    seed 1, min-dist² after).
+
+    Scale: k-1 greedy steps, each ONE corpus scan folded map-side into a
+    TakeOrdered(1) against the broadcast ≤(k-1)-row seed frame — no
+    corpus shuffle anywhere; k linear passes total (cache the slim
+    (vec_id, embedding) projection to pay the parquet read once). The
+    distance fold is the JVM zip_with/aggregate chain, never Python."""
+    k = 4
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    picks = [
+        e.select(
+            "vec_id",
+            "embedding",
+            V.dot(F.col("embedding"), F.col("embedding")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(1)
+    ]
+    for _ in range(2, k + 1):
+        sel = None
+        for p in picks:
+            one = p.select(
+                F.col("vec_id").alias("_sid"), F.col("embedding").alias("_semb")
+            )
+            sel = one if sel is None else sel.unionByName(one)
+        rem = e.join(
+            F.broadcast(sel.select(F.col("_sid").alias("vec_id"))),
+            "vec_id",
+            "left_anti",
+        )
+        md = (
+            rem.crossJoin(F.broadcast(sel))
+            .groupBy("vec_id", "embedding")
+            .agg(
+                F.min(l2sq(F.col("embedding"), F.col("_semb"))).alias("score")
+            )
+        )
+        picks.append(
+            md.select("vec_id", "embedding", "score")
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+    out = None
+    for i, p in enumerate(picks, 1):
+        row = p.select(
+            F.lit(i).cast("bigint").alias("rnk"), "vec_id", "score"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rnk")

@@ -67,6 +67,11 @@ ALLOWLIST = {
     "vec_knn": "1-row query-vector crossJoin",
     "vec_mmr": "1-row query-vector crossJoin + greedy-step joins over "
     "the <=16-row candidate frame (<=4-row selected side)",
+    "vec_kmeanspp_seed": "greedy farthest-first steps: corpus scan "
+    "crossJoined with the broadcast <=3-row seed frame, folded into "
+    "TakeOrdered(1) — k linear passes, no corpus shuffle",
+    "rec_coverage": "1-row totals/catalog/top10 scalar frames "
+    "crossJoined (composition over the benched rec_user_topk path)",
     "vec_knn_int8": "1-row query-vector crossJoin",
     "vec_knn_pq": "1-row query-vector crossJoin",
     "vec_batch_knn": "bounded query-set crossJoin (16 rows, broadcast)",
