@@ -86,9 +86,15 @@ def main() -> int:
     from pixels_spark.queries import load_all_modules
 
     reg = load_all_modules()
-    for name in names:
+    for qi, name in enumerate(names):
         if name in results and not results[name].startswith("FAIL"):
             continue
+        if qi and qi % 40 == 0:
+            # long sweeps accumulate persisted frames + broadcast state in
+            # the 1g driver heap (r12: the 336-query sweep died at ~280
+            # with a broadcast OOM); periodic cache drops keep the session
+            # bounded without touching per-query results
+            spark.catalog.clearCache()
         if reg[name].sql is None:
             n = reg[name].fn(spark, SF).count()
             results[name] = f"rows-only:{n}"
