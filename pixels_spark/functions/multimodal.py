@@ -522,6 +522,10 @@ def decode_image(payload: bytes) -> object:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)  # full LZW decode, pure stdlib
     Image = _pil_image()
     if Image is None:
         return decode_ppm(payload)  # raises the documented NotImplementedError

@@ -1634,3 +1634,115 @@ def rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top10_share"),
         )
     )
+
+
+def _hits_oracle(rounds: int = 3) -> str:
+    head = """
+    WITH e AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS src,
+                      's' || CAST(l_suppkey AS STRING) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    a1 AS (SELECT dst AS node, CAST(count(*) AS DECIMAL(38,0)) AS s
+           FROM e GROUP BY dst)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f""",
+    h{i} AS (SELECT e.src AS node,
+                  CAST(sum(a{i}.s) AS DECIMAL(38,0)) AS s
+           FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src)"""
+        )
+        if i < rounds:
+            steps.append(
+                f""",
+    a{i + 1} AS (SELECT e.dst AS node,
+                  CAST(sum(h{i}.s) AS DECIMAL(38,0)) AS s
+           FROM e JOIN h{i} ON h{i}.node = e.src GROUP BY e.dst)"""
+            )
+    last_h, last_a = f"h{rounds}", f"a{rounds}"
+    return head + "".join(steps) + f""",
+    ht AS (SELECT sum(s) AS t FROM {last_h}),
+    at AS (SELECT sum(s) AS t FROM {last_a})
+    SELECT node, 'hub' AS side,
+           CAST(s AS DOUBLE) / CAST((SELECT t FROM ht) AS DOUBLE) AS score
+    FROM {last_h}
+    UNION ALL
+    SELECT node, 'auth' AS side,
+           CAST(s AS DOUBLE) / CAST((SELECT t FROM at) AS DOUBLE) AS score
+    FROM {last_a}
+    ORDER BY side, node
+    """
+
+
+@declare(
+    "graph_hits",
+    sql=_hits_oracle(),
+    tags=("graph", "iterative", "hits", "beyond-parity"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over the DIRECTED
+    customer->supplier graph (edge c->s iff c ever ordered a line s
+    supplied) — the bipartite twin of graph_pagerank: hub scores rank
+    customers by how broadly they reach strong suppliers, authority
+    scores rank suppliers by how many strong customers reach them. Three
+    mutual-reinforcement rounds (auth = sum of in-neighbor hubs, hub =
+    sum of out-neighbor auths) run ENTIRELY in DECIMAL(38,0) integer
+    arithmetic — the iterates are integer-valued because the seed is the
+    in-degree, so no per-round float normalization can drift between
+    engines — and ONE L1 normalization at the end is a single IEEE
+    division per node by an exactly-summed decimal total. Fixed round
+    count (not convergence-tested) keeps both engines deterministic,
+    the pagerank-oracle convention.
+
+    Scale: each round is one shuffle (edge frame joined on one side,
+    hash-aggregated on the other); the edge frame persists once; scores
+    live on the node frames (tiny). DECIMAL(38,0) headroom: iterate
+    magnitude ~ (mean degree)^rounds x n_nodes ~ 1e22 at sf100 — 16
+    orders below the 1e38 ceiling."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+        .persist()
+    )
+    auth = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("s")
+    )
+    rounds = 3
+    for i in range(rounds):
+        hub = (
+            e.join(auth.withColumnRenamed("node", "_n"), F.col("_n") == F.col("dst"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+        )
+        if i < rounds - 1:
+            auth = (
+                e.join(
+                    hub.withColumnRenamed("node", "_n"), F.col("_n") == F.col("src")
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+            )
+    ht = hub.agg(F.sum("s").alias("t"))
+    at = auth.agg(F.sum("s").alias("t"))
+    hub_n = hub.crossJoin(F.broadcast(ht)).select(
+        "node",
+        F.lit("hub").alias("side"),
+        (F.col("s").cast("double") / F.col("t").cast("double")).alias("score"),
+    )
+    auth_n = auth.crossJoin(F.broadcast(at)).select(
+        "node",
+        F.lit("auth").alias("side"),
+        (F.col("s").cast("double") / F.col("t").cast("double")).alias("score"),
+    )
+    return hub_n.unionAll(auth_n).orderBy("side", "node")

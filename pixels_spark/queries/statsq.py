@@ -3083,3 +3083,127 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orphans").cast("double") / F.col("n_rows").cast("double")
         ).alias("orphan_rate"),
     ).orderBy("fk_edge")
+
+
+@declare(
+    "stat_friedman",
+    sql="""
+    WITH obs AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+           FROM events),
+    full_days AS (
+      SELECT day FROM obs GROUP BY day
+      HAVING count(*) = (SELECT k FROM kk)),
+    ranked AS (
+      SELECT o.day, o.event_type, o.x,
+             rank() OVER (PARTITION BY o.day ORDER BY o.x)
+             + (count(*) OVER (PARTITION BY o.day, o.x) - 1) / 2.0 AS r
+      FROM obs o JOIN full_days USING (day)),
+    nb AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n FROM ranked),
+    rj AS (SELECT event_type, sum(r) AS rj FROM ranked GROUP BY 1),
+    ties AS (
+      SELECT coalesce(sum(t * t * t - t), 0) AS tsum
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM ranked GROUP BY day, x) g),
+    q AS (
+      SELECT nb.n, kk.k, ties.tsum,
+             12.0 / (nb.n * kk.k * (kk.k + 1)) * sum(rj.rj * rj.rj)
+             - 3.0 * nb.n * (kk.k + 1) AS q_raw
+      FROM rj CROSS JOIN nb CROSS JOIN kk CROSS JOIN ties
+      GROUP BY nb.n, kk.k, ties.tsum)
+    SELECT n AS n_blocks, k AS n_treatments, k - 1 AS dof, q_raw,
+           1.0 - CAST(tsum AS DOUBLE) / (n * k * (k * k - 1)) AS tie_c,
+           CASE WHEN 1.0 - CAST(tsum AS DOUBLE) / (n * k * (k * k - 1)) > 0
+                THEN q_raw / (1.0 - CAST(tsum AS DOUBLE)
+                                    / (n * k * (k * k - 1))) END AS chi2
+    FROM q
+    """,
+    tags=("stats", "hypothesis-test", "nonparametric", "beyond-parity"),
+)
+def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test — the repeated-measures / blocked complement of
+    stat_kruskal_wallis: blocks = calendar days, treatments = event
+    types, observation = the day x type event count (INTEGER, so the cut
+    is exact in both engines — no float-mean observations whose sum
+    order could flip a rank). Only complete blocks (all k types present)
+    enter, the standard listwise rule. Within-block average ranks come
+    from rank() + (ties-1)/2 (half-integers — exact doubles), the
+    statistic is the classic Q = 12/(nk(k+1)) SUM R_j^2 - 3n(k+1), and
+    the tie correction C = 1 - SUM(t^3-t)/(nk(k^2-1)) divides it (chi2
+    with k-1 dof). Identical formula text runs on both engines, so the
+    doubles match bit-for-bit.
+
+    Scale: one hash aggregate to day x type grain; the rank window
+    partitions by day (never a global sort); everything downstream runs
+    on the tiny per-day frame. At 1000x the events the day x type frame
+    grows with days, not rows."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    k_val = e.select(
+        F.countDistinct("event_type").cast("bigint").alias("k")
+    )
+    full_days = (
+        obs.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(k_val), F.col("_c") == F.col("k"))
+        .select("day")
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("day").orderBy("x")
+    wt = W.partitionBy("day", "x")
+    ranked = (
+        obs.join(full_days, "day")
+        .select(
+            "day",
+            "event_type",
+            "x",
+            (
+                F.rank().over(wr)
+                + (F.count(F.lit(1)).over(wt) - F.lit(1)) / F.lit(2.0)
+            ).alias("r"),
+        )
+    ).persist()
+    nb = ranked.select(
+        F.countDistinct("day").cast("bigint").alias("n")
+    )
+    rj = ranked.groupBy("event_type").agg(F.sum("r").alias("rj"))
+    ties = (
+        ranked.groupBy("day", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0),
+            ).alias("tsum")
+        )
+    )
+    q = (
+        rj.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(k_val))
+        .crossJoin(F.broadcast(ties))
+        .groupBy("n", "k", "tsum")
+        .agg(
+            (
+                F.lit(12.0)
+                / (F.col("n") * F.col("k") * (F.col("k") + 1))
+                * F.sum(F.col("rj") * F.col("rj"))
+                - F.lit(3.0) * F.col("n") * (F.col("k") + 1)
+            ).alias("q_raw")
+        )
+    )
+    n, k, tsum = F.col("n"), F.col("k"), F.col("tsum")
+    tie_c = F.lit(1.0) - tsum.cast("double") / (n * k * (k * k - 1))
+    return q.select(
+        n.alias("n_blocks"),
+        k.alias("n_treatments"),
+        (k - 1).alias("dof"),
+        "q_raw",
+        tie_c.alias("tie_c"),
+        F.when(tie_c > 0, F.col("q_raw") / tie_c).alias("chi2"),
+    ).orderBy("n_blocks")

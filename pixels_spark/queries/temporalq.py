@@ -2194,3 +2194,285 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x") - F.col("trend") - (F.col("s_raw") - F.col("s_center"))
         ).alias("remainder"),
     ).orderBy("day")
+
+
+_PACF_ACF_HEAD = """
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s
+            FROM h GROUP BY 1),
+    c AS (SELECT h.event_type, h.hr,
+                 CAST(tot.n * h.x - tot.s AS DECIMAL(38,0)) AS cv
+          FROM h JOIN tot USING (event_type)),
+    g0 AS (SELECT event_type, sum(cv * cv) AS g0 FROM c GROUP BY 1),
+    lags AS (SELECT * FROM (VALUES (1), (2), (3)) AS l(k)),
+    pairs AS (
+      SELECT a.event_type, l.k, sum(a.cv * b.cv) AS gk
+      FROM c a CROSS JOIN lags l
+      JOIN c b ON b.event_type = a.event_type AND b.hr = a.hr + l.k
+      GROUP BY 1, 2),
+    r AS (
+      SELECT p.event_type,
+             max(CASE WHEN p.k = 1 THEN CAST(p.gk AS DOUBLE)
+                                        / CAST(g0.g0 AS DOUBLE) END) AS r1,
+             max(CASE WHEN p.k = 2 THEN CAST(p.gk AS DOUBLE)
+                                        / CAST(g0.g0 AS DOUBLE) END) AS r2,
+             max(CASE WHEN p.k = 3 THEN CAST(p.gk AS DOUBLE)
+                                        / CAST(g0.g0 AS DOUBLE) END) AS r3
+      FROM pairs p JOIN g0 USING (event_type)
+      WHERE g0.g0 > 0
+      GROUP BY 1)"""
+
+
+@declare(
+    "ts_pacf",
+    sql=_PACF_ACF_HEAD + """,
+    d2 AS (
+      SELECT event_type, r1, r2, r3,
+             CASE WHEN 1 - r1 * r1 <> 0
+                  THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS phi22
+      FROM r),
+    d3 AS (
+      SELECT event_type, r1, r2, r3, phi22,
+             r1 * (1 - phi22) AS phi21
+      FROM d2)
+    SELECT event_type, r1 AS pacf1, phi22 AS pacf2,
+           CASE WHEN 1 - phi21 * r1 - phi22 * r2 <> 0
+                THEN (r3 - phi21 * r2 - phi22 * r1)
+                     / (1 - phi21 * r1 - phi22 * r2) END AS pacf3
+    FROM d3 ORDER BY event_type
+    """,
+    tags=("temporal", "timeseries", "pacf", "autocorrelation",
+          "beyond-parity"),
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) of the hourly per-type event
+    series via the Durbin-Levinson recursion CLOSED FORMS on the ACF
+    estimates: phi_11 = r1, phi_22 = (r2 - r1^2)/(1 - r1^2), phi_21 =
+    r1(1 - phi_22), phi_33 = (r3 - phi_21 r2 - phi_22 r1)/(1 - phi_21 r1
+    - phi_22 r2) — the AR-order diagnostic next to ts_acf (an AR(p)
+    series shows PACF cutting off after lag p, where the ACF only
+    decays). The r_k inherit ts_acf's exact-integer construction (bigint
+    centered values, DECIMAL(38,0) products, one IEEE division), so both
+    engines run identical double arithmetic on identical inputs;
+    degenerate denominators (unit-root r1, singular level-2 solve) yield
+    NULL rather than Inf. Unrolling the recursion to fixed lag 3 keeps
+    the oracle pure ANSI — no recursive CTE, same text verbatim on both
+    engines.
+
+    Scale: identical profile to ts_acf — one hash aggregate to hourly
+    grain, then a 3-lag self-join on the tiny per-type hourly frame;
+    the recursion itself is per-group scalar arithmetic (5 rows)."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(3600000000))
+        .cast("bigint")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = (
+        h.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s"),
+        )
+        .withColumnRenamed("event_type", "_et")
+    )
+    from ..functions.dedup import cut_lineage
+
+    c = cut_lineage(
+        h.join(F.broadcast(tot), F.col("event_type") == F.col("_et")).select(
+            "event_type",
+            "hr",
+            (F.col("n") * F.col("x") - F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("cv"),
+        )
+    )
+    g0 = (
+        c.groupBy("event_type")
+        .agg(F.sum(F.col("cv") * F.col("cv")).alias("g0"))
+        .withColumnRenamed("event_type", "_et")
+    )
+    a = c.select(
+        "event_type",
+        "hr",
+        F.col("cv").alias("ca"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    )
+    b = c.select(
+        F.col("event_type").alias("_etb"),
+        F.col("hr").alias("_hrb"),
+        F.col("cv").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("_etb") == F.col("event_type"))
+            & (F.col("_hrb") == F.col("hr") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("gk"))
+    )
+    rk = (
+        pairs.join(F.broadcast(g0), F.col("event_type") == F.col("_et"))
+        .where(F.col("g0") > 0)
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("k") == i,
+                        F.col("gk").cast("double") / F.col("g0").cast("double"),
+                    )
+                ).alias(f"r{i}")
+                for i in (1, 2, 3)
+            ]
+        )
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    d2 = rk.select(
+        "event_type",
+        r1,
+        r2,
+        r3,
+        F.when(
+            F.lit(1) - r1 * r1 != 0, (r2 - r1 * r1) / (F.lit(1) - r1 * r1)
+        ).alias("phi22"),
+    )
+    d3 = d2.select(
+        "event_type",
+        r1,
+        r2,
+        r3,
+        F.col("phi22"),
+        (r1 * (F.lit(1) - F.col("phi22"))).alias("phi21"),
+    )
+    p21, p22 = F.col("phi21"), F.col("phi22")
+    return d3.select(
+        "event_type",
+        r1.alias("pacf1"),
+        p22.alias("pacf2"),
+        F.when(
+            F.lit(1) - p21 * r1 - p22 * r2 != 0,
+            (r3 - p21 * r2 - p22 * r1) / (F.lit(1) - p21 * r1 - p22 * r2),
+        ).alias("pacf3"),
+    ).orderBy("event_type")
+
+
+@declare(
+    "ts_runs_test",
+    sql="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s
+            FROM h GROUP BY 1),
+    sgn AS (
+      SELECT h.event_type, h.hr,
+             CASE WHEN tot.n * h.x > tot.s THEN 1 ELSE 0 END AS above
+      FROM h JOIN tot USING (event_type)
+      WHERE tot.n * h.x <> tot.s),
+    runs AS (
+      SELECT event_type, above,
+             CASE WHEN lag(above) OVER (PARTITION BY event_type
+                                        ORDER BY hr) IS DISTINCT FROM above
+                  THEN 1 ELSE 0 END AS is_start
+      FROM sgn),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(is_start) AS BIGINT) AS n_runs,
+             CAST(sum(above) AS BIGINT) AS n1,
+             CAST(sum(1 - above) AS BIGINT) AS n2
+      FROM runs GROUP BY 1)
+    SELECT event_type, n_runs, n1, n2,
+           1.0 + 2.0 * n1 * n2 / (n1 + n2) AS mu,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                     AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) > 0
+                THEN (n_runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                     / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                            / (CAST((n1 + n2) AS DOUBLE)
+                               * (n1 + n2) * (n1 + n2 - 1))) END AS z
+    FROM agg ORDER BY event_type
+    """,
+    tags=("temporal", "timeseries", "hypothesis-test", "randomness",
+          "beyond-parity"),
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the hourly per-type
+    event series, dichotomized around the series MEAN (the mean variant
+    keeps the cut EXACT: x_t > mean iff n*x_t > S in bigint arithmetic —
+    no float median interpolation to diverge between engines; exact-mean
+    hours are excluded, the standard tie rule). A run is a maximal block
+    of consecutive same-side hours; under H0 (random ordering) R is
+    asymptotically normal with mu = 2 n1 n2/(n1+n2) + 1 and the classic
+    variance, so |z| > 2 flags trending/oscillating traffic — the
+    cheap-but-principled monotony detector next to ts_mann_kendall
+    (which tests monotone trend specifically).
+
+    Scale: one hash aggregate to hourly grain, one window lag over the
+    tiny per-type hourly frame — the window partitions by event_type, so
+    no single-partition global sort materializes at any volume."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(3600000000))
+        .cast("bigint")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = (
+        h.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s"),
+        )
+        .withColumnRenamed("event_type", "_et")
+    )
+    sgn = (
+        h.join(F.broadcast(tot), F.col("event_type") == F.col("_et"))
+        .where(F.col("n") * F.col("x") != F.col("s"))
+        .select(
+            "event_type",
+            "hr",
+            F.when(F.col("n") * F.col("x") > F.col("s"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("above"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    runs = sgn.select(
+        "event_type",
+        "above",
+        F.when(
+            ~F.lag("above").over(w).eqNullSafe(F.col("above")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("is_start").cast("bigint").alias("n_runs"),
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("above")).cast("bigint").alias("n2"),
+    )
+    n1, n2, nr = F.col("n1"), F.col("n2"), F.col("n_runs")
+    mu = F.lit(1.0) + F.lit(2.0) * n1 * n2 / (n1 + n2)
+    var_num = F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+    var_den = (n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1)
+    return agg.select(
+        "event_type",
+        "n_runs",
+        "n1",
+        "n2",
+        mu.alias("mu"),
+        F.when(
+            (n1 > 0) & (n2 > 0) & (n1 + n2 > 1) & (var_num > 0),
+            (nr - mu) / F.sqrt(var_num / var_den),
+        ).alias("z"),
+    ).orderBy("event_type")

@@ -560,6 +560,31 @@ def mm_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "mm_gif_meta",
+    sql=_MM.MM_GIF_SQL,
+    tags=("multimodal", "pandas_udf", "decode"),
+)
+def mm_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF87a/89a FULL pixel decode (r12): unlike the H.264/MP3-granule
+    boundaries, GIF's LZW is decodable in pure stdlib, so this query sits
+    in the full-decode tier with PNG/JPEG/FLAC — variable-width LZW with
+    clear-code resets, global/local palettes, GCE delays/transparency,
+    NETSCAPE loop counts and the 4-pass interlace reorder, all inside
+    Arrow mapInPandas. Decode EXACTNESS pins via pixel_checksum (sum of
+    palette-mapped RGB bytes over every frame mod 2^31 — one wrong LZW
+    code or interlace row flips it). The fixture rotates dims/palettes/
+    frame counts and ends with corrupt-LZW + truncated rows so the err
+    channel pins too. Oracled by golden-value pinning
+    (_mm_golden.MM_GIF_SQL), the mm_decode convention. Reference:
+    multimodal north star via VECTOR type,
+    pixels-core/.../TypeDescription.java:218."""
+    from pixels_spark.functions import gif as GF
+
+    media = GF.synthetic_gif_media(spark, n=12)
+    return GF.gif_meta(media).orderBy("media_id")
+
+
+@declare(
     "txt_corpus_clean",
     sql=rf"""
     SELECT lang,
