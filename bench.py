@@ -267,6 +267,13 @@ HEADLINE = (
     # vec_kmeanspp_seed is k TakeOrdered corpus scans (vec_knn's shape
     # xk); dq_referential_integrity is left-join count shapes already
     # timed by the tpch joins; rec_coverage composes rec_user_topk.
+    # round 12 wave 2, same rules: ts_pacf shares ts_acf's lag-self-join
+    # shape (3 lags vs 7 on the same hourly frame); ts_runs_test /
+    # stat_friedman fold to hour/day grain in one map-side aggregate
+    # then window tiny frames; mm_gif_meta runs on a synthetic fixture;
+    # graph_hits shares graph_pagerank's round structure (join+agg per
+    # round) which stays out for the measured toy-scale scheduling-
+    # overhead reason — it is scale-probed in SCALE.md instead.
 )
 
 

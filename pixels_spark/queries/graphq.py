@@ -1720,8 +1720,15 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rounds = 3
     for i in range(rounds):
+        # auth lives on the supplier side — the SMALL dimension of the
+        # bipartite graph (~30 MB at sf100, inside the repo's 256 MB
+        # broadcast threshold), so the auth->hub half-round is a
+        # broadcast join: the edge frame never re-shuffles for it
         hub = (
-            e.join(auth.withColumnRenamed("node", "_n"), F.col("_n") == F.col("dst"))
+            e.join(
+                F.broadcast(auth.withColumnRenamed("node", "_n")),
+                F.col("_n") == F.col("dst"),
+            )
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
         )
