@@ -641,8 +641,9 @@ def synthesize_video(n_frames: int, width: int = 8, height: int = 6) -> bytes:
 def decode_video(payload: bytes) -> dict:
     """Header-level video metadata: frame count + first-frame dimensions.
     MP4 payloads route to the ISO BMFF box walk (``mp4.parse_mp4_meta``,
-    VERDICT r10 task #2) — metadata + per-frame byte ranges, no frame
-    decode; other real containers (AVI/MKV) still need ffmpeg."""
+    VERDICT r10 task #2) and AVI payloads to the RIFF chunk walk
+    (``avi.parse_avi_meta``, r12) — metadata + exact per-frame byte
+    ranges, no frame decode; MKV (EBML) still needs ffmpeg."""
     import struct
 
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
@@ -655,10 +656,20 @@ def decode_video(payload: bytes) -> dict:
             "height": m.get("height", 0),
             "duration_s": m["duration_s"],
         }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from pixels_spark.functions.avi import parse_avi_meta
+
+        m = parse_avi_meta(payload)
+        return {
+            "n_frames": m["n_frames"],
+            "width": m["width"],
+            "height": m["height"],
+            "duration_s": m["duration_s"],
+        }
     if payload[:4] != VIDEO_MAGIC:
         raise NotImplementedError(
-            "only PVID and MP4 (metadata tier) demux without ffmpeg — "
-            "not installed"
+            "only PVID, MP4 and AVI (metadata tier) demux without "
+            "ffmpeg — not installed"
         )
     (n_frames,) = struct.unpack_from("<I", payload, 4)
     first = next(iter_video_frames(payload), None)

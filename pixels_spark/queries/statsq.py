@@ -3207,3 +3207,105 @@ def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_c.alias("tie_c"),
         F.when(tie_c > 0, F.col("q_raw") / tie_c).alias("chi2"),
     ).orderBy("n_blocks")
+
+
+@declare(
+    "stat_jarque_bera",
+    sql="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s
+            FROM h GROUP BY 1),
+    c AS (SELECT h.event_type, tot.n,
+                 CAST(tot.n * h.x - tot.s AS DECIMAL(38,0)) AS cx
+          FROM h JOIN tot USING (event_type)),
+    m AS (SELECT event_type, max(n) AS n,
+                 sum(cx * cx) AS m2s,
+                 sum(cx * cx * cx) AS m3s,
+                 sum(cx * cx * cx * cx) AS m4s
+          FROM c GROUP BY 1)
+    SELECT event_type, n,
+           CASE WHEN m2s > 0
+                THEN CAST(m3s AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+                     / pow(CAST(m2s AS DOUBLE), 1.5) END AS skewness,
+           CASE WHEN m2s > 0
+                THEN CAST(m4s AS DOUBLE) * CAST(n AS DOUBLE)
+                     / (CAST(m2s AS DOUBLE) * CAST(m2s AS DOUBLE)) END
+                AS kurtosis,
+           CASE WHEN m2s > 0
+                THEN CAST(n AS DOUBLE) / 6.0
+                     * (pow(CAST(m3s AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+                            / pow(CAST(m2s AS DOUBLE), 1.5), 2)
+                        + pow(CAST(m4s AS DOUBLE) * CAST(n AS DOUBLE)
+                              / (CAST(m2s AS DOUBLE) * CAST(m2s AS DOUBLE))
+                              - 3.0, 2) / 4.0) END AS jb
+    FROM m ORDER BY event_type
+    """,
+    tags=("stats", "hypothesis-test", "normality", "beyond-parity"),
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of the hourly per-type event-count
+    distribution — the gate in front of every z-score/CI step that
+    assumes normal hourly traffic (ts_anomaly, stat_zscore_outliers):
+    JB = n/6 (S^2 + (K-3)^2 / 4) with skewness S and kurtosis K from
+    EXACT-INTEGER central moments — the ts_acf n-scaling trick extended
+    to 3rd/4th powers: cx = n*x - S1 is a bigint, the n-scale cancels in
+    both ratios (S = sqrt(n) m3s / m2s^1.5, K = n m4s / m2s^2), and cx^4
+    sums stay under DECIMAL(38,0)'s ceiling up to ~1e8 hours x 1e7
+    events/hour. Both engines then run the identical double formula on
+    identical integers; constant series yield NULL, not NaN.
+
+    Scale: one hash aggregate to hourly grain; the moment aggregate runs
+    on the tiny per-type hourly frame. At 1000x events the hourly frame
+    grows with the time span, not the row count."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(3600000000))
+        .cast("bigint")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = (
+        h.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s"),
+        )
+        .withColumnRenamed("event_type", "_et")
+    )
+    c = h.join(F.broadcast(tot), F.col("event_type") == F.col("_et")).select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("cx"),
+    )
+    cx = F.col("cx")
+    m = c.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(cx * cx).alias("m2s"),
+        F.sum(cx * cx * cx).alias("m3s"),
+        F.sum(cx * cx * cx * cx).alias("m4s"),
+    )
+    nD = F.col("n").cast("double")
+    m2, m3, m4 = (F.col(k).cast("double") for k in ("m2s", "m3s", "m4s"))
+    skew = m3 * F.sqrt(nD) / F.pow(m2, F.lit(1.5))
+    kurt = m4 * nD / (m2 * m2)
+    return m.select(
+        "event_type",
+        "n",
+        F.when(F.col("m2s") > 0, skew).alias("skewness"),
+        F.when(F.col("m2s") > 0, kurt).alias("kurtosis"),
+        F.when(
+            F.col("m2s") > 0,
+            nD / F.lit(6.0)
+            * (
+                F.pow(skew, F.lit(2))
+                + F.pow(kurt - F.lit(3.0), F.lit(2)) / F.lit(4.0)
+            ),
+        ).alias("jb"),
+    ).orderBy("event_type")

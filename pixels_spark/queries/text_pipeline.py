@@ -585,6 +585,29 @@ def mm_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "mm_avi_meta",
+    sql=_MM.MM_AVI_SQL,
+    tags=("multimodal", "pandas_udf", "video"),
+)
+def mm_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI (RIFF) metadata demux (r12): chunk walk over hdrl/strl/movi
+    — main header, per-stream vids/auds metadata (fourcc codec,
+    dwScale/dwRate timing, WAVEFORMATEX audio), exact per-frame byte
+    ranges from the movi ``00dc`` chunks with WORD padding, and an idx1
+    cross-check (index entries must match walked chunks) — the third
+    video container next to MP4's box walk, inside Arrow mapInPandas;
+    frame DECODE stays behind the documented codec boundary. The
+    fixture rotates dims/fps/frame counts/codecs with audio and
+    no-idx1 rows, ending with an avih-vs-movi frame-count mismatch and
+    a truncated row so both err shapes pin. Oracled by golden-value
+    pinning (_mm_golden.MM_AVI_SQL), the mm_decode convention."""
+    from pixels_spark.functions import avi as AV
+
+    media = AV.synthetic_avi_media(spark, n=12)
+    return AV.avi_meta(media).orderBy("media_id")
+
+
+@declare(
     "txt_corpus_clean",
     sql=rf"""
     SELECT lang,

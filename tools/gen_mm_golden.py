@@ -53,6 +53,17 @@ GIF_COLS = [
     ("err", "VARCHAR"),
 ]
 
+AVI_COLS = [
+    ("media_id", "BIGINT"), ("width", "BIGINT"), ("height", "BIGINT"),
+    ("n_streams", "BIGINT"), ("n_frames", "BIGINT"), ("fps", "DOUBLE"),
+    ("duration_s", "DOUBLE"), ("video_codec", "VARCHAR"),
+    ("audio_tag", "BIGINT"), ("audio_channels", "BIGINT"),
+    ("audio_rate", "BIGINT"), ("n_chunks", "BIGINT"),
+    ("idx1_entries", "BIGINT"), ("first_frame_off", "BIGINT"),
+    ("last_frame_end", "BIGINT"), ("frame_bytes", "BIGINT"),
+    ("err", "VARCHAR"),
+]
+
 OGG_COLS = [
     ("media_id", "BIGINT"), ("codec", "VARCHAR"), ("channels", "BIGINT"),
     ("sample_rate", "BIGINT"), ("pre_skip", "BIGINT"),
@@ -130,6 +141,13 @@ def main() -> None:
         .orderBy("media_id")
         .collect()
     )
+    from pixels_spark.functions import avi as AV
+
+    avi_rows = (
+        AV.avi_meta(AV.synthetic_avi_media(spark, n=12))
+        .orderBy("media_id")
+        .collect()
+    )
     spark.stop()
 
     out = os.path.join(_ROOT, "pixels_spark", "queries", "_mm_golden.py")
@@ -149,12 +167,13 @@ def main() -> None:
             f"MM_MP4_SQL = '''\n{_values_sql(mp4_rows, MP4_COLS)}'''\n\n"
             f"MM_MP3_SQL = '''\n{_values_sql(mp3_rows, MP3_COLS)}'''\n\n"
             f"MM_OGG_SQL = '''\n{_values_sql(ogg_rows, OGG_COLS)}'''\n\n"
-            f"MM_GIF_SQL = '''\n{_values_sql(gif_rows, GIF_COLS)}'''\n"
+            f"MM_GIF_SQL = '''\n{_values_sql(gif_rows, GIF_COLS)}'''\n\n"
+            f"MM_AVI_SQL = '''\n{_values_sql(avi_rows, AVI_COLS)}'''\n"
         )
     print(
         f"wrote {out}: {len(decode_rows)} + {len(video_rows)} + "
         f"{len(mp4_rows)} + {len(mp3_rows)} + {len(ogg_rows)} + "
-        f"{len(gif_rows)} golden rows"
+        f"{len(gif_rows)} + {len(avi_rows)} golden rows"
     )
 
 
