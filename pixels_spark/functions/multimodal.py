@@ -526,6 +526,10 @@ def decode_image(payload: bytes) -> object:
         from .gif import decode_gif
 
         return decode_gif(payload)  # full LZW decode, pure stdlib
+    if payload[:2] == b"BM":
+        from .bmp import decode_bmp
+
+        return decode_bmp(payload)  # full decode incl. RLE8, pure stdlib
     Image = _pil_image()
     if Image is None:
         return decode_ppm(payload)  # raises the documented NotImplementedError

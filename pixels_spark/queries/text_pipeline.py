@@ -608,6 +608,29 @@ def mm_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "mm_bmp_meta",
+    sql=_MM.MM_BMP_SQL,
+    tags=("multimodal", "pandas_udf", "decode"),
+)
+def mm_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP FULL pixel decode (r12) — 24-bit BI_RGB, 8-bit palettized,
+    and 8-bit BI_RLE8 with a real run-length decompressor (encoded runs,
+    word-aligned absolute mode, EOL/EOB/delta escapes), bottom-up and
+    top-down row orders normalized — inside Arrow mapInPandas, the
+    full-decode tier with PNG/JPEG/GIF. Decode exactness pins via
+    pixel_checksum (RGB byte sum over the normalized image mod 2^31 —
+    a wrong run length, palette slot or row order flips it; the test
+    suite additionally proves RLE-vs-flat encodes of the same pixels
+    decode identically). The fixture rotates the three forms and ends
+    with an RLE run-overrun row and a truncated row so the err channel
+    pins. Oracled by golden-value pinning (_mm_golden.MM_BMP_SQL)."""
+    from pixels_spark.functions import bmp as BM
+
+    media = BM.synthetic_bmp_media(spark, n=12)
+    return BM.bmp_meta(media).orderBy("media_id")
+
+
+@declare(
     "txt_corpus_clean",
     sql=rf"""
     SELECT lang,

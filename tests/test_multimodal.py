@@ -12,13 +12,15 @@ def test_decode_stubs_raise():
     # JPEG now decodes natively — a truncated one fails loudly instead
     with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0JFIF")
-    # GIF decodes natively now (r12, functions/gif.py) — a truncated one
-    # fails loudly through the same contained-error channel
+    # GIF and BMP decode natively now (r12) — truncated ones fail loudly
+    # through the same contained-error channel
     with pytest.raises(ValueError):
         M.decode_image(b"GIF89a......")
+    with pytest.raises(ValueError):
+        M.decode_image(b"BM......")
     if M._pil_image() is None:
         with pytest.raises(NotImplementedError):
-            M.decode_image(b"BM......")  # BMP still needs PIL
+            M.decode_image(b"II*\x00....")  # TIFF pixel decode needs PIL
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"RIFF")
 

@@ -53,6 +53,14 @@ GIF_COLS = [
     ("err", "VARCHAR"),
 ]
 
+BMP_COLS = [
+    ("media_id", "BIGINT"), ("width", "BIGINT"), ("height", "BIGINT"),
+    ("bpp", "BIGINT"), ("compression", "BIGINT"), ("n_colors", "BIGINT"),
+    ("top_down", "BOOLEAN"), ("n_pixels", "BIGINT"),
+    ("pixel_checksum", "BIGINT"), ("mean_byte", "DOUBLE"),
+    ("err", "VARCHAR"),
+]
+
 AVI_COLS = [
     ("media_id", "BIGINT"), ("width", "BIGINT"), ("height", "BIGINT"),
     ("n_streams", "BIGINT"), ("n_frames", "BIGINT"), ("fps", "DOUBLE"),
@@ -148,6 +156,13 @@ def main() -> None:
         .orderBy("media_id")
         .collect()
     )
+    from pixels_spark.functions import bmp as BM
+
+    bmp_rows = (
+        BM.bmp_meta(BM.synthetic_bmp_media(spark, n=12))
+        .orderBy("media_id")
+        .collect()
+    )
     spark.stop()
 
     out = os.path.join(_ROOT, "pixels_spark", "queries", "_mm_golden.py")
@@ -168,12 +183,13 @@ def main() -> None:
             f"MM_MP3_SQL = '''\n{_values_sql(mp3_rows, MP3_COLS)}'''\n\n"
             f"MM_OGG_SQL = '''\n{_values_sql(ogg_rows, OGG_COLS)}'''\n\n"
             f"MM_GIF_SQL = '''\n{_values_sql(gif_rows, GIF_COLS)}'''\n\n"
-            f"MM_AVI_SQL = '''\n{_values_sql(avi_rows, AVI_COLS)}'''\n"
+            f"MM_AVI_SQL = '''\n{_values_sql(avi_rows, AVI_COLS)}'''\n\n"
+            f"MM_BMP_SQL = '''\n{_values_sql(bmp_rows, BMP_COLS)}'''\n"
         )
     print(
         f"wrote {out}: {len(decode_rows)} + {len(video_rows)} + "
         f"{len(mp4_rows)} + {len(mp3_rows)} + {len(ogg_rows)} + "
-        f"{len(gif_rows)} + {len(avi_rows)} golden rows"
+        f"{len(gif_rows)} + {len(avi_rows)} + {len(bmp_rows)} golden rows"
     )
 
 
