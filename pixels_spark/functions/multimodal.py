@@ -530,6 +530,11 @@ def decode_image(payload: bytes) -> object:
         from .bmp import decode_bmp
 
         return decode_bmp(payload)  # full decode incl. RLE8, pure stdlib
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        # IFD walk always; pixels decode for none/LZW strips
+        return decode_tiff(payload)
     Image = _pil_image()
     if Image is None:
         return decode_ppm(payload)  # raises the documented NotImplementedError

@@ -631,6 +631,30 @@ def mm_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "mm_tiff_meta",
+    sql=_MM.MM_TIFF_SQL,
+    tags=("multimodal", "pandas_udf", "decode"),
+)
+def mm_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF IFD walk + FULL pixel decode for none/LZW strips (r12):
+    both byte orders, multi-page IFD chains, exact strip byte ranges
+    from StripOffsets/StripByteCounts (the ranged-read plan a 100 TB
+    scan-corpus scheduler needs), and — for Compression 1/5 with 8-bit
+    samples — every pixel via the TIFF-variant LZW (MSB-first, early
+    change) with Predictor=2 horizontal differencing undone per sample
+    plane. JPEG-in-TIFF rows report metadata with NULL pixel fields
+    (documented codec boundary). pixel_checksum pins decode exactness;
+    the suite proves LZW+predictor vs uncompressed encodes of the same
+    pixels decode identically. The fixture ends with a strip-overrun
+    row and a truncated row so the err channel pins. Oracled by
+    golden-value pinning (_mm_golden.MM_TIFF_SQL)."""
+    from pixels_spark.functions import tiff as TF
+
+    media = TF.synthetic_tiff_media(spark, n=12)
+    return TF.tiff_meta(media).orderBy("media_id")
+
+
+@declare(
     "txt_corpus_clean",
     sql=rf"""
     SELECT lang,

@@ -18,9 +18,12 @@ def test_decode_stubs_raise():
         M.decode_image(b"GIF89a......")
     with pytest.raises(ValueError):
         M.decode_image(b"BM......")
+    # TIFF routes natively too (r12) — a truncated one fails loudly
+    with pytest.raises(ValueError):
+        M.decode_image(b"II*\x00\x08\x00\x00\x00")
     if M._pil_image() is None:
         with pytest.raises(NotImplementedError):
-            M.decode_image(b"II*\x00....")  # TIFF pixel decode needs PIL
+            M.decode_image(b"RIFF....WEBP")  # WEBP still needs PIL
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"RIFF")
 

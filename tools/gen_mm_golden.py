@@ -53,6 +53,17 @@ GIF_COLS = [
     ("err", "VARCHAR"),
 ]
 
+TIFF_COLS = [
+    ("media_id", "BIGINT"), ("byte_order", "VARCHAR"),
+    ("n_pages", "BIGINT"), ("width", "BIGINT"), ("height", "BIGINT"),
+    ("bits_per_sample", "BIGINT"), ("samples_per_pixel", "BIGINT"),
+    ("compression", "BIGINT"), ("photometric", "BIGINT"),
+    ("predictor", "BIGINT"), ("n_strips", "BIGINT"),
+    ("strip_bytes", "BIGINT"), ("decoded_pages", "BIGINT"),
+    ("n_pixels", "BIGINT"), ("pixel_checksum", "BIGINT"),
+    ("mean_byte", "DOUBLE"), ("err", "VARCHAR"),
+]
+
 BMP_COLS = [
     ("media_id", "BIGINT"), ("width", "BIGINT"), ("height", "BIGINT"),
     ("bpp", "BIGINT"), ("compression", "BIGINT"), ("n_colors", "BIGINT"),
@@ -163,6 +174,13 @@ def main() -> None:
         .orderBy("media_id")
         .collect()
     )
+    from pixels_spark.functions import tiff as TF
+
+    tiff_rows = (
+        TF.tiff_meta(TF.synthetic_tiff_media(spark, n=12))
+        .orderBy("media_id")
+        .collect()
+    )
     spark.stop()
 
     out = os.path.join(_ROOT, "pixels_spark", "queries", "_mm_golden.py")
@@ -184,12 +202,14 @@ def main() -> None:
             f"MM_OGG_SQL = '''\n{_values_sql(ogg_rows, OGG_COLS)}'''\n\n"
             f"MM_GIF_SQL = '''\n{_values_sql(gif_rows, GIF_COLS)}'''\n\n"
             f"MM_AVI_SQL = '''\n{_values_sql(avi_rows, AVI_COLS)}'''\n\n"
-            f"MM_BMP_SQL = '''\n{_values_sql(bmp_rows, BMP_COLS)}'''\n"
+            f"MM_BMP_SQL = '''\n{_values_sql(bmp_rows, BMP_COLS)}'''\n\n"
+            f"MM_TIFF_SQL = '''\n{_values_sql(tiff_rows, TIFF_COLS)}'''\n"
         )
     print(
         f"wrote {out}: {len(decode_rows)} + {len(video_rows)} + "
         f"{len(mp4_rows)} + {len(mp3_rows)} + {len(ogg_rows)} + "
-        f"{len(gif_rows)} + {len(avi_rows)} + {len(bmp_rows)} golden rows"
+        f"{len(gif_rows)} + {len(avi_rows)} + {len(bmp_rows)} + "
+        f"{len(tiff_rows)} golden rows"
     )
 
 
