@@ -655,6 +655,31 @@ def mm_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "src_archive_manifest",
+    sql=_MM.MM_ARCH_SQL,
+    tags=("source", "archive", "pandas_udf", "decode"),
+)
+def src_archive_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-source demux (r12): TAR (ustar header walk with checksum
+    verification), ZIP (EOCD -> central directory -> local-header
+    cross-check, store + deflate members FULLY inflated via stdlib zlib
+    with CRC-32 verification) and multi-member GZIP (RFC 1952 header
+    flags, inflate, CRC+ISIZE trailer checks) — one manifest row per
+    MEMBER with exact offset/size ranges (the ranged-read plan a 100 TB
+    archived-corpus ingest needs) and a decompressed-content checksum
+    that pins decode exactness. All three parsers are cross-validated
+    against the stdlib tarfile/zipfile/gzip implementations in BOTH
+    directions (tests/test_archive.py). Corrupt archives (CRC flip,
+    truncation) become err rows. Reference surface: ETL IMPORT/LOAD
+    (pixels-cli load), extended to archived sources. Oracled by
+    golden-value pinning (_mm_golden.MM_ARCH_SQL)."""
+    from pixels_spark.functions import archive as AR
+
+    media = AR.synthetic_archive_media(spark, n=12)
+    return AR.archive_manifest(media).orderBy("media_id", "member_name")
+
+
+@declare(
     "txt_corpus_clean",
     sql=rf"""
     SELECT lang,

@@ -53,6 +53,13 @@ GIF_COLS = [
     ("err", "VARCHAR"),
 ]
 
+ARCH_COLS = [
+    ("media_id", "BIGINT"), ("fmt", "VARCHAR"), ("member_name", "VARCHAR"),
+    ("method", "VARCHAR"), ("data_offset", "BIGINT"), ("comp_size", "BIGINT"),
+    ("uncomp_size", "BIGINT"), ("crc_ok", "BOOLEAN"),
+    ("content_checksum", "BIGINT"), ("err", "VARCHAR"),
+]
+
 TIFF_COLS = [
     ("media_id", "BIGINT"), ("byte_order", "VARCHAR"),
     ("n_pages", "BIGINT"), ("width", "BIGINT"), ("height", "BIGINT"),
@@ -181,6 +188,13 @@ def main() -> None:
         .orderBy("media_id")
         .collect()
     )
+    from pixels_spark.functions import archive as AR
+
+    arch_rows = (
+        AR.archive_manifest(AR.synthetic_archive_media(spark, n=12))
+        .orderBy("media_id", "member_name")
+        .collect()
+    )
     spark.stop()
 
     out = os.path.join(_ROOT, "pixels_spark", "queries", "_mm_golden.py")
@@ -203,13 +217,14 @@ def main() -> None:
             f"MM_GIF_SQL = '''\n{_values_sql(gif_rows, GIF_COLS)}'''\n\n"
             f"MM_AVI_SQL = '''\n{_values_sql(avi_rows, AVI_COLS)}'''\n\n"
             f"MM_BMP_SQL = '''\n{_values_sql(bmp_rows, BMP_COLS)}'''\n\n"
-            f"MM_TIFF_SQL = '''\n{_values_sql(tiff_rows, TIFF_COLS)}'''\n"
+            f"MM_TIFF_SQL = '''\n{_values_sql(tiff_rows, TIFF_COLS)}'''\n\n"
+            f"MM_ARCH_SQL = '''\n{_values_sql(arch_rows, ARCH_COLS)}'''\n"
         )
     print(
         f"wrote {out}: {len(decode_rows)} + {len(video_rows)} + "
         f"{len(mp4_rows)} + {len(mp3_rows)} + {len(ogg_rows)} + "
         f"{len(gif_rows)} + {len(avi_rows)} + {len(bmp_rows)} + "
-        f"{len(tiff_rows)} golden rows"
+        f"{len(tiff_rows)} + {len(arch_rows)} golden rows"
     )
 
 
