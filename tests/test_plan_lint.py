@@ -19,8 +19,10 @@ from pixels_spark.queries import load_all_modules
 REGISTRY = load_all_modules()
 
 # mutation/streaming queries execute side effects on build — their plans
-# are covered by their own tests; linting here would run whole pipelines
-_SKIP_PREFIXES = ("stream_", "mvcc_", "sql_dml", "mm_")
+# are covered by their own tests; linting here would run whole pipelines.
+# mm_/src_ are the documented Arrow mapInPandas decode seams (fixture-
+# driven, no sf-scaled scan to lint)
+_SKIP_PREFIXES = ("stream_", "mvcc_", "sql_dml", "mm_", "src_")
 
 # name -> why its BroadcastNestedLoopJoin / pattern is deliberate
 ALLOWLIST = {
@@ -125,6 +127,10 @@ ALLOWLIST = {
     "crossJoins onto the persisted per-community frame",
     "eval_brier": "1-row totals frame crossJoin onto the persisted "
     "10-bin frame",
+    "stat_friedman": "1-row n-blocks + 1-row k + 1-row tie-sum frame "
+    "crossJoins onto the <=|types|-row rank-sum frame",
+    "graph_hits": "1-row L1-total frame crossJoins (hub + auth "
+    "normalization) onto the node frames",
 }
 
 BATCH = sorted(

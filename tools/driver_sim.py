@@ -89,11 +89,13 @@ def main() -> int:
     for qi, name in enumerate(names):
         if name in results and not results[name].startswith("FAIL"):
             continue
-        if qi and qi % 40 == 0:
+        if qi and qi % 25 == 0:
             # long sweeps accumulate persisted frames + broadcast state in
             # the 1g driver heap (r12: the 336-query sweep died at ~280
-            # with a broadcast OOM); periodic cache drops keep the session
-            # bounded without touching per-query results
+            # with a broadcast OOM, and the 346-sweep again at 291 eleven
+            # queries after a 40-interval drop — 25 keeps the worst-case
+            # accretion window under what vec_mmr's broadcast needs);
+            # periodic cache drops don't touch per-query results
             spark.catalog.clearCache()
         if reg[name].sql is None:
             n = reg[name].fn(spark, SF).count()
