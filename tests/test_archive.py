@@ -142,3 +142,15 @@ def test_archive_manifest_seam(spark):
     for i in (10, 11):
         grp = by_id[i]
         assert len(grp) == 1 and grp[0].err is not None, (i, grp)
+
+
+def test_edge_members_empty_unicode_large():
+    fs = [("empty.txt", b""), ("uni/éè.txt", b"data"), ("big.bin", bytes(50000))]
+    for enc, dec in (
+        (AR.encode_tar_fixture, AR.parse_tar),
+        (AR.encode_zip_fixture, AR.parse_zip),
+        (AR.encode_gzip_fixture, AR.parse_gzip),
+    ):
+        ms = dec(enc(fs))
+        assert [m["uncomp_size"] for m in ms] == [0, 4, 50000], enc.__name__
+        assert ms[1]["name"] == "uni/éè.txt"

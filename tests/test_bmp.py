@@ -104,3 +104,11 @@ def test_bmp_meta_seam_mixed_with_err_rows(spark):
         assert r.pixel_checksum is not None
     assert rows[10].err is not None
     assert rows[11].err is not None
+
+
+def test_edge_widths_exercise_stride_padding():
+    for w in (1, 2, 3, 4, 5):
+        assert BM.decode_bmp(BM.encode_bmp_fixture(
+            width=w, height=1, bpp=24))["n_pixels"] == w
+        assert BM.decode_bmp(BM.encode_bmp_fixture(
+            width=w, height=2, bpp=8, rle=True, n_colors=16))["n_pixels"] == 2 * w

@@ -143,3 +143,14 @@ def test_gif_meta_seam_mixed_with_err_rows(spark):
     # the two malformed tail rows contain as err rows, not task failures
     assert rows[10].err is not None and "ValueError" in rows[10].err
     assert rows[11].err is not None
+
+
+def test_edge_dims_and_max_palette():
+    assert GF.decode_gif(GF.encode_gif_fixture(width=1, height=1,
+                                               n_colors=4))["n_pixels"] == 1
+    m = GF.decode_gif(GF.encode_gif_fixture(width=5, height=3, n_colors=256,
+                                            interlace_frame=0))
+    assert m["n_pixels"] == 15 and m["n_interlaced"] == 1
+    assert GF.decode_gif(GF.encode_gif_fixture(width=64, height=64,
+                                               n_colors=256,
+                                               n_frames=2))["n_pixels"] == 8192

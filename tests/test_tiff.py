@@ -137,3 +137,12 @@ def test_tiff_meta_seam_mixed_with_err_rows(spark):
             assert r.decoded_pages == r.n_pages and r.pixel_checksum is not None
     assert rows[10].err is not None and "overruns" in rows[10].err
     assert rows[11].err is not None
+
+
+def test_edge_strip_shapes():
+    m = TF.decode_tiff(TF.encode_tiff_fixture(
+        width=7, height=5, rows_per_strip=1, compression=5, predictor=2,
+        spp=3))
+    assert m["n_strips"] == 5 and m["decoded_pages"] == 1
+    assert TF.decode_tiff(TF.encode_tiff_fixture(
+        width=7, height=5, rows_per_strip=100))["n_strips"] == 1
