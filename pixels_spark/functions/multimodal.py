@@ -535,6 +535,11 @@ def decode_image(payload: bytes) -> object:
 
         # IFD walk always; pixels decode for none/LZW strips
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import parse_webp_meta
+
+        # metadata tier: dims/flags from headers, no VP8 entropy decode
+        return parse_webp_meta(payload)
     Image = _pil_image()
     if Image is None:
         return decode_ppm(payload)  # raises the documented NotImplementedError

@@ -655,6 +655,30 @@ def mm_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "mm_webp_meta",
+    sql=_MM.MM_WEBP_SQL,
+    tags=("multimodal", "pandas_udf", "decode"),
+)
+def mm_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBP metadata demux (r12): RIFF chunk walk over the three
+    container variants — VP8 lossy (keyframe start code + 14-bit dims),
+    VP8L lossless (LSB-first 32-bit dims/alpha field), VP8X extended
+    (feature flags, 24-bit canvas, ANMF animation frames with exact
+    per-frame durations; the still payload chunk of a non-animated
+    VP8X counts as its single frame) — completing the mainstream image
+    containers (PNG/JPEG/GIF/BMP/TIFF decode fully; WEBP joins the
+    metadata tier, VP8 entropy decode = documented boundary). The
+    fixture rotates variants with alpha/EXIF/animated rows, ending
+    with a broken-start-code row and a truncated row so the err
+    channel pins. Oracled by golden-value pinning
+    (_mm_golden.MM_WEBP_SQL)."""
+    from pixels_spark.functions import webp as WP
+
+    media = WP.synthetic_webp_media(spark, n=12)
+    return WP.webp_meta(media).orderBy("media_id")
+
+
+@declare(
     "src_archive_manifest",
     sql=_MM.MM_ARCH_SQL,
     tags=("source", "archive", "pandas_udf", "decode"),

@@ -23,7 +23,7 @@ def test_decode_stubs_raise():
         M.decode_image(b"II*\x00\x08\x00\x00\x00")
     if M._pil_image() is None:
         with pytest.raises(NotImplementedError):
-            M.decode_image(b"RIFF....WEBP")  # WEBP still needs PIL
+            M.decode_image(b"8BPS....")  # PSD still needs PIL
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"RIFF")
 

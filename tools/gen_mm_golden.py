@@ -60,6 +60,15 @@ ARCH_COLS = [
     ("content_checksum", "BIGINT"), ("err", "VARCHAR"),
 ]
 
+WEBP_COLS = [
+    ("media_id", "BIGINT"), ("variant", "VARCHAR"), ("width", "BIGINT"),
+    ("height", "BIGINT"), ("has_alpha", "BOOLEAN"),
+    ("has_animation", "BOOLEAN"), ("has_icc", "BOOLEAN"),
+    ("has_exif", "BOOLEAN"), ("has_xmp", "BOOLEAN"),
+    ("n_frames", "BIGINT"), ("duration_s", "DOUBLE"),
+    ("n_chunks", "BIGINT"), ("err", "VARCHAR"),
+]
+
 TIFF_COLS = [
     ("media_id", "BIGINT"), ("byte_order", "VARCHAR"),
     ("n_pages", "BIGINT"), ("width", "BIGINT"), ("height", "BIGINT"),
@@ -188,6 +197,13 @@ def main() -> None:
         .orderBy("media_id")
         .collect()
     )
+    from pixels_spark.functions import webp as WP
+
+    webp_rows = (
+        WP.webp_meta(WP.synthetic_webp_media(spark, n=12))
+        .orderBy("media_id")
+        .collect()
+    )
     from pixels_spark.functions import archive as AR
 
     arch_rows = (
@@ -218,13 +234,14 @@ def main() -> None:
             f"MM_AVI_SQL = '''\n{_values_sql(avi_rows, AVI_COLS)}'''\n\n"
             f"MM_BMP_SQL = '''\n{_values_sql(bmp_rows, BMP_COLS)}'''\n\n"
             f"MM_TIFF_SQL = '''\n{_values_sql(tiff_rows, TIFF_COLS)}'''\n\n"
+            f"MM_WEBP_SQL = '''\n{_values_sql(webp_rows, WEBP_COLS)}'''\n\n"
             f"MM_ARCH_SQL = '''\n{_values_sql(arch_rows, ARCH_COLS)}'''\n"
         )
     print(
         f"wrote {out}: {len(decode_rows)} + {len(video_rows)} + "
         f"{len(mp4_rows)} + {len(mp3_rows)} + {len(ogg_rows)} + "
         f"{len(gif_rows)} + {len(avi_rows)} + {len(bmp_rows)} + "
-        f"{len(tiff_rows)} + {len(arch_rows)} golden rows"
+        f"{len(tiff_rows)} + {len(webp_rows)} + {len(arch_rows)} golden rows"
     )
 
 
