@@ -655,9 +655,11 @@ def synthesize_video(n_frames: int, width: int = 8, height: int = 6) -> bytes:
 def decode_video(payload: bytes) -> dict:
     """Header-level video metadata: frame count + first-frame dimensions.
     MP4 payloads route to the ISO BMFF box walk (``mp4.parse_mp4_meta``,
-    VERDICT r10 task #2) and AVI payloads to the RIFF chunk walk
-    (``avi.parse_avi_meta``, r12) — metadata + exact per-frame byte
-    ranges, no frame decode; MKV (EBML) still needs ffmpeg."""
+    VERDICT r10 task #2), AVI payloads to the RIFF chunk walk
+    (``avi.parse_avi_meta``, r12) and MKV/WebM payloads to the EBML
+    element walk (``mkv.parse_mkv_meta``, r12) — metadata + exact
+    per-frame byte ranges, no frame decode; the frame codecs inside
+    (H.264/VP9/AV1) stay behind the documented boundary."""
     import struct
 
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
@@ -680,9 +682,19 @@ def decode_video(payload: bytes) -> dict:
             "height": m["height"],
             "duration_s": m["duration_s"],
         }
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        from pixels_spark.functions.mkv import parse_mkv_meta
+
+        m = parse_mkv_meta(payload)
+        return {
+            "n_frames": m["n_video_frames"],
+            "width": m["width"],
+            "height": m["height"],
+            "duration_s": m["duration_s"],
+        }
     if payload[:4] != VIDEO_MAGIC:
         raise NotImplementedError(
-            "only PVID, MP4 and AVI (metadata tier) demux without "
+            "only PVID, MP4, AVI and MKV (metadata tier) demux without "
             "ffmpeg — not installed"
         )
     (n_frames,) = struct.unpack_from("<I", payload, 4)

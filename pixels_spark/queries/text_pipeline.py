@@ -655,6 +655,29 @@ def mm_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "mm_mkv_meta",
+    sql=_MM.MM_MKV_SQL,
+    tags=("multimodal", "pandas_udf", "video"),
+)
+def mm_mkv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MKV/WebM (EBML) metadata demux (r12, closing the last container
+    boundary): varint element walk — doc type, timestamp scale, exact
+    duration, per-track codec/dims/audio params, and the Cluster/
+    SimpleBlock walk yielding every frame's EXACT byte range (track +
+    relative timestamp parsed from the block header, frame bytes never
+    touched) — the fourth video container next to MP4/AVI/PVID, inside
+    Arrow mapInPandas; the frame codecs (VP9/AV1/H.264) stay behind
+    the documented boundary. The fixture rotates codecs/cluster shapes
+    with webm-doctype and audio rows, ending with an unknown-size
+    element row and a truncated row so the err channel pins. Oracled
+    by golden-value pinning (_mm_golden.MM_MKV_SQL)."""
+    from pixels_spark.functions import mkv as MK
+
+    media = MK.synthetic_mkv_media(spark, n=12)
+    return MK.mkv_meta(media).orderBy("media_id")
+
+
+@declare(
     "mm_webp_meta",
     sql=_MM.MM_WEBP_SQL,
     tags=("multimodal", "pandas_udf", "decode"),

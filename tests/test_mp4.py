@@ -189,8 +189,15 @@ def test_decode_video_routes_mp4_and_pvid():
     assert mp["duration_s"] == pytest.approx(5 * 512 / 12800)
     pv = M.decode_video(M.synthesize_video(3))
     assert pv["n_frames"] == 3
+    # AVI routes natively now (r12, functions/avi.py) — a truncated one
+    # fails loudly through the same contained-error channel
+    with pytest.raises(ValueError):
+        M.decode_video(b"RIFF\x10\x00\x00\x00AVI LIST")
+    # MKV routes natively too (r12, functions/mkv.py)
+    with pytest.raises(ValueError):
+        M.decode_video(b"\x1aE\xdf\xa3....")  # truncated EBML fails loudly
     with pytest.raises(NotImplementedError):
-        M.decode_video(b"RIFF....AVI LIST")  # AVI still needs ffmpeg
+        M.decode_video(b"FLV\x01....")  # FLV still needs ffmpeg
 
 
 def test_mp4_meta_seam_mixed_with_err_rows(spark):

@@ -60,6 +60,17 @@ ARCH_COLS = [
     ("content_checksum", "BIGINT"), ("err", "VARCHAR"),
 ]
 
+MKV_COLS = [
+    ("media_id", "BIGINT"), ("doc_type", "VARCHAR"), ("ts_scale", "BIGINT"),
+    ("duration_s", "DOUBLE"), ("n_tracks", "BIGINT"),
+    ("video_codec", "VARCHAR"), ("width", "BIGINT"), ("height", "BIGINT"),
+    ("audio_codec", "VARCHAR"), ("audio_rate", "DOUBLE"),
+    ("audio_channels", "BIGINT"), ("n_clusters", "BIGINT"),
+    ("n_blocks", "BIGINT"), ("n_video_frames", "BIGINT"),
+    ("first_frame_off", "BIGINT"), ("last_frame_end", "BIGINT"),
+    ("frame_bytes", "BIGINT"), ("err", "VARCHAR"),
+]
+
 WEBP_COLS = [
     ("media_id", "BIGINT"), ("variant", "VARCHAR"), ("width", "BIGINT"),
     ("height", "BIGINT"), ("has_alpha", "BOOLEAN"),
@@ -197,6 +208,13 @@ def main() -> None:
         .orderBy("media_id")
         .collect()
     )
+    from pixels_spark.functions import mkv as MK
+
+    mkv_rows = (
+        MK.mkv_meta(MK.synthetic_mkv_media(spark, n=12))
+        .orderBy("media_id")
+        .collect()
+    )
     from pixels_spark.functions import webp as WP
 
     webp_rows = (
@@ -234,6 +252,7 @@ def main() -> None:
             f"MM_AVI_SQL = '''\n{_values_sql(avi_rows, AVI_COLS)}'''\n\n"
             f"MM_BMP_SQL = '''\n{_values_sql(bmp_rows, BMP_COLS)}'''\n\n"
             f"MM_TIFF_SQL = '''\n{_values_sql(tiff_rows, TIFF_COLS)}'''\n\n"
+            f"MM_MKV_SQL = '''\n{_values_sql(mkv_rows, MKV_COLS)}'''\n\n"
             f"MM_WEBP_SQL = '''\n{_values_sql(webp_rows, WEBP_COLS)}'''\n\n"
             f"MM_ARCH_SQL = '''\n{_values_sql(arch_rows, ARCH_COLS)}'''\n"
         )
@@ -241,7 +260,8 @@ def main() -> None:
         f"wrote {out}: {len(decode_rows)} + {len(video_rows)} + "
         f"{len(mp4_rows)} + {len(mp3_rows)} + {len(ogg_rows)} + "
         f"{len(gif_rows)} + {len(avi_rows)} + {len(bmp_rows)} + "
-        f"{len(tiff_rows)} + {len(webp_rows)} + {len(arch_rows)} golden rows"
+        f"{len(tiff_rows)} + {len(mkv_rows)} + {len(webp_rows)} + "
+        f"{len(arch_rows)} golden rows"
     )
 
 
