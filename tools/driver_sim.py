@@ -97,6 +97,13 @@ def main() -> int:
             # accretion window under what vec_mmr's broadcast needs);
             # periodic cache drops don't touch per-query results
             spark.catalog.clearCache()
+            # ContextCleaner frees dead broadcasts only after a DRIVER
+            # GC; in a 340+-query session the 1g heap fills with
+            # unreclaimed broadcast refs faster than young-gen GCs run
+            # (vec_mmr's broadcast build OOMed at ~290 twice, 11 and 18
+            # queries past a cache drop) — force a full JVM GC with the
+            # cache drop so the cleaner actually runs
+            spark.sparkContext._jvm.System.gc()
         if reg[name].sql is None:
             n = reg[name].fn(spark, SF).count()
             results[name] = f"rows-only:{n}"
