@@ -702,6 +702,33 @@ def mm_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "src_pdf_text",
+    sql=_MM.MM_PDF_SQL,
+    tags=("source", "document", "pandas_udf", "decode"),
+)
+def src_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF document-source demux + TEXT extraction (r12): classic xref
+    tables with /Prev incremental-update chains (the newest trailer
+    wins — proven by a fixture row whose Info was replaced by an
+    appended update), the Catalog -> /Pages tree walked recursively
+    (nested /Kids) to an exact page count, Info strings with octal/
+    escape unescaping, and per-page /Contents streams FlateDecoded via
+    stdlib zlib then tokenized for Tj / ' / TJ text operators — the
+    first text tier a 100 TB PDF corpus needs before OCR. Out of
+    subset, documented: PDF 1.5 xref streams + non-Flate filters raise
+    NotImplementedError; /Encrypt reports metadata with NULL text.
+    text_checksum pins extraction exactness. The fixture rotates page
+    counts / compression / nested trees / incremental updates, ending
+    with a dangling-xref row and a truncated row so the err channel
+    pins. Oracled by golden-value pinning (_mm_golden.MM_PDF_SQL).
+    Reference surface: ETL IMPORT/LOAD extended to document sources."""
+    from pixels_spark.functions import pdf as PD
+
+    media = PD.synthetic_pdf_media(spark, n=12)
+    return PD.pdf_meta(media).orderBy("media_id")
+
+
+@declare(
     "src_archive_manifest",
     sql=_MM.MM_ARCH_SQL,
     tags=("source", "archive", "pandas_udf", "decode"),

@@ -60,6 +60,15 @@ ARCH_COLS = [
     ("content_checksum", "BIGINT"), ("err", "VARCHAR"),
 ]
 
+PDF_COLS = [
+    ("media_id", "BIGINT"), ("version", "VARCHAR"),
+    ("n_objects", "BIGINT"), ("n_pages", "BIGINT"),
+    ("encrypted", "BOOLEAN"), ("title", "VARCHAR"),
+    ("author", "VARCHAR"), ("producer", "VARCHAR"),
+    ("text_chars", "BIGINT"), ("text_checksum", "BIGINT"),
+    ("err", "VARCHAR"),
+]
+
 MKV_COLS = [
     ("media_id", "BIGINT"), ("doc_type", "VARCHAR"), ("ts_scale", "BIGINT"),
     ("duration_s", "DOUBLE"), ("n_tracks", "BIGINT"),
@@ -208,6 +217,13 @@ def main() -> None:
         .orderBy("media_id")
         .collect()
     )
+    from pixels_spark.functions import pdf as PD
+
+    pdf_rows = (
+        PD.pdf_meta(PD.synthetic_pdf_media(spark, n=12))
+        .orderBy("media_id")
+        .collect()
+    )
     from pixels_spark.functions import mkv as MK
 
     mkv_rows = (
@@ -252,6 +268,7 @@ def main() -> None:
             f"MM_AVI_SQL = '''\n{_values_sql(avi_rows, AVI_COLS)}'''\n\n"
             f"MM_BMP_SQL = '''\n{_values_sql(bmp_rows, BMP_COLS)}'''\n\n"
             f"MM_TIFF_SQL = '''\n{_values_sql(tiff_rows, TIFF_COLS)}'''\n\n"
+            f"MM_PDF_SQL = '''\n{_values_sql(pdf_rows, PDF_COLS)}'''\n\n"
             f"MM_MKV_SQL = '''\n{_values_sql(mkv_rows, MKV_COLS)}'''\n\n"
             f"MM_WEBP_SQL = '''\n{_values_sql(webp_rows, WEBP_COLS)}'''\n\n"
             f"MM_ARCH_SQL = '''\n{_values_sql(arch_rows, ARCH_COLS)}'''\n"
@@ -260,8 +277,8 @@ def main() -> None:
         f"wrote {out}: {len(decode_rows)} + {len(video_rows)} + "
         f"{len(mp4_rows)} + {len(mp3_rows)} + {len(ogg_rows)} + "
         f"{len(gif_rows)} + {len(avi_rows)} + {len(bmp_rows)} + "
-        f"{len(tiff_rows)} + {len(mkv_rows)} + {len(webp_rows)} + "
-        f"{len(arch_rows)} golden rows"
+        f"{len(tiff_rows)} + {len(pdf_rows)} + {len(mkv_rows)} + "
+        f"{len(webp_rows)} + {len(arch_rows)} golden rows"
     )
 
 
