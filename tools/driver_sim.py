@@ -42,6 +42,14 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]").appName("driver-sim")
         .config("spark.ui.enabled", "false")
+        # the REAL driver checks <=50 queries per session and its 1g
+        # default heap is fine; this tool's --all sweep runs 349 in ONE
+        # JVM, and even with periodic clearCache + System.gc() the
+        # session residue (codegen caches, listener state, broadcast
+        # cleanup lag) starved vec_mmr's broadcast build three times at
+        # ~query 290 — give the SWEEP session headroom. Per-query
+        # results are identical either way; only the ceiling moves.
+        .config("spark.driver.memory", "3g")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
     )
     df = E.entry(spark)
