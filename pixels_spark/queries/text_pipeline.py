@@ -729,6 +729,31 @@ def src_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "src_warc_records",
+    sql=_MM.MM_WARC_SQL,
+    tags=("source", "crawl", "pandas_udf", "decode"),
+)
+def src_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-source demux (r12): the Common Crawl format — record
+    walk (version line, named headers, exact Content-Length framing
+    with CRLF trailer validation) in BOTH the plain-concatenation and
+    per-record-gzip forms (member framing reuses the CRC-verified
+    multi-member walk from functions/archive), plus the embedded HTTP
+    split for response records: status code, Content-Type, and the
+    exact BODY bytes after the blank line — one manifest row per
+    record with a body checksum pinning extraction (the test suite
+    proves gzip and plain encodings of the same records yield
+    identical values). Corrupt archives (gzip CRC flip, broken record
+    boundary) become err rows. Oracled by golden-value pinning
+    (_mm_golden.MM_WARC_SQL). Reference surface: ETL IMPORT/LOAD
+    extended to crawl sources."""
+    from pixels_spark.functions import warc as WC
+
+    media = WC.synthetic_warc_media(spark, n=12)
+    return WC.warc_records(media).orderBy("media_id", "record_id")
+
+
+@declare(
     "src_archive_manifest",
     sql=_MM.MM_ARCH_SQL,
     tags=("source", "archive", "pandas_udf", "decode"),

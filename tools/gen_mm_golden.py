@@ -60,6 +60,14 @@ ARCH_COLS = [
     ("content_checksum", "BIGINT"), ("err", "VARCHAR"),
 ]
 
+WARC_COLS = [
+    ("media_id", "BIGINT"), ("rec_type", "VARCHAR"), ("uri", "VARCHAR"),
+    ("record_id", "VARCHAR"), ("content_length", "BIGINT"),
+    ("content_type", "VARCHAR"), ("http_status", "BIGINT"),
+    ("body_bytes", "BIGINT"), ("body_checksum", "BIGINT"),
+    ("gzip_member", "BOOLEAN"), ("err", "VARCHAR"),
+]
+
 PDF_COLS = [
     ("media_id", "BIGINT"), ("version", "VARCHAR"),
     ("n_objects", "BIGINT"), ("n_pages", "BIGINT"),
@@ -217,6 +225,13 @@ def main() -> None:
         .orderBy("media_id")
         .collect()
     )
+    from pixels_spark.functions import warc as WC
+
+    warc_rows = (
+        WC.warc_records(WC.synthetic_warc_media(spark, n=12))
+        .orderBy("media_id", "record_id")
+        .collect()
+    )
     from pixels_spark.functions import pdf as PD
 
     pdf_rows = (
@@ -269,6 +284,7 @@ def main() -> None:
             f"MM_BMP_SQL = '''\n{_values_sql(bmp_rows, BMP_COLS)}'''\n\n"
             f"MM_TIFF_SQL = '''\n{_values_sql(tiff_rows, TIFF_COLS)}'''\n\n"
             f"MM_PDF_SQL = '''\n{_values_sql(pdf_rows, PDF_COLS)}'''\n\n"
+            f"MM_WARC_SQL = '''\n{_values_sql(warc_rows, WARC_COLS)}'''\n\n"
             f"MM_MKV_SQL = '''\n{_values_sql(mkv_rows, MKV_COLS)}'''\n\n"
             f"MM_WEBP_SQL = '''\n{_values_sql(webp_rows, WEBP_COLS)}'''\n\n"
             f"MM_ARCH_SQL = '''\n{_values_sql(arch_rows, ARCH_COLS)}'''\n"
@@ -277,8 +293,8 @@ def main() -> None:
         f"wrote {out}: {len(decode_rows)} + {len(video_rows)} + "
         f"{len(mp4_rows)} + {len(mp3_rows)} + {len(ogg_rows)} + "
         f"{len(gif_rows)} + {len(avi_rows)} + {len(bmp_rows)} + "
-        f"{len(tiff_rows)} + {len(pdf_rows)} + {len(mkv_rows)} + "
-        f"{len(webp_rows)} + {len(arch_rows)} golden rows"
+        f"{len(tiff_rows)} + {len(pdf_rows)} + {len(warc_rows)} + "
+        f"{len(mkv_rows)} + {len(webp_rows)} + {len(arch_rows)} golden rows"
     )
 
 
