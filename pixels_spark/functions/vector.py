@@ -24,6 +24,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -964,29 +966,66 @@ def pca_power_from_comoment(
     the co-moment sums are LINEAR in the corpus (Σq, Σqq, n add across
     batches), so a streaming maintainer can fold partial sums per
     micro-batch and run the IDENTICAL iteration over the assembled
-    matrix, matching the batch oracle bit-for-bit."""
-    # persist the d(d+1)/2-row co-moment result: WITHOUT it the lazy
-    # lineage re-runs the full corpus pass for the mirror union, the dim
-    # frame, and EVERY iteration's matvec (measured 11.5 s → 2.9 s at
-    # sf0.1). O(d²) rows of state — trivially cached anywhere.
-    m_up = m_up_src.persist()
-    m_full = m_up.select("i", "j", "m").union(
-        m_up.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "m"
-        )
+    matrix, matching the batch oracle bit-for-bit.
+
+    r12 optimization: the co-moment frame is O(d²) BY CONSTRUCTION (d is
+    fixed by the embedding schema — 64 here — never by corpus size), so
+    the iteration runs DRIVER-SIDE over collected rows in Python's
+    arbitrary-precision ints: the same truncating-division /
+    sign-decomposition recursion, exactly (Python ``//`` on the
+    non-negative operands used here == both engines' ``div``), and the
+    loadings are the same one IEEE chain (float division + correctly-
+    rounded sqrt). The previous all-in-plan form spent ~30 scheduler
+    round-trips on d²-row frames per query (the 3 matvec joins, their
+    rescale windows, Σv²) — measured 2.0-2.9 s of tiny-stage churn at
+    sf0.1 for microseconds of arithmetic. Bounded driver state per the
+    repo's collect policy (same class as the KMV ⊕-merge and centroid
+    collects); the corpus-sized pass stays fully distributed inside
+    ``comoment_matrix``."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    # Scalar reductions (max|M|, max|w|, Σv²) attach via GLOBAL windows
-    # over the d- / d²-bounded frames, NOT scalar-frame crossJoins: a
-    # broadcast scalar would make each round's frame appear TWICE in the
-    # lazy plan (once under the broadcast, once as the main branch), and
-    # with per-round chaining the duplicated subtrees compound 2^rounds
-    # (measured: 13 s of tiny-stage churn at sf0.1 → 2.9 s in this form).
-    # The windows are safe at any corpus size — the frames are O(d²) by
-    # construction, never data-sized.
-    ms = _rescale_matrix(m_full)
-    dims = m_up.select("i").distinct()
-    v = _power_rounds(ms, dims, rounds, scale)
-    return _with_loading(v).orderBy("dim")
+
+    spark = m_up_src.sparkSession
+    schema = StructType(
+        [
+            StructField("dim", IntegerType(), True),
+            StructField("v_scaled", LongType(), True),
+            StructField("loading", DoubleType(), True),
+        ]
+    )
+    rows = m_up_src.select("i", "j", "m").collect()  # ≤ d(d+1)/2 rows
+    if not rows:
+        return spark.createDataFrame([], schema)
+    m: dict[tuple[int, int], int] = {}
+    for r in rows:
+        mi = int(r["m"])
+        m[(r["i"], r["j"])] = mi
+        if r["i"] < r["j"]:
+            m[(r["j"], r["i"])] = mi
+    dims = sorted({i for i, _ in m})
+    # rescale to |m| ≤ 10¹² (truncating division, sign split — matches
+    # _rescale_matrix / the oracle's HUGEINT form bit for bit)
+    div = max(abs(x) for x in m.values()) // 10**12 + 1
+    ms = {k: (-1 if x < 0 else 1) * (abs(x) // div) for k, x in m.items()}
+    v = {i: scale for i in dims}
+    for _ in range(rounds):
+        w = {
+            i: sum(ms[(i, j)] * v[j] for j in dims if (i, j) in ms)
+            for i in dims
+        }
+        vm = max(1, max(abs(x) for x in w.values()))
+        v = {
+            i: (-1 if w[i] < 0 else 1) * (abs(w[i]) * scale // vm)
+            for i in dims
+        }
+    n2 = math.sqrt(float(sum(x * x for x in v.values())))
+    data = [(i, v[i], float(v[i]) / n2) for i in dims]
+    return spark.createDataFrame(data, schema).orderBy("dim")
 
 
 def _rescale_matrix(m_full: DataFrame) -> DataFrame:
@@ -1089,40 +1128,40 @@ def pca_scores(
     partition heaps, no global sort)."""
     from .dedup import spread
 
-    v = pca_power(emb, id_col, vec_col, rounds, scale)
-    from pyspark.sql.window import Window
-
-    vb = v.withColumn(
-        "_n2",
-        F.sum(
-            F.col("v_scaled").cast("decimal(38,0)") * F.col("v_scaled")
-        ).over(Window.partitionBy()),
-    ).select(F.col("dim").alias("i"), F.col("v_scaled").alias("_v"), "_n2")
+    # r12 optimization: pca_power's direction is now a driver-local
+    # 64-row result (see pca_power_from_comoment), so the projection
+    # inlines it as an array LITERAL and folds score = Σ qᵢ·vᵢ IN-ROW
+    # (zip_with + decimal aggregate) — the previous per-component
+    # posexplode (corpus×d rows), broadcast join, and per-id hash
+    # aggregate disappear; the second corpus pass is now a pure map
+    # feeding a TakeOrderedAndProject. The decimal fold accumulates the
+    # same exact integer sum, and the de-scaling denominator is the same
+    # one IEEE chain (scale · √Σv², correctly rounded), so scores and
+    # the oracle hash are unchanged.
+    vrows = pca_power(emb, id_col, vec_col, rounds, scale).collect()
+    vmap = {r["dim"]: r["v_scaled"] for r in vrows}
+    varr = F.array(
+        *[F.lit(vmap.get(i, 0)).cast("bigint") for i in range(len(vmap))]
+    )
+    n2 = sum(x * x for x in vmap.values())
+    denom = float(scale) * math.sqrt(float(n2)) if vmap else float(scale)
     qarr = F.expr(
         f"transform({vec_col}, x -> "
         f"CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT))"
     )
-    q = spread(emb, id_col).select(
-        F.col(id_col), F.posexplode(qarr).alias("i", "qx")
+    score = F.aggregate(
+        F.zip_with(
+            qarr, varr, lambda x, y: x.cast("decimal(38,0)") * y
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + t,
     )
-    sc = (
-        q.join(F.broadcast(vb), "i")
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("qx").cast("decimal(38,0)") * F.col("_v")).alias(
-                "_score"
-            ),
-            F.max("_n2").alias("_n2"),
-        )
-    )
+    sc = spread(emb, id_col).select(F.col(id_col), score.alias("_score"))
     return (
         sc.select(
             id_col,
             F.col("_score").cast("double").alias("score"),
-            (
-                F.col("_score").cast("double")
-                / (F.lit(float(scale)) * F.sqrt(F.col("_n2").cast("double")))
-            ).alias("proj"),
+            (F.col("_score").cast("double") / F.lit(denom)).alias("proj"),
         )
         .orderBy(F.abs(F.col("score")).desc(), F.col(id_col))
         .limit(k)

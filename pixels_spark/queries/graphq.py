@@ -326,7 +326,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS s1, y AS s2)))"
     )
-    edges = (
+    from ..functions.dedup import cut_lineage
+
+    # cut_lineage on the edge relation (r12 optimization): FOUR plan
+    # branches consume it (both wedge sides, the closing-edge probe, the
+    # degree aggregate) and the measured executed plan replayed the full
+    # lineitem→collect_set→pair-explode→(s1,s2) aggregate pipeline for
+    # every branch (22 parquet scans, zero ReusedExchange — AQE does not
+    # dedup these canonically-distinct subtrees). The checkpoint computes
+    # the pair expansion ONCE; consumers re-read its compact blocks.
+    edges = cut_lineage(
         per_order.select(F.explode(F.flatten(F.expr(pair_expr))).alias("p"))
         .select("p.s1", "p.s2")
         .groupBy("s1", "s2")
@@ -335,16 +344,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", "s2")
     )
     tri = G.triangles(edges)
+    # explode(array(a,b,c)) emits the same node multiset as the previous
+    # 3-way unionAll of selects, from ONE traversal of the triangle join
+    # instead of three replays of it
     tcnt = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
     deg = (
-        edges.select(F.col("s1").alias("node"))
-        .unionAll(edges.select(F.col("s2").alias("node")))
+        edges.select(F.explode(F.array("s1", "s2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
@@ -1276,49 +1285,47 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FASTER here (4.4 s vs 5.5 s best-of-3 at sf0.1 — cached-partition
     # re-reads lose to the compact checkpoint under this many consumers)
     und = cut_lineage(eb)
-    edges = und.union(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
     # 1-round min labels have a CLOSED FORM — min over {v} ∪ neighbors —
     # so one groupBy-MIN replaces the delta-propagation machinery (whose
     # per-round persist/isEmpty scheduling is why label_prop itself is
-    # bench-excluded; measured here: 7.9 s → the direct aggregate)
-    labels = (
-        edges.select(F.col("dst").alias("node"), F.col("src").alias("label"))
-        .unionByName(
-            edges.select(
-                F.col("src").alias("node"), F.col("src").alias("label")
-            )
-        )
-        .groupBy("node")
-        .agg(F.min("label").alias("label"))
-    )
-    labels = cut_lineage(labels)
+    # bench-excluded; measured here: 7.9 s → the direct aggregate).
+    # BIPARTITE SHORTCUT (r12 optimization): every src is 'c…' and every
+    # dst 's…', and both engines compare strings bytewise with 'c' < 's',
+    # so min({v} ∪ neighbors(v)) is v ITSELF for customer nodes (all
+    # their neighbors sort after 's') and min(src neighbors) for supplier
+    # nodes (self loses to every 'c…' neighbor). The generic 4×|edges|
+    # label shuffle + its checkpoint + the node-grain labels⋈deg join
+    # collapse into the two per-endpoint aggregates below, which ALSO
+    # carry the degrees — same values, oracle-verified (the oracle keeps
+    # the generic min-label form).
     m = und.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    deg = (
-        und.select(F.col("src").alias("node"))
-        .union(und.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    s_nodes = und.groupBy(F.col("dst").alias("node")).agg(
+        F.min("src").alias("label"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+    )
+    c_nodes = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
     )
     dc = (
-        labels.join(deg, "node")
+        c_nodes.select(F.col("node").alias("label"), "d")
+        .unionByName(s_nodes.select("label", "d"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
             F.sum("d").cast("bigint").alias("d_c"),
         )
     )
-    # the label frame is NODE-grain — no broadcast HINT (billions of
-    # nodes at 100 TB would not fit; AQE broadcasts when it actually
-    # does — measured at fixture scale the hint was noise anyway)
-    la = labels.select(F.col("node").alias("src"), F.col("label").alias("_la"))
-    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("_lb"))
+    # internal edge ⟺ label(src) = label(dst) ⟺ src = min-neighbor(dst)
+    # (label(src) = src for customer nodes): ONE supplier-grain join
+    # replaces the generic two-sided label attach — no broadcast HINT
+    # (supplier-tier nodes can be huge at 100 TB; AQE broadcasts when it
+    # actually fits — measured at fixture scale the hint was noise anyway)
     ec = (
-        und.join(la, "src")
-        .join(lb, "dst")
-        .filter(F.col("_la") == F.col("_lb"))
-        .groupBy(F.col("_la").alias("label"))
+        und.join(
+            s_nodes.select(F.col("node").alias("dst"), "label"), "dst"
+        )
+        .filter(F.col("src") == F.col("label"))
+        .groupBy("label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
     )
     per = (
@@ -1419,30 +1426,32 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     und = cut_lineage(eb)
-    edges = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    da = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
-    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
-    # no broadcast HINT: the degree frame is node-grain (fine to
+    # SYMMETRY SHORTCUT (r12 optimization): the directed list is the
+    # symmetrization of und, so every co-moment over it folds to an
+    # exact-integer combination of per-undirected-edge terms —
+    #   m2 = 2u, sx = sy = Σ(dx+dy), sxy = 2·Σ dx·dy,
+    #   sxx = syy = Σ(dx²+dy²)
+    # — which halves the degree-attach join volume (und instead of the
+    # doubled edge list) and splits the degree aggregate into the two
+    # endpoint-grain aggregates (each over |und| rows, not 2|und|).
+    # Everything stays DECIMAL(38,0)-exact, so the emitted doubles are
+    # bit-identical to the generic form the oracle keeps.
+    cdeg = und.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("dx"))
+    sdeg = und.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("dy"))
+    # no broadcast HINT: the degree frames are node-grain (fine to
     # broadcast at fixture scale, but billions of nodes at 100 TB) —
     # AQE picks broadcast when it actually fits
-    ed = edges.join(da, "src").join(db, "dst")
+    ed = und.join(cdeg, "src").join(sdeg, "dst")
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = ed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m2"),
-        F.sum(dec("dx")).alias("sx"),
-        F.sum(dec("dy")).alias("sy"),
-        F.sum(dec("dx") * F.col("dy")).alias("sxy"),
-        F.sum(dec("dx") * F.col("dx")).alias("sxx"),
-        F.sum(dec("dy") * F.col("dy")).alias("syy"),
+        (F.count(F.lit(1)) * 2).cast("bigint").alias("m2"),
+        F.sum(dec("dx") + F.col("dy")).alias("sx"),
+        (F.sum(dec("dx") * F.col("dy")) * 2).alias("sxy"),
+        F.sum(dec("dx") * F.col("dx") + dec("dy") * F.col("dy")).alias("sxx"),
     )
-    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
     d1 = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
-    d2 = F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")
+    d2 = d1
     return s.select(
         F.col("m2").alias("n_directed_edges"),
         F.when(
@@ -1515,7 +1524,13 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS s1, y AS s2)))"
     )
-    edges = (
+    from ..functions.dedup import cut_lineage
+
+    # same r12 optimization as graph_triangles: checkpoint the shared
+    # edge relation (4 consuming branches, no automatic exchange reuse)
+    # and fold the unionAll-of-self node expansions into single-traversal
+    # explode(array(...)) forms — identical multisets, one plan branch
+    edges = cut_lineage(
         per_order.select(F.explode(F.flatten(F.expr(pair_expr))).alias("p"))
         .select("p.s1", "p.s2")
         .groupBy("s1", "s2")
@@ -1525,15 +1540,12 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = G.triangles(edges)
     tcnt = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
     )
     deg = (
-        edges.select(F.col("s1").alias("node"))
-        .unionAll(edges.select(F.col("s2").alias("node")))
+        edges.select(F.explode(F.array("s1", "s2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )

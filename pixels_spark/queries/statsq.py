@@ -1146,7 +1146,14 @@ def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").cast("bigint").alias("q"),
     )
-    vw = li.groupBy("grp", "v").agg(F.sum("q").cast("bigint").alias("w"))
+    from ..functions.dedup import cut_lineage
+
+    # r12 optimization: the value-grain weight frame feeds BOTH the band
+    # subtotal branch and the main cumulative join — without a lineage
+    # cut each branch replays the lineitem scan + (grp, v) aggregate
+    vw = cut_lineage(
+        li.groupBy("grp", "v").agg(F.sum("q").cast("bigint").alias("w"))
+    )
     b = vw.withColumn("_b", F.floor(F.col("v") / F.lit(1000.0)))
     bs = b.groupBy("grp", "_b").agg(F.sum("w").alias("_bs"))
     wb = (
@@ -1513,15 +1520,27 @@ def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"), F.col("value").alias("v")
     )
+    # r12 optimization: ONE events pass total (was two). The value-grain
+    # counts (grp, v, w) are built and lineage-cut first — the median
+    # kernel reads them, and the deviation counts now DERIVE from them
+    # (groupBy |v−med| re-keying the compact value grain, Σw-weighted)
+    # instead of re-scanning and re-counting the raw table. Identical
+    # deviation multiset, ~5.6× smaller input to the second kernel at
+    # sf0.1, and the raw scan count drops to the theoretical minimum.
+    vcnt = cut_lineage(
+        base.groupBy("grp", "v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("w")
+        )
+    )
     # med is consumed twice (deviation build + final projection) across a
     # lineage cut — cut it too, or the second consumer re-runs the whole
-    # median job as a hidden third events pass
-    med = cut_lineage(_grouped_lower_median(base, band_width=25.0))
+    # median job as a hidden extra pass
+    med = cut_lineage(_lower_median_from_counts(vcnt, band_width=25.0))
     dcnt = cut_lineage(
-        base.join(F.broadcast(med), "grp")
-        .select("grp", F.abs(F.col("v") - F.col("med")).alias("v"))
+        vcnt.join(F.broadcast(med), "grp")
+        .select("grp", F.abs(F.col("v") - F.col("med")).alias("v"), "w")
         .groupBy("grp", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .agg(F.sum("w").cast("bigint").alias("w"))
     )
     mad = _lower_median_from_counts(dcnt, band_width=25.0).withColumnRenamed(
         "med", "mad"
@@ -1869,8 +1888,15 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # attach each column's doubled rank IN-ROW via the shared
     # band-partitioned kernel (_attach_r2_ranks — the join-back
-    # formulation A/B'd ~4.4 s vs ~2.9 s for this form at sf0.1)
-    rr = _attach_r2_ranks(base, "x", 10.0, "ra")
+    # formulation A/B'd ~4.4 s vs ~2.9 s for this form at sf0.1).
+    # r12 optimization: cut lineage BETWEEN the two attaches — the second
+    # kernel consumes its input twice (band-subtotal branch + main join
+    # branch), and without the cut each branch replays the ENTIRE first
+    # rank attach (scan + both windows): 4 lineitem scans and the x-rank
+    # windows twice.
+    from ..functions.dedup import cut_lineage
+
+    rr = cut_lineage(_attach_r2_ranks(base, "x", 10.0, "ra"))
     rr = _attach_r2_ranks(rr, "y", 5000.0, "rb")
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = rr.groupBy("grp").agg(
@@ -2051,6 +2077,12 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
+    # r12: examined for the shared-branch replay pattern (three branches
+    # re-derive these value-grain counts) and A/B-measured BOTH sharing
+    # forms SLOWER here at sf0.1 (no-share 1.28 s vs localCheckpoint
+    # 1.58 s vs persist 2.36 s best-of-5): the replayed subtree is one
+    # orders scan + partial-aggregated (grp, cents) count — cheap enough
+    # that materialization overhead dominates. Left as-is deliberately.
     g = o.groupBy(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),

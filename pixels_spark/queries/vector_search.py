@@ -1746,34 +1746,107 @@ def eval_mrr_ternary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side with a ≤k-per-(query,partition) pool, never shuffled at its
     own volume (functions/vector.batch_knn); the MRR attach is a 1-row
     broadcast onto the persisted 8-row per-query frame."""
+    from ..functions.dedup import spread
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    corpus = e.filter(F.col("vec_id") >= 8)
-    deq = corpus.select(
-        "vec_id", V.quantize_int8(F.col("embedding"), levels=1.0).alias("_z")
-    ).select(
-        "vec_id",
+    # SHARED-PASS rewrite (r12 optimization): both retrieval legs (the
+    # ternary-dequantized one and the exact-float truth) scan the SAME
+    # corpus against the SAME 8 broadcast queries — so score both in ONE
+    # corpus×|Q| pass, pool the per-partition top-k for each leg in one
+    # mapInPandas (a row survives if it is in EITHER leg's pool — each
+    # leg's true top-k rows are always present, so slicing the merged
+    # sort still yields exactly that leg's top-k), and close with one
+    # 8-row aggregate whose array logic computes first_hit_rank in-row.
+    # Each leg's score/ordering expressions are unchanged
+    # (functions/vector.batch_knn's), so ranks — and the oracle hash —
+    # are bit-identical to the two-pass form; the second corpus scan,
+    # its Arrow boundary, and the ann⋈exact shuffle all disappear.
+    corpus = spread(
+        e.filter(F.col("vec_id") >= 8).select("vec_id", "embedding"), "vec_id"
+    )
+    deq = F.transform(
+        F.col("_z.q"), lambda x: x.cast("double") * F.col("_z.scale")
+    )
+    cz = (
+        corpus.withColumn(
+            "_z", V.quantize_int8(F.col("embedding"), levels=1.0)
+        )
+        .select("vec_id", "embedding", deq.alias("deq"))
+        .select(
+            "vec_id",
+            "embedding",
+            "deq",
+            V.l2_norm(F.col("deq")).alias("_an"),
+            V.l2_norm(F.col("embedding")).alias("_en"),
+        )
+    )
+    qn = q.select("q_id", "q_vec", V.l2_norm(F.col("q_vec")).alias("_qnorm"))
+    sim_a = V.dot(F.col("deq"), F.col("q_vec")) / (
+        F.col("_an") * F.col("_qnorm")
+    )
+    sim_e = V.dot(F.col("embedding"), F.col("q_vec")) / (
+        F.col("_en") * F.col("_qnorm")
+    )
+    scored = cz.crossJoin(F.broadcast(qn)).select(
+        F.col("q_id"),
+        (-sim_a).alias("_na"),
+        (-sim_e).alias("_ne"),
+        F.col("vec_id").alias("_cid"),
+    )
+    out_schema = scored.schema
+
+    def _part_topk2(batches):
+        import pandas as pd
+
+        kept = None
+        for pdf in batches:
+            pool = pdf if kept is None else pd.concat(
+                [kept, pdf], ignore_index=True
+            )
+            ka = (
+                pool.sort_values(["_na", "_cid"])
+                .groupby("q_id", sort=False)
+                .head(10)
+            )
+            ke = (
+                pool.sort_values(["_ne", "_cid"])
+                .groupby("q_id", sort=False)
+                .head(10)
+            )
+            kept = pd.concat([ka, ke]).drop_duplicates(["q_id", "_cid"])
+        if kept is not None:
+            yield kept
+
+    pre = scored.mapInPandas(_part_topk2, out_schema)
+    top = lambda neg: F.slice(  # noqa: E731
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(neg).alias("neg"), F.col("_cid").alias("id"))
+            )
+        ),
+        1,
+        10,
+    )
+    merged = pre.groupBy("q_id").agg(
+        top("_na").alias("_ta"), top("_ne").alias("_te")
+    )
+    ex_ids = F.transform(F.col("_te"), lambda s: s["id"])
+    hit_ranks = F.filter(
         F.transform(
-            F.col("_z.q"), lambda x: x.cast("double") * F.col("_z.scale")
-        ).alias("deq"),
-    )
-    ann = V.batch_knn(deq, "deq", "vec_id", q, k=10).select(
-        "q_id", F.col("vec_id"), F.col("rank").alias("rnk")
-    )
-    exact = (
-        V.batch_knn(corpus, "embedding", "vec_id", q, k=10)
-        .select("q_id", "vec_id")
-        .withColumn("_rel", F.lit(1))
+            F.col("_ta"),
+            lambda s, i: F.when(
+                F.array_contains(ex_ids, s["id"]), i + 1
+            ),
+        ),
+        lambda r: r.isNotNull(),
     )
     per = (
-        ann.join(exact, ["q_id", "vec_id"], "left")
-        .groupBy("q_id")
-        .agg(
-            F.min(F.when(F.col("_rel") == 1, F.col("rnk")))
-            .cast("bigint")
-            .alias("first_hit_rank")
+        merged.select(
+            "q_id",
+            F.array_min(hit_ranks).cast("bigint").alias("first_hit_rank"),
         )
         .select(
             "q_id",
