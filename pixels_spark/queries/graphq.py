@@ -718,13 +718,24 @@ def _basket_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim"),
         )
     )
+    # r12 optimization: symmetrize via one explode(array(...)) traversal
+    # instead of unionByName-of-self (which replays the sims subtree)
     return sims.select(
-        F.col("item_a").alias("item"), F.col("item_b").alias("cand"), "sim"
-    ).unionByName(
-        sims.select(
-            F.col("item_b").alias("item"), F.col("item_a").alias("cand"), "sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item"),
+                    F.col("item_b").alias("cand"),
+                    F.col("sim").alias("sim"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item"),
+                    F.col("item_a").alias("cand"),
+                    F.col("sim").alias("sim"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.item", "r.cand", "r.sim")
 
 
 def rec_model_path(spark: SparkSession, sf_dir: str) -> str:
@@ -958,13 +969,25 @@ def rec_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cooccur"))
         .filter(F.col("cooccur") >= 3)
     )
+    # r12 optimization: mirror via ONE explode(array(...)) traversal —
+    # the unionByName-of-self form replayed the pair explode + (a,b)
+    # aggregate once per branch (same multiset, single plan branch)
     c = und.select(
-        F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "cooccur"
-    ).unionByName(
-        und.select(
-            F.col("b").alias("antecedent"), F.col("a").alias("consequent"), "cooccur"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("antecedent"),
+                    F.col("b").alias("consequent"),
+                    F.col("cooccur").alias("cooccur"),
+                ),
+                F.struct(
+                    F.col("b").alias("antecedent"),
+                    F.col("a").alias("consequent"),
+                    F.col("cooccur").alias("cooccur"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.cooccur")
     na = n.select(F.col("item").alias("antecedent"), F.col("n_orders").alias("n_ante"))
     nb = n.select(F.col("item").alias("consequent"), F.col("n_orders").alias("n_cons"))
     return (
@@ -1155,9 +1178,16 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", "s2")
         .persist()
     )
+    # r12: symmetrize in one traversal of the persisted edge frame
+    # (unionAll-of-self reads it twice)
     adj = edges.select(
-        F.col("s1").alias("u"), F.col("s2").alias("v")
-    ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+        F.explode(
+            F.array(
+                F.struct(F.col("s1").alias("u"), F.col("s2").alias("v")),
+                F.struct(F.col("s2").alias("u"), F.col("s1").alias("v")),
+            )
+        ).alias("r")
+    ).select("r.u", "r.v")
     # one aggregation serves BOTH legs: wedges explode from the neighbor
     # arrays, degrees project as size(ps) off the same persisted frame —
     # no second count-aggregation over the 2|E| adjacency

@@ -1555,7 +1555,10 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same O(#days²) broadcast theta self-join over the
     calendar-bounded day grain as ts_theil_sen; everything downstream is
     1-row scalar frames."""
-    d = _daily_rev(spark, sf_dir)
+    # r12: persist the day grain — four branches (both pair sides, the
+    # count, the tie aggregate) otherwise each replay the events scan +
+    # day aggregate (the theil_sen_guarded pattern applied here too)
+    d = _daily_rev(spark, sf_dir).persist()
     a = d.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = d.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
     s = a.join(F.broadcast(b), F.col("da") < F.col("db")).agg(

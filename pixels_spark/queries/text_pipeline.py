@@ -2508,10 +2508,18 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
+    from ..functions.dedup import cut_lineage
+
     chars = F.expr("filter(split(word, '(?!^)'), x -> x != '')")
-    t0 = wf.select(
-        "word", "freq", F.posexplode(chars).alias("p0", "tok")
-    ).select("word", "freq", (F.col("p0") + 1).alias("pos"), "tok")
+    # r12 optimization: cut lineage on the symbol table — it feeds the
+    # pair-count branch AND the merge-application branch, and each
+    # reference replayed the docs scan + word count + posexplode (the
+    # before-plan showed 14 parquet scans of documents for this query)
+    t0 = cut_lineage(
+        wf.select(
+            "word", "freq", F.posexplode(chars).alias("p0", "tok")
+        ).select("word", "freq", (F.col("p0") + 1).alias("pos"), "tok")
+    )
     w_word = Window.partitionBy("word").orderBy("pos")
     adj1 = t0.select(
         "word", "freq", "pos", "tok", F.lead("tok").over(w_word).alias("nxt")
@@ -2521,15 +2529,34 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("tok").alias("left_tok"), F.col("nxt").alias("right_tok"))
         .agg(F.sum("freq").cast("bigint").alias("cnt"))
     )
-    m1 = p1.orderBy(
+    # r12 optimization: the chosen merge is ONE bounded row — collect it
+    # and inline its tokens as literals (the broadcast-crossJoin form
+    # replayed the whole pair-count pipeline for each of its three
+    # consumers: the match flags, the merge application, and the r1
+    # report row)
+    m1_rows = p1.orderBy(
         F.desc("cnt"), F.asc("left_tok"), F.asc("right_tok")
-    ).limit(1)
-    mt = adj1.crossJoin(F.broadcast(m1)).select(
+    ).limit(1).collect()
+    if not m1_rows:
+        empty = spark.range(0).select(
+            F.lit(1).alias("round"),
+            F.lit(1).alias("rnk"),
+            F.lit("").alias("left_tok"),
+            F.lit("").alias("right_tok"),
+            F.lit(0).cast("bigint").alias("cnt"),
+        )
+        return empty
+    _lt, _rt, _cnt = (
+        m1_rows[0]["left_tok"],
+        m1_rows[0]["right_tok"],
+        int(m1_rows[0]["cnt"]),
+    )
+    mt = adj1.select(
         "word",
         "freq",
         "pos",
         "tok",
-        ((F.col("tok") == F.col("left_tok")) & (F.col("nxt") == F.col("right_tok"))).alias(
+        ((F.col("tok") == F.lit(_lt)) & (F.col("nxt") == F.lit(_rt))).alias(
             "is_m"
         ),
     )
@@ -2541,7 +2568,10 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") - F.row_number().over(w_word)).alias("grp"),
         )
     )
-    valid = (
+    # valid feeds two join branches (match attach + anti-join of the
+    # swallowed right position) — cut it too, or each branch replays the
+    # run-parity window chain
+    valid = cut_lineage(
         runs.select(
             "word",
             "pos",
@@ -2553,8 +2583,7 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "pos")
     )
     merged = (
-        t0.crossJoin(F.broadcast(m1.select("right_tok")))
-        .join(valid.withColumn("_hit", F.lit(True)), ["word", "pos"], "left")
+        t0.join(valid.withColumn("_hit", F.lit(True)), ["word", "pos"], "left")
         .join(
             valid.select("word", (F.col("pos") + 1).alias("pos")),
             ["word", "pos"],
@@ -2564,7 +2593,7 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
             "freq",
             "pos",
-            F.when(F.col("_hit"), F.concat("tok", "right_tok"))
+            F.when(F.col("_hit"), F.concat("tok", F.lit(_rt)))
             .otherwise(F.col("tok"))
             .alias("tok"),
         )
@@ -2577,12 +2606,12 @@ def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("tok").alias("left_tok"), F.col("nxt").alias("right_tok"))
         .agg(F.sum("freq").cast("bigint").alias("cnt"))
     )
-    r1 = m1.select(
+    r1 = spark.range(1).select(
         F.lit(1).alias("round"),
         F.lit(1).alias("rnk"),
-        "left_tok",
-        "right_tok",
-        "cnt",
+        F.lit(_lt).alias("left_tok"),
+        F.lit(_rt).alias("right_tok"),
+        F.lit(_cnt).cast("bigint").alias("cnt"),
     )
     top2 = p2.orderBy(F.desc("cnt"), F.asc("left_tok"), F.asc("right_tok")).limit(10)
     r2 = top2.select(
@@ -3052,6 +3081,8 @@ def bm25_scores(d: DataFrame, query_doc: int = 7) -> DataFrame:
     query document's distinct tokens — factored so vec_hybrid_bm25's
     keyword leg shares the exact scoring pipeline (and _BM25_CTES is the
     SQL restatement both oracles embed)."""
+    from ..functions.dedup import cut_lineage
+
     toks = F.explode(T.tokens(F.lower(F.col("text")))).alias("w")
     qt = (
         d.filter(F.col("doc_id") == query_doc)
@@ -3059,15 +3090,24 @@ def bm25_scores(d: DataFrame, query_doc: int = 7) -> DataFrame:
         .distinct()
     )
     dt = d.filter(F.col("doc_id") != query_doc).select("doc_id", toks)
-    dl = dt.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    # r12 optimization: ONE corpus tokenize pass (was two — the dl branch
+    # and the tf branch each replayed the explode) folded to the natural
+    # (doc_id, token) value grain and lineage-cut; dl = Σ counts per doc
+    # and tf = the query-term slice both derive from it. Identical
+    # values, and the replayed unit drops from the token stream to the
+    # compact per-doc vocabulary.
+    tfall = cut_lineage(
+        dt.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+    )
+    dl = tfall.groupBy("doc_id").agg(F.sum("_c").cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("dl").cast("bigint").alias("sdl"),
     )
-    tf = (
-        dt.join(F.broadcast(qt), "w")
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    tf = tfall.join(F.broadcast(qt), "w").select(
+        "doc_id", "w", F.col("_c").alias("tf")
     )
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     sc = (
