@@ -390,6 +390,11 @@ def containment_pairs(
     )
     w = Window.partitionBy("_id").orderBy("_df", "_shingle")
     join_keys = ["_shingle"] + (["_blk"] if block_col else [])
+    # r12 optimization: the posting relation feeds BOTH candidate-join
+    # sides (the prefix-filtered contained side and the FULL container
+    # side) — cut it, or each side replays the shingle explode + the
+    # document-frequency aggregate + its join
+    posts = cut_lineage(posts, reliable)
     a = (
         posts.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= prefix_len)
@@ -581,9 +586,16 @@ def minhash_dedup_pairs(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, bands, reliable=reliable
     )
-    sh = df.select(
-        F.col(id_col).alias("_vid"),
-        word_shingles(F.col(text_col), n).alias("_vsh"),
+    # r12 optimization: cut the verification shingle frame — both join
+    # sides consume it, and without the cut each side re-shingles the
+    # whole corpus (tokenize + n-gram + distinct per doc, the expensive
+    # part); the doc-grain (id, shingle-array) frame is text-sized
+    sh = cut_lineage(
+        spread(df.select(id_col, text_col), id_col).select(
+            F.col(id_col).alias("_vid"),
+            word_shingles(F.col(text_col), n).alias("_vsh"),
+        ),
+        reliable,
     )
     a = sh.select(F.col("_vid").alias("id_a"), F.col("_vsh").alias("_sh_a"))
     b = sh.select(F.col("_vid").alias("id_b"), F.col("_vsh").alias("_sh_b"))

@@ -361,6 +361,13 @@ def unigram_lm_scores(
     broadcast back), a single-row corpus total cross-broadcast, then one
     groupBy(id) — the corpus is never joined to itself.
     """
+    # r12: examined for the one-pass (doc, token)-grain rewrite (fold
+    # both branches over a cut count grain, Σcnt·lp restating the sum
+    # exactly) and A/B-measured it SLOWER at sf0.1 (0.87 s → 1.16 s
+    # best-of-5): the extra full-grain (id, tok) shuffle + checkpoint
+    # outweighs the saved second tokenize, whose two consumers shuffle
+    # only map-side-combined partials. Left in the two-branch form
+    # deliberately.
     toks = exploded_tokens(df, id_col, text_col)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     corpus = vocab.agg(

@@ -747,9 +747,19 @@ def ts_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "d0")
         .agg(F.max(F.col("l_shipdate").cast("date")).alias("d1"))
     )
-    deltas = spans.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
-        spans.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta"))
-    )
+    # r12: emit both sweep endpoints from ONE traversal of spans — the
+    # unionByName form replayed the orders⋈lineitem join + aggregate
+    # once per endpoint branch
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d0").alias("day"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("r")
+    ).select("r.day", "r.delta")
     dd = deltas.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net"))
     run = dd.select(
         "day", F.sum("net").over(Window.orderBy("day")).alias("active")
@@ -805,13 +815,22 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two user-keyed aggregates (first-seen, per-day distinct) are
     the only O(data) shuffles; the prefix-sum window runs over the
     per-day aggregate (O(days) rows)."""
+    from ..functions.dedup import cut_lineage
+
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    fs = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    # r12 optimization: both aggregates (first-seen per user, per-day
+    # distinct actives) reduce over the SAME (day, user) distinct grain —
+    # build it once, cut lineage, derive both (was two independent
+    # events scans + two full-grain shuffles)
+    du = cut_lineage(
+        e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    )
+    fs = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
     nu = fs.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("new_users")
     )
-    act = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.countDistinct("user_id").cast("bigint").alias("active_users")
+    act = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
     )
     joined = act.join(nu, "day", "left_outer").select(
         "day",
