@@ -679,11 +679,17 @@ def eval_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         auc_scan(cut_lineage(g), group_cols=["cohort"])
         .withColumn("cohort", F.col("cohort").cast("bigint"))
         .drop("two_u")
-        .persist()
     )
-    gap = per.agg((F.max("auc") - F.min("auc")).alias("auc_gap"))
+    # r12: the gap attaches via a GLOBAL window over the 4-row cohort
+    # frame instead of persist + aggregate + broadcast crossJoin
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
     return (
-        per.crossJoin(F.broadcast(gap))
+        per.withColumn(
+            "auc_gap",
+            F.max("auc").over(w_all) - F.min("auc").over(w_all),
+        )
         .select("cohort", "n_pos", "n_neg", "auc", "auc_gap")
         .orderBy("cohort")
     )
@@ -778,16 +784,19 @@ def psi_scan(spark: SparkSession, seg_cnt: DataFrame) -> DataFrame:
             .cast("bigint")
             .alias("n_cur"),
         )
-        .persist()
     )
-    tot = cnt.agg(
-        F.sum("n_ref").cast("bigint").alias("tr"),
-        F.sum("n_cur").cast("bigint").alias("tc"),
-    )
+    # r12: the totals and the PSI sum attach via GLOBAL windows over the
+    # 10-row bin frame (two stacked windows) instead of two rounds of
+    # persist + aggregate + broadcast crossJoin — one job instead of
+    # three, values bit-identical (same exact decimal sums)
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
     p_ref = (F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)
     p_cur = (F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)
     terms = (
-        cnt.crossJoin(F.broadcast(tot))
+        cnt.withColumn("tr", F.sum("n_ref").over(w_all).cast("bigint"))
+        .withColumn("tc", F.sum("n_cur").over(w_all).cast("bigint"))
         .select(
             "bin",
             "n_ref",
@@ -799,15 +808,14 @@ def psi_scan(spark: SparkSession, seg_cnt: DataFrame) -> DataFrame:
             .cast("double")
             .alias("psi_term"),
         )
-        .persist()
-    )
-    p = terms.agg(
-        F.sum(F.col("psi_term").cast("decimal(18,12)"))
-        .cast("double")
-        .alias("psi")
     )
     return (
-        terms.crossJoin(F.broadcast(p))
+        terms.withColumn(
+            "psi",
+            F.sum(F.col("psi_term").cast("decimal(18,12)"))
+            .over(w_all)
+            .cast("double"),
+        )
         .select(
             "bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term",
             "psi", (F.col("psi") > 0.2).alias("drifted_02"),
@@ -893,16 +901,18 @@ def eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sq"),
         )
-        .persist()
     )
-    tot = bins.agg(
-        F.sum("nk").cast("bigint").alias("n"),
-        F.sum("pk").cast("bigint").alias("npos"),
-    )
+    # r12: totals attach via a GLOBAL window over the 10-row bin frame
+    # instead of persist + aggregate + broadcast crossJoin
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
     pbar = F.col("sp") / F.col("nk")
     ybar_k = F.col("pk").cast("double") / F.col("nk")
     ybar = F.col("npos").cast("double") / F.col("n")
-    terms = bins.crossJoin(F.broadcast(tot)).select(
+    terms = bins.withColumn(
+        "n", F.sum("nk").over(w_all).cast("bigint")
+    ).withColumn("npos", F.sum("pk").over(w_all).cast("bigint")).select(
         "n",
         "npos",
         "sq",

@@ -1328,7 +1328,6 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse into the two per-endpoint aggregates below, which ALSO
     # carry the degrees — same values, oracle-verified (the oracle keeps
     # the generic min-label form).
-    m = und.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     s_nodes = und.groupBy(F.col("dst").alias("node")).agg(
         F.min("src").alias("label"),
         F.count(F.lit(1)).cast("bigint").alias("d"),
@@ -1358,30 +1357,36 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
     )
+    # r12: the edge count and the global total both attach via GLOBAL
+    # windows over the tiny per-community frame instead of separate
+    # aggregate jobs + broadcast crossJoins: Σ_c d_c = 2m exactly (every
+    # edge contributes two endpoint degrees), so 4m·e_c = 2·(2m)·e_c and
+    # 4m² = (2m)² — all BIGINT-exact; this drops the und count pass, the
+    # per.persist, and two scalar-attach jobs from the query.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
     per = (
         dc.join(ec, "label", "left")
-        .crossJoin(F.broadcast(m))
+        .withColumn("m2", F.sum("d_c").over(w_all).cast("bigint"))
         .select(
             "label",
             "n_nodes",
             F.coalesce("e_c", F.lit(0)).cast("bigint").alias("e_c"),
             "d_c",
             (
-                4 * F.col("m") * F.coalesce("e_c", F.lit(0))
+                2 * F.col("m2") * F.coalesce("e_c", F.lit(0))
                 - F.col("d_c") * F.col("d_c")
             )
             .cast("bigint")
             .alias("contrib_num"),
-            (4 * F.col("m") * F.col("m")).cast("bigint").alias("denom"),
+            (F.col("m2") * F.col("m2")).cast("bigint").alias("denom"),
         )
-        .persist()
-    )
-    tot = per.agg(
-        F.sum("contrib_num").cast("bigint").alias("tn"),
-        F.max("denom").alias("td"),
     )
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.withColumn(
+            "tn", F.sum("contrib_num").over(w_all).cast("bigint")
+        )
         .select(
             F.col("label").alias("community"),
             "n_nodes",
@@ -1390,7 +1395,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("contrib_num").cast("double") / F.col("denom")).alias(
                 "contribution"
             ),
-            (F.col("tn").cast("double") / F.col("td")).alias("modularity"),
+            (F.col("tn").cast("double") / F.col("denom")).alias("modularity"),
         )
         .orderBy("community")
     )

@@ -1727,16 +1727,20 @@ def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
-        .persist()
     )
-    tot = digits.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    # r12: the total and the chi² sum attach via GLOBAL windows over the
+    # ≤9-row digit frame (two stacked windows, same exact sums) instead
+    # of two rounds of persist + aggregate + broadcast crossJoin
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
     p = F.expr(_BENFORD_CASE)
     expected = F.col("n").cast("double") * p
     term = (
         (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected
     )
     terms = (
-        digits.crossJoin(F.broadcast(tot))
+        digits.withColumn("n", F.sum("n_obs").over(w_all).cast("bigint"))
         .select(
             "digit",
             "n_obs",
@@ -1744,15 +1748,14 @@ def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             expected.alias("expected_n"),
             term.cast("decimal(28,12)").cast("double").alias("chi2_term"),
         )
-        .persist()
-    )
-    chi = terms.agg(
-        F.sum(F.col("chi2_term").cast("decimal(28,12)"))
-        .cast("double")
-        .alias("chi2")
     )
     return (
-        terms.crossJoin(F.broadcast(chi))
+        terms.withColumn(
+            "chi2",
+            F.sum(F.col("chi2_term").cast("decimal(28,12)"))
+            .over(w_all)
+            .cast("double"),
+        )
         .select(
             "digit",
             "n_obs",

@@ -1858,16 +1858,21 @@ def eval_mrr_ternary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("rr"),
         )
-        .persist()
     )
-    m = per.agg(
-        (
-            F.sum(F.col("rr").cast("decimal(18,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mrr")
-    )
+    # r12: the MRR scalar attaches via a GLOBAL window over the 8-row
+    # frame (same exact decimal sum) instead of persist + aggregate +
+    # broadcast crossJoin — one job instead of three
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
     return (
-        per.crossJoin(F.broadcast(m))
+        per.withColumn(
+            "mrr",
+            F.sum(F.col("rr").cast("decimal(18,12)"))
+            .over(w_all)
+            .cast("double")
+            / F.count(F.lit(1)).over(w_all),
+        )
         .select("q_id", "first_hit_rank", "rr", "mrr")
         .orderBy("q_id")
     )
