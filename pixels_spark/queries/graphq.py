@@ -1357,45 +1357,43 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
     )
-    # r12: the edge count and the global total both attach via GLOBAL
-    # windows over the tiny per-community frame instead of separate
-    # aggregate jobs + broadcast crossJoins: Σ_c d_c = 2m exactly (every
-    # edge contributes two endpoint degrees), so 4m·e_c = 2·(2m)·e_c and
-    # 4m² = (2m)² — all BIGINT-exact; this drops the und count pass, the
-    # per.persist, and two scalar-attach jobs from the query.
-    from pyspark.sql import Window
-
-    w_all = Window.partitionBy()
-    per = (
-        dc.join(ec, "label", "left")
-        .withColumn("m2", F.sum("d_c").over(w_all).cast("bigint"))
-        .select(
-            "label",
-            "n_nodes",
-            F.coalesce("e_c", F.lit(0)).cast("bigint").alias("e_c"),
-            "d_c",
-            (
-                2 * F.col("m2") * F.coalesce("e_c", F.lit(0))
-                - F.col("d_c") * F.col("d_c")
-            )
-            .cast("bigint")
-            .alias("contrib_num"),
-            (F.col("m2") * F.col("m2")).cast("bigint").alias("denom"),
-        )
+    # r12: every global scalar folds to ONE distributed aggregate over
+    # the per-community frame — Σ_c d_c = 2m exactly (each edge
+    # contributes two endpoint degrees), and the Q numerator expands to
+    # Σ contrib = 2·(Σd_c)·(Σe_c) − Σd_c², so the separate und count
+    # pass and the second scalar pass both disappear; the 1-row result
+    # attaches by broadcast (scale-safe: no global window over the
+    # community grain, which is node-bounded, not constant-bounded).
+    per = dc.join(ec, "label", "left").select(
+        "label",
+        "n_nodes",
+        F.coalesce("e_c", F.lit(0)).cast("bigint").alias("e_c"),
+        "d_c",
+    ).persist()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = per.agg(
+        F.sum("d_c").cast("bigint").alias("m2"),
+        F.sum("e_c").cast("bigint").alias("se"),
+        F.sum(dec("d_c") * F.col("d_c")).alias("sdd"),
     )
     return (
-        per.withColumn(
-            "tn", F.sum("contrib_num").over(w_all).cast("bigint")
-        )
+        per.crossJoin(F.broadcast(tot))
         .select(
             F.col("label").alias("community"),
             "n_nodes",
             "e_c",
             "d_c",
-            (F.col("contrib_num").cast("double") / F.col("denom")).alias(
-                "contribution"
-            ),
-            (F.col("tn").cast("double") / F.col("denom")).alias("modularity"),
+            (
+                (
+                    2 * dec("m2") * F.col("e_c")
+                    - dec("d_c") * F.col("d_c")
+                ).cast("double")
+                / (dec("m2") * F.col("m2")).cast("double")
+            ).alias("contribution"),
+            (
+                (2 * dec("m2") * F.col("se") - F.col("sdd")).cast("double")
+                / (dec("m2") * F.col("m2")).cast("double")
+            ).alias("modularity"),
         )
         .orderBy("community")
     )

@@ -144,6 +144,16 @@ BATCH = sorted(
 # no valid entry here; it gets rewritten to the two-level prefix pattern
 # instead (stat_skyline / _exclusive_offsets precedent).
 GLOBAL_WINDOW_ALLOWLIST = {
+    # r12 optimization round: bounded-frame scalar attaches converted
+    # from persist+aggregate+broadcast-crossJoin (2-3 jobs) to global
+    # windows (1 job) — each frame below is CONSTANT-bounded by
+    # construction, never data-sized
+    "eval_brier": "bin totals over the 10-row calibration-bin frame",
+    "eval_psi": "totals + PSI sum over the 10-row bin frame",
+    "eval_group_auc": "AUC gap over the 4-row cohort frame "
+    "(plus the inherited band-prefix windows, O(#bands) per cohort)",
+    "eval_mrr_ternary": "MRR over the 8-row per-query frame",
+    "stat_benford": "digit total + chi² sum over the ≤9-row digit frame",
     "txt_zipf_fit": "exclusive prefix over the distinct-frequency frame: "
     "O(#distinct token frequencies) — thousands even at corpus scale",
     "sketch_histogram": "cum over the histogram sketch: <=64 bin rows",
