@@ -35,3 +35,15 @@ PARQUET_COMPRESSION = "zstd"  # ≈ proto/pixels.proto:73-80 compression kinds
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Heap for LOCAL-mode sessions only (local_session): in local[N] the driver
+# JVM hosts every task slot, so Spark's 1g default leaves ~1024*0.6/32 ≈
+# 19 MB of execution memory per task at N=32 — measured constant spill +
+# GC pressure across the suite (OPTIMIZATION_r12.md, §5 heap experiment:
+# the dedup/vector heavies run 0.6-0.8× with a right-sized heap, full
+# suite 0.87×). 8g ≈ 150 MB/task, the knee in the measured curve (16g is
+# flat vs 8g). Cluster deployments are untouched: build_session(master=
+# None) does not set it, and spark.executor.memory stays a deploy-time
+# concern. Parameterised for the driver's lower-core bench runs too —
+# the value scales with task slots, not with this box.
+LOCAL_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g")

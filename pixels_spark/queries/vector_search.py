@@ -2041,11 +2041,36 @@ def eval_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(c), i + 1) for i, c in enumerate(probed4)],
         "ivf_cell long, cell_rank int",
     )
-    assigned1 = V.ivf_assign(
-        e.select("vec_id", "embedding"), "embedding", cents,
-        id_col="vec_id", n_assign=1,
-    )
     idx = spark.read.parquet(idx_path)
+    # assign-1 derived from the STORED spill-2 index instead of re-scoring
+    # corpus × all-centroids (r12 optimization round): the nearest cell is
+    # by construction one of each vector's two stored cells (the index keeps
+    # the top-2 by (sim DESC, cell_id ASC)), so re-scoring only those two
+    # rows and taking max_by(sim, -cell) reproduces ivf_assign(n_assign=1)
+    # bit-exactly — same dot/norm expressions on the same stored values,
+    # same tie-break to the lowest cell id. Drops one full corpus scan and
+    # a corpus×k crossJoin from the plan; oracle-verified hash-identical.
+    cn = cents.withColumn("_cnorm", V.l2_norm(F.col("cell_vec")))
+    re_sim = V.dot(F.col("embedding"), F.col("cell_vec")) / (
+        V.l2_norm(F.col("embedding")) * F.col("_cnorm")
+    )
+    assigned1 = (
+        idx.join(
+            F.broadcast(cn),
+            F.col("ivf_cell").cast("long") == F.col("cell_id").cast("long"),
+        )
+        .withColumn("_sim", re_sim)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("ivf_cell"),
+                F.struct(
+                    F.col("_sim"), (-F.col("ivf_cell")).alias("_neg")
+                ),
+            ).alias("ivf_cell"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
     cand = (
         assigned1.select(
             F.lit(1).alias("n_assign"), "vec_id", "embedding",

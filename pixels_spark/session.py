@@ -66,6 +66,17 @@ def build_session(
 
 
 def local_session(cpus: str | int | None = None) -> SparkSession:
-    """Session for local testing/bench: ``local[$SPARK_GRAFT_CPUS]``."""
+    """Session for local testing/bench: ``local[$SPARK_GRAFT_CPUS]``.
+
+    Sets ``spark.driver.memory`` (config.LOCAL_DRIVER_MEMORY, env-
+    overridable) because in local mode the driver JVM IS the executor:
+    all N task slots share its heap, and the 1g Spark default starves
+    execution memory at N=32. Only effective when this call launches the
+    JVM (the first session of the process — true for bench.py/tools); a
+    pre-existing JVM keeps its heap, which Spark ignores harmlessly.
+    """
     n = str(cpus or config.CPUS)
-    return build_session(master=f"local[{n}]")
+    return build_session(
+        master=f"local[{n}]",
+        extra_conf={"spark.driver.memory": config.LOCAL_DRIVER_MEMORY},
+    )
