@@ -38,12 +38,15 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # Heap for LOCAL-mode sessions only (local_session): in local[N] the driver
 # JVM hosts every task slot, so Spark's 1g default leaves ~1024*0.6/32 ≈
-# 19 MB of execution memory per task at N=32 — measured constant spill +
-# GC pressure across the suite (OPTIMIZATION_r12.md, §5 heap experiment:
-# the dedup/vector heavies run 0.6-0.8× with a right-sized heap, full
-# suite 0.87×). 8g ≈ 150 MB/task, the knee in the measured curve (16g is
-# flat vs 8g). Cluster deployments are untouched: build_session(master=
-# None) does not set it, and spark.executor.memory stays a deploy-time
-# concern. Parameterised for the driver's lower-core bench runs too —
-# the value scales with task slots, not with this box.
+# 19 MB of execution memory per task at N=32 — GC pressure and storage-
+# block eviction churn across the suite. Measured A/B (OPTIMIZATION_r12.md
+# tranche 5): standalone best-of-3 at 1g vs 8g puts the dedup/vector/graph
+# heavies at 0.83-0.89× with 8g (minhash_lsh 3.31→2.79 s, modularity
+# 2.85→2.38 s, pca_scores 2.44→2.03 s) and is neutral on scan-bound
+# queries (tpch_q6 anchor equal); the full suite read 0.95× total
+# (BENCHLOG_r12 151.86→144.83 s, heap + one query change). Cluster
+# deployments are untouched: build_session(master=None) does not set it,
+# and spark.executor.memory stays a deploy-time concern. Env-overridable
+# for the driver's lower-core bench runs (at fewer task slots the 1g
+# default starves less, but 8g stays safe in the 128 GiB sandbox).
 LOCAL_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g")
