@@ -390,11 +390,15 @@ def containment_pairs(
     )
     w = Window.partitionBy("_id").orderBy("_df", "_shingle")
     join_keys = ["_shingle"] + (["_blk"] if block_col else [])
-    # r12 optimization: the posting relation feeds BOTH candidate-join
-    # sides (the prefix-filtered contained side and the FULL container
-    # side) — cut it, or each side replays the shingle explode + the
-    # document-frequency aggregate + its join
-    posts = cut_lineage(posts, reliable)
+    # r12 optimization, v2: the container side never needs the document
+    # frequency — it joins its FULL posting list — so it reads straight
+    # from ``exploded`` (a cheap in-task re-map of the checkpointed sh).
+    # The freq-joined relation then has exactly ONE consumer (the prefix
+    # side), so the tranche-3 lineage cut of it is no longer buying back
+    # a replay and is dropped: that cut materialized the entire posting
+    # relation (checkpoint write + 2 reads) just to stop the container
+    # side re-running the freq aggregate it doesn't use. At 100 TB this
+    # removes a corpus-sized checkpoint write from the operator.
     a = (
         posts.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= prefix_len)
@@ -405,7 +409,7 @@ def containment_pairs(
             *join_keys,
         )
     )
-    b = posts.select(
+    b = exploded.select(
         F.col("_id").alias("id_b"), F.col("_size").alias("_szb"), *join_keys
     )
     ordering = (F.col("_sza") < F.col("_szb")) | (
