@@ -1889,18 +1889,39 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("y"),
     )
 
-    # attach each column's doubled rank IN-ROW via the shared
-    # band-partitioned kernel (_attach_r2_ranks — the join-back
-    # formulation A/B'd ~4.4 s vs ~2.9 s for this form at sf0.1).
-    # r12 optimization: cut lineage BETWEEN the two attaches — the second
-    # kernel consumes its input twice (band-subtotal branch + main join
-    # branch), and without the cut each branch replays the ENTIRE first
-    # rank attach (scan + both windows): 4 lineitem scans and the x-rank
-    # windows twice.
-    from ..functions.dedup import cut_lineage
+    # r12 optimization, v2 (replaces the tranche-1 two-kernel + lineage-
+    # cut form): x = l_quantity is DOMAIN-bounded (integral 1..50 in any
+    # TPC-H-shaped corpus, ~50 distinct per group at ANY scale), so its
+    # tie-corrected doubled rank is computed on the (grp, x) VALUE GRAIN
+    # — a map-side-partial aggregate to ~150 rows, a grp-partitioned
+    # cumulative window over that tiny frame (r2 = 2·cum_before + w + 1,
+    # the same exact integers the band kernel produces), and a broadcast
+    # attach. Only y = l_extendedprice (unbounded value domain) still
+    # needs the band-partitioned in-row kernel. This drops one full-row
+    # (grp, band) exchange + two row-grain windows + the checkpoint
+    # write/read of the whole x-ranked frame; the broadcast attach joins
+    # AFTER y's kernel, so the kernel's two internal branches replay
+    # only the slim base scan. Hash-identical (exact integer ranks both
+    # ways); A/B in OPTIMIZATION_r12.md tranche 6.
+    from pyspark.sql.window import Window as _W
 
-    rr = cut_lineage(_attach_r2_ranks(base, "x", 10.0, "ra"))
-    rr = _attach_r2_ranks(rr, "y", 5000.0, "rb")
+    cum = _W.partitionBy("grp").orderBy("x").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    rx = (
+        base.groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
+        .select(
+            "grp",
+            "x",
+            (
+                2 * F.sum("_w").over(cum) - F.col("_w") + 1
+            ).cast("bigint").alias("ra"),
+        )
+    )
+    rr = _attach_r2_ranks(base, "y", 5000.0, "rb").join(
+        F.broadcast(rx), ["grp", "x"]
+    )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = rr.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
