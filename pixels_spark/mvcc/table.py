@@ -838,35 +838,59 @@ class MvccTable:
             .drop("_commit")
             .filter(F.col(COMMIT_TS) <= snapshot_ts)
         )
-        nxt = F.lead(COMMIT_TS).over(
-            Window.partitionBy(self.key_col).orderBy(COMMIT_TS)
-        )
-        h = data.withColumn("_next_ts", nxt)
         dels = self._deletes()
-        if dels is not None:
+        if dels is None:
+            nxt = F.lead(COMMIT_TS).over(
+                Window.partitionBy(self.key_col).orderBy(COMMIT_TS)
+            )
+            h = data.withColumn("_next_ts", nxt).withColumn(
+                "_del_after", F.lit(None).cast("long")
+            )
+        else:
+            # r12 optimization: ONE per-key window pass over the union of
+            # version rows and tombstone rows replaces the previous
+            # lead-window + (slim ⋈ tombstones) + groupBy + join-back
+            # pipeline (5→2 Exchange, data scanned once instead of twice).
+            # Commit timestamps are integers, so the range frame
+            # [ts+1, +inf) is exactly "strictly after this version":
+            #   _next_ts   = min over future VERSION rows' ts;
+            #   _del_after = min over future TOMBSTONE rows' delete-ts —
+            # the same values lead() and min(DELETED_TS > ts) produced.
+            # A same-ts tombstone (UPDATE's delete+insert pair) stays
+            # excluded, matching apply_delete_visibility's strict <.
             d = (
                 dels.filter(F.col("_commit") <= snapshot_ts)
                 .drop("_commit")
                 .filter(F.col(DELETED_TS) <= snapshot_ts)
-                .withColumnRenamed(self.key_col, "_del_key")
-            )
-            # earliest tombstone strictly after each (key, version) pair;
-            # computed on the slim (key, ts) projection so the wide value
-            # columns never enter the join/groupBy
-            slim = h.select(self.key_col, COMMIT_TS)
-            del_after = (
-                slim.join(
-                    d,
-                    (slim[self.key_col] == F.col("_del_key"))
-                    & (F.col(DELETED_TS) > slim[COMMIT_TS]),
-                    "left",
+                .select(
+                    *[
+                        F.lit(None).cast(data.schema[c].dataType).alias(c)
+                        if c != self.key_col
+                        else F.col(self.key_col)
+                        for c in data.columns
+                    ],
+                    F.col(DELETED_TS).alias("_ord_ts"),
+                    F.col(DELETED_TS).alias("_tomb_ts"),
+                    F.lit(None).cast("long").alias("_ver_ts"),
                 )
-                .groupBy(self.key_col, COMMIT_TS)
-                .agg(F.min(DELETED_TS).alias("_del_after"))
             )
-            h = h.join(del_after, [self.key_col, COMMIT_TS], "left")
-        else:
-            h = h.withColumn("_del_after", F.lit(None).cast("long"))
+            u = data.select(
+                "*",
+                F.col(COMMIT_TS).alias("_ord_ts"),
+                F.lit(None).cast("long").alias("_tomb_ts"),
+                F.col(COMMIT_TS).alias("_ver_ts"),
+            ).unionByName(d)
+            w = (
+                Window.partitionBy(self.key_col)
+                .orderBy("_ord_ts")
+                .rangeBetween(1, Window.unboundedFollowing)
+            )
+            h = (
+                u.withColumn("_next_ts", F.min("_ver_ts").over(w))
+                .withColumn("_del_after", F.min("_tomb_ts").over(w))
+                .filter(F.col("_ver_ts").isNotNull())
+                .drop("_ord_ts", "_tomb_ts", "_ver_ts")
+            )
         return (
             h.withColumn("valid_from_ts", F.col(COMMIT_TS))
             .withColumn("valid_to_ts", F.least("_next_ts", "_del_after"))
