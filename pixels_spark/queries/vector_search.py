@@ -2030,11 +2030,13 @@ def eval_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = V.query_vector(e, "vec_id", "embedding", qid=7)
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    # no persist: the exact top-10 is consumed exactly ONCE (as the
+    # broadcast flag below), so caching it was a wasted materialization
+    # pass that also outlived the query in the session's block store
     exact = (
         V.knn_brute_force(e, "embedding", "vec_id", q, k=10)
         .select("vec_id")
         .withColumn("_hit", F.lit(1))
-        .persist()
     )
     probed4 = probed_cells(spark, cents_path, qvec, n_probe=4)
     pr = spark.createDataFrame(
