@@ -615,7 +615,11 @@ def minhash_dedup_pairs(
 
 
 def minhash_md5_bands(
-    text: Column, n: int = 3, num_hashes: int = 8, rows_per_band: int = 2
+    text: Column,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingles: Column | None = None,
 ) -> Column:
     """Per-row MinHash LSH bands as a pure column expression (no shuffle,
     no explode) — array<struct<band:int, bh:string>>.
@@ -626,8 +630,14 @@ def minhash_md5_bands(
     sets — are EXACTLY restatable in oracle SQL (same trick as
     ``sampling.hash_bucket``). Stateless per row: safe in streaming
     projections where a groupBy would need its own state.
+
+    ``shingles`` (optional) takes an already-computed ``word_shingles``
+    array column so a caller that also materializes the array (the
+    verify-join path in ``minhash_md5_pairs``) shingles each document
+    ONCE instead of re-tokenizing inside the band expression — same
+    values by construction (the bands are a pure function of the array).
     """
-    sh = word_shingles(text, n)
+    sh = shingles if shingles is not None else word_shingles(text, n)
 
     # single-arg factory, NOT `lambda s, i=i`: F.transform passes the array
     # index to any two-argument callable, silently replacing the bound seed
@@ -673,12 +683,23 @@ def minhash_md5_pairs(
     whose verified OUTPUT is engine-agnostic but whose candidate set
     isn't replayable). Same plan shape either way: band equi-join, never
     all-pairs; exact-verify joins back to per-doc shingle arrays."""
+    # two-step projection so word_shingles evaluates ONCE per row: the
+    # outer select builds the bands from the materialized _vsh column
+    # reference (Catalyst's CollapseProject declines to inline a non-cheap
+    # expression referenced 8+ times, so the tokenize+shingle pipeline is
+    # not duplicated into the band transforms — verified by A/B timing of
+    # the checkpoint job)
     sh = cut_lineage(
-        spread(df, id_col).select(
+        spread(df, id_col)
+        .select(
             F.col(id_col).alias("_vid"),
             word_shingles(F.col(text_col), n).alias("_vsh"),
+        )
+        .select(
+            "_vid",
+            "_vsh",
             minhash_md5_bands(
-                F.col(text_col), n, num_hashes, rows_per_band
+                None, n, num_hashes, rows_per_band, shingles=F.col("_vsh")
             ).alias("_bands"),
         ),
         reliable,
