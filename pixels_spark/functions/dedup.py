@@ -120,16 +120,29 @@ def duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column → array<string>."""
-    toks = tokens(F.lower(text))
-    # sliding window via transform over index range; drop ragged tails
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    """Distinct word n-gram shingles of a text column → array<string>.
+
+    The token array is bound as a LAMBDA VARIABLE (transform over a
+    1-element array) rather than referenced as a subtree inside the
+    sliding-window lambda: higher-order functions re-evaluate non-variable
+    child expressions per array element, so the old form re-ran the regex
+    split (``tokens`` = split(trim(text), '\\s+')) once per shingle index
+    — O(|tokens|²·|text|) work per document. With the variable binding the
+    tokenize runs once per row and each window step only slices the bound
+    array. Same values by construction (pure restructure).
+    """
+
+    def _from(toks: Column) -> Column:
+        # sliding window via transform over index range; drop ragged tails
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        sh = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(text))), _from), 1)
 
 
 # ---------------------------------------------------------------------------
