@@ -92,19 +92,28 @@ def quantize_int8(vec: Column, levels: float = 127.0) -> Column:
     is identical in both engines, so quantized search is exactly
     SQL-oracle-able. A zero vector quantizes to scale=0, q=0.
     """
-    scale = (
+    scale_expr = (
         F.aggregate(
             vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
         )
         / F.lit(levels)
     )
-    q = F.transform(
-        vec,
-        lambda x: F.when(scale == 0, F.lit(0))
-        .otherwise(F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"))
-        .cast("int"),
-    )
-    return F.struct(scale.alias("scale"), q.alias("q"))
+
+    # bind scale as a LAMBDA VARIABLE (transform over a 1-element array):
+    # referenced as a subtree inside the per-element lambda it would be
+    # re-evaluated — an O(d) max-abs aggregate — twice per vector element,
+    # O(d²) per row (same defect as word_shingles' token binding; see
+    # functions/dedup.py). Bound once, each element only divides by it.
+    def _quant(scale: Column) -> Column:
+        q = F.transform(
+            vec,
+            lambda x: F.when(scale == 0, F.lit(0))
+            .otherwise(F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"))
+            .cast("int"),
+        )
+        return F.struct(scale.alias("scale"), q.alias("q"))
+
+    return F.element_at(F.transform(F.array(scale_expr), _quant), 1)
 
 
 def knn_int8(
