@@ -1382,11 +1382,22 @@ def source_overlap(
     count(*) per pair IS the distinct shared-window count — no
     countDistinct shuffle.
     """
-    toks = tokens(F.lower(F.col(text_col)))
     # spread on the doc id (high cardinality), not the group key — a
-    # 20-group corpus hashed on group would leave most partitions empty
-    d = spread(df.select(id_col, group_col, text_col), id_col).filter(
-        F.size(toks) >= width
+    # 20-group corpus hashed on group would leave most partitions empty.
+    # Tokenize into a materialized `_w` column FIRST: referenced as a
+    # subtree inside the sliding-window lambda the regex split would
+    # re-run once per window index (HOFs re-evaluate non-variable
+    # children per element — the word_shingles defect), O(len²) per doc;
+    # as an attribute the per-window slice is O(width).
+    toks = F.col("_w")
+    d = (
+        spread(df.select(id_col, group_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            tokens(F.lower(F.col(text_col))).alias("_w"),
+        )
+        .filter(F.size(toks) >= width)
     )
     idx = F.sequence(F.lit(0), F.size(toks) - width)
     gw = cut_lineage(

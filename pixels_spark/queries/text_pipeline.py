@@ -1895,7 +1895,16 @@ def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = D.spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
-    low = F.lower(F.col("text"))
+    # materialize lower(text) as its own column first: referenced as a
+    # subtree inside the per-character transform lambda it would be
+    # re-evaluated (re-lowering the WHOLE text) once per character index —
+    # O(len²) per document (HOFs re-evaluate non-variable children per
+    # element; same defect class as the word_shingles fix). As an
+    # attribute reference the per-element substr is O(1), and
+    # CollapseProject keeps a non-cheap expression referenced 3× out of
+    # line.
+    lowd = d.select("doc_id", F.lower(F.col("text")).alias("_low"))
+    low = F.col("_low")
     # empty-text guard: F.sequence(1, 0) steps DOWNWARD ([1, 0]) instead of
     # producing an empty range, which would fabricate two empty-string
     # "chars" the oracle's range(1, 1) never emits — empty docs drop out
@@ -1903,7 +1912,7 @@ def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(
         F.length(low) > 0, F.sequence(F.lit(1), F.length(low))
     ).otherwise(F.array().cast("array<int>"))
-    ch = d.select(
+    ch = lowd.select(
         "doc_id",
         F.explode(F.transform(idx, lambda i: low.substr(i, F.lit(1)))).alias("c"),
     )
