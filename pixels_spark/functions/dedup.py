@@ -650,8 +650,6 @@ def minhash_md5_bands(
     ONCE instead of re-tokenizing inside the band expression — same
     values by construction (the bands are a pure function of the array).
     """
-    sh = shingles if shingles is not None else word_shingles(text, n)
-
     # single-arg factory, NOT `lambda s, i=i`: F.transform passes the array
     # index to any two-argument callable, silently replacing the bound seed
     # with an index Column
@@ -661,20 +659,33 @@ def minhash_md5_bands(
             F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8), 16, 10
         ).cast("long")
 
-    sigs = [F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)]
-    n_bands = num_hashes // rows_per_band
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[sigs[b * rows_per_band + j].cast("string") for j in range(rows_per_band)],
-                ).alias("bh"),
-            )
-            for b in range(n_bands)
+    def _bands(sh: Column) -> Column:
+        sigs = [
+            F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)
         ]
-    )
+        n_bands = num_hashes // rows_per_band
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            sigs[b * rows_per_band + j].cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ).alias("bh"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+
+    if shingles is not None:
+        return _bands(shingles)
+    # bind the shingle array as a lambda variable: as a subtree it would be
+    # re-evaluated once per hash function (each per-hash transform takes it
+    # as its traversed argument) — num_hashes tokenize passes per row
+    return F.element_at(F.transform(F.array(word_shingles(text, n)), _bands), 1)
 
 
 def minhash_md5_pairs(
