@@ -182,15 +182,23 @@ def repetition_stats(
     """
     from .dedup import spread  # local: dedup imports text at module level
 
-    t = tokens(F.col(text_col))
+    # tokenize ONCE into a materialized column: inlined, the regex split
+    # ran ~6x per row (two slices + their sizes, size, array_distinct) —
+    # a two-step select keeps it to one evaluation (CollapseProject won't
+    # re-inline a non-cheap expression referenced repeatedly)
+    t = F.col("_t")
     pairs = F.arrays_zip(
         F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)
     )
-    ex = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col),
-        F.size(t).alias("_n_tok"),
-        F.size(F.array_distinct(t)).alias("_n_distinct"),
-        F.explode_outer(pairs).alias("_pair"),  # outer: keep 1-token docs
+    ex = (
+        spread(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        .select(
+            F.col(id_col),
+            F.size(t).alias("_n_tok"),
+            F.size(F.array_distinct(t)).alias("_n_distinct"),
+            F.explode_outer(pairs).alias("_pair"),  # outer: keep 1-token docs
+        )
     )
     big = ex.withColumn(
         "_bigram",
