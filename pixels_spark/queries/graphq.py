@@ -76,13 +76,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 3 rounds. Mass conservation (Σpr = 1) is property-tested."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    # distinct on the raw INT keys, tag-concat AFTER (r12 optimization,
+    # guide §2.3 narrower types): the pair distinct is bijective with the
+    # tagged-string distinct, so values are identical, but the distinct
+    # exchange now carries two longs instead of two strings and the
+    # string build runs once per DISTINCT edge, not once per joined row.
     eb = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(F.col("o_custkey").alias("_ck"), F.col("l_suppkey").alias("_sk"))
         .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("_ck").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("_sk").cast("string")).alias("dst"),
+        )
     )
     edges = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return G.pagerank(edges, iterations=_ITERS, damping=0.85).orderBy("node")
@@ -146,13 +152,19 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
+    # distinct on the raw INT keys, tag-concat AFTER (r12 optimization,
+    # guide §2.3 narrower types): the pair distinct is bijective with the
+    # tagged-string distinct, so values are identical, but the distinct
+    # exchange now carries two longs instead of two strings and the
+    # string build runs once per DISTINCT edge, not once per joined row.
     eb = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(F.col("o_custkey").alias("_ck"), F.col("l_suppkey").alias("_sk"))
         .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("_ck").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("_sk").cast("string")).alias("dst"),
+        )
     )
     edges = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     seeds = c.filter(F.col("c_nationkey") == 0).select(
@@ -431,13 +443,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
+    # distinct on the raw INT keys, tag-concat AFTER (r12 optimization,
+    # guide §2.3 narrower types): the pair distinct is bijective with the
+    # tagged-string distinct, so values are identical, but the distinct
+    # exchange now carries two longs instead of two strings and the
+    # string build runs once per DISTINCT edge, not once per joined row.
     eb = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(F.col("o_custkey").alias("_ck"), F.col("l_suppkey").alias("_sk"))
         .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("_ck").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("_sk").cast("string")).alias("dst"),
+        )
     )
     edges = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     seeds = c.filter(F.col("c_nationkey") == 0).select(
@@ -506,13 +524,19 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, no floats anywhere)."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    # distinct on the raw INT keys, tag-concat AFTER (r12 optimization,
+    # guide §2.3 narrower types): the pair distinct is bijective with the
+    # tagged-string distinct, so values are identical, but the distinct
+    # exchange now carries two longs instead of two strings and the
+    # string build runs once per DISTINCT edge, not once per joined row.
     eb = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(F.col("o_custkey").alias("_ck"), F.col("l_suppkey").alias("_sk"))
         .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("_ck").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("_sk").cast("string")).alias("dst"),
+        )
     )
     edges = eb.union(
         eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1302,13 +1326,19 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     from ..functions.dedup import cut_lineage
 
+    # distinct on the raw INT keys, tag-concat AFTER (r12 optimization,
+    # guide §2.3 narrower types): the pair distinct is bijective with the
+    # tagged-string distinct, so values are identical, but the distinct
+    # exchange now carries two longs instead of two strings and the
+    # string build runs once per DISTINCT edge, not once per joined row.
     eb = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(F.col("o_custkey").alias("_ck"), F.col("l_suppkey").alias("_sk"))
         .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("_ck").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("_sk").cast("string")).alias("dst"),
+        )
     )
     # cut_lineage (localCheckpoint), not plain persist: five consumers
     # re-read the edge relation and the A/B measured the checkpoint
@@ -1450,13 +1480,19 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    # distinct on the raw INT keys, tag-concat AFTER (r12 optimization,
+    # guide §2.3 narrower types): the pair distinct is bijective with the
+    # tagged-string distinct, so values are identical, but the distinct
+    # exchange now carries two longs instead of two strings and the
+    # string build runs once per DISTINCT edge, not once per joined row.
     eb = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(F.col("o_custkey").alias("_ck"), F.col("l_suppkey").alias("_sk"))
         .distinct()
+        .select(
+            F.concat(F.lit("c"), F.col("_ck").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("_sk").cast("string")).alias("dst"),
+        )
     )
     und = cut_lineage(eb)
     # SYMMETRY SHORTCUT (r12 optimization): the directed list is the
