@@ -38,6 +38,117 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _asof_nearest_one_pass(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance: Column | None,
+    how: str,
+    right_prefix: str,
+) -> DataFrame:
+    """Nearest-direction as-of in ONE union + ONE key shuffle (r12
+    optimization; was two full backward/forward kernel passes, each with
+    its own union, shuffle and events-side scan).
+
+    Both directions read off the SAME (_t asc, _side asc) sort: the
+    backward match is ``last(_match, ignorenulls)`` over the preceding
+    frame (identical window spec to the backward kernel, including the
+    right-before-left order at equal ts), the forward match is
+    ``first(_match, ignorenulls)`` over the following frame. The two
+    frames share partitioning and ordering, so Spark stacks the Window
+    operators on one Exchange+Sort.
+
+    A right row at a left row's EXACT ts is visible only to the backward
+    window (it sorts before the left row) — which is precisely the
+    nearest tie rule: a same-ts match has gap 0, and gap-0 ties resolve
+    backward, so the forward window never needs the same-ts row (any
+    later forward candidate loses the CASE to the gap-0 backward match).
+    With multiple right rows sharing (key, ts) the picked ROW among the
+    tied group may differ from the two-pass form's pick — both picks are
+    order-arbitrary (same as DuckDB ASOF / pandas merge_asof on exact
+    ties); the directional fuzz keeps right (key, ts) unique for this
+    reason and the nearest golden tests pin the defined cases.
+    """
+    r_payload = [c for c in right.columns if c not in by]
+    for k in by:
+        right = right.filter(F.col(k).isNotNull())
+    r = right.select(
+        *by,
+        F.unix_micros(F.col(right_ts)).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("_match"),
+    )
+    l = left.select(
+        *left.columns,
+        F.unix_micros(F.col(left_ts)).alias("_t"),
+        F.lit(1).alias("_side"),
+    ).withColumn("_match", F.lit(None).cast(r.schema["_match"].dataType))
+    l_cols = list(left.columns)
+    l_pad = [c for c in l_cols if c not in by]
+    unioned = l.select(*by, "_t", "_side", "_match", *l_pad).unionByName(
+        r.select(
+            *by,
+            "_t",
+            "_side",
+            "_match",
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in l_pad
+            ],
+        )
+    )
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = (
+        unioned.withColumn("_mb", F.last("_match", ignorenulls=True).over(wb))
+        .withColumn("_mf", F.first("_match", ignorenulls=True).over(wf))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        gb = F.abs(
+            F.unix_micros(F.col(left_ts))
+            - F.unix_micros(F.col("_mb")[right_ts])
+        )
+        gf = F.abs(
+            F.unix_micros(F.col(left_ts))
+            - F.unix_micros(F.col("_mf")[right_ts])
+        )
+        matched = matched.withColumn(
+            "_mb", F.when(gb <= tolerance, F.col("_mb"))
+        ).withColumn("_mf", F.when(gf <= tolerance, F.col("_mf")))
+    bk_ts = F.col("_mb")[right_ts]
+    fw_ts = F.col("_mf")[right_ts]
+    choose_b = fw_ts.isNull() | (
+        bk_ts.isNotNull()
+        & (
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(bk_ts)
+            <= F.unix_micros(fw_ts) - F.unix_micros(F.col(left_ts))
+        )
+    )
+    out = matched.select(
+        *l_cols,
+        *[
+            F.when(choose_b, F.col("_mb")[c])
+            .otherwise(F.col("_mf")[c])
+            .alias(f"{right_prefix}{c}")
+            for c in r_payload
+        ],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"{right_prefix}{right_ts}").isNotNull())
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -80,14 +191,20 @@ def asof_join(
     """
     if direction == "nearest":
         # Nearest-in-time match (pandas merge_asof direction='nearest'):
-        # the backward and forward kernels each need their own sort order,
-        # so nearest composes them — the backward pass's output (left cols
-        # + _nb_* match) feeds the forward pass as its left side, then a
-        # per-row CASE keeps the match with the smaller |gap| (ties →
-        # backward, matching pandas). Two key-shuffles total; each pass
-        # keeps the one-struct-per-row window state.
+        # a per-row CASE keeps the match with the smaller |gap| (ties →
+        # backward, matching pandas).
         if how not in ("left", "inner"):
             raise ValueError(f"how must be left|inner, got {how!r}")
+        if skew_bucket_us is None:
+            return _asof_nearest_one_pass(
+                left, right, list(by), left_ts, right_ts, tolerance, how,
+                right_prefix,
+            )
+        # Bucketed form: the carry machinery summarizes PRECEDING buckets
+        # only, so the skew-bounded nearest stays the two-pass
+        # composition — the backward pass's output (left cols + _nb_*
+        # match) feeds the forward pass as its left side. Two
+        # key-shuffles; each pass keeps the one-struct-per-row state.
         r_payload_n = [c for c in right.columns if c not in by]
         b = asof_join(
             left, right, by, left_ts, right_ts, "backward", tolerance,

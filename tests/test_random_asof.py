@@ -90,6 +90,91 @@ def test_asof_matches_duckdb(spark, left, right, direction, how, bucket):
     assert got == want
 
 
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=rows_left,
+    right=rows_right,
+    how=st.sampled_from(["left", "inner"]),
+    tol=st.sampled_from([None, 10_000_000]),
+)
+def test_asof_nearest_matches_duckdb_composition(spark, left, right, how, tol):
+    """The one-pass nearest kernel vs the same backward+forward ASOF
+    composition the declared asof_nearest oracle uses (ties → backward,
+    tolerance nulls both sides past the gap). Right (key, ts) stays
+    unique so the match is well-defined in both engines."""
+    l_rows = [(i, k, _ts(o)) for i, (k, o) in enumerate(left)]
+    r_rows = [(k, _ts(o), float(px)) for k, o, px in right]
+    ldf = spark.createDataFrame(
+        l_rows or [], "lid long, k long, lts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        r_rows or [], "k long, rts timestamp, px double"
+    )
+    from pyspark.sql import functions as F
+
+    kw = {} if tol is None else {"tolerance": F.lit(tol)}
+    got = sorted(
+        (r["lid"], r["r_px"])
+        for r in asof_join(
+            ldf, rdf, by=["k"], left_ts="lts", right_ts="rts",
+            direction="nearest", how=how, **kw,
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    lpd = pd.DataFrame(l_rows, columns=["lid", "k", "lts"]).astype(
+        {"lid": "int64", "k": "int64", "lts": "datetime64[us]"}
+    )
+    rpd = pd.DataFrame(r_rows, columns=["k", "rts", "px"]).astype(
+        {"k": "int64", "rts": "datetime64[us]", "px": "float64"}
+    )
+    con.register("l", lpd)
+    con.register("r", rpd)
+    tol_b = (
+        "TRUE"
+        if tol is None
+        else f"epoch_us(lts) - epoch_us(rts) <= {tol}"
+    )
+    tol_f = (
+        "TRUE"
+        if tol is None
+        else f"epoch_us(rts) - epoch_us(lts) <= {tol}"
+    )
+    sql = f"""
+    WITH b0 AS (SELECT l.lid, l.lts, rb.rts, rb.px
+                FROM l ASOF LEFT JOIN r rb
+                  ON l.k = rb.k AND l.lts >= rb.rts),
+    f0 AS (SELECT l.lid, l.lts, rf.rts, rf.px
+           FROM l ASOF LEFT JOIN r rf
+             ON l.k = rf.k AND l.lts <= rf.rts),
+    b AS (SELECT lid, lts,
+                 CASE WHEN rts IS NOT NULL AND {tol_b} THEN rts END AS rts,
+                 CASE WHEN rts IS NOT NULL AND {tol_b} THEN px END AS px
+          FROM b0),
+    f AS (SELECT lid, lts,
+                 CASE WHEN rts IS NOT NULL AND {tol_f} THEN rts END AS rts,
+                 CASE WHEN rts IS NOT NULL AND {tol_f} THEN px END AS px
+          FROM f0)
+    SELECT b.lid,
+           CASE WHEN f.rts IS NULL
+                     OR (b.rts IS NOT NULL
+                         AND epoch_us(b.lts) - epoch_us(b.rts)
+                             <= epoch_us(f.rts) - epoch_us(b.lts))
+                THEN b.px ELSE f.px END AS px
+    FROM b JOIN f USING (lid)
+    """
+    want_rows = con.execute(sql).fetchall()
+    con.close()
+    want = sorted((lid, px) for lid, px in want_rows)
+    if how == "inner":
+        want = [(lid, px) for lid, px in want if px is not None]
+    assert got == want
+
+
 rows_points = st.lists(
     st.tuples(st.integers(0, 2), st.integers(-20, 120)),  # (key, point)
     min_size=0, max_size=20,
