@@ -52,13 +52,15 @@ def _asof_nearest_one_pass(
     optimization; was two full backward/forward kernel passes, each with
     its own union, shuffle and events-side scan).
 
-    Both directions read off the SAME (_t asc, _side asc) sort: the
-    backward match is ``last(_match, ignorenulls)`` over the preceding
-    frame (identical window spec to the backward kernel, including the
-    right-before-left order at equal ts), the forward match is
-    ``first(_match, ignorenulls)`` over the following frame. The two
-    frames share partitioning and ordering, so Spark stacks the Window
-    operators on one Exchange+Sort.
+    Both directions are RUNNING ``last(_match, ignorenulls)`` windows
+    over the same key partitioning — backward over the (_t asc, _side
+    asc) sort (identical window spec to the backward kernel, including
+    the right-before-left order at equal ts), forward over the (_t desc,
+    _side desc) sort. Shared partitioning means ONE Exchange with two
+    in-partition sorts; both frames are growing unbounded-preceding
+    accumulators (an unbounded-FOLLOWING first() was measured SLOWER
+    than the two-pass form it replaced — Spark re-evaluates shrinking
+    frames from scratch per row, O(rows²) per partition).
 
     A right row at a left row's EXACT ts is visible only to the backward
     window (it sorts before the left row) — which is precisely the
@@ -104,14 +106,22 @@ def _asof_nearest_one_pass(
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward = RUNNING last() over the DESCENDING sort, not first() over
+    # an unbounded-FOLLOWING frame: Spark re-evaluates shrinking frames
+    # from scratch per row (O(rows²) per partition), while a growing
+    # unbounded-preceding frame is a streaming accumulator. Same
+    # partitioning → still ONE Exchange, just a second in-partition sort.
+    # At equal _t the desc traversal meets left (side 1) BEFORE right
+    # (side 0), so a same-ts right stays out of the left row's preceding
+    # frame — the same visibility rule as the ascending backward window.
     wf = (
         Window.partitionBy(*by)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("_t").desc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
         unioned.withColumn("_mb", F.last("_match", ignorenulls=True).over(wb))
-        .withColumn("_mf", F.first("_match", ignorenulls=True).over(wf))
+        .withColumn("_mf", F.last("_match", ignorenulls=True).over(wf))
         .filter(F.col("_side") == 1)
     )
     if tolerance is not None:
