@@ -403,6 +403,13 @@ def main() -> None:
     timings = {name: min(runs) for name, runs in all_runs.items()}
 
     total = round(sum(timings.values()), 4)
+    # COMPACT one-line JSON (VERDICT r12 task #2b): the driver records a
+    # bounded tail of this line, and r11's line outgrew it because the
+    # per-pass `all_runs` payload tripled its size — the round-over-round
+    # comparator then found no parseable prev. The contract line now
+    # carries only the per-query best-of-3 map (never removed/renamed)
+    # plus scalars, with compact separators; full per-pass detail stays
+    # in BENCHLOG.md / BENCHLOG_r{N}.md, written below from the same run.
     print(
         json.dumps(
             {
@@ -415,8 +422,8 @@ def main() -> None:
                 "ivf_build_sec": ivf_build_sec,
                 "derived_build_sec": derived_build_sec,
                 "runs": 3,
-                "all_runs": all_runs,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     write_benchlog(

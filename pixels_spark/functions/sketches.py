@@ -444,11 +444,17 @@ def hist_quantiles(
     step is integer counts + one deterministic double expression).
 
     All computation runs on the ≤bins-row sketch: the cumulative window
-    and the quantile probe join never touch source rows. Returns
-    ``(q, est)``, one row per requested quantile."""
+    and the quantile probe never touch source rows. The probe is an
+    exploded LITERAL array of the requested quantiles (qs is a Python
+    constant, not data) filtered by the cum condition, and the hit row
+    (first bin whose cum reaches q·N ≡ the min-bin survivor) is selected
+    with one ``min_by`` aggregate — r13: this replaces a
+    createDataFrame + broadcast nested-loop join + rank window, which
+    cost 3 extra jobs (broadcast build re-ran the whole sketch subtree)
+    per read at any scale. Returns ``(q, est)``, one row per requested
+    quantile; every value is the same IEEE expression as before."""
     from pyspark.sql import Window
 
-    spark = sketch.sparkSession
     w = (hi - lo) / bins
     c = sketch.select(
         "bin",
@@ -460,19 +466,24 @@ def hist_quantiles(
             )
         ).alias("n"),
     )
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     hit = (
-        qdf.join(
-            F.broadcast(c),
-            F.col("cum").cast("double") >= F.col("q") * F.col("n").cast("double"),
+        c.select(
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+            "bin",
+            "cnt",
+            "cum",
+            "n",
         )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("q").orderBy("bin")
-            ),
+        .filter(
+            F.col("cum").cast("double") >= F.col("q") * F.col("n").cast("double")
         )
-        .filter(F.col("_rn") == 1)
+        .groupBy("q")
+        .agg(
+            F.min_by(F.struct("bin", "cnt", "cum", "n"), F.col("bin")).alias(
+                "_hit"
+            )
+        )
+        .select("q", "_hit.bin", "_hit.cnt", "_hit.cum", "_hit.n")
     )
     return hit.select(
         "q",

@@ -29,7 +29,11 @@ def main() -> None:
     staged_dir, *_ = bench.prepare(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     if not names:
         names = list(bench.HEADLINE)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r13"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = registry[name].fn(spark, staged_dir)
