@@ -353,26 +353,33 @@ def quota_sample_hamilton(
     """
     from pyspark.sql.window import Window
 
+    # The apportionment chain runs ENTIRELY on the strata-cardinality
+    # frame (O(#strata) rows by construction — languages/labels, never
+    # data-sized), so the corpus total and the leftover budget are global
+    # windows over that tiny frame instead of separate agg+broadcast-
+    # crossJoin legs (r13: each crossJoin replayed the sizes aggregate —
+    # a full corpus scan — in its own broadcast subtree; 3 scans → 1).
     sizes = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
-    tot = sizes.agg(F.sum("_n").alias("_tot"))
-    q = (
-        sizes.crossJoin(F.broadcast(tot))
-        .select(
-            stratum_col,
-            (F.lit(budget) * F.col("_n")).cast("bigint").alias("_bn"),
-            F.col("_tot"),
-        )
-        .select(
-            stratum_col,
-            F.expr("_bn DIV _tot").alias("_base"),
-            F.pmod(F.col("_bn"), F.col("_tot")).alias("_rem"),
-        )
+    wg = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    leftover = q.agg((F.lit(budget) - F.sum("_base")).alias("_left"))
+    q = sizes.select(
+        stratum_col,
+        (F.lit(budget) * F.col("_n")).cast("bigint").alias("_bn"),
+        F.sum("_n").over(wg).alias("_tot"),
+    ).select(
+        stratum_col,
+        F.expr("_bn DIV _tot").alias("_base"),
+        F.pmod(F.col("_bn"), F.col("_tot")).alias("_rem"),
+    )
     w = Window.orderBy(F.col("_rem").desc(), F.col(stratum_col))
     alloc = (
-        q.crossJoin(F.broadcast(leftover))
-        .withColumn("_rk", F.row_number().over(w))
+        q.select(
+            stratum_col,
+            "_base",
+            (F.lit(budget) - F.sum("_base").over(wg)).alias("_left"),
+            F.row_number().over(w).alias("_rk"),
+        )
         .select(
             stratum_col,
             (

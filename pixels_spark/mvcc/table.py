@@ -276,6 +276,13 @@ class MvccTable:
                 out = out.repartitionByRange(
                     *parts, self.key_col
                 ).sortWithinPartitions(self.key_col)
+            else:
+                # compact commit files on write: AQE REBALANCE sizes output
+                # files to the advisory partition size instead of inheriting
+                # the input's task count (a 32-slot session otherwise writes
+                # 32 tiny files per commit, and every later read pays a
+                # footer open per file per query — O(slots x commits) opens)
+                out = out.hint("rebalance")
             commit_dir = os.path.join(self.data_dir, f"_commit={ts}")
             # evolve the persisted schema BEFORE the data lands: a crash
             # between the two then leaves a wider schema with no data
@@ -321,7 +328,9 @@ class MvccTable:
             kdf = self.spark.createDataFrame(
                 [(k,) for k in keys], [self.key_col]
             )
-        out = kdf.withColumn(DELETED_TS, F.lit(ts).cast("long"))
+        out = kdf.withColumn(DELETED_TS, F.lit(ts).cast("long")).hint(
+            "rebalance"  # same commit-file compaction as insert()
+        )
         try:
             out.write.mode("overwrite").parquet(
                 os.path.join(self.delete_dir, f"_commit={ts}")

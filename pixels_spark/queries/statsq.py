@@ -2140,10 +2140,17 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # n (per-group total) rides the SAME tiny band frame as the exclusive
+    # band prefix (r13): sum(_bs) over the whole grp partition equals
+    # nf's sum(w) exactly (same integers, regrouped), so the third
+    # orders-scan replay and its separate broadcast join are gone —
+    # one band subtree now carries (_lo, n) to the value-grain rows.
+    wn = Window.partitionBy("grp")
     bpre = bs.select(
         "grp",
         "_b",
         F.coalesce(F.sum("_bs").over(wb), F.lit(0)).cast("bigint").alias("_lo"),
+        F.sum("_bs").over(wn).cast("bigint").alias("n"),
     )
     wl = (
         Window.partitionBy("grp", "_b")
@@ -2159,9 +2166,8 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
-    nf = g.groupBy("grp").agg(F.sum("w").cast("bigint").alias("n"))
     lo = F.floor(F.col("n") / F.lit(10.0)).cast("bigint")
-    t = c.join(F.broadcast(nf), "grp").select(
+    t = c.select(
         "grp",
         "cents",
         "n",

@@ -748,20 +748,26 @@ def vec_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.pq_knn(enc, "vec_id", books, qvec, k=10)
 
 
-def probed_cells(spark: SparkSession, cents_path: str, qvec: list, n_probe: int) -> list:
-    """Top-``n_probe`` cell ids by centroid cosine vs the query — the
-    O(n_cells) driver-side index lookup every ANN serving path performs."""
+def rank_cells(cent_rows: list, qvec: list, n_probe: int) -> list:
+    """Top-``n_probe`` cell ids by centroid cosine vs the query, over
+    already-collected centroid rows — the O(n_cells) driver-side index
+    lookup every ANN serving path performs. Split out so callers that
+    need the centroid rows for other subtrees collect them ONCE."""
     import math
 
     qn = math.sqrt(sum(x * x for x in qvec))
     ranked = []
-    for r in spark.read.parquet(cents_path).collect():
+    for r in cent_rows:
         c = list(r["cell_vec"])
         cn = math.sqrt(sum(x * x for x in c))
         sim = sum(a * b for a, b in zip(qvec, c)) / (qn * cn) if cn and qn else -1.0
         ranked.append((sim, r["cell_id"]))
     ranked.sort(key=lambda t: (-t[0], t[1]))
     return [cid for _s, cid in ranked[:n_probe]]
+
+
+def probed_cells(spark: SparkSession, cents_path: str, qvec: list, n_probe: int) -> list:
+    return rank_cells(spark.read.parquet(cents_path).collect(), qvec, n_probe)
 
 
 @declare("vec_ivf_probe", sql=_ivf_probe_oracle(), tags=("vector", "ivf", "knn"))
@@ -1833,15 +1839,25 @@ def eval_mrr_ternary(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = pre.groupBy("q_id").agg(
         top("_na").alias("_ta"), top("_ne").alias("_te")
     )
-    ex_ids = F.transform(F.col("_te"), lambda s: s["id"])
-    hit_ranks = F.filter(
+    # the exact-leg id array is bound as a lambda VARIABLE (transform over
+    # a 1-element array) so the per-element contains test doesn't inline —
+    # and re-evaluate — the id-projection transform per rank probed (the
+    # HOF-binding class tools/hof_lint.py guards; bounded 10x10 here, but
+    # the lint keeps the class out everywhere)
+    hit_ranks = F.element_at(
         F.transform(
-            F.col("_ta"),
-            lambda s, i: F.when(
-                F.array_contains(ex_ids, s["id"]), i + 1
+            F.array(F.transform(F.col("_te"), lambda s: s["id"])),
+            lambda ex: F.filter(
+                F.transform(
+                    F.col("_ta"),
+                    lambda s, i: F.when(
+                        F.array_contains(ex, s["id"]), i + 1
+                    ),
+                ),
+                lambda r: r.isNotNull(),
             ),
         ),
-        lambda r: r.isNotNull(),
+        1,
     )
     per = (
         merged.select(
@@ -2026,10 +2042,20 @@ def eval_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     idx_path, cents_path = ensure_ivf_index(spark, sf_dir)
-    cents = spark.read.parquet(cents_path)
     e = load_table(spark, sf_dir, "embeddings")
-    q = V.query_vector(e, "vec_id", "embedding", qid=7)
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 7).first()["embedding"]]
+    # setup collects ONCE (r13 fixed-cost cut): the query vector (already
+    # in hand from the lookup above) and the k=8 centroid rows come back
+    # as literal local frames, so the exact-leg query broadcast, the qn
+    # broadcast and the centroid re-score no longer each re-scan parquet
+    # inside their broadcast subtrees. Collected doubles round-trip
+    # exactly, so every downstream expression is bit-identical.
+    q = spark.createDataFrame([(qvec,)], "_qvec array<double>")
+    cent_rows = spark.read.parquet(cents_path).collect()
+    cents = spark.createDataFrame(
+        [(r["cell_id"], [float(x) for x in r["cell_vec"]]) for r in cent_rows],
+        "cell_id bigint, cell_vec array<double>",
+    )
     # no persist: the exact top-10 is consumed exactly ONCE (as the
     # broadcast flag below), so caching it was a wasted materialization
     # pass that also outlived the query in the session's block store
@@ -2038,7 +2064,7 @@ def eval_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .withColumn("_hit", F.lit(1))
     )
-    probed4 = probed_cells(spark, cents_path, qvec, n_probe=4)
+    probed4 = rank_cells(cent_rows, qvec, n_probe=4)
     pr = spark.createDataFrame(
         [(int(c), i + 1) for i, c in enumerate(probed4)],
         "ivf_cell long, cell_rank int",
@@ -2056,33 +2082,33 @@ def eval_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     re_sim = V.dot(F.col("embedding"), F.col("cell_vec")) / (
         V.l2_norm(F.col("embedding")) * F.col("_cnorm")
     )
-    assigned1 = (
+    # ONE index scan feeds both assign legs (r13): rank each vector's two
+    # stored cells by (sim DESC, cell ASC) — rn=1 is exactly the row
+    # max_by(ivf_cell, struct(_sim, -ivf_cell)) picked before (highest
+    # sim, tie to the lowest cell id; same re-score expression on the
+    # same stored values) — then tag-explode: the rn=1 row serves legs
+    # {1,2}, the spill row leg {2} only. Replaces the separate
+    # groupBy-idx-scan + union-idx-scan (two full index reads and an
+    # extra exchange) with one scan and the same vec_id key shuffle.
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.desc("_sim"), F.col("ivf_cell").cast("long")
+    )
+    cand = (
         idx.join(
             F.broadcast(cn),
             F.col("ivf_cell").cast("long") == F.col("cell_id").cast("long"),
         )
         .withColumn("_sim", re_sim)
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("ivf_cell"),
-                F.struct(
-                    F.col("_sim"), (-F.col("ivf_cell")).alias("_neg")
-                ),
-            ).alias("ivf_cell"),
-            F.first("embedding").alias("embedding"),
-        )
-    )
-    cand = (
-        assigned1.select(
-            F.lit(1).alias("n_assign"), "vec_id", "embedding",
+        .withColumn("_rn", F.row_number().over(wbest))
+        .select(
+            F.explode(
+                F.when(
+                    F.col("_rn") == 1, F.array(F.lit(1), F.lit(2))
+                ).otherwise(F.array(F.lit(2)))
+            ).alias("n_assign"),
+            "vec_id",
+            "embedding",
             F.col("ivf_cell").cast("long").alias("ivf_cell"),
-        )
-        .unionByName(
-            idx.select(
-                F.lit(2).alias("n_assign"), "vec_id", "embedding",
-                F.col("ivf_cell").cast("long").alias("ivf_cell"),
-            )
         )
         .join(F.broadcast(pr), "ivf_cell")
         # spill-assigned duplicates collapse here (ivf_probe's dedup),

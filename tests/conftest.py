@@ -12,6 +12,41 @@ from pixels_spark.session import build_session
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_T2 = "/root/testdata/sf0.01"
 
+# --- slow tier (see pytest.ini) --------------------------------------------
+# Randomized model/property fuzzes, centrally listed so the fast/slow split
+# is auditable in one place. Durations from the r13 full run
+# (--durations=250, 44:19 total): these entries alone are ~20 min.
+# WHOLE FILES whose every test is a randomized fuzz:
+_SLOW_FILES = {
+    "test_random_asof.py",        # 157s  hypothesis fuzz vs DuckDB ASOF
+    "test_random_joins.py",       # 34s   fuzzy-join brute-force fuzz
+    "test_random_funnel.py",      # 22s   funnel tie fuzz vs oracle
+    "test_random_spans.py",       # 19s   span-cut python-reference fuzz
+    "test_random_temperature.py", # 12s   temperature-mix kept-set fuzz
+    "test_mvcc_model.py",         # 664s  MVCC dict-model history fuzzes
+}
+# Individual randomized/property heavyweights in otherwise-fast files:
+_SLOW_TESTS = {
+    ("test_graph.py", "test_equals_id_ordered_on_random_graphs"),       # 61s
+    ("test_graph.py", "test_pagerank_matches_matrix_oracle_on_random_directed_graphs"),  # 19s
+    ("test_graph.py", "test_weighted_pagerank_matches_dense_reference"),  # 15s
+    ("test_vector.py", "test_pq_index_probe_matches_inline"),            # 59s
+    ("test_vector.py", "test_pq_recall_and_compression"),                # 53s
+    ("test_vector.py", "test_ivfpq_probe_prunes_and_matches_subset_scoring"),  # 23s
+    ("test_vector.py", "test_mmr_matches_independent_greedy_replay"),    # 14s
+    ("test_ivm.py", "test_join_rollup_random_ops_both_sides"),           # 46s
+    ("test_ivm.py", "test_ivm_random_operation_sequences"),              # 21s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        # parametrized ids like name[seed] → base name
+        base = item.name.split("[", 1)[0]
+        if fname in _SLOW_FILES or (fname, base) in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
