@@ -1324,7 +1324,6 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny and the global Q attaches from its persisted aggregate."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    from ..functions.dedup import cut_lineage
 
     # distinct on the raw INT keys, tag-concat AFTER (r12 optimization,
     # guide §2.3 narrower types): the pair distinct is bijective with the
@@ -1340,11 +1339,6 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("_sk").cast("string")).alias("dst"),
         )
     )
-    # cut_lineage (localCheckpoint), not plain persist: five consumers
-    # re-read the edge relation and the A/B measured the checkpoint
-    # FASTER here (4.4 s vs 5.5 s best-of-3 at sf0.1 — cached-partition
-    # re-reads lose to the compact checkpoint under this many consumers)
-    und = cut_lineage(eb)
     # 1-round min labels have a CLOSED FORM — min over {v} ∪ neighbors —
     # so one groupBy-MIN replaces the delta-propagation machinery (whose
     # per-round persist/isEmpty scheduling is why label_prop itself is
@@ -1353,39 +1347,37 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dst 's…', and both engines compare strings bytewise with 'c' < 's',
     # so min({v} ∪ neighbors(v)) is v ITSELF for customer nodes (all
     # their neighbors sort after 's') and min(src neighbors) for supplier
-    # nodes (self loses to every 'c…' neighbor). The generic 4×|edges|
-    # label shuffle + its checkpoint + the node-grain labels⋈deg join
-    # collapse into the two per-endpoint aggregates below, which ALSO
-    # carry the degrees — same values, oracle-verified (the oracle keeps
-    # the generic min-label form).
-    s_nodes = und.groupBy(F.col("dst").alias("node")).agg(
-        F.min("src").alias("label"),
+    # nodes (self loses to every 'c…' neighbor).
+    #
+    # r13 collapse — the edge-grain internal-edge join is REDUNDANT over
+    # the distinct edge set: an edge (src,dst) is internal ⟺ label(src)
+    # = label(dst) ⟺ src = min-neighbor(dst), and per supplier node
+    # EXACTLY ONE of its distinct edges satisfies that (the min one), so
+    # e_c = #supplier nodes labeled c — a count the label aggregate
+    # already produces. Both endpoint aggregates further fold into ONE
+    # tagged-explode groupBy (supplier rows carry src as the min
+    # candidate, customer rows carry NULL; min() ignores nulls, so a
+    # node's minsrc is null ⟺ it is a customer). und then has a single
+    # consumer, so the r12 localCheckpoint (three consumers re-reading
+    # the edge relation) is no longer needed at all. Same values,
+    # oracle-verified (the oracle keeps the generic min-label + two-sided
+    # label-join form).
+    tagged = eb.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("dst").alias("node"), F.col("src").alias("minsrc")
+                ),
+                F.struct(
+                    F.col("src").alias("node"),
+                    F.lit(None).cast("string").alias("minsrc"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.node", "t.minsrc")
+    nodes = tagged.groupBy("node").agg(
+        F.min("minsrc").alias("_minsrc"),
         F.count(F.lit(1)).cast("bigint").alias("d"),
-    )
-    c_nodes = und.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    dc = (
-        c_nodes.select(F.col("node").alias("label"), "d")
-        .unionByName(s_nodes.select("label", "d"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-            F.sum("d").cast("bigint").alias("d_c"),
-        )
-    )
-    # internal edge ⟺ label(src) = label(dst) ⟺ src = min-neighbor(dst)
-    # (label(src) = src for customer nodes): ONE supplier-grain join
-    # replaces the generic two-sided label attach — no broadcast HINT
-    # (supplier-tier nodes can be huge at 100 TB; AQE broadcasts when it
-    # actually fits — measured at fixture scale the hint was noise anyway)
-    ec = (
-        und.join(
-            s_nodes.select(F.col("node").alias("dst"), "label"), "dst"
-        )
-        .filter(F.col("src") == F.col("label"))
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
     )
     # r12: every global scalar folds to ONE distributed aggregate over
     # the per-community frame — Σ_c d_c = 2m exactly (each edge
@@ -1394,12 +1386,23 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass and the second scalar pass both disappear; the 1-row result
     # attaches by broadcast (scale-safe: no global window over the
     # community grain, which is node-bounded, not constant-bounded).
-    per = dc.join(ec, "label", "left").select(
-        "label",
-        "n_nodes",
-        F.coalesce("e_c", F.lit(0)).cast("bigint").alias("e_c"),
-        "d_c",
-    ).persist()
+    per = (
+        nodes.select(
+            F.coalesce(F.col("_minsrc"), F.col("node")).alias("label"),
+            "d",
+            F.when(F.col("_minsrc").isNotNull(), 1)
+            .otherwise(0)
+            .alias("_is_s"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("_is_s").cast("bigint").alias("e_c"),
+            F.sum("d").cast("bigint").alias("d_c"),
+        )
+        .select("label", "n_nodes", "e_c", "d_c")
+        .persist()
+    )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     tot = per.agg(
         F.sum("d_c").cast("bigint").alias("m2"),
